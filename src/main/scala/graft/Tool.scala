@@ -1,0 +1,101 @@
+package graft
+
+import graft.format._
+import java.nio.file.{Files, Paths, Path}
+
+/** CLI compress/decompress for 4mc/4mz files — the analog of the reference's
+  * `4mc` tool (`native/4mccli.c:170-361`): level flags `-1..-4`, `-z` for
+  * ZSTD, `-d` to decode, auto extension handling. Useful for fixtures and for
+  * moving data in/out of the engine without Spark.
+  *
+  * Usage:
+  *   graft.Tool [-z] [-1|-2|-3|-4] [-d] [-t] input [output]
+  *     -z  use ZSTD container (.4mz); default LZ4 (.4mc)
+  *     -1..-4  level fast/medium/high/ultra (compress only)
+  *     -d  decompress
+  *     -t  test integrity (decode, discard output)
+  */
+object Tool {
+  private def fail(msg: String): Nothing = { System.err.println(s"4mc: $msg"); sys.exit(1) }
+
+  def main(args: Array[String]): Unit = {
+    var zstd = false; var level = 1; var decode = false; var testOnly = false
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    args.foreach {
+      case "-z" => zstd = true
+      case "-d" => decode = true
+      case "-t" => testOnly = true
+      case "-1" => level = 1
+      case "-2" => level = 2
+      case "-3" => level = 3
+      case "-4" => level = 4
+      case a if a.startsWith("-") => fail(s"unknown flag $a")
+      case p => paths += p
+    }
+    if (paths.isEmpty) fail("no input file given")
+    val in = Paths.get(paths.head)
+    if (!Files.exists(in)) fail(s"input not found: $in")
+
+    if (decode || testOnly) decompress(in, paths.lift(1).map(Paths.get(_)), testOnly)
+    else compress(in, paths.lift(1).map(Paths.get(_)), zstd, level)
+  }
+
+  private def codecFor(zstd: Boolean, level: Int): McCodec = (zstd, level) match {
+    case (false, 1) => McCodec.Lz4Fast
+    case (false, 2) => McCodec.Lz4Medium
+    case (false, 3) => McCodec.Lz4High
+    case (false, _) => McCodec.Lz4Ultra
+    case (true, 1)  => McCodec.Zstd1
+    case (true, 2)  => McCodec.Zstd3
+    case (true, 3)  => McCodec.Zstd6
+    case (true, _)  => McCodec.Zstd12
+  }
+
+  private def compress(in: Path, outOpt: Option[Path], zstd: Boolean, level: Int): Unit = {
+    val codec = codecFor(zstd, level)
+    val out = outOpt.getOrElse(Paths.get(in.toString + codec.fileExtension))
+    val t0 = System.nanoTime()
+    val w = new FourMcWriter(new java.io.BufferedOutputStream(Files.newOutputStream(out), 1 << 16), codec)
+    val inStream = Files.newInputStream(in)
+    val buf = new Array[Byte](1 << 20)
+    var total = 0L
+    var n = inStream.read(buf)
+    while (n > 0) { w.write(buf, 0, n); total += n; n = inStream.read(buf) }
+    inStream.close(); w.close()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val outLen = Files.size(out)
+    println(f"$in -> $out [${codec.name}] $total%d -> $outLen%d bytes " +
+      f"(ratio ${total.toDouble / math.max(1, outLen)}%.3f, ${total / 1e6 / secs}%.1f MB/s)")
+  }
+
+  private def decompress(in: Path, outOpt: Option[Path], testOnly: Boolean): Unit = {
+    val out = outOpt.getOrElse {
+      val s = in.toString
+      if (s.endsWith(".4mc") || s.endsWith(".4mz")) Paths.get(s.dropRight(4))
+      else Paths.get(s + ".out")
+    }
+    val t0 = System.nanoTime()
+    val mcIn = McInput.local(in)
+    try {
+      val idx = FourMcReader.readIndex(mcIn)
+      FourMcReader.readHeader(mcIn)
+      val os =
+        if (testOnly) java.io.OutputStream.nullOutputStream()
+        else new java.io.BufferedOutputStream(Files.newOutputStream(out), 1 << 16)
+      var total = 0L
+      var pos = if (idx.numBlocks > 0) idx.blockOffsets(0) else idx.eosPos
+      var done = pos >= idx.eosPos
+      while (!done) {
+        val (data, nxt) = FourMcReader.readBlock(mcIn, idx.zstd, pos)
+        if (data == null) done = true
+        else { os.write(data); total += data.length; pos = nxt; if (pos >= idx.eosPos) done = true }
+      }
+      os.close()
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (testOnly) println(f"$in: OK (${idx.numBlocks} blocks, $total bytes, ${total / 1e6 / secs}%.1f MB/s)")
+      else println(f"$in -> $out $total bytes (${total / 1e6 / secs}%.1f MB/s)")
+    } catch {
+      case e: java.io.IOException => fail(e.getMessage)
+    } finally mcIn.close()
+  }
+}

@@ -1,0 +1,259 @@
+package graft.format
+
+import java.io.{EOFException, IOException}
+
+/** Positional-read abstraction so the same reader core serves local files
+  * (tests, CLI) and Hadoop streams (Spark executors).
+  */
+trait McInput extends java.io.Closeable {
+  def length: Long
+  def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit
+}
+
+object McInput {
+  def local(path: java.nio.file.Path): McInput = new McInput {
+    private val raf = new java.io.RandomAccessFile(path.toFile, "r")
+    def length: Long = raf.length()
+    def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+      raf.seek(pos); raf.readFully(buf, off, len)
+    }
+    def close(): Unit = raf.close()
+  }
+}
+
+/** Parsed footer index of one 4mc/4mz file.
+  *
+  * @param zstd        true when the container magic is 4MZ
+  * @param blockOffsets absolute file offset of each block header (first = 12)
+  * @param eosPos      offset of the EOS marker = end of the last block
+  */
+final case class FourMcIndex(zstd: Boolean, blockOffsets: Array[Long], eosPos: Long, fileLen: Long) {
+
+  /** Smallest block start >= pos; eosPos when no such block (split owns no
+    * blocks). Mirrors the reference's slice alignment
+    * (`FourMcBlockIndex.java:142-173`): a byte-range split maps to the blocks
+    * whose headers begin inside it, so any partition of the byte range
+    * partitions the blocks disjointly.
+    */
+  def nextBlockAt(pos: Long): Long = {
+    var lo = 0
+    var hi = blockOffsets.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (blockOffsets(mid) >= pos) hi = mid else lo = mid + 1
+    }
+    if (lo < blockOffsets.length) blockOffsets(lo) else eosPos
+  }
+
+  def numBlocks: Int = blockOffsets.length
+}
+
+object FourMcReader {
+  import FourMc._
+
+  private def getBE(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+      ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  /** Verify the 12-byte file header; returns true for 4mz (zstd). */
+  def readHeader(in: McInput): Boolean = {
+    val hdr = new Array[Byte](HeaderLen)
+    in.readFully(0, hdr, 0, HeaderLen)
+    val magic = getBE(hdr, 0)
+    if (!isContainerMagic(magic))
+      throw new IOException(f"not a 4mc/4mz file: bad magic 0x$magic%08x")
+    if (getBE(hdr, 4) != Version)
+      throw new IOException(s"unsupported 4mc version ${getBE(hdr, 4)}")
+    if (getBE(hdr, 8) != xxhash32(hdr, 0, 8))
+      throw new IOException("4mc header checksum mismatch")
+    magic == MzMagic
+  }
+
+  /** Read the footer index from the file tail (4 KiB read-ahead, re-read if
+    * the footer is larger — the reference's `readIndex` behavior,
+    * `FourMcInputStream.java:163-239`).
+    */
+  def readIndex(in: McInput): FourMcIndex = {
+    val fileLen = in.length
+    val minLen = HeaderLen + EosLen + FooterFixedLen
+    if (fileLen < minLen)
+      throw new IOException(s"4mc file too small ($fileLen bytes)")
+    var tailLen = math.min(4096L, fileLen).toInt
+    var tail = new Array[Byte](tailLen)
+    in.readFully(fileLen - tailLen, tail, 0, tailLen)
+    val footerSize = getBE(tail, tailLen - 12)
+    val magic = getBE(tail, tailLen - 8)
+    if (!isContainerMagic(magic))
+      throw new IOException(f"bad 4mc footer magic 0x$magic%08x")
+    if (footerSize < FooterFixedLen || footerSize > fileLen - HeaderLen - EosLen)
+      throw new IOException(s"bad 4mc footer size $footerSize")
+    if (footerSize > tailLen) {
+      tailLen = footerSize
+      tail = new Array[Byte](tailLen)
+      in.readFully(fileLen - tailLen, tail, 0, tailLen)
+    }
+    val f = tailLen - footerSize // footer start within tail
+    if (getBE(tail, tailLen - 4) != xxhash32(tail, f, footerSize - 4))
+      throw new IOException("4mc footer checksum mismatch")
+    if (getBE(tail, f) != footerSize)
+      throw new IOException("4mc footer size fields disagree")
+    if (getBE(tail, f + 4) != Version)
+      throw new IOException(s"unsupported 4mc footer version")
+    val n = (footerSize - FooterFixedLen) / 4
+    val offsets = new Array[Long](n)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += getBE(tail, f + 8 + 4 * i).toLong
+      offsets(i) = acc
+      i += 1
+    }
+    FourMcIndex(magic == MzMagic, offsets, fileLen - footerSize - EosLen, fileLen)
+  }
+
+  /** Read + verify + decompress the block whose header starts at `pos`.
+    * Returns null at EOS. Second element: offset of the next block header.
+    */
+  def readBlock(in: McInput, zstd: Boolean, pos: Long): (Array[Byte], Long) = {
+    val hdr = new Array[Byte](BlockHeaderLen)
+    in.readFully(pos, hdr, 0, BlockHeaderLen)
+    val uncompLen = getBE(hdr, 0)
+    val compLen = getBE(hdr, 4)
+    val checksum = getBE(hdr, 8)
+    if (uncompLen == 0 && compLen == 0 && checksum == 0) return (null, pos + BlockHeaderLen)
+    if (uncompLen <= 0 || uncompLen > MaxBlockSize)
+      throw new IOException(s"4mc block uncompressed size $uncompLen out of range at $pos")
+    if (compLen <= 0 || compLen > uncompLen)
+      throw new IOException(s"4mc block compressed size $compLen out of range at $pos")
+    val payload = new Array[Byte](compLen)
+    in.readFully(pos + BlockHeaderLen, payload, 0, compLen)
+    if (xxhash32(payload, 0, compLen) != checksum)
+      throw new IOException(s"4mc block checksum mismatch at $pos")
+    val data =
+      if (compLen == uncompLen) payload // stored plain — no codec involved
+      else McCodec.decompress(zstd, payload, 0, compLen, uncompLen)
+    (data, pos + BlockHeaderLen + compLen)
+  }
+}
+
+/** Iterator of text lines for one byte-range split of a 4mc/4mz file,
+  * replicating Hadoop split semantics (`FourMcLineRecordReader.java:116-163`):
+  *
+  *   - the split's blocks are those whose headers start in [start, end);
+  *   - a reader with start != 0 discards everything up to the first newline;
+  *   - lines are read while the consumed-block position <= alignedEnd, which
+  *     reads exactly one line past the owned blocks — finishing a spanning
+  *     line and compensating the next split's first-line skip.
+  *
+  * Together these guarantee every line is emitted exactly once for ANY
+  * partition of the file's byte range (split-invariance property test).
+  *
+  * Emitted key = file offset of the block the line started in (compressed
+  * coordinates, like the reference's LongWritable key).
+  */
+final class FourMcLineIterator(
+    in: McInput,
+    index: FourMcIndex,
+    splitStart: Long,
+    splitEnd: Long,
+    maxLineLen: Int = 64 * 1024 * 1024
+) extends Iterator[(Long, Array[Byte])] {
+
+  private val alignedStart = index.nextBlockAt(math.max(splitStart, FourMc.HeaderLen.toLong))
+  private val alignedEnd =
+    if (splitEnd >= index.eosPos) index.eosPos else index.nextBlockAt(splitEnd)
+
+  private var block: Array[Byte] = _
+  private var blockPos = 0
+  private var blockFileOff = alignedStart // file offset of current block
+  private var consumedPos: Long = alignedStart // file offset after fetched blocks
+  private var nextHeaderPos: Long = alignedStart
+  private var finished = alignedStart >= index.eosPos && index.numBlocks == 0
+  private var nextLine: (Long, Array[Byte]) = _
+
+  if (splitStart != 0 && !finished) skipLine()
+
+  private def fetchBlock(): Boolean = {
+    if (nextHeaderPos >= index.eosPos) { block = null; return false }
+    val off = nextHeaderPos
+    val (data, nxt) = FourMcReader.readBlock(in, index.zstd, off)
+    if (data == null) { block = null; return false }
+    block = data
+    blockPos = 0
+    blockFileOff = off
+    nextHeaderPos = nxt
+    consumedPos = if (nxt >= index.eosPos) index.eosPos else nxt
+    true
+  }
+
+  /** Read one line (terminated by \n, trailing \r stripped); null at EOF.
+    * Returns (blockFileOffset of line start, bytes).
+    */
+  private def readLine(): (Long, Array[Byte]) = {
+    if (block == null || blockPos >= block.length) {
+      if (block != null && blockPos >= block.length) block = null
+      if (block == null && !fetchBlock()) return null
+    }
+    val startOff = blockFileOff
+    var out: java.io.ByteArrayOutputStream = null
+    while (true) {
+      var i = blockPos
+      while (i < block.length && block(i) != '\n') i += 1
+      if (i < block.length) { // newline found in this block
+        var end = i
+        val res =
+          if (out == null) {
+            if (end > blockPos && block(end - 1) == '\r') end -= 1
+            java.util.Arrays.copyOfRange(block, blockPos, end)
+          } else {
+            out.write(block, blockPos, end - blockPos)
+            val a = out.toByteArray
+            if (a.nonEmpty && a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1)
+            else a
+          }
+        blockPos = i + 1
+        return (startOff, res)
+      } else {
+        // line continues into the next block
+        if (out == null) out = new java.io.ByteArrayOutputStream(block.length - blockPos + 64)
+        out.write(block, blockPos, block.length - blockPos)
+        if (out.size() > maxLineLen) throw new IOException("4mc line exceeds max length")
+        blockPos = block.length
+        if (!fetchBlock()) {
+          val a = out.toByteArray
+          return if (a.isEmpty) null
+          else {
+            val r =
+              if (a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1) else a
+            (startOff, r)
+          }
+        }
+      }
+    }
+    null // unreachable
+  }
+
+  private def skipLine(): Unit = {
+    if (alignedStart >= index.eosPos) { finished = true; return }
+    readLine()
+  }
+
+  private def advance(): Unit = {
+    if (finished) return
+    if (consumedPos > alignedEnd) { finished = true; nextLine = null; return }
+    nextLine = readLine()
+    if (nextLine == null) finished = true
+  }
+
+  private var primed = false
+  override def hasNext: Boolean = {
+    if (!primed) { advance(); primed = true }
+    !finished && nextLine != null
+  }
+  override def next(): (Long, Array[Byte]) = {
+    if (!hasNext) throw new NoSuchElementException
+    val r = nextLine
+    primed = false
+    r
+  }
+}
