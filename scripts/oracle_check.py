@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a DuckDB view, runs every SQL in
+oracle_sql.json, and compares to the Spark result parquet: columns sorted by
+name, rows sorted by all columns, values compared exactly (floats by bit
+pattern after float64 coercion).
+"""
+import sys, json, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.sql(sql).df()
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            fails.append((name, f"columns {list(got.columns)} != {list(want.columns)}"))
+            continue
+        if len(want) != len(got):
+            fails.append((name, f"rows {len(got)} != {len(want)}"))
+            continue
+        ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        diff = None
+        for c in want.columns:
+            for i, (a, b) in enumerate(zip(ws[c], gs[c])):
+                if a is None and b is None:
+                    continue
+                try:
+                    if isinstance(a, float) or isinstance(b, float):
+                        fa, fb = float(a), float(b)
+                        if math.isnan(fa) and math.isnan(fb):
+                            continue
+                        if fa != fb:
+                            diff = f"{c}[{i}]: {b!r} != {a!r}"
+                            break
+                    elif str(a) != str(b):
+                        diff = f"{c}[{i}]: {b!r} != {a!r}"
+                        break
+                except Exception as e:
+                    diff = f"{c}[{i}]: compare error {e}"
+                    break
+            if diff:
+                break
+        if diff:
+            fails.append((name, diff))
+        else:
+            print(f"OK    {name} ({len(got)} rows)")
+    except Exception as e:
+        fails.append((name, f"error: {e}"))
+for name, why in fails:
+    print(f"FAIL  {name}: {why}")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 4mc/4mz round-trips of the relational tables: parquet → pipe-delimited
+  * lines inside the container → read back → typed columns. Queries over these
+  * prove the format layer preserves semantics end-to-end (SURVEY §5.5) — the
+  * DuckDB oracle runs against the ORIGINAL parquet, so any loss in the
+  * container, the split planner, or the line framing shows up as a hash
+  * mismatch.
+  *
+  * Serialization is exact: Double.toString round-trips (shortest repr),
+  * timestamps are formatted/parsed with an explicit millisecond pattern.
+  */
+object RoundTrip {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSS"
+
+  /** Deterministic scratch dir per (table, sf, codec); reused when present. */
+  private def rtDir(sfDir: String, tableName: String, codec: String): java.io.File = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-rt/$key/$tableName-$codec"
+    )
+  }
+
+  /** Round-trip `table` through the 4mc container with `codec`, returning a
+    * DataFrame with the original column names and types.
+    */
+  def roundTrip(
+      spark: SparkSession,
+      sfDir: String,
+      tableName: String,
+      codec: String = "lz4-fast"
+  ): DataFrame = {
+    val src = Queries.table(spark, sfDir, tableName)
+    val schema = src.schema
+    val dir = rtDir(sfDir, tableName, codec)
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      val serialized = src.select(
+        concat_ws("|", schema.fields.map { f =>
+          f.dataType match {
+            case TimestampType => date_format(col(f.name), tsFmt)
+            case _             => col(f.name).cast(StringType)
+          }
+        }.toIndexedSeq: _*).as("value")
+      )
+      serialized.write.mode("overwrite").format("4mc").option("codec", codec).save(dir.getAbsolutePath)
+    }
+    val lines = spark.read.format("4mc").load(dir.getAbsolutePath)
+    val parts = split(col("value"), "\\|")
+    lines.select(schema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = parts(i)
+      (f.dataType match {
+        case TimestampType => to_timestamp(raw, tsFmt)
+        case dt            => raw.cast(dt)
+      }).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */
+  def q1OverFourMc(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "lz4-fast"))
+
+  /** Q1 over lineitem round-tripped through ZSTD (4mz). */
+  def q1OverFourMz(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "zstd-3"))
+
+  /** Documents through 4mz: per-language doc count + exact char sum. The text
+    * itself crosses the container, not just the metadata.
+    */
+  def documentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    roundTrip(spark, sfDir, "documents", "zstd-3")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("total_chars"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id")
+      )
+      .orderBy($"lang")
+  }
+
+  val documentStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Orders joined against its own 4mz round-trip — every column of every row
+    * must survive (count mismatch or null join keys would change the result).
+    */
+  def ordersSelfJoinCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orig = Queries.table(spark, sfDir, "orders")
+    val rt = roundTrip(spark, sfDir, "orders", "zstd-1")
+    orig
+      .join(rt.withColumnRenamed("o_totalprice", "rt_totalprice"), Seq("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"o_totalprice" === $"rt_totalprice", 1L).otherwise(0L)).as("n_price_equal")
+      )
+  }
+
+  val ordersSelfJoinSql: String =
+    """SELECT COUNT(*) AS n_rows, SUM(CASE WHEN o_totalprice = o_totalprice THEN 1 ELSE 0 END) AS n_price_equal
+      |FROM orders""".stripMargin
+}

@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] with a matching [[oracleSql]] is hash-checked by
+  * the driver against DuckDB on the same parquet tables (sf0.01). Column names
+  * are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: Q1 pricing summary over lineitem round-tripped through the 4mc
+    * container — exercises the format writer, the splittable reader, line
+    * framing, typed parsing, and Catalyst agg in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RoundTrip.q1OverFourMc(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational (SURVEY §2 C + Catalyst operators over the testdata tables)
+    "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q6_forecast" -> (Queries.q6Forecast _),
+    "q3_shipping_priority" -> (Queries.q3ShippingPriority _),
+    "q4_order_priority" -> (Queries.q4OrderPriority _),
+    "q5_local_supplier" -> (Queries.q5LocalSupplier _),
+    "q10_returned_items" -> (Queries.q10ReturnedItems _),
+    "q_anti_join" -> (Queries.qAntiCustomersNoOrders _),
+    "q_window_top_orders" -> (Queries.qWindowTopOrders _),
+    "q_rollup_revenue" -> (Queries.qRollupRevenue _),
+    "q_distinct_counts" -> (Queries.qDistinctParts _),
+    "q_parts_above_avg" -> (Queries.qPartsAboveAvg _),
+    "q_nations_except" -> (Queries.qNationsExcept _),
+    "q_explode_part_words" -> (Queries.qExplodePartWords _),
+    "q_events_hourly" -> (Queries.qEventsHourly _),
+    "q_events_sessions" -> (Queries.qEventsSessions _),
+    // format layer: queries over 4mc/4mz round-tripped tables
+    "fourmc_lineitem_q1" -> (RoundTrip.q1OverFourMc _),
+    "fourmz_lineitem_q1" -> (RoundTrip.q1OverFourMz _),
+    "fourmz_document_stats" -> (RoundTrip.documentStats _),
+    "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Queries.q1Sql,
+    "q6_forecast" -> Queries.q6Sql,
+    "q3_shipping_priority" -> Queries.q3Sql,
+    "q4_order_priority" -> Queries.q4Sql,
+    "q5_local_supplier" -> Queries.q5Sql,
+    "q10_returned_items" -> Queries.q10Sql,
+    "q_anti_join" -> Queries.qAntiSql,
+    "q_window_top_orders" -> Queries.qWindowSql,
+    "q_rollup_revenue" -> Queries.qRollupSql,
+    "q_distinct_counts" -> Queries.qDistinctSql,
+    "q_parts_above_avg" -> Queries.qPartsAboveAvgSql,
+    "q_nations_except" -> Queries.qNationsExceptSql,
+    "q_explode_part_words" -> Queries.qExplodeSql,
+    "q_events_hourly" -> Queries.qEventsHourlySql,
+    "q_events_sessions" -> Queries.qEventsSessionsSql,
+    "fourmc_lineitem_q1" -> Queries.q1Sql,
+    "fourmz_lineitem_q1" -> Queries.q1Sql,
+    "fourmz_document_stats" -> RoundTrip.documentStatsSql,
+    "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql
+  )
 }

@@ -110,4 +110,7 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
 
   def bytesWritten: Long = bytesOut
   def blockCount: Int = blockOffsets.length
+
+  /** Bytes buffered for the current (unflushed) block. */
+  def pendingBytes: Int = bufLen
 }

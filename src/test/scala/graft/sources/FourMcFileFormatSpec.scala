@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class FourMcFileFormatSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("4mc-format-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("fourmc").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  test("write + read roundtrip preserves every line (lz4 and zstd)") {
+    import spark.implicits._
+    val lines = (0 until 20000).map(i => s"row-$i|payload-${i % 997}|${"x" * (i % 50)}")
+    for (codec <- Seq("lz4-fast", "zstd-3")) {
+      val dir = tmpDir()
+      lines.toDF("value").repartition(3).write.format("4mc").option("codec", codec).save(dir)
+      val back = spark.read.format("4mc").load(dir).as[String].collect()
+      assert(back.length == lines.length, codec)
+      assert(back.sorted.toSeq == lines.sorted, codec)
+      // written files carry the right extension
+      val exts = new java.io.File(dir).listFiles.map(_.getName).filter(_.startsWith("part-"))
+      val wantExt = if (codec.startsWith("zstd")) ".4mz" else ".4mc"
+      assert(exts.nonEmpty && exts.forall(_.endsWith(wantExt)), exts.mkString(","))
+    }
+  }
+
+  test("split-invariance: tiny maxPartitionBytes yields many partitions, same rows") {
+    import spark.implicits._
+    val lines = (0 until 200000).map(i => s"$i,${scala.util.Random.nextInt(1000)},text-$i")
+    val dir = tmpDir()
+    lines.toDF("value").coalesce(1).write.format("4mc").option("codec", "lz4-fast").save(dir)
+
+    val whole = spark.read.format("4mc").load(dir)
+    assert(whole.rdd.getNumPartitions >= 1)
+    val wholeRows = whole.as[String].collect().sorted
+
+    // force many small splits — this is the 24-vs-1 parallelism headline
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val splitDf = spark.read.format("4mc").load(dir)
+      assert(splitDf.rdd.getNumPartitions > 4, s"expected many partitions, got ${splitDf.rdd.getNumPartitions}")
+      val splitRows = splitDf.as[String].collect().sorted
+      assert(splitRows.toSeq == wholeRows.toSeq)
+      assert(splitRows.length == lines.length)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("withOffsets exposes the block-offset key") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 1000).map(i => s"line-$i").toDF("value").coalesce(1)
+      .write.format("4mc").save(dir)
+    val df = spark.read.format("4mc").option("withOffsets", "true").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("offset", "value"))
+    val offs = df.select("offset").as[Long].collect()
+    assert(offs.forall(_ >= 12L))
+  }
+
+  test("binary payload roundtrip") {
+    import spark.implicits._
+    val recs = (0 until 5000).map { i =>
+      val a = new Array[Byte](i % 300 + 1); scala.util.Random.nextBytes(a); a
+    }
+    val dir = tmpDir()
+    recs.toDF("value").repartition(2)
+      .write.format("4mc").option("payload", "binary").option("codec", "zstd-1").save(dir)
+    val back = spark.read.format("4mc").option("payload", "binary").load(dir)
+      .as[Array[Byte]].collect()
+    assert(back.length == recs.length)
+    assert(back.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq ==
+      recs.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]))
+  }
+
+  test("count(*) with empty required schema still counts lines") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 12345).map(i => s"l$i").toDF("value").coalesce(1).write.format("4mc").save(dir)
+    assert(spark.read.format("4mc").load(dir).count() == 12345)
+  }
+
+  test("sql over 4mc lines: csv parse + aggregate") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.select(concat_ws("|", $"l_orderkey", $"l_quantity", $"l_returnflag").as("value"))
+      .write.format("4mc").option("codec", "zstd-3").save(dir)
+    val back = spark.read.format("4mc").load(dir)
+      .select(split($"value", "\\|").as("f"))
+      .select($"f"(0).cast("long").as("okey"), $"f"(1).cast("double").as("qty"), $"f"(2).as("rf"))
+    val got = back.groupBy("rf").agg(sum("qty").as("s")).orderBy("rf").collect()
+    val want = li.groupBy($"l_returnflag".as("rf")).agg(sum("l_quantity").as("s")).orderBy("rf").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+  }
+}
