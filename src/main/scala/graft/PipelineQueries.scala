@@ -1,0 +1,180 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline query surface (SURVEY §2 D): dedup, similarity search, text
+  * analysis, multimodal — wired to the driver's oracle gate where DuckDB can
+  * express the semantics, rows-only otherwise (LSH uses Spark's xxhash64,
+  * which DuckDB lacks).
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.table(spark, sfDir, "documents")
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.table(spark, sfDir, "embeddings")
+
+  // ------------------------------------------------------------------ dedup
+
+  /** D1: exact dedup on text (min doc_id survives), per-language survivors. */
+  def dedupExactDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exactDedup(docs(spark, sfDir), Seq("text"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"))
+      .orderBy($"lang")
+  }
+
+  val dedupExactSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id FROM documents d
+      |WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE d2.text = d.text)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** D2 exact flavor: high-overlap pairs by word-set Jaccard. */
+  def dedupNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.82)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(100)
+
+  val dedupNgramSql: String =
+    Dedup.ngramJaccardPairsSql(0.82) +
+      "\nORDER BY jaccard DESC, d1, d2 LIMIT 100"
+
+  /** D2 SimHash: per-doc 60-bit signature, bit-exact vs DuckDB via md5. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHash(docs(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc"))
+
+  def dedupSimhashSql: String = Dedup.simHashSql + " ORDER BY doc"
+
+  /** D2 MinHash-LSH (rows-only: xxhash64 signatures are Spark-specific).
+    * Near-dup pairs at Jaccard >= 0.5 over 3-shingles, then cluster count.
+    */
+  def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupPairs(docs(spark, sfDir), "doc_id", "text", 0.5)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairs(docs(spark, sfDir), "doc_id", "text", 0.5)
+    Dedup.duplicateClusters(pairs)
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"cluster_size")
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  /** D3 exact: top-5 cosine neighbors for queries vec_id < 10. */
+  def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.bruteForceTopKRounded(e, e.filter(col("vec_id") < 10), 5)
+  }
+
+  def annBruteForceSql: String = Similarity.bruteForceSql(10, 5)
+
+  /** D3 approximate (rows-only): SRP-LSH bucketed ANN, same queries. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64, bits = 4, tables = 16)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 5).as("simr"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  // ------------------------------------------------------------------- text
+
+  /** D4: per-language token/quality statistics. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select(
+        $"lang",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.qualityScore($"text").as("quality"),
+        TextAnalysis.punctPerMille($"text").as("punct"),
+        TextAnalysis.meanTokenLenMilli($"text").as("mtl")
+      )
+      .groupBy($"lang")
+      .agg(
+        sum($"n_tokens").as("total_tokens"),
+        min($"quality").as("min_q"),
+        max($"quality").as("max_q"),
+        sum($"quality").as("sum_q"),
+        sum($"punct").as("sum_punct"),
+        sum($"mtl").as("sum_mtl")
+      )
+      .orderBy($"lang")
+  }
+
+  val textStatsSql: String = {
+    import TextAnalysis._
+    s"""SELECT lang, SUM(${tokenCountSql("text")}) AS total_tokens,
+       |  MIN(${qualityScoreSql("text")}) AS min_q,
+       |  MAX(${qualityScoreSql("text")}) AS max_q,
+       |  SUM(${qualityScoreSql("text")}) AS sum_q,
+       |  SUM(${punctPerMilleSql("text")}) AS sum_punct,
+       |  SUM(${meanTokenLenMilliSql("text")}) AS sum_mtl
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** D4: language-ID heuristic vs. labeled lang — confusion counts. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"lang".as("actual"), TextAnalysis.langId($"text").as("predicted"))
+      .groupBy($"actual", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"actual", $"predicted")
+  }
+
+  val langIdConfusionSql: String =
+    s"""SELECT lang AS actual, ${TextAnalysis.langIdSql("text")} AS predicted, COUNT(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
+
+  /** D4: min-hash-of-3-grams document fingerprints (md5-based, exact). */
+  def docFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintsSql: String =
+    s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
+       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** D6: quality filter — docs passing a pipeline gate, per (lang, source). */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .filter(
+        TextAnalysis.qualityScore($"text") >= 40 &&
+          TextAnalysis.tokenCount($"text") >= 10 &&
+          TextAnalysis.punctPerMille($"text") <= 100
+      )
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_pass"), sum(length($"text")).as("pass_chars"))
+      .orderBy($"lang")
+  }
+
+  val qualityFilterSql: String = {
+    import TextAnalysis._
+    s"""SELECT lang, COUNT(*) AS n_pass, SUM(length(text)) AS pass_chars FROM documents
+       |WHERE ${qualityScoreSql("text")} >= 40 AND ${tokenCountSql("text")} >= 10
+       |  AND ${punctPerMilleSql("text")} <= 100
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  /** D5 (rows-only): full binary pipeline through the 4mc container. */
+  def multimodalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    Multimodal.pipelineMetrics(spark, 2000, s"/tmp/graft-rt/$key/media-4mc")
+  }
+}

@@ -38,7 +38,20 @@ object SparkEntry {
     "fourmc_lineitem_q1" -> (RoundTrip.q1OverFourMc _),
     "fourmz_lineitem_q1" -> (RoundTrip.q1OverFourMz _),
     "fourmz_document_stats" -> (RoundTrip.documentStats _),
-    "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _)
+    "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _),
+    // LLM-pipeline operators (SURVEY §2 D)
+    "dedup_exact_docs" -> (PipelineQueries.dedupExactDocs _),
+    "dedup_ngram_pairs" -> (PipelineQueries.dedupNgramPairs _),
+    "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "dedup_minhash_pairs" -> (PipelineQueries.dedupMinhashPairs _),
+    "dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "ann_brute_force" -> (PipelineQueries.annBruteForce _),
+    "ann_lsh" -> (PipelineQueries.annLsh _),
+    "text_stats" -> (PipelineQueries.textStats _),
+    "lang_id_confusion" -> (PipelineQueries.langIdConfusion _),
+    "doc_fingerprints" -> (PipelineQueries.docFingerprints _),
+    "quality_filter" -> (PipelineQueries.qualityFilter _),
+    "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -60,6 +73,17 @@ object SparkEntry {
     "fourmc_lineitem_q1" -> Queries.q1Sql,
     "fourmz_lineitem_q1" -> Queries.q1Sql,
     "fourmz_document_stats" -> RoundTrip.documentStatsSql,
-    "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql
+    "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
+    // pipeline operators with DuckDB-expressible semantics
+    // (dedup_minhash_pairs / dedup_clusters / ann_lsh / multimodal_pipeline
+    //  use Spark-side hashing or generated blobs → rows-only check)
+    "dedup_exact_docs" -> PipelineQueries.dedupExactSql,
+    "dedup_ngram_pairs" -> PipelineQueries.dedupNgramSql,
+    "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
+    "ann_brute_force" -> PipelineQueries.annBruteForceSql,
+    "text_stats" -> PipelineQueries.textStatsSql,
+    "lang_id_confusion" -> PipelineQueries.langIdConfusionSql,
+    "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,
+    "quality_filter" -> PipelineQueries.qualityFilterSql
   )
 }

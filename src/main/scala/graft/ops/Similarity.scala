@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY §2 D3).
+  *
+  * Brute force is the exact baseline: broadcast the (small) query set, fuse
+  * cosine into the probe-side scan with a codegen'd expression, and take
+  * per-query top-k through a rank filter — Spark ≥3.5 rewrites that into
+  * WindowGroupLimit, i.e. per-partition top-k before the shuffle, so the
+  * shuffle carries k rows per (query, partition), not the full N×Q cross
+  * product.
+  *
+  * The scale path is SRP-LSH: 16 sign bits from hash-derived hyperplanes
+  * bucket the corpus; queries probe their own bucket plus all 1-bit-flip
+  * neighbors (multiprobe), turning a 100 TB scan per query into a bucketed
+  * join that touches ~ (P+1)/2^P of the corpus.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), vec_cosine(col("qemb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Oracle-shaped output: (qid, rn, simr) — neighbor ids excluded so a rank
+    * swap between float-identical sims cannot change the result set.
+    */
+  def bruteForceTopKRounded(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(corpus, queries, k)
+      .select(col("qid"), col("rn"), round(col("sim"), 5).as("simr"))
+      .orderBy(col("qid"), col("rn"))
+
+  def bruteForceSql(maxQid: Long, k: Int): String =
+    s"""WITH exploded AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), norms AS (
+       |  SELECT vec_id, SUM(e * e) AS nn FROM exploded GROUP BY vec_id
+       |), dots AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS nid, SUM(q.e * d.e) AS dot
+       |  FROM exploded q JOIN exploded d ON q.i = d.i AND q.vec_id < 10 AND d.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, nid,
+       |    CASE WHEN nq.nn = 0 OR nd.nn = 0 THEN 0.0
+       |         ELSE dot / (sqrt(nq.nn) * sqrt(nd.nn)) END AS sim
+       |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nd ON nid = nd.vec_id
+       |)
+       |SELECT qid, rn, round(sim, 5) AS simr FROM (
+       |  SELECT qid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  // ----------------------------------------------------------------- SRP-LSH
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from xxhash64(table, plane, dim), so every executor computes identical
+    * planes with no broadcast of plane matrices.
+    */
+  private def planeComponent(t: Int, p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(t), lit(p), j), lit(2000001L)).cast(DoubleType) / 1000000.0) - 1.0
+
+  /** 2^bits sign-bucket id per row for hash table `t` (map-only, codegen'd). */
+  def srpBucket(emb: Column, dim: Int, bits: Int, t: Int): Column = {
+    val idx = sequence(lit(0), lit(dim - 1))
+    (0 until bits).map { p =>
+      val dot = aggregate(
+        zip_with(emb, idx, (x, j) => x.cast(DoubleType) * planeComponent(t, p, j)),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** All (table, bucket) postings for a vector — standard multi-table LSH:
+    * a true near pair escapes ALL tables with probability (1-p^bits)^tables,
+    * so recall is tuned by adding tables (more shuffle volume) or dropping
+    * bits (bigger buckets). The join shuffles on (table, bucket) — bounded
+    * bucket sizes keep it skew-free at corpus scale.
+    */
+  def srpPostings(df: DataFrame, idAs: String, embAs: String, dim: Int, bits: Int, tables: Int): DataFrame = {
+    val buckets = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), srpBucket(col("embedding"), dim, bits, t).as("bucket"))
+    }: _*)
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs), explode(buckets).as("tb"))
+      .select(col(idAs), col(embAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k via multi-table SRP-LSH bucket join. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 12, tables: Int = 8): DataFrame = {
+    val cp = srpPostings(corpus, "nid", "nemb", dim, bits, tables)
+    val qp = srpPostings(queries, "qid", "qemb", dim, bits, tables)
+    val scored = broadcast(qp)
+      .join(cp, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qemb"), col("nemb"))
+      .distinct() // a pair can collide in several tables — score once
+      .select(col("qid"), col("nid"), vec_cosine(col("qemb"), col("nemb")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

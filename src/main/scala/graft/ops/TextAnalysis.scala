@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2 D4/D6): token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * pure column expressions (whole-stage-codegen'd, no UDFs) so they run at
+  * scan speed and push through Catalyst — at 100 TB these are map-only
+  * operations with no shuffle at all until the final aggregation.
+  *
+  * Every function has an exact DuckDB-SQL mirror (see the *Sql vals) used by
+  * the oracle gate; hashes go through md5-hex so both engines agree.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length ×1000, floored — integer arithmetic, FP-safe. */
+  def meanTokenLenMilli(text: Column): Column = {
+    val toks = tokens(text)
+    floor(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType)
+        * 1000 / size(toks)
+    ).cast(LongType)
+  }
+
+  /** Punctuation characters per 1000 chars, floored. */
+  def punctPerMille(text: Column): Column =
+    floor(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType)
+        * 1000 / greatest(length(text), lit(1))
+    ).cast(LongType)
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Fraction of tokens that are English stopwords, ×1000 floored. */
+  def stopwordPerMille(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val toks = tokens(text)
+    floor(
+      size(filter(toks, w => w.isInCollection(stopwords))).cast(DoubleType)
+        * 1000 / size(toks)
+    ).cast(LongType)
+  }
+
+  /** Composite quality heuristic in [0, 100]: rewards mid-length docs and
+    * stopword presence, penalizes punctuation soup. Deterministic integer
+    * output so the oracle matches bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text), lit(400)).cast(DoubleType) / 4 // 0..100
+    val stopScore = least(stopwordPerMille(text), lit(300)).cast(DoubleType) / 3 // 0..100
+    val punctPenalty = least(punctPerMille(text), lit(200)).cast(DoubleType) / 2 // 0..100
+    floor(lenScore * 0.4 + stopScore * 0.4 - punctPenalty * 0.2 + 20).cast(LongType)
+  }
+
+  // Tiny marker lists per language; deterministic argmax with fixed order.
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3")
+  )
+
+  private def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(markers)))
+
+  /** n-gram/stopword language-ID heuristic: argmax of marker-hit counts,
+    * first language in [[LangMarkers]] order wins ties ("und" = unknown when
+    * no marker hits at all).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    val best = scores.foldLeft(lit("und") -> lit(-1): (Column, Column)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang), greatest(s, bestScore))
+    }
+    when(anyHit, best._1).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint: min md5 over word 3-grams (whole doc
+    * when shorter) — a stable near-dup signature (SURVEY §2 D4).
+    */
+  def fingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val grams = when(
+      size(toks) < 3,
+      array(concat_ws(" ", toks))
+    ).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+      )
+    )
+    array_min(transform(grams, g => md5(g.cast(BinaryType))))
+  }
+
+  // ------------------------------------------------------------- DuckDB SQL
+
+  private def sqlToks(t: String) = s"string_split_regex(trim($t), '\\s+')"
+
+  def tokenCountSql(t: String): String = s"len(${sqlToks(t)})"
+
+  def meanTokenLenMilliSql(t: String): String =
+    s"CAST(floor(CAST(list_sum(list_transform(${sqlToks(t)}, w -> length(w))) AS DOUBLE) * 1000 / len(${sqlToks(t)})) AS BIGINT)"
+
+  def punctPerMilleSql(t: String): String =
+    s"CAST(floor(CAST(length($t) - length(regexp_replace($t, '[[:punct:]]', '', 'g')) AS DOUBLE) * 1000 / greatest(length($t), 1)) AS BIGINT)"
+
+  def stopwordPerMilleSql(t: String, stopwords: Seq[String] = StopwordsEn): String = {
+    val lst = stopwords.map(w => s"'$w'").mkString(", ")
+    s"CAST(floor(CAST(len(list_filter(${sqlToks(t)}, w -> w IN ($lst))) AS DOUBLE) * 1000 / len(${sqlToks(t)})) AS BIGINT)"
+  }
+
+  def qualityScoreSql(t: String): String =
+    s"""CAST(floor(
+       |  CAST(least(length($t), 400) AS DOUBLE) / 4 * 0.4
+       |  + CAST(least(${stopwordPerMilleSql(t)}, 300) AS DOUBLE) / 3 * 0.4
+       |  - CAST(least(${punctPerMilleSql(t)}, 200) AS DOUBLE) / 2 * 0.2 + 20) AS BIGINT)""".stripMargin
+
+  def langIdSql(t: String): String = {
+    val scoreSqls = LangMarkers.map { case (l, ms) =>
+      val lst = ms.map(w => s"'$w'").mkString(", ")
+      l -> s"len(list_filter(${sqlToks(t)}, w -> w IN ($lst)))"
+    }
+    // same fold as langId: strictly-greater beats, first-in-order wins ties
+    val whens = scoreSqls.zipWithIndex.map { case ((l, s), i) =>
+      val later = scoreSqls.drop(i + 1).map(_._2)
+      val cond =
+        if (later.isEmpty) "TRUE"
+        else later.map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    val anyHit = scoreSqls.map(_._2).mkString(" + ") + " > 0"
+    s"CASE WHEN NOT ($anyHit) THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
+  def fingerprintSql(t: String): String = {
+    val toks = sqlToks(t)
+    s"""list_min(list_transform(
+       |  CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+       |       ELSE list_transform(range(1, len($toks) - 1), i -> array_to_string($toks[i:i+2], ' '))
+       |  END, g -> md5(g)))""".stripMargin
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exactDedup removes planted duplicates, keeps min tiebreaker") {
+    import spark.implicits._
+    val dupes = docs.limit(50).withColumn("doc_id", $"doc_id" + 100000)
+    val withDupes = docs.unionByName(dupes)
+    val out = Dedup.exactDedup(withDupes, Seq("text"), "doc_id")
+    assert(out.count() == docs.count())
+    // min doc_id survived: no id >= 100000 for duplicated texts
+    assert(out.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    // perturb: drop only the last word — shingle-set jaccard stays near 1
+    val perturbed = docs
+      .limit(30)
+      .filter(size(split($"text", " ")) >= 20)
+      .select(
+        ($"doc_id" + 100000).as("doc_id"),
+        concat_ws(" ", slice(split($"text", " "), lit(1), size(split($"text", " ")) - 1)).as("text"),
+        $"lang", $"source", $"n_chars"
+      )
+    val nPlanted = perturbed.count()
+    assert(nPlanted > 5, s"need planted docs, got $nPlanted")
+    val all = docs.unionByName(perturbed)
+    val pairs = Dedup.nearDupPairs(all, "doc_id", "text", 0.5)
+    val found = pairs
+      .filter(($"d2" - $"d1") === 100000)
+      .count()
+    assert(found >= nPlanted * 0.8, s"found $found of $nPlanted planted near-dups")
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    import spark.implicits._
+    val perturbed = docs
+      .limit(20)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" extra")).as("text"), $"lang", $"source", $"n_chars")
+    val all = docs.unionByName(perturbed)
+    val sigs = Dedup.simHash(all, "doc_id", "text")
+    val joined = sigs.as("a")
+      .join(sigs.as("b"), col("b.doc") === col("a.doc") + 100000)
+      .select(Dedup.hammingDistance(col("a.simhash"), col("b.simhash")).as("hd"))
+      .as[Long].collect()
+    assert(joined.length == 20)
+    assert(joined.count(_ <= 12) >= 16, s"hamming distances: ${joined.mkString(",")}")
+    // unrelated docs should usually be far apart
+    val cross = sigs.as("a").join(sigs.as("b"), col("a.doc") + 7 === col("b.doc"))
+      .select(Dedup.hammingDistance(col("a.simhash"), col("b.simhash")).as("hd"))
+      .as[Long].collect()
+    assert(cross.count(_ > 12) > cross.length / 2)
+  }
+
+  test("duplicateClusters: transitive chains collapse to one component") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (10L, 11L, 1.0))
+      .toDF("d1", "d2", "jaccard")
+    val comp = Dedup.duplicateClusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
+  }
+
+  test("vec_cosine expression matches built-in computation and is codegen'd") {
+    import spark.implicits._
+    val two = emb.limit(2).collect()
+    val a = two(0).getSeq[Float](1)
+    val b = two(1).getSeq[Float](1)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = emb.as("x").join(emb.as("y"))
+      .filter(col("x.vec_id") === two(0).getLong(0) && col("y.vec_id") === two(1).getLong(0))
+      .select(vec_cosine(col("x.embedding"), col("y.embedding")))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("ann LSH recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // testdata embeddings have weak cluster structure (top-5 cosine ~0.4), so
+    // run wide: 4 bits/16 tables → per-table collision p^4, miss-all ~(1-p^4)^16
+    val approx = Similarity.annTopK(emb, queries, 5, dim = 64, bits = 4, tables = 16)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ann recall@5 = $recall%.2f (candidates=${approx.size})")
+    assert(recall >= 0.5, f"recall $recall%.2f too low")
+  }
+
+  test("multimodal pipeline: deterministic counts through 4mc binary") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString + "/m"
+    val out = Multimodal.pipelineMetrics(spark, 2000, dir).collect()
+    val byKind = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind("audio") == 667) // ids 0,3,6,... < 2000
+    assert(byKind("image") == 1333)
+    // resize stub: no width/height above 32 after resize
+    assert(out.forall(r => r.getInt(3) <= 63 + 8)) // max_w bounded by generator
+  }
+
+  test("quality score and lang id are stable expressions") {
+    import spark.implicits._
+    val r = docs
+      .select(
+        TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.langId($"text").as("l"),
+        TextAnalysis.tokenCount($"text").as("t")
+      )
+      .agg(min($"q"), max($"q"), countDistinct($"l"), sum($"t"))
+      .head()
+    assert(r.getLong(3) > 0)
+  }
+}

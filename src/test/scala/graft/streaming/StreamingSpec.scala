@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** SURVEY §2 D7: Structured Streaming over 4mc directories. The same
+  * FileFormat powers `readStream`, so a directory of container files is a
+  * tailable source; windowed aggregation with watermark and custom state via
+  * flatMapGroupsWithState both run over it.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def eventsAsFourMc(dir: String): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select(concat_ws("|", $"event_id", date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSS"),
+        $"user_id", $"event_type", $"value").as("value"))
+      .repartition(4)
+      .write.mode("overwrite").format("4mc").option("codec", "lz4-fast").save(dir)
+  }
+
+  private def parse(df: org.apache.spark.sql.DataFrame) = {
+    val p = split(col("value"), "\\|")
+    df.select(
+      p(0).cast(LongType).as("event_id"),
+      to_timestamp(p(1), "yyyy-MM-dd HH:mm:ss.SSS").as("ts"),
+      p(2).cast(LongType).as("user_id"),
+      p(3).as("event_type"),
+      p(4).cast(DoubleType).as("value")
+    )
+  }
+
+  test("streaming windowed agg over 4mc dir equals batch result") {
+    val dir = Files.createTempDirectory("stream4mc").toString + "/events"
+    eventsAsFourMc(dir)
+    val schema = StructType(Seq(StructField("value", StringType)))
+
+    val stream = spark.readStream.format("4mc").schema(schema).load(dir)
+    val agg = parse(stream)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName("ev_agg")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("ev_agg").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = parse(spark.read.format("4mc").load(dir))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful flatMapGroupsWithState: per-user event counting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream4mc2").toString + "/events"
+    eventsAsFourMc(dir)
+    val schema = StructType(Seq(StructField("value", StringType)))
+    val stream = parse(spark.readStream.format("4mc").schema(schema).load(dir))
+
+    case class UserCount(user_id: Long, n: Long)
+    val counted = stream
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+         state: GroupState[Long]) => {
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + it.size
+          state.update(now)
+          Iterator((uid, now))
+        }
+      )
+      .toDF("user_id", "n")
+    val q = counted.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName("user_counts")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val got = spark.table("user_counts")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+    val want = parse(spark.read.format("4mc").load(dir))
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(got.join(want, Seq("user_id")).filter(got("n") =!= want("n")).count() == 0)
+    assert(got.count() == want.count())
+  }
+}
