@@ -32,14 +32,14 @@ object PipelineQueries {
       |WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE d2.text = d.text)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** D2 exact flavor: high-overlap pairs by word-set Jaccard. */
+  /** D2 exact flavor: high-overlap pairs by 3-gram-shingle Jaccard. */
   def dedupNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.82)
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.6)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(100)
 
   val dedupNgramSql: String =
-    Dedup.ngramJaccardPairsSql(0.82) +
+    Dedup.ngramJaccardPairsSql(0.6) +
       "\nORDER BY jaccard DESC, d1, d2 LIMIT 100"
 
   /** D2 SimHash: per-doc 60-bit signature, bit-exact vs DuckDB via md5. */

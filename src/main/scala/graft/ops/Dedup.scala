@@ -28,14 +28,16 @@ object Dedup {
       .select("_r.*")
   }
 
-  /** Distinct (doc, word) postings. `maxDocFreq` drops tokens appearing in
-    * more than that many documents — stopword postings are the classic skew
-    * bomb in a token self-join (a token in 1M docs creates 10^12 pairs);
-    * capping bounds every bucket. 0 = uncapped (oracle parity at small SF).
+  /** Distinct (doc, 3-gram shingle) postings. Shingles — not unigrams — are
+    * the unit: natural-language vocabularies are small and every word is hot
+    * (a token present in 1M docs creates 10^12 join pairs), while shingle
+    * document-frequency stays low, so the self-join fans out linearly.
+    * `maxDocFreq` additionally drops boilerplate shingles (the residual skew
+    * guard at corpus scale). 0 = uncapped (oracle parity).
     */
-  def wordPostings(docs: DataFrame, idCol: String, textCol: String, maxDocFreq: Long = 0L): DataFrame = {
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String, maxDocFreq: Long = 0L): DataFrame = {
     val posts = docs
-      .select(col(idCol).as("doc"), explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("w"))
+      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol)))).as("w"))
     if (maxDocFreq <= 0) posts
     else {
       val hot = posts.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
@@ -43,12 +45,15 @@ object Dedup {
     }
   }
 
-  /** D2 (exact flavor): all pairs with word-set Jaccard >= `threshold`,
-    * via postings join + per-pair intersection counts. Deterministic double
-    * (int/int division) so the DuckDB oracle matches exactly.
+  /** D2 (exact flavor): all pairs with 3-gram-shingle-set Jaccard >=
+    * `threshold`, via postings join + per-pair intersection counts.
+    * Deterministic double (int/int division) so the DuckDB oracle matches
+    * exactly.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val posts = wordPostings(docs, idCol, textCol)
+    // materialize once: both self-join sides and the size table reuse it
+    // instead of re-running the explode+shingle scan three times
+    val posts = shinglePostings(docs, idCol, textCol).localCheckpoint(true)
     val sizes = posts.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = posts
       .as("a")
@@ -64,8 +69,14 @@ object Dedup {
   }
 
   def ngramJaccardPairsSql(threshold: Double): String =
-    s"""WITH posts AS (
-       |  SELECT DISTINCT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+       |), posts AS (
+       |  SELECT DISTINCT doc_id AS doc,
+       |    unnest(CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+       |           ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
+       |           END) AS w
+       |  FROM toks
        |), sizes AS (
        |  SELECT doc, COUNT(*) AS sz FROM posts GROUP BY doc
        |), inter AS (
@@ -80,7 +91,7 @@ object Dedup {
   // ------------------------------------------------------------ MinHash LSH
 
   /** Word 3-shingles (whole text for very short docs). */
-  private def shingles(text: Column): Column = {
+  def shingles(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) < 3, array(concat_ws(" ", toks))).otherwise(
       transform(
@@ -146,11 +157,17 @@ object Dedup {
     * Returns (doc, component) where component = min doc id in the cluster.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint each iteration: truncates lineage so iteration i does
+    // not re-execute the (potentially huge) pair-generation plan i times.
     val edges = pairs
       .select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .cache()
-    var labels = edges.select(col("a").as("doc")).distinct().withColumn("comp", col("doc"))
+      .localCheckpoint(true)
+    var labels = edges
+      .select(col("a").as("doc"))
+      .distinct()
+      .withColumn("comp", col("doc"))
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -161,7 +178,7 @@ object Dedup {
       val updated = labels
         .join(nbrMin, Seq("doc"), "left")
         .select(col("doc"), least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint(true)
       val changed = updated
         .join(labels.withColumnRenamed("comp", "old"), "doc")
         .filter(col("comp") =!= col("old"))
