@@ -49,17 +49,30 @@ object RoundTrip {
           }
         }.toIndexedSeq: _*).as("value")
       )
-      serialized.write.mode("overwrite").format("4mc").option("codec", codec).save(dir.getAbsolutePath)
+      // spread across files so the read side fans out even when the source
+      // parquet was a single file (maxPartitionBytes alone would give 1-2
+      // splits for a small compressed file)
+      serialized
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").format("4mc").option("codec", codec).save(dir.getAbsolutePath)
     }
+    // from_csv (UniVocity, codegen-friendly) beats a regex split + N casts:
+    // one parse pass materializing the typed struct directly
+    val parseSchema = StructType(schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType => f.copy(dataType = StringType)
+        case _             => f
+      }
+    })
     val lines = spark.read.format("4mc").load(dir.getAbsolutePath)
-    val parts = split(col("value"), "\\|")
-    lines.select(schema.fields.zipWithIndex.map { case (f, i) =>
-      val raw = parts(i)
-      (f.dataType match {
-        case TimestampType => to_timestamp(raw, tsFmt)
-        case dt            => raw.cast(dt)
-      }).as(f.name)
-    }.toIndexedSeq: _*)
+    lines
+      .select(from_csv(col("value"), parseSchema, Map("sep" -> "|")).as("r"))
+      .select(schema.fields.map { f =>
+        (f.dataType match {
+          case TimestampType => to_timestamp(col(s"r.${f.name}"), tsFmt)
+          case _             => col(s"r.${f.name}")
+        }).as(f.name)
+      }.toIndexedSeq: _*)
   }
 
   /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */
