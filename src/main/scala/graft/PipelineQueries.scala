@@ -77,6 +77,14 @@ object PipelineQueries {
 
   def annBruteForceSql: String = Similarity.bruteForceSql(10, 5)
 
+  /** D2 embedding flavor: cosine near-dup pairs (exact, oracle-checked). */
+  def dedupEmbeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingDupPairs(emb(spark, sfDir), 0.4)
+      .orderBy(col("simr").desc, col("d1"), col("d2"))
+
+  def dedupEmbeddingPairsSql: String =
+    Similarity.embeddingDupPairsSql(0.4) + "\nORDER BY simr DESC, d1, d2"
+
   /** D3 approximate (rows-only): SRP-LSH bucketed ANN, same queries. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)

@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_minhash_pairs" -> (PipelineQueries.dedupMinhashPairs _),
     "dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "dedup_embedding_pairs" -> (PipelineQueries.dedupEmbeddingPairs _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
     "text_stats" -> (PipelineQueries.textStats _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "dedup_exact_docs" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_pairs" -> PipelineQueries.dedupNgramSql,
     "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
+    "dedup_embedding_pairs" -> PipelineQueries.dedupEmbeddingPairsSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "text_stats" -> PipelineQueries.textStatsSql,
     "lang_id_confusion" -> PipelineQueries.langIdConfusionSql,

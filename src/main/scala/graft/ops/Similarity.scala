@@ -64,6 +64,33 @@ object Similarity {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
+  /** D2 embedding flavor: near-duplicate pairs by cosine >= threshold.
+    * Exact all-pairs here (oracle-checkable); at corpus scale route the pair
+    * generation through [[srpPostings]] buckets first — same filter, LSH-
+    * bounded candidate set.
+    */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), round(vec_cosine(col("e1"), col("e2")), 5).as("simr"))
+      .filter(col("simr") >= threshold)
+  }
+
+  def embeddingDupPairsSql(threshold: Double): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), n AS (SELECT vec_id, SUM(v*v) AS nn FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v*b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 5) AS simr
+       |FROM d JOIN n n1 ON d1 = n1.vec_id JOIN n n2 ON d2 = n2.vec_id
+       |WHERE round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 5) >= $threshold""".stripMargin
+
   // ----------------------------------------------------------------- SRP-LSH
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived

@@ -121,6 +121,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(3) <= 63 + 8)) // max_w bounded by generator
   }
 
+  test("saltedJoin equals plain join under a hot key") {
+    import spark.implicits._
+    // 90% of the large side shares one hot key
+    val large = spark.range(10000).select(
+      when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 100).as("k"), $"id")
+    val small = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+    val plain = large.join(small, "k").agg(count(lit(1)), sum("v"), sum("id")).head()
+    val salted = Skew.saltedJoin(large, small, "k", 8).agg(count(lit(1)), sum("v"), sum("id")).head()
+    assert(plain == salted)
+    val hot = Skew.hotKeys(large, "k", 1).head()
+    assert(hot.getLong(0) == 7L && hot.getLong(1) == 9000L)
+  }
+
+  test("embedding cosine near-dup pairs agree with brute-force filter") {
+    val pairs = Similarity.embeddingDupPairs(emb, 0.4).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.4))
+    // symmetric sanity: d1 < d2 always
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("quality score and lang id are stable expressions") {
     import spark.implicits._
     val r = docs
