@@ -93,6 +93,24 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(spark.read.format("4mc").load(dir).count() == 12345)
   }
 
+  test("directory behaviors: many files, nested dirs, glob filter") {
+    import spark.implicits._
+    val root = tmpDir()
+    (0 until 500).map(i => s"a-$i").toDF("value").repartition(5)
+      .write.format("4mc").save(s"$root/part1")
+    (0 until 300).map(i => s"b-$i").toDF("value").repartition(3)
+      .write.format("4mc").option("codec", "zstd-3").save(s"$root/part2")
+    // recursive lookup across nested dirs, mixed lz4/zstd files in one scan
+    val all = spark.read.format("4mc")
+      .option("recursiveFileLookup", "true").load(root)
+    assert(all.count() == 800)
+    // glob filter restricts to 4mz
+    val onlyZ = spark.read.format("4mc")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.4mz").load(root)
+    assert(onlyZ.count() == 300)
+  }
+
   test("sql over 4mc lines: csv parse + aggregate") {
     import spark.implicits._
     val dir = tmpDir()
