@@ -148,7 +148,8 @@ object PipelineQueries {
     import spark.implicits._
     docs(spark, sfDir)
       .filter($"doc_id" < 100)
-      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .select($"doc_id", TextAnalysis.tokens($"text").as("_toks"))
+      .select($"doc_id", TextAnalysis.fingerprintFromTokens($"_toks").as("fp"))
       .orderBy($"doc_id")
   }
 

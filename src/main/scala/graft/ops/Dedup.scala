@@ -36,8 +36,13 @@ object Dedup {
     * guard at corpus scale). 0 = uncapped (oracle parity).
     */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String, maxDocFreq: Long = 0L): DataFrame = {
+    // two-phase: materialize the token array, THEN build shingles from it —
+    // a lambda that references tokens(text) directly re-runs the regex split
+    // per element (no CSE through higher-order functions), turning shingle
+    // construction quadratic in document length
     val posts = docs
-      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol)))).as("w"))
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc"), explode(array_distinct(shinglesFromTokens(col("_toks")))).as("w"))
     if (maxDocFreq <= 0) posts
     else {
       val hot = posts.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
@@ -90,26 +95,32 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash LSH
 
-  /** Word 3-shingles (whole text for very short docs). */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word 3-shingles from a MATERIALIZED token-array column (see
+    * [[shinglePostings]] for why the two-phase shape matters).
+    */
+  def shinglesFromTokens(toks: Column): Column =
     when(size(toks) < 3, array(concat_ws(" ", toks))).otherwise(
       transform(
         sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
       )
     )
-  }
+
+  /** Word 3-shingles (whole text for very short docs). */
+  def shingles(text: Column): Column = shinglesFromTokens(TextAnalysis.tokens(text))
 
   /** MinHash signature: numHashes permutations simulated by salting xxhash64.
-    * Pure column expressions — signature computation is map-only.
+    * Pure column expressions — signature computation is map-only; shingle
+    * array materialized once per row before the 64 array_min passes.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String, numHashes: Int = 64): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol)))
+    val withShingles = docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc"), array_distinct(shinglesFromTokens(col("_toks"))).as("shingles"))
     val sig = array(
-      (0 until numHashes).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*
+      (0 until numHashes).map(i => array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))): _*
     )
-    docs.select(col(idCol).as("doc"), sig.as("sig"), sh.as("shingles"))
+    withShingles.select(col("doc"), sig.as("sig"), col("shingles"))
   }
 
   /** Banded LSH candidate pairs: two docs collide when any band of `rowsPerBand`

@@ -85,11 +85,12 @@ object TextAnalysis {
     when(anyHit, best._1).otherwise(lit("und"))
   }
 
-  /** Rolling-hash document fingerprint: min md5 over word 3-grams (whole doc
-    * when shorter) — a stable near-dup signature (SURVEY §2 D4).
+  /** Rolling-hash fingerprint from a MATERIALIZED token array: min md5 over
+    * word 3-grams (whole doc when shorter) — a stable near-dup signature
+    * (SURVEY §2 D4). Two-phase like [[Dedup.shinglesFromTokens]]: lambdas
+    * referencing an unmaterialized tokens(text) re-split per element.
     */
-  def fingerprint(text: Column): Column = {
-    val toks = tokens(text)
+  def fingerprintFromTokens(toks: Column): Column = {
     val grams = when(
       size(toks) < 3,
       array(concat_ws(" ", toks))
@@ -101,6 +102,8 @@ object TextAnalysis {
     )
     array_min(transform(grams, g => md5(g.cast(BinaryType))))
   }
+
+  def fingerprint(text: Column): Column = fingerprintFromTokens(tokens(text))
 
   // ------------------------------------------------------------- DuckDB SQL
 
