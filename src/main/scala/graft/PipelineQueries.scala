@@ -179,6 +179,24 @@ object PipelineQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** D4: vocabulary statistics — exact distinct tokens per language (oracle)
+    * next to the HLL sketch (approx_count_distinct; engine-specific, checked
+    * for sanity in OpsSpec, excluded from the oracle projection).
+    */
+  def vocabStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"lang", explode(TextAnalysis.tokens($"text")).as("w"))
+      .groupBy($"lang")
+      .agg(countDistinct($"w").as("vocab_exact"), count(lit(1)).as("n_tokens"))
+      .orderBy($"lang")
+  }
+
+  val vocabStatsSql: String =
+    """SELECT lang, COUNT(DISTINCT w) AS vocab_exact, COUNT(*) AS n_tokens FROM (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   /** D5 (rows-only): full binary pipeline through the 4mc container. */

@@ -346,6 +346,88 @@ object Queries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Q7-like: trade volume between two nation pairs through the
+    * supplier-customer relationship, per year.
+    */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, sfDir, "lineitem")
+    val ord = table(spark, sfDir, "orders")
+    val cust = table(spark, sfDir, "customer")
+    val supp = table(spark, sfDir, "supplier")
+    val n1 = table(spark, sfDir, "nation").select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = table(spark, sfDir, "nation").select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(
+        ($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+          ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3")
+      )
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast(LongType).as("l_year"))
+      .agg(dbl(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))).as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    EXTRACT(year FROM l_shipdate) AS l_year, l_extendedprice, l_discount
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) t
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q17-like: correlated per-group scalar subquery — lineitems below 40% of
+    * their part's average quantity. FP-exact via sum/count comparison.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, sfDir, "lineitem")
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(sum(dec($"l_quantity")).as("qsum"), count(lit(1)).as("qn"))
+    li.join(perPart, $"l_partkey" === $"pk")
+      // qty < 0.4 * avg  ⇔  qty * qn * 5 < qsum * 2  (exact decimal/integer)
+      .filter(dec($"l_quantity") * $"qn" * 5 < $"qsum" * 2)
+      .agg(
+        count(lit(1)).as("n_items"),
+        dbl(sum(dec($"l_extendedprice"))).as("total_price")
+      )
+  }
+
+  val q17Sql: String =
+    """SELECT COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum, COUNT(*) AS qn
+      |  FROM lineitem GROUP BY 1) p ON l.l_partkey = p.pk
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * qn * 5 < qsum * 2""".stripMargin
+
+  /** HAVING: suppliers whose shipped value exceeds a fixed floor. */
+  def qHavingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(dbl(sum(dec($"l_extendedprice"))).as("total"), count(lit(1)).as("n_items"))
+      .filter($"n_items" >= 40)
+      .orderBy($"total".desc, $"l_suppkey")
+      .limit(25)
+  }
+
+  val qHavingSql: String =
+    """SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n_items
+      |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 40
+      |ORDER BY total DESC, l_suppkey LIMIT 25""".stripMargin
+
   /** Sessionization via window lag: events >30min apart start a new session;
     * count sessions per user for the heaviest 20 users (deterministic ties).
     */

@@ -32,6 +32,9 @@ object SparkEntry {
     "q_parts_above_avg" -> (Queries.qPartsAboveAvg _),
     "q_nations_except" -> (Queries.qNationsExcept _),
     "q_explode_part_words" -> (Queries.qExplodePartWords _),
+    "q7_nation_volume" -> (Queries.q7NationVolume _),
+    "q17_small_quantity" -> (Queries.q17SmallQuantity _),
+    "q_having_suppliers" -> (Queries.qHavingSuppliers _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
     // format layer: queries over 4mc/4mz round-tripped tables
@@ -52,6 +55,7 @@ object SparkEntry {
     "lang_id_confusion" -> (PipelineQueries.langIdConfusion _),
     "doc_fingerprints" -> (PipelineQueries.docFingerprints _),
     "quality_filter" -> (PipelineQueries.qualityFilter _),
+    "vocab_stats" -> (PipelineQueries.vocabStats _),
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _)
   )
 
@@ -69,6 +73,9 @@ object SparkEntry {
     "q_parts_above_avg" -> Queries.qPartsAboveAvgSql,
     "q_nations_except" -> Queries.qNationsExceptSql,
     "q_explode_part_words" -> Queries.qExplodeSql,
+    "q7_nation_volume" -> Queries.q7Sql,
+    "q17_small_quantity" -> Queries.q17Sql,
+    "q_having_suppliers" -> Queries.qHavingSql,
     "q_events_hourly" -> Queries.qEventsHourlySql,
     "q_events_sessions" -> Queries.qEventsSessionsSql,
     "fourmc_lineitem_q1" -> Queries.q1Sql,
@@ -86,6 +93,7 @@ object SparkEntry {
     "text_stats" -> PipelineQueries.textStatsSql,
     "lang_id_confusion" -> PipelineQueries.langIdConfusionSql,
     "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,
-    "quality_filter" -> PipelineQueries.qualityFilterSql
+    "quality_filter" -> PipelineQueries.qualityFilterSql,
+    "vocab_stats" -> PipelineQueries.vocabStatsSql
   )
 }

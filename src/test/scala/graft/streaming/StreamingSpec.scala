@@ -75,6 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming 4mc SINK: writeStream.format(\"4mc\") produces readable container files") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("streamsrc").toString + "/in"
+    eventsAsFourMc(srcDir)
+    val outDir = Files.createTempDirectory("streamsink").toString + "/out"
+    val ckDir = Files.createTempDirectory("streamck").toString
+    val schema = StructType(Seq(StructField("value", StringType)))
+    val q = spark.readStream.format("4mc").schema(schema).load(srcDir)
+      .writeStream.format("4mc")
+      .option("codec", "zstd-3")
+      .option("checkpointLocation", ckDir)
+      .option("path", outDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val files = new java.io.File(outDir).listFiles.filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".4mz")), files.map(_.getName).mkString(","))
+    val n = spark.read.format("4mc").load(outDir).count()
+    val want = spark.read.format("4mc").load(srcDir).count()
+    assert(n == want && n > 0)
+  }
+
   test("stateful flatMapGroupsWithState: per-user event counting") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream4mc2").toString + "/events"
