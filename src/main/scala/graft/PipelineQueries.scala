@@ -93,6 +93,14 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** D3 approximate (rows-only): IVF cell-probing ANN, same queries. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5, nCells = 16, nprobe = 6)
+      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 5).as("simr"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   // ------------------------------------------------------------------- text
 
   /** D4: per-language token/quality statistics. */

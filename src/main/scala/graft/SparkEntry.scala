@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_embedding_pairs" -> (PipelineQueries.dedupEmbeddingPairs _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
+    "ann_ivf" -> (PipelineQueries.annIvf _),
     "text_stats" -> (PipelineQueries.textStats _),
     "lang_id_confusion" -> (PipelineQueries.langIdConfusion _),
     "doc_fingerprints" -> (PipelineQueries.docFingerprints _),

@@ -91,6 +91,77 @@ object Similarity {
        |FROM d JOIN n n1 ON d1 = n1.vec_id JOIN n n2 ON d2 = n2.vec_id
        |WHERE round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 5) >= $threshold""".stripMargin
 
+  // --------------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) index: k-means-style centroids trained with a few
+    * Lloyd iterations entirely in DataFrames — no MLlib, no driver-side data
+    * beyond the k×dim centroid table (which is broadcast, exactly what IVF
+    * needs anyway). Deterministic: initial centroids are the first k vectors
+    * by id.
+    *
+    * At corpus scale this is the classic ANN layout: one shuffle per Lloyd
+    * iteration (groupBy cluster), then search probes only `nprobe` of the k
+    * cells — a 100 TB corpus scan becomes nprobe/k of the data per query.
+    */
+  def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    // re-id 0..k-1 deterministically
+    centroids = centroids.orderBy(col("cid"))
+      .withColumn("cid", (row_number().over(Window.orderBy(col("cid"))) - 1))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroid(corpus, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Nearest centroid per corpus row (broadcast centroids, map-only). */
+  private def assignToCentroid(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("embedding"), col("centroid")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` closest cells per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+              nprobe: Int, iters: Int = 3): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, iters)
+    val cells = assignToCentroid(corpus, centroids)
+      .select(col("vec_id").as("nid"), col("embedding").as("nemb"), col("cid"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("qemb"), col("centroid")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("cid"))
+    val scored = broadcast(probes)
+      .join(cells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), vec_cosine(col("qemb"), col("nemb")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   // ----------------------------------------------------------------- SRP-LSH
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived

@@ -111,6 +111,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.2f too low")
   }
 
+  test("ivf ANN recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, 5, nCells = 16, nprobe = 6)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ivf recall@5 = $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f too low")
+  }
+
   test("multimodal pipeline: deterministic counts through 4mc binary") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/m"
     val out = Multimodal.pipelineMetrics(spark, 2000, dir).collect()
