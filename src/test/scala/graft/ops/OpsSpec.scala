@@ -153,6 +153,38 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("exactDedupByDigest matches exactDedup") {
+    import spark.implicits._
+    val dupes = docs.limit(80).withColumn("doc_id", $"doc_id" + 100000)
+    val withDupes = docs.unionByName(dupes)
+    val a = Dedup.exactDedup(withDupes, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val b = Dedup.exactDedupByDigest(withDupes, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("bucketed join plans with zero exchange") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      Bucketing.writeBucketed(ord.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 4)
+      Bucketing.writeBucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 4)
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(500)}")
+      // and it is still correct
+      val want = ord.join(li, ord("o_orderkey") === li("l_orderkey")).count()
+      assert(joined.count() == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("quality score and lang id are stable expressions") {
     import spark.implicits._
     val r = docs

@@ -111,6 +111,34 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(onlyZ.count() == 300)
   }
 
+  test("corrupt file: loud failure by default, skipped with ignoreCorruptFiles") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 5000).map(i => s"line-$i").toDF("value").repartition(2)
+      .write.format("4mc").save(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).sortBy(_.getName)
+    assert(files.length == 2)
+    // flip a byte inside the first block payload of one file
+    val bytes = java.nio.file.Files.readAllBytes(files(0).toPath)
+    bytes(40) = (bytes(40) ^ 0x5a).toByte
+    java.nio.file.Files.write(files(0).toPath, bytes)
+
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("4mc").load(dir).count()
+    }
+    // on local FS Hadoop's CRC sidecar catches the flip before our xxhash32;
+    // on HDFS/object stores our block checksum is the detector — either way
+    // the failure names a checksum
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.toLowerCase.contains("checksum"), s"expected checksum failure in cause chain: ${chain.take(300)}")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val n = spark.read.format("4mc").load(dir).count()
+      assert(n > 0 && n < 5000, s"expected partial read, got $n") // good file still reads
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+  }
+
   test("sql over 4mc lines: csv parse + aggregate") {
     import spark.implicits._
     val dir = tmpDir()
