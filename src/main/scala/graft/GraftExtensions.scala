@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr}
+
+/** Cluster-wide registration of graft's native functions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * makes `vec_dot` / `vec_cosine` available in every session's SQL without
+  * per-session temp-function calls (the production counterpart of
+  * [[graft.functions.VectorFunctions.register]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+        (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "vec_cosine"),
+        (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))
+      )
+    )
+  }
+}

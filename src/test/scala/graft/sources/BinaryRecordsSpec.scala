@@ -44,6 +44,25 @@ class BinaryRecordsSpec extends AnyFunSuite {
     assert(spark.read.format("4mc").load(outDir).count() == expected.size)
   }
 
+  test("GraftExtensions registers vec_* for a fresh session") {
+    spark.sparkContext // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate() // new session over the existing context
+      val got = s2.sql(
+        "SELECT vec_dot(array(cast(2.0 as float), cast(3.0 as float)), " +
+          "array(cast(4.0 as float), cast(5.0 as float))) AS d").head().getDouble(0)
+      assert(got == 23.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("sql surface: USING 4mc table + vec_cosine function") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
