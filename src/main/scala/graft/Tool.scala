@@ -9,10 +9,13 @@ import java.nio.file.{Files, Paths, Path}
   * moving data in/out of the engine without Spark.
   *
   * Usage:
-  *   graft.Tool [-z] [-1|-2|-3|-4] [-d] [-t] input [output]
+  *   graft.Tool [-z] [-s] [-1|-2|-3|-4] [-d] [-t] input [output]
   *     -z  use ZSTD container (.4mz); default LZ4 (.4mc)
+  *     -s  ZSTD full-frame stream (.zst, NOT splittable) — the reference's
+  *         ZstCodec family (`ZstCodec.java:47-51`); for data exchange with
+  *         standard zstd tooling, not for parallel scans
   *     -1..-4  level fast/medium/high/ultra (compress only)
-  *     -d  decompress
+  *     -d  decompress ("-" as input/output = stdin/stdout)
   *     -t  test integrity (decode, discard output)
   */
 object Tool {
@@ -20,24 +23,55 @@ object Tool {
 
   def main(args: Array[String]): Unit = {
     var zstd = false; var level = 1; var decode = false; var testOnly = false
+    var zstStream = false
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     args.foreach {
       case "-z" => zstd = true
+      case "-s" => zstStream = true
       case "-d" => decode = true
       case "-t" => testOnly = true
       case "-1" => level = 1
       case "-2" => level = 2
       case "-3" => level = 3
       case "-4" => level = 4
+      case "-" => paths += "-"
       case a if a.startsWith("-") => fail(s"unknown flag $a")
       case p => paths += p
     }
     if (paths.isEmpty) fail("no input file given")
+    if (zstStream) { zstFrame(paths.head, paths.lift(1), decode, level); return }
     val in = Paths.get(paths.head)
     if (!Files.exists(in)) fail(s"input not found: $in")
 
     if (decode || testOnly) decompress(in, paths.lift(1).map(Paths.get(_)), testOnly)
     else compress(in, paths.lift(1).map(Paths.get(_)), zstd, level)
+  }
+
+  /** Full-frame .zst stream (stdin/stdout capable, interoperable with the
+    * standard zstd CLI; single frame, not splittable).
+    */
+  private def zstFrame(inPath: String, outPath: Option[String], decode: Boolean, level: Int): Unit = {
+    val zLevel = Seq(1, 3, 6, 12)(math.min(level, 4) - 1)
+    val in: java.io.InputStream =
+      if (inPath == "-") System.in
+      else Files.newInputStream(Paths.get(inPath))
+    val outName = outPath.getOrElse {
+      if (inPath == "-") "-"
+      else if (decode && inPath.endsWith(".zst")) inPath.dropRight(4)
+      else inPath + ".zst"
+    }
+    val rawOut: java.io.OutputStream =
+      if (outName == "-") System.out
+      else Files.newOutputStream(Paths.get(outName))
+    val (src, dst) =
+      if (decode) (new com.github.luben.zstd.ZstdInputStream(in), rawOut)
+      else (in, new com.github.luben.zstd.ZstdOutputStream(rawOut, zLevel))
+    val buf = new Array[Byte](1 << 16)
+    var n = src.read(buf)
+    var total = 0L
+    while (n > 0) { dst.write(buf, 0, n); total += n; n = src.read(buf) }
+    src.close(); dst.close()
+    if (outName != "-") System.err.println(s"$inPath -> $outName ($total bytes ${if (decode) "out" else "in"})")
   }
 
   private def codecFor(zstd: Boolean, level: Int): McCodec = (zstd, level) match {
