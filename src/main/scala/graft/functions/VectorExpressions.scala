@@ -100,6 +100,84 @@ case class CosineSimilarityExpr(left: Expression, right: Expression) extends Flo
     copy(left = l, right = r)
 }
 
+/** All SRP-LSH table signatures in ONE pass over the embedding: the plane
+  * matrix (tables × bits × dim) is precomputed on the driver and shipped as a
+  * codegen reference object, so signature computation is a single fused loop
+  * instead of tables×bits interpreted zip_with/aggregate traversals each
+  * re-hashing plane components per row. Returns array<long> of length
+  * `tables`.
+  */
+case class SrpSignaturesExpr(
+    child: Expression,
+    planes: Array[Double], // layout: ((t * bits + p) * dim + j)
+    bits: Int,
+    tables: Int,
+    dim: Int
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "srp_signatures"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_signatures expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val base = (t * bits + p) * dim
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += a.getFloat(j).toDouble * planes(base + j); j += 1 }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = Math.min($a.numElements(), $dim);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long sig = 0L;
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    int base = ($t * $bits + $p) * $dim;
+         |    double dot = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      dot += (double)$a.getFloat($j) * $planesRef[base + $j];
+         |    }
+         |    if (dot > 0) sig |= (1L << $p);
+         |  }
+         |  $out[$t] = sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 

@@ -165,37 +165,36 @@ object Similarity {
   // ----------------------------------------------------------------- SRP-LSH
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    * from xxhash64(table, plane, dim), so every executor computes identical
-    * planes with no broadcast of plane matrices.
+    * from xxhash64(table, plane, dim) evaluated ON THE DRIVER (exact Spark
+    * XxHash64 semantics), so every executor receives an identical
+    * tables×bits×dim matrix as a codegen reference object with no
+    * re-hashing per row.
     */
-  private def planeComponent(t: Int, p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(t), lit(p), j), lit(2000001L)).cast(DoubleType) / 1000000.0) - 1.0
-
-  /** 2^bits sign-bucket id per row for hash table `t` (map-only, codegen'd). */
-  def srpBucket(emb: Column, dim: Int, bits: Int, t: Int): Column = {
-    val idx = sequence(lit(0), lit(dim - 1))
-    (0 until bits).map { p =>
-      val dot = aggregate(
-        zip_with(emb, idx, (x, j) => x.cast(DoubleType) * planeComponent(t, p, j)),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_ + _)
+  def planeMatrix(dim: Int, bits: Int, tables: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val planes = new Array[Double](tables * bits * dim)
+    var i = 0
+    for (t <- 0 until tables; p <- 0 until bits; j <- 0 until dim) {
+      val h = XxHash64(Seq(Literal(t), Literal(p), Literal(j)), 42L).eval(null).asInstanceOf[Long]
+      val m = ((h % 2000001L) + 2000001L) % 2000001L // pmod
+      planes(i) = m.toDouble / 1000000.0 - 1.0
+      i += 1
+    }
+    planes
   }
 
   /** All (table, bucket) postings for a vector — standard multi-table LSH:
     * a true near pair escapes ALL tables with probability (1-p^bits)^tables,
     * so recall is tuned by adding tables (more shuffle volume) or dropping
     * bits (bigger buckets). The join shuffles on (table, bucket) — bounded
-    * bucket sizes keep it skew-free at corpus scale.
+    * bucket sizes keep it skew-free at corpus scale. All signatures per row
+    * come from ONE fused codegen pass ([[graft.functions.SrpSignaturesExpr]]).
     */
   def srpPostings(df: DataFrame, idAs: String, embAs: String, dim: Int, bits: Int, tables: Int): DataFrame = {
-    val buckets = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), srpBucket(col("embedding"), dim, bits, t).as("bucket"))
-    }: _*)
-    df.select(col("vec_id").as(idAs), col("embedding").as(embAs), explode(buckets).as("tb"))
-      .select(col(idAs), col(embAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val sigs = column(graft.functions.SrpSignaturesExpr(
+      expression(col("embedding")), planeMatrix(dim, bits, tables), bits, tables, dim))
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs), posexplode(sigs).as(Seq("tbl", "bucket")))
   }
 
   /** Approximate top-k via multi-table SRP-LSH bucket join. */
