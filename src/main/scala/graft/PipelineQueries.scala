@@ -107,12 +107,13 @@ object PipelineQueries {
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docs(spark, sfDir)
+      .select($"lang", $"text", TextAnalysis.tokens($"text").as("_toks"))
       .select(
         $"lang",
-        TextAnalysis.tokenCount($"text").as("n_tokens"),
-        TextAnalysis.qualityScore($"text").as("quality"),
+        size($"_toks").as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens($"text", $"_toks").as("quality"),
         TextAnalysis.punctPerMille($"text").as("punct"),
-        TextAnalysis.meanTokenLenMilli($"text").as("mtl")
+        TextAnalysis.meanTokenLenMilliFromTokens($"_toks").as("mtl")
       )
       .groupBy($"lang")
       .agg(
@@ -141,7 +142,8 @@ object PipelineQueries {
   def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docs(spark, sfDir)
-      .select($"lang".as("actual"), TextAnalysis.langId($"text").as("predicted"))
+      .select($"lang", TextAnalysis.tokens($"text").as("_toks"))
+      .select($"lang".as("actual"), TextAnalysis.langIdFromTokens($"_toks").as("predicted"))
       .groupBy($"actual", $"predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy($"actual", $"predicted")
@@ -169,11 +171,13 @@ object PipelineQueries {
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     docs(spark, sfDir)
+      .withColumn("_toks", TextAnalysis.tokens($"text"))
       .filter(
-        TextAnalysis.qualityScore($"text") >= 40 &&
-          TextAnalysis.tokenCount($"text") >= 10 &&
+        TextAnalysis.qualityScoreFromTokens($"text", $"_toks") >= 40 &&
+          size($"_toks") >= 10 &&
           TextAnalysis.punctPerMille($"text") <= 100
       )
+      .drop("_toks")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_pass"), sum(length($"text")).as("pass_chars"))
       .orderBy($"lang")

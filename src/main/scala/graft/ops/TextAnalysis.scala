@@ -15,19 +15,25 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a trimmed text. */
+  /** Whitespace tokens of a trimmed text.
+    *
+    * Callers computing several scores per row should materialize this ONCE in
+    * a projection and use the *FromTokens variants — expressions that embed
+    * `tokens(text)` repeatedly re-run the regex split (Catalyst does not CSE
+    * across these subtrees).
+    */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Mean token length ×1000, floored — integer arithmetic, FP-safe. */
-  def meanTokenLenMilli(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLenMilliFromTokens(toks: Column): Column =
     floor(
       aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType)
         * 1000 / size(toks)
     ).cast(LongType)
-  }
+
+  def meanTokenLenMilli(text: Column): Column = meanTokenLenMilliFromTokens(tokens(text))
 
   /** Punctuation characters per 1000 chars, floored. */
   def punctPerMille(text: Column): Column =
@@ -40,24 +46,27 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
   /** Fraction of tokens that are English stopwords, ×1000 floored. */
-  def stopwordPerMille(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
-    val toks = tokens(text)
+  def stopwordPerMilleFromTokens(toks: Column, stopwords: Seq[String] = StopwordsEn): Column =
     floor(
       size(filter(toks, w => w.isInCollection(stopwords))).cast(DoubleType)
         * 1000 / size(toks)
     ).cast(LongType)
-  }
+
+  def stopwordPerMille(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    stopwordPerMilleFromTokens(tokens(text), stopwords)
 
   /** Composite quality heuristic in [0, 100]: rewards mid-length docs and
     * stopword presence, penalizes punctuation soup. Deterministic integer
     * output so the oracle matches bit-for-bit.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val lenScore = least(length(text), lit(400)).cast(DoubleType) / 4 // 0..100
-    val stopScore = least(stopwordPerMille(text), lit(300)).cast(DoubleType) / 3 // 0..100
+    val stopScore = least(stopwordPerMilleFromTokens(toks), lit(300)).cast(DoubleType) / 3 // 0..100
     val punctPenalty = least(punctPerMille(text), lit(200)).cast(DoubleType) / 2 // 0..100
     floor(lenScore * 0.4 + stopScore * 0.4 - punctPenalty * 0.2 + 20).cast(LongType)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
 
   // Tiny marker lists per language; deterministic argmax with fixed order.
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -68,15 +77,15 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3")
   )
 
-  private def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), w => w.isInCollection(markers)))
+  private def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(markers)))
 
   /** n-gram/stopword language-ID heuristic: argmax of marker-hit counts,
     * first language in [[LangMarkers]] order wins ties ("und" = unknown when
     * no marker hits at all).
     */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(toks, ms) }
     val anyHit = scores.map(_._2).reduce(_ + _) > 0
     val best = scores.foldLeft(lit("und") -> lit(-1): (Column, Column)) {
       case ((bestLang, bestScore), (l, s)) =>
@@ -84,6 +93,8 @@ object TextAnalysis {
     }
     when(anyHit, best._1).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Rolling-hash fingerprint from a MATERIALIZED token array: min md5 over
     * word 3-grams (whole doc when shorter) — a stable near-dup signature
