@@ -411,6 +411,36 @@ object Queries {
       |  FROM lineitem GROUP BY 1) p ON l.l_partkey = p.pk
       |WHERE CAST(l_quantity AS DECIMAL(18,2)) * qn * 5 < qsum * 2""".stripMargin
 
+  /** Q14-like: conditional aggregation — share of promo revenue. The ratio
+    * divides two exact-decimal-derived doubles, deterministic in both
+    * engines.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, sfDir, "lineitem")
+      .filter(
+        $"l_shipdate" >= lit("1996-06-01 00:00:00").cast(TimestampType) &&
+          $"l_shipdate" < lit("1996-09-01 00:00:00").cast(TimestampType)
+      )
+    val part = table(spark, sfDir, "part")
+    val rev = dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        (dbl(sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 2))))) * 100.0 /
+          dbl(sum(rev))).as("promo_pct"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  val q14Sql: String =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-09-01 00:00:00'""".stripMargin
+
   /** HAVING: suppliers whose shipped value exceeds a fixed floor. */
   def qHavingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

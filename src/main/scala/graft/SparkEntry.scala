@@ -34,6 +34,7 @@ object SparkEntry {
     "q_explode_part_words" -> (Queries.qExplodePartWords _),
     "q7_nation_volume" -> (Queries.q7NationVolume _),
     "q17_small_quantity" -> (Queries.q17SmallQuantity _),
+    "q14_promo_revenue" -> (Queries.q14PromoRevenue _),
     "q_having_suppliers" -> (Queries.qHavingSuppliers _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_explode_part_words" -> Queries.qExplodeSql,
     "q7_nation_volume" -> Queries.q7Sql,
     "q17_small_quantity" -> Queries.q17Sql,
+    "q14_promo_revenue" -> Queries.q14Sql,
     "q_having_suppliers" -> Queries.qHavingSql,
     "q_events_hourly" -> Queries.qEventsHourlySql,
     "q_events_sessions" -> Queries.qEventsSessionsSql,
