@@ -86,6 +86,30 @@ class FourMcFileFormatSpec extends AnyFunSuite {
       recs.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]))
   }
 
+  test("binary payload split-invariance under tiny maxPartitionBytes") {
+    import spark.implicits._
+    val recs = (0 until 30000).map { i =>
+      val a = new Array[Byte](i % 200 + 8)
+      a(0) = (i >> 8).toByte; a(1) = i.toByte
+      scala.util.Random.nextBytes(a.drop(2)); a
+    }
+    val dir = tmpDir()
+    recs.toDF("value").coalesce(1)
+      .write.format("4mc").option("payload", "binary").option("codec", "lz4-fast").save(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = spark.read.format("4mc").option("payload", "binary").load(dir)
+      assert(df.rdd.getNumPartitions > 4)
+      assert(df.count() == recs.length)
+      // every record present exactly once: compare id prefixes
+      val ids = df.as[Array[Byte]].collect()
+        .map(a => ((a(0) & 0xff) << 8) | (a(1) & 0xff)).sorted
+      assert(ids.toSeq == (0 until 30000).map(i => i & 0xffff).sorted)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("count(*) with empty required schema still counts lines") {
     import spark.implicits._
     val dir = tmpDir()
