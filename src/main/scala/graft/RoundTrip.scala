@@ -104,6 +104,42 @@ object RoundTrip {
       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Events hourly aggregation over the 4mz round-trip — timestamps with
+    * sub-second precision cross the container (micros formatted explicitly),
+    * oracle identical to the plain q_events_hourly.
+    */
+  def eventsHourlyOverFourMz(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = rtDir(sfDir, "events", "zstd-1")
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      Queries.events(spark, sfDir)
+        .select(concat_ws("|", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          $"user_id", $"event_type", $"value").as("value"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").format("4mc").option("codec", "zstd-1").save(dir.getAbsolutePath)
+    }
+    val p = split(col("value"), "\\|")
+    val back = spark.read.format("4mc").load(dir.getAbsolutePath).select(
+      p(0).cast("long").as("event_id"),
+      to_timestamp(p(1), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+      p(2).cast("long").as("user_id"),
+      p(3).as("event_type"),
+      p(4).cast("double").as("value")
+    )
+    back
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
+        countDistinct($"user_id").as("n_users")
+      )
+      .orderBy($"hour", $"event_type")
+  }
+
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).
     */

@@ -42,6 +42,7 @@ object SparkEntry {
     "fourmc_lineitem_q1" -> (RoundTrip.q1OverFourMc _),
     "fourmz_lineitem_q1" -> (RoundTrip.q1OverFourMz _),
     "fourmz_document_stats" -> (RoundTrip.documentStats _),
+    "fourmz_events_hourly" -> (RoundTrip.eventsHourlyOverFourMz _),
     "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _),
     // LLM-pipeline operators (SURVEY §2 D)
     "dedup_exact_docs" -> (PipelineQueries.dedupExactDocs _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "fourmc_lineitem_q1" -> Queries.q1Sql,
     "fourmz_lineitem_q1" -> Queries.q1Sql,
     "fourmz_document_stats" -> RoundTrip.documentStatsSql,
+    "fourmz_events_hourly" -> Queries.qEventsHourlySql,
     "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
     // pipeline operators with DuckDB-expressible semantics
     // (dedup_minhash_pairs / dedup_clusters / ann_lsh / multimodal_pipeline

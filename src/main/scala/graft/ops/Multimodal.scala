@@ -93,6 +93,43 @@ object Multimodal {
     }
   }
 
+  /** Frame-sample stub: keep every `stride`-th 256-byte chunk of the payload
+    * body (a video decoder would emit every k-th frame here); header kept.
+    */
+  def frameSampleStub(blobs: Dataset[MediaRecord], stride: Int): Dataset[MediaRecord] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { r =>
+        val body = r.payload.drop(12)
+        val sampled = body.grouped(256).zipWithIndex
+          .collect { case (chunk, i) if i % stride == 0 => chunk }
+          .flatten.toArray
+        r.copy(payload = r.payload.take(12) ++ sampled)
+      }
+    }
+  }
+
+  /** Feature-extract stub: payload → deterministic 8-dim float vector
+    * (byte histogram moments) — the embedding step of a multimodal pipeline,
+    * batch-shaped exactly like a real model invocation.
+    */
+  def featureExtractStub(blobs: Dataset[MediaRecord]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { r =>
+        val body = r.payload.drop(12)
+        val vec = new Array[Float](8)
+        var i = 0
+        while (i < body.length) {
+          vec(body(i) & 7) += 1f
+          i += 1
+        }
+        val n = math.max(1, body.length).toFloat
+        (r.media_id, r.kind, vec.map(_ / n).toSeq)
+      }
+    }.toDF("media_id", "kind", "features")
+  }
+
   /** Serialize (media_id, kind, payload) into one binary record for the 4mc
     * binary sink: id(8) | kindLen(1) | kind | payload.
     */

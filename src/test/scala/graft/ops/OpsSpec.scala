@@ -185,6 +185,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal frame-sample and feature-extract stubs") {
+    import spark.implicits._
+    val blobs = Multimodal.syntheticBlobs(spark, 500)
+    val sampled = Multimodal.frameSampleStub(blobs, 2)
+    val sizes = blobs.joinWith(sampled, blobs("media_id") === sampled("media_id"))
+      .map { case (a, b) => (a.payload.length, b.payload.length) }.collect()
+    assert(sizes.forall { case (orig, s) => s <= orig && s >= 12 })
+    val feats = Multimodal.featureExtractStub(blobs)
+    assert(feats.count() == 500)
+    val row = feats.orderBy($"media_id").head()
+    assert(row.getSeq[Float](2).length == 8)
+    // deterministic: same id ⇒ same features
+    val again = Multimodal.featureExtractStub(Multimodal.syntheticBlobs(spark, 500))
+      .orderBy($"media_id").head()
+    assert(row.getSeq[Float](2) == again.getSeq[Float](2))
+  }
+
   test("quality score and lang id are stable expressions") {
     import spark.implicits._
     val r = docs
