@@ -44,8 +44,8 @@ object RoundTrip {
       val serialized = src.select(
         concat_ws("|", schema.fields.map { f =>
           f.dataType match {
-            case TimestampType => date_format(col(f.name), tsFmt)
-            case _             => col(f.name).cast(StringType)
+            case TimestampType | TimestampNTZType => date_format(col(f.name), tsFmt)
+            case _                                => col(f.name).cast(StringType)
           }
         }.toIndexedSeq: _*).as("value")
       )
@@ -56,23 +56,15 @@ object RoundTrip {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").format("4mc").option("codec", codec).save(dir.getAbsolutePath)
     }
-    // from_csv (UniVocity, codegen-friendly) beats a regex split + N casts:
-    // one parse pass materializing the typed struct directly
-    val parseSchema = StructType(schema.fields.map { f =>
-      f.dataType match {
-        case TimestampType => f.copy(dataType = StringType)
-        case _             => f
-      }
-    })
-    val lines = spark.read.format("4mc").load(dir.getAbsolutePath)
-    lines
-      .select(from_csv(col("value"), parseSchema, Map("sep" -> "|")).as("r"))
-      .select(schema.fields.map { f =>
-        (f.dataType match {
-          case TimestampType => to_timestamp(col(s"r.${f.name}"), tsFmt)
-          case _             => col(s"r.${f.name}")
-        }).as(f.name)
-      }.toIndexedSeq: _*)
+    // typed csv payload: the FileFormat parses ONLY the columns Catalyst
+    // requires (projection pushdown into the parse) — no from_csv struct
+    // materialization, no regex split
+    spark.read
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", tsFmt)
+      .schema(schema)
+      .load(dir.getAbsolutePath)
   }
 
   /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */

@@ -48,6 +48,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       options: Map[String, String],
       files: Seq[FileStatus]
   ): Option[StructType] = {
+    if (options.getOrElse("payload", "text") == "csv") return None // user-provided schema
     val valueType =
       if (options.getOrElse("payload", "text") == "binary") BinaryType else StringType
     val base = StructType(Seq(StructField("value", valueType, nullable = false)))
@@ -72,31 +73,94 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       hadoopConf: Configuration
   ): PartitionedFile => Iterator[InternalRow] = {
     val broadcastConf = sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    val binary = options.getOrElse("payload", "text") == "binary"
-    val wantOffset = requiredSchema.fieldNames.contains("offset")
-    val wantValue = requiredSchema.fieldNames.contains("value")
-    val offsetFirst = requiredSchema.fieldNames.headOption.contains("offset")
-    val nFields = requiredSchema.length
+    val payload = options.getOrElse("payload", "text")
+    val binary = payload == "binary"
 
-    (file: PartitionedFile) => {
-      val conf = broadcastConf.value.value
-      val in = FourMcFileFormat.openInput(file, conf)
-      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-      val index = FourMcFileFormat.cachedIndex(file, in)
-      val raw: Iterator[(Long, Array[Byte])] =
-        if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
-        else new FourMcLineIterator(in, index, file.start, file.start + file.length)
-      raw.map { case (off, bytes) =>
-        val row = new GenericInternalRow(nFields)
-        if (nFields > 0) {
-          val v: Any = if (binary) bytes else UTF8String.fromBytes(bytes)
-          if (wantOffset && wantValue) {
-            if (offsetFirst) { row.update(0, off); row.update(1, v) }
-            else { row.update(0, v); row.update(1, off) }
-          } else if (wantOffset) row.update(0, off)
-          else if (wantValue) row.update(0, v)
+    if (payload == "csv") {
+      // typed delimited parse INSIDE the reader: only the required columns
+      // are converted (projection pushdown into the parse), the rest of each
+      // line is skipped byte-wise — the roundtrip fast path
+      val delim = options.getOrElse("delimiter", "|").charAt(0).toByte
+      val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+      val fieldIdx = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
+      val fieldTypes = requiredSchema.fields.map(_.dataType)
+      val nFields = requiredSchema.length
+      val totalFields = dataSchema.length
+      (file: PartitionedFile) => {
+        val conf = broadcastConf.value.value
+        val in = FourMcFileFormat.openInput(file, conf)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val index = FourMcFileFormat.cachedIndex(file, in)
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
+          .withZone(java.time.ZoneOffset.UTC)
+        val lines = new FourMcLineIterator(in, index, file.start, file.start + file.length)
+        val starts = new Array[Int](totalFields + 1)
+        lines.map { case (_, bytes) =>
+          // locate field boundaries in one pass
+          var f = 1
+          starts(0) = 0
+          var i = 0
+          while (i < bytes.length && f < totalFields) {
+            if (bytes(i) == delim) { starts(f) = i + 1; f += 1 }
+            i += 1
+          }
+          starts(totalFields) = bytes.length + 1
+          while (f < totalFields) { starts(f) = bytes.length + 1; f += 1 } // missing fields -> empty
+          val row = new GenericInternalRow(nFields)
+          var k = 0
+          while (k < nFields) {
+            val src = fieldIdx(k)
+            val s = starts(src)
+            val e = math.min(starts(src + 1) - 1, bytes.length)
+            val v: Any =
+              if (s >= e) null
+              else if (fieldTypes(k) == StringType) UTF8String.fromBytes(bytes, s, e - s)
+              else {
+                val str = new String(bytes, s, e - s, "UTF-8")
+                fieldTypes(k) match {
+                  case LongType      => java.lang.Long.parseLong(str)
+                  case IntegerType   => java.lang.Integer.parseInt(str)
+                  case DoubleType    => java.lang.Double.parseDouble(str)
+                  case FloatType     => java.lang.Float.parseFloat(str)
+                  case BooleanType   => java.lang.Boolean.parseBoolean(str)
+                  case TimestampType | TimestampNTZType =>
+                    val inst = java.time.Instant.from(fmt.parse(str))
+                    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                  case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
+                }
+              }
+            row.update(k, v)
+            k += 1
+          }
+          row: InternalRow
         }
-        row: InternalRow
+      }
+    } else {
+      val wantOffset = requiredSchema.fieldNames.contains("offset")
+      val wantValue = requiredSchema.fieldNames.contains("value")
+      val offsetFirst = requiredSchema.fieldNames.headOption.contains("offset")
+      val nFields = requiredSchema.length
+
+      (file: PartitionedFile) => {
+        val conf = broadcastConf.value.value
+        val in = FourMcFileFormat.openInput(file, conf)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val index = FourMcFileFormat.cachedIndex(file, in)
+        val raw: Iterator[(Long, Array[Byte])] =
+          if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
+          else new FourMcLineIterator(in, index, file.start, file.start + file.length)
+        raw.map { case (off, bytes) =>
+          val row = new GenericInternalRow(nFields)
+          if (nFields > 0) {
+            val v: Any = if (binary) bytes else UTF8String.fromBytes(bytes)
+            if (wantOffset && wantValue) {
+              if (offsetFirst) { row.update(0, off); row.update(1, v) }
+              else { row.update(0, v); row.update(1, off) }
+            } else if (wantOffset) row.update(0, off)
+            else if (wantValue) row.update(0, v)
+          }
+          row: InternalRow
+        }
       }
     }
   }
@@ -127,8 +191,12 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     }
   }
 
-  override def supportDataType(dataType: DataType): Boolean =
-    dataType == StringType || dataType == BinaryType || dataType == LongType
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
+        BooleanType | TimestampType | TimestampNTZType =>
+      true
+    case _ => false
+  }
 }
 
 object FourMcFileFormat {

@@ -86,6 +86,36 @@ class FourMcFileFormatSpec extends AnyFunSuite {
       recs.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]))
   }
 
+  test("csv payload: typed reader parses only required columns") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = tmpDir()
+    li.select(concat_ws("|",
+      $"l_orderkey", $"l_quantity", $"l_returnflag",
+      date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss.SSS")).as("value"))
+      .write.format("4mc").option("codec", "lz4-fast").save(dir)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampType)))
+    val typed = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    assert(typed.schema == schema)
+    // projection: only 2 of 4 columns requested
+    val got = typed.groupBy($"l_returnflag").agg(sum($"l_quantity").as("s")).orderBy("l_returnflag").collect()
+    val want = li.groupBy($"l_returnflag").agg(sum($"l_quantity").as("s")).orderBy("l_returnflag").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    // timestamps round-trip to the microsecond grid (compare as formatted
+    // strings — parquet yields TIMESTAMP_NTZ, the csv reader TIMESTAMP)
+    val f = "yyyy-MM-dd HH:mm:ss.SSS"
+    val t = typed.agg(date_format(min($"l_shipdate"), f), date_format(max($"l_shipdate"), f)).head()
+    val w = li.agg(date_format(min($"l_shipdate"), f), date_format(max($"l_shipdate"), f)).head()
+    assert(t == w)
+    assert(typed.count() == li.count())
+  }
+
   test("binary payload split-invariance under tiny maxPartitionBytes") {
     import spark.implicits._
     val recs = (0 until 30000).map { i =>
