@@ -41,20 +41,17 @@ object RoundTrip {
     val dir = rtDir(sfDir, tableName, codec)
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {
-      val serialized = src.select(
-        concat_ws("|", schema.fields.map { f =>
-          f.dataType match {
-            case TimestampType | TimestampNTZType => date_format(col(f.name), tsFmt)
-            case _                                => col(f.name).cast(StringType)
-          }
-        }.toIndexedSeq: _*).as("value")
-      )
-      // spread across files so the read side fans out even when the source
-      // parquet was a single file (maxPartitionBytes alone would give 1-2
-      // splits for a small compressed file)
-      serialized
+      // typed csv payload sink: the writer serializes InternalRow fields
+      // directly. Spread across files so the read side fans out even when
+      // the source parquet was a single file (maxPartitionBytes alone would
+      // give 1-2 splits for a small compressed file).
+      src
         .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").format("4mc").option("codec", codec).save(dir.getAbsolutePath)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", tsFmt)
+        .option("codec", codec)
+        .save(dir.getAbsolutePath)
     }
     // typed csv payload: the FileFormat parses ONLY the columns Catalyst
     // requires (projection pushdown into the parse) — no from_csv struct

@@ -173,12 +173,16 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
   ): OutputWriterFactory = {
     val codecName = options.getOrElse("codec", "lz4-fast")
     val codec = McCodec(codecName) // validate eagerly on the driver
-    val binary = options.getOrElse("payload", "text") == "binary"
+    val payload = options.getOrElse("payload", "text")
+    val binary = payload == "binary"
+    val csv = payload == "csv"
     require(
-      dataSchema.length == 1,
+      csv || dataSchema.length == 1,
       s"4mc sink expects exactly one column (got ${dataSchema.fieldNames.mkString(", ")}); " +
-        "serialize rows to a single string/binary column first"
+        "serialize rows to a single string/binary column first, or use payload=csv"
     )
+    val delim = options.getOrElse("delimiter", "|")
+    val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
     val ext = codec.fileExtension
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ext
@@ -187,7 +191,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           schema: StructType,
           context: TaskAttemptContext
       ): OutputWriter =
-        new FourMcOutputWriter(path, context, McCodec(codecName), binary)
+        if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt)
+        else new FourMcOutputWriter(path, context, McCodec(codecName), binary)
     }
   }
 
@@ -270,6 +275,58 @@ final class FourMcRecordIterator(
     blockOff += len
     (blockFileOff, rec)
   }
+}
+
+/** Typed csv-payload writer: serializes InternalRow fields directly into
+  * delimited lines (the inverse of the projection-pruned csv reader). Nulls
+  * become empty fields.
+  */
+final class FourMcCsvOutputWriter(
+    val path: String,
+    context: TaskAttemptContext,
+    codec: McCodec,
+    schema: StructType,
+    delim: String,
+    tsFmt: String
+) extends OutputWriter {
+  private val fsPath = new Path(path)
+  private val out = {
+    val fs = fsPath.getFileSystem(context.getConfiguration)
+    new FourMcWriter(new java.io.BufferedOutputStream(fs.create(fsPath, false), 1 << 16), codec)
+  }
+  private val fmt = java.time.format.DateTimeFormatter
+    .ofPattern(tsFmt)
+    .withZone(java.time.ZoneOffset.UTC)
+  private val sb = new java.lang.StringBuilder(256)
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(delim)
+      if (!row.isNullAt(i)) {
+        schema.fields(i).dataType match {
+          case StringType  => sb.append(row.getUTF8String(i).toString)
+          case LongType    => sb.append(row.getLong(i))
+          case IntegerType => sb.append(row.getInt(i))
+          case DoubleType  => sb.append(row.getDouble(i))
+          case FloatType   => sb.append(row.getFloat(i))
+          case BooleanType => sb.append(row.getBoolean(i))
+          case TimestampType | TimestampNTZType =>
+            val micros = row.getLong(i)
+            sb.append(fmt.format(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
+          case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
+        }
+      }
+      i += 1
+    }
+    sb.append('\n')
+    val bytes = sb.toString.getBytes("UTF-8")
+    out.write(bytes, 0, bytes.length)
+  }
+
+  override def close(): Unit = out.close()
 }
 
 final class FourMcOutputWriter(

@@ -116,6 +116,20 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(typed.count() == li.count())
   }
 
+  test("csv payload typed WRITE + read: full lineitem table round-trips") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = tmpDir()
+    li.write.format("4mc").option("payload", "csv").option("codec", "zstd-3").save(dir)
+    val back = spark.read.format("4mc").option("payload", "csv").schema(li.schema).load(dir)
+    assert(back.count() == li.count())
+    // full row-multiset equality, every column, as canonical strings
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(concat_ws("", df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*))
+        .as[String].collect().sorted.toSeq
+    assert(canon(back) == canon(li))
+  }
+
   test("binary payload split-invariance under tiny maxPartitionBytes") {
     import spark.implicits._
     val recs = (0 until 30000).map { i =>
