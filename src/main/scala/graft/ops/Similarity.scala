@@ -70,10 +70,25 @@ object Similarity {
     * bounded candidate set.
     */
   def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
-    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    // precompute norms once per vector: the pair loop then does one dot
+    // instead of dot+two norms (1/3 of the flops of a fused cosine per pair)
+    val normed = emb.select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm")
+    )
+    val a = normed.select(col("vec_id").as("d1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = normed.select(col("vec_id").as("d2"), col("embedding").as("e2"), col("nrm").as("n2"))
     a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), round(vec_cosine(col("e1"), col("e2")), 5).as("simr"))
+      .select(
+        col("d1"),
+        col("d2"),
+        round(
+          when(col("n1") === 0.0 || col("n2") === 0.0, 0.0)
+            .otherwise(vec_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))),
+          5
+        ).as("simr")
+      )
       .filter(col("simr") >= threshold)
   }
 
