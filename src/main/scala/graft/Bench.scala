@@ -81,7 +81,9 @@ object Bench {
     val nParts = spark.read.format("4mc").load(splitDir).rdd.getNumPartitions
     spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
 
-    // ---- query wall clock (best of 2) -------------------------------------
+    // ---- query wall clock: median of 3 after a warmup run -----------------
+    // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
+    // absorb the ±10% scheduler noise local[32] shows at this scale)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -89,8 +91,9 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = run(); val b = run()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val warm = run()
+      val samples = Seq(run(), run(), run())
+      name -> (if (warm < 0 || samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

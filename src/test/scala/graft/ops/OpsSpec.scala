@@ -132,6 +132,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(3) <= 63 + 8)) // max_w bounded by generator
   }
 
+  test("prefix-filtered jaccard pairs equal the naive postings join") {
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val fast = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val naive = Dedup.ngramJaccardPairsNaive(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == naive, s"threshold $t: ${fast.size} vs ${naive.size}")
+    }
+  }
+
   test("saltedJoin equals plain join under a hot key") {
     import spark.implicits._
     // 90% of the large side shares one hot key
