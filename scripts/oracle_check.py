@@ -33,7 +33,13 @@ for name, sql in sorted(oracle.items()):
         ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
         gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         diff = None
+        # The driver hashes TYPED values, so dtype drift (e.g. DuckDB HUGEINT
+        # for integer SUM vs Spark int64) is a failure even when str() matches.
         for c in want.columns:
+            if str(ws[c].dtype) != str(gs[c].dtype):
+                diff = f"{c}: dtype {gs[c].dtype} != {ws[c].dtype}"
+                break
+        for c in want.columns if not diff else []:
             for i, (a, b) in enumerate(zip(ws[c], gs[c])):
                 if a is None and b is None:
                     continue
@@ -45,7 +51,10 @@ for name, sql in sorted(oracle.items()):
                         if fa != fb:
                             diff = f"{c}[{i}]: {b!r} != {a!r}"
                             break
-                    elif str(a) != str(b):
+                    elif type(a) is not type(b):
+                        diff = f"{c}[{i}]: type {type(b).__name__} != {type(a).__name__} ({b!r} vs {a!r})"
+                        break
+                    elif a != b:
                         diff = f"{c}[{i}]: {b!r} != {a!r}"
                         break
                 except Exception as e:

@@ -129,12 +129,12 @@ object PipelineQueries {
 
   val textStatsSql: String = {
     import TextAnalysis._
-    s"""SELECT lang, SUM(${tokenCountSql("text")}) AS total_tokens,
+    s"""SELECT lang, CAST(SUM(${tokenCountSql("text")}) AS BIGINT) AS total_tokens,
        |  MIN(${qualityScoreSql("text")}) AS min_q,
        |  MAX(${qualityScoreSql("text")}) AS max_q,
-       |  SUM(${qualityScoreSql("text")}) AS sum_q,
-       |  SUM(${punctPerMilleSql("text")}) AS sum_punct,
-       |  SUM(${meanTokenLenMilliSql("text")}) AS sum_mtl
+       |  CAST(SUM(${qualityScoreSql("text")}) AS BIGINT) AS sum_q,
+       |  CAST(SUM(${punctPerMilleSql("text")}) AS BIGINT) AS sum_punct,
+       |  CAST(SUM(${meanTokenLenMilliSql("text")}) AS BIGINT) AS sum_mtl
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -185,7 +185,7 @@ object PipelineQueries {
 
   val qualityFilterSql: String = {
     import TextAnalysis._
-    s"""SELECT lang, COUNT(*) AS n_pass, SUM(length(text)) AS pass_chars FROM documents
+    s"""SELECT lang, COUNT(*) AS n_pass, CAST(SUM(length(text)) AS BIGINT) AS pass_chars FROM documents
        |WHERE ${qualityScoreSql("text")} >= 40 AND ${tokenCountSql("text")} >= 10
        |  AND ${punctPerMilleSql("text")} <= 100
        |GROUP BY lang ORDER BY lang""".stripMargin

@@ -225,7 +225,7 @@ object Queries {
     import spark.implicits._
     val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
     table(spark, sfDir, "orders")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast(LongType))
       .filter($"rn" <= 5)
       .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
       .orderBy($"o_orderpriority", $"rn")
@@ -463,7 +463,9 @@ object Queries {
     */
   def qEventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    // Tie-break the lag ordering on event_id: two events with the same ts for
+    // one user would otherwise make LAG nondeterministic across engines.
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     table(spark, sfDir, "events")
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn(
@@ -478,9 +480,9 @@ object Queries {
   }
 
   val qEventsSessionsSql: String =
-    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
       |  SELECT user_id, ts,
       |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
-      |  FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events) a) b
+      |  FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) a) b
       |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 20""".stripMargin
 }

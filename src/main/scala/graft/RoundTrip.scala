@@ -23,7 +23,7 @@ object RoundTrip {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-rt/$key/$tableName-$codec"
+      s"graft-rt2/$key/$tableName-$codec"
     )
   }
 
@@ -34,7 +34,8 @@ object RoundTrip {
       spark: SparkSession,
       sfDir: String,
       tableName: String,
-      codec: String = "lz4-fast"
+      codec: String = "lz4-fast",
+      timestampFormat: String = tsFmt
   ): DataFrame = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
@@ -49,7 +50,7 @@ object RoundTrip {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").format("4mc")
         .option("payload", "csv")
-        .option("timestampFormat", tsFmt)
+        .option("timestampFormat", timestampFormat)
         .option("codec", codec)
         .save(dir.getAbsolutePath)
     }
@@ -59,7 +60,7 @@ object RoundTrip {
     spark.read
       .format("4mc")
       .option("payload", "csv")
-      .option("timestampFormat", tsFmt)
+      .option("timestampFormat", timestampFormat)
       .schema(schema)
       .load(dir.getAbsolutePath)
   }
@@ -89,7 +90,7 @@ object RoundTrip {
   }
 
   val documentStatsSql: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -98,26 +99,12 @@ object RoundTrip {
     * oracle identical to the plain q_events_hourly.
     */
   def eventsHourlyOverFourMz(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dir = rtDir(sfDir, "events", "zstd-1")
-    val success = new java.io.File(dir, "_SUCCESS")
-    if (!success.exists()) {
-      Queries.events(spark, sfDir)
-        .select(concat_ws("|", $"event_id",
-          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-          $"user_id", $"event_type", $"value").as("value"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").format("4mc").option("codec", "zstd-1").save(dir.getAbsolutePath)
-    }
-    val p = split(col("value"), "\\|")
-    val back = spark.read.format("4mc").load(dir.getAbsolutePath).select(
-      p(0).cast("long").as("event_id"),
-      to_timestamp(p(1), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-      p(2).cast("long").as("user_id"),
-      p(3).as("event_type"),
-      p(4).cast("double").as("value")
-    )
+    // Typed csv payload with microsecond timestamps: the reader parses only
+    // the projected columns straight from the block bytes — no regex split,
+    // no intermediate string row (the hand-rolled variant benched 3.9x
+    // parquet; this path is the same machinery as the lineitem roundtrips).
+    val back = roundTrip(spark, sfDir, "events", "zstd-1", "yyyy-MM-dd HH:mm:ss.SSSSSS")
     back
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
       .agg(
@@ -145,6 +132,6 @@ object RoundTrip {
   }
 
   val ordersSelfJoinSql: String =
-    """SELECT COUNT(*) AS n_rows, SUM(CASE WHEN o_totalprice = o_totalprice THEN 1 ELSE 0 END) AS n_price_equal
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(CASE WHEN o_totalprice = o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_price_equal
       |FROM orders""".stripMargin
 }

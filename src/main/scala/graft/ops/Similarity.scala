@@ -29,8 +29,9 @@ object Similarity {
       .join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), vec_cosine(col("qemb"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    // long rn: DuckDB ROW_NUMBER() is BIGINT; keep the oracle dtype-exact
     scored
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
 
