@@ -49,12 +49,18 @@ object PipelineQueries {
 
   def dedupSimhashSql: String = Dedup.simHashSql + " ORDER BY doc"
 
-  /** D2 MinHash-LSH (rows-only: xxhash64 signatures are Spark-specific).
-    * Near-dup pairs at Jaccard >= 0.5 over 3-shingles, then cluster count.
+  /** D2 MinHash-LSH: near-dup pairs at Jaccard >= 0.5 over 3-shingles.
+    * md5-derived permutation family, so the DuckDB oracle replays the exact
+    * signatures and banding.
     */
   def dedupMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.nearDupPairs(docs(spark, sfDir), "doc_id", "text", 0.5)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+
+  val dedupMinhashSql: String =
+    Dedup.minHashPairsSql(0.5) + "\nORDER BY jaccard DESC, d1, d2"
+
+  val dedupClustersSql: String = Dedup.clusterSizesSql(0.5)
 
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

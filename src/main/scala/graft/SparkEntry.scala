@@ -88,11 +88,11 @@ object SparkEntry {
     "fourmz_events_hourly" -> Queries.qEventsHourlySql,
     "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
     // pipeline operators with DuckDB-expressible semantics
-    // (dedup_minhash_pairs / dedup_clusters / ann_lsh / multimodal_pipeline
-    //  use Spark-side hashing or generated blobs → rows-only check)
     "dedup_exact_docs" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_pairs" -> PipelineQueries.dedupNgramSql,
     "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
+    "dedup_minhash_pairs" -> PipelineQueries.dedupMinhashSql,
+    "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "dedup_embedding_pairs" -> PipelineQueries.dedupEmbeddingPairsSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "text_stats" -> PipelineQueries.textStatsSql,
