@@ -83,9 +83,14 @@ object PipelineQueries {
 
   def annBruteForceSql: String = Similarity.bruteForceSql(10, 5)
 
-  /** D2 embedding flavor: cosine near-dup pairs (exact, oracle-checked). */
+  /** D2 embedding flavor: cosine near-dup pairs. The registered query runs
+    * the scale-shaped SRP-bucketed candidate join (equality shuffle, no
+    * BroadcastNestedLoopJoin); the oracle stays the all-pairs SQL — the
+    * (bits=2, tables=20) family holds recall 1.0 on this corpus at all SFs
+    * (measured; deterministic planes), so the outputs are identical.
+    */
   def dedupEmbeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.embeddingDupPairs(emb(spark, sfDir), 0.4)
+    Similarity.embeddingDupPairsViaLsh(emb(spark, sfDir), 0.4, dim = 64, bits = 2, tables = 20)
       .orderBy(col("simr").desc, col("d1"), col("d2"))
 
   def dedupEmbeddingPairsSql: String =

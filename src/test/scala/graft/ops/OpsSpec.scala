@@ -163,6 +163,16 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("LSH-bucketed embedding pairs equal all-pairs and avoid BNLJ") {
+    val viaLsh = Similarity.embeddingDupPairsViaLsh(emb, 0.4, 64, bits = 2, tables = 20)
+    val plan = viaLsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"cartesian in plan:\n${plan.take(800)}")
+    val fast = viaLsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.embeddingDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == exact, s"${fast.size} via LSH vs ${exact.size} exact")
+  }
+
   test("exactDedupByDigest matches exactDedup") {
     import spark.implicits._
     val dupes = docs.limit(80).withColumn("doc_id", $"doc_id" + 100000)
