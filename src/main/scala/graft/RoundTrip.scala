@@ -43,11 +43,17 @@ object RoundTrip {
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {
       // typed csv payload sink: the writer serializes InternalRow fields
-      // directly. Spread across files so the read side fans out even when
-      // the source parquet was a single file (maxPartitionBytes alone would
-      // give 1-2 splits for a small compressed file).
+      // directly. File count scales with data size (~2 MiB of source parquet
+      // per file, capped at the core count): enough files that the read side
+      // fans out, but not a fixed 32 — per-file open overhead dominates the
+      // scan when a tiny table is shredded into tiny files. Larger files
+      // still parallelize beyond the file count because splits are
+      // block-aligned byte ranges, not whole files.
+      val srcBytes = new java.io.File(s"$sfDir/$tableName.parquet").length()
+      val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
       src
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(nFiles)
         .write.mode("overwrite").format("4mc")
         .option("payload", "csv")
         .option("timestampFormat", timestampFormat)

@@ -17,8 +17,6 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import java.util.concurrent.ConcurrentHashMap
-
 /** Splittable Spark source/sink for the 4mc/4mz container.
   *
   * `spark.read.format("4mc").load(path)` → `[value: string]`
@@ -86,23 +84,31 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val fieldTypes = requiredSchema.fields.map(_.dataType)
       val nFields = requiredSchema.length
       val totalFields = dataSchema.length
+      val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
       (file: PartitionedFile) => {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         val index = FourMcFileFormat.cachedIndex(file, in)
-        val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
+        // formatter fallback only for timestamp patterns the fixed-layout
+        // fast parser doesn't cover
+        lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
           .withZone(java.time.ZoneOffset.UTC)
         val lines = new FourMcLineIterator(in, index, file.start, file.start + file.length)
         val starts = new Array[Int](totalFields + 1)
         lines.map { case (_, bytes) =>
-          // locate field boundaries in one pass
+          // locate field boundaries in one pass; a '\' escapes the next byte,
+          // so escaped delimiters inside values don't split fields
           var f = 1
           starts(0) = 0
           var i = 0
           while (i < bytes.length && f < totalFields) {
-            if (bytes(i) == delim) { starts(f) = i + 1; f += 1 }
-            i += 1
+            val b = bytes(i)
+            if (b == CsvPayload.Esc) i += 2
+            else {
+              if (b == delim) { starts(f) = i + 1; f += 1 }
+              i += 1
+            }
           }
           starts(totalFields) = bytes.length + 1
           while (f < totalFields) { starts(f) = bytes.length + 1; f += 1 } // missing fields -> empty
@@ -113,19 +119,26 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val s = starts(src)
             val e = math.min(starts(src + 1) - 1, bytes.length)
             val v: Any =
-              if (s >= e) null
-              else if (fieldTypes(k) == StringType) UTF8String.fromBytes(bytes, s, e - s)
+              if (CsvPayload.isNullMarker(bytes, s, e)) null
+              else if (fieldTypes(k) == StringType) {
+                if (s >= e) UTF8String.EMPTY_UTF8 // empty field = empty string, not null
+                else CsvPayload.unescape(bytes, s, e, delim)
+              } else if (s >= e) null
               else {
-                val str = new String(bytes, s, e - s, "UTF-8")
+                // numeric/timestamp decode straight off the byte slice — no
+                // per-field String for the hot types
                 fieldTypes(k) match {
-                  case LongType      => java.lang.Long.parseLong(str)
-                  case IntegerType   => java.lang.Integer.parseInt(str)
-                  case DoubleType    => java.lang.Double.parseDouble(str)
-                  case FloatType     => java.lang.Float.parseFloat(str)
-                  case BooleanType   => java.lang.Boolean.parseBoolean(str)
+                  case LongType    => CsvPayload.parseLong(bytes, s, e)
+                  case IntegerType => CsvPayload.parseLong(bytes, s, e).toInt
+                  case DoubleType  => java.lang.Double.parseDouble(CsvPayload.ascii(bytes, s, e))
+                  case FloatType   => java.lang.Float.parseFloat(CsvPayload.ascii(bytes, s, e))
+                  case BooleanType => bytes(s) == 't' || bytes(s) == 'T'
                   case TimestampType | TimestampNTZType =>
-                    val inst = java.time.Instant.from(fmt.parse(str))
-                    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                    if (tsMicroDigits >= 0) CsvPayload.parseTimestampMicros(bytes, s, e)
+                    else {
+                      val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                    }
                   case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
                 }
               }
@@ -205,22 +218,37 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
 }
 
 object FourMcFileFormat {
-  // Executor-side footer-index cache: one footer read per (file, size) per
+  // Executor-side footer-index cache: one footer read per file version per
   // executor instead of per split — the analog of the reference's per-file
-  // index cache (FourMcInputFormat.java:132-148).
-  private val indexCache = new ConcurrentHashMap[(String, Long), FourMcIndex]()
+  // index cache (FourMcInputFormat.java:132-148). Keyed by modification time
+  // too, so a file overwritten in place with the same length cannot serve a
+  // stale index; access-order LRU bounds the cache without the clear-all
+  // race of a check-then-act purge.
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), FourMcIndex](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), FourMcIndex]
+      ): Boolean = size() > 4096
+    }
+  )
 
-  private[sources] def cachedIndex(file: PartitionedFile, in: McInput): FourMcIndex = {
-    if (indexCache.size > 4096) indexCache.clear()
+  private[sources] def cachedIndex(file: PartitionedFile, in: McInput): FourMcIndex =
     indexCache.computeIfAbsent(
-      (file.urlEncodedPath, file.fileSize),
+      (file.urlEncodedPath, file.fileSize, file.modificationTime),
       _ => FourMcReader.readIndex(in)
     )
-  }
 
   private[sources] def openInput(file: PartitionedFile, conf: Configuration): McInput = {
     val path = file.toPath
-    val fs = path.getFileSystem(conf)
+    // Skip Hadoop's client-side checksum layer (the .crc side file) on
+    // checksummed filesystems: every block in the container already carries
+    // an xxhash32 the reader verifies, and the ChecksumFileSystem adds a
+    // second read stream + per-read chunk realignment — measurable per-file
+    // overhead when a table spans many small files.
+    val fs = path.getFileSystem(conf) match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other                                        => other
+    }
     val stream = fs.open(path)
     val len = file.fileSize
     new McInput {
@@ -278,8 +306,13 @@ final class FourMcRecordIterator(
 }
 
 /** Typed csv-payload writer: serializes InternalRow fields directly into
-  * delimited lines (the inverse of the projection-pruned csv reader). Nulls
-  * become empty fields.
+  * delimited lines (the inverse of the projection-pruned csv reader).
+  *
+  * Encoding is lossless for arbitrary strings: '\' escapes itself, the
+  * delimiter, and line breaks ('\' + 'n'/'r'), null is the two-byte marker
+  * `\N`, and an empty field is a (non-null) empty string — so values
+  * containing the delimiter or newlines round-trip byte-exact instead of
+  * silently shifting fields.
   */
 final class FourMcCsvOutputWriter(
     val path: String,
@@ -294,7 +327,9 @@ final class FourMcCsvOutputWriter(
     val fs = fsPath.getFileSystem(context.getConfiguration)
     new FourMcWriter(new java.io.BufferedOutputStream(fs.create(fsPath, false), 1 << 16), codec)
   }
-  private val fmt = java.time.format.DateTimeFormatter
+  private val delimByte = delim.charAt(0).toByte
+  private val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
+  private lazy val fmt = java.time.format.DateTimeFormatter
     .ofPattern(tsFmt)
     .withZone(java.time.ZoneOffset.UTC)
   private val sb = new java.lang.StringBuilder(256)
@@ -304,9 +339,10 @@ final class FourMcCsvOutputWriter(
     var i = 0
     while (i < schema.length) {
       if (i > 0) sb.append(delim)
-      if (!row.isNullAt(i)) {
+      if (row.isNullAt(i)) sb.append('\\').append('N')
+      else {
         schema.fields(i).dataType match {
-          case StringType  => sb.append(row.getUTF8String(i).toString)
+          case StringType  => CsvPayload.appendEscaped(sb, row.getUTF8String(i).toString, delimByte)
           case LongType    => sb.append(row.getLong(i))
           case IntegerType => sb.append(row.getInt(i))
           case DoubleType  => sb.append(row.getDouble(i))
@@ -314,7 +350,8 @@ final class FourMcCsvOutputWriter(
           case BooleanType => sb.append(row.getBoolean(i))
           case TimestampType | TimestampNTZType =>
             val micros = row.getLong(i)
-            sb.append(fmt.format(java.time.Instant.ofEpochSecond(
+            if (tsMicroDigits >= 0) CsvPayload.appendTimestampMicros(sb, micros, tsMicroDigits)
+            else sb.append(fmt.format(java.time.Instant.ofEpochSecond(
               Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
           case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
         }
@@ -327,6 +364,171 @@ final class FourMcCsvOutputWriter(
   }
 
   override def close(): Unit = out.close()
+}
+
+/** Byte-level helpers for the typed csv payload: escaping, the `\N` null
+  * marker, and allocation-free numeric/timestamp codecs for the fixed
+  * `yyyy-MM-dd HH:mm:ss[.S*]` layout.
+  */
+object CsvPayload {
+  val Esc: Byte = '\\'.toByte
+
+  def isNullMarker(b: Array[Byte], s: Int, e: Int): Boolean =
+    e - s == 2 && b(s) == Esc && b(s + 1) == 'N'
+
+  /** Unescape a field slice; returns the raw slice (zero-copy) when no
+    * escape byte is present.
+    */
+  def unescape(b: Array[Byte], s: Int, e: Int, delim: Byte): UTF8String = {
+    var i = s
+    var hasEsc = false
+    while (i < e && !hasEsc) { hasEsc = b(i) == Esc; i += 1 }
+    if (!hasEsc) return UTF8String.fromBytes(b, s, e - s)
+    val outB = new Array[Byte](e - s)
+    var o = 0
+    i = s
+    while (i < e) {
+      val c = b(i)
+      if (c == Esc && i + 1 < e) {
+        b(i + 1) match {
+          case 'n' => outB(o) = '\n'
+          case 'r' => outB(o) = '\r'
+          case x   => outB(o) = x // escaped backslash or delimiter
+        }
+        o += 1
+        i += 2
+      } else {
+        outB(o) = c; o += 1; i += 1
+      }
+    }
+    UTF8String.fromBytes(outB, 0, o)
+  }
+
+  def appendEscaped(sb: java.lang.StringBuilder, s: String, delim: Byte): Unit = {
+    val d = delim.toChar
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\\'       => sb.append('\\').append('\\')
+        case '\n'       => sb.append('\\').append('n')
+        case '\r'       => sb.append('\\').append('r')
+        case x if x == d => sb.append('\\').append(x)
+        case x          => sb.append(x)
+      }
+      i += 1
+    }
+  }
+
+  /** ASCII slice → String via Latin-1 (no UTF-8 decode; numeric fields only). */
+  def ascii(b: Array[Byte], s: Int, e: Int): String =
+    new String(b, s, e - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  def parseLong(b: Array[Byte], s: Int, e: Int): Long = {
+    var i = s
+    var neg = false
+    if (b(i) == '-') { neg = true; i += 1 }
+    else if (b(i) == '+') i += 1
+    var v = 0L
+    while (i < e) {
+      val c = b(i) - '0'
+      if (c < 0 || c > 9) throw new NumberFormatException(ascii(b, s, e))
+      v = v * 10 + c
+      i += 1
+    }
+    if (neg) -v else v
+  }
+
+  /** -1 unless `pattern` is the fixed layout `yyyy-MM-dd HH:mm:ss` plus an
+    * optional `.S{1..6}` fraction; otherwise the fraction digit count.
+    */
+  def fixedPatternFracDigits(pattern: String): Int = {
+    val base = "yyyy-MM-dd HH:mm:ss"
+    if (pattern == base) 0
+    else if (pattern.startsWith(base + ".") && pattern.drop(base.length + 1).forall(_ == 'S')) {
+      val n = pattern.length - base.length - 1
+      if (n <= 6) n else -1
+    } else -1
+  }
+
+  private def digits2(b: Array[Byte], i: Int): Int = (b(i) - '0') * 10 + (b(i + 1) - '0')
+
+  /** Parse `yyyy-MM-dd HH:mm:ss[.frac]` (UTC) to epoch micros — no
+    * formatter, no Instant, no String.
+    */
+  def parseTimestampMicros(b: Array[Byte], s: Int, e: Int): Long = {
+    val y = digits2(b, s) * 100 + digits2(b, s + 2)
+    val mo = digits2(b, s + 5)
+    val d = digits2(b, s + 8)
+    val h = digits2(b, s + 11)
+    val mi = digits2(b, s + 14)
+    val sec = digits2(b, s + 17)
+    var micros = 0L
+    var scale = 100000L
+    var i = s + 20 // past '.'
+    if (i - 1 < e && b(i - 1) == '.') {
+      while (i < e && scale > 0) {
+        micros += (b(i) - '0') * scale
+        scale /= 10
+        i += 1
+      }
+    }
+    daysFromCivil(y, mo, d) * 86400000000L + (h * 3600L + mi * 60L + sec) * 1000000L + micros
+  }
+
+  /** Howard Hinnant's days-from-civil algorithm (public domain chrono math). */
+  def daysFromCivil(y: Int, m: Int, d: Int): Long = {
+    val yy = if (m <= 2) y - 1 else y
+    val era = (if (yy >= 0) yy else yy - 399) / 400
+    val yoe = yy - era * 400
+    val doy = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+    val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+    era * 146097L + doe - 719468L
+  }
+
+  /** Inverse: epoch days → (y, m, d). */
+  def civilFromDays(z0: Long): (Int, Int, Int) = {
+    val z = z0 + 719468L
+    val era = (if (z >= 0) z else z - 146096L) / 146097L
+    val doe = z - era * 146097L
+    val yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096) / 365
+    val yy = yoe + era * 400
+    val doy = doe - (365 * yoe + yoe / 4 - yoe / 100)
+    val mp = (5 * doy + 2) / 153
+    val d = doy - (153 * mp + 2) / 5 + 1
+    val m = if (mp < 10) mp + 3 else mp - 9
+    ((yy + (if (m <= 2) 1 else 0)).toInt, m.toInt, d.toInt)
+  }
+
+  private def pad2(sb: java.lang.StringBuilder, v: Int): Unit = {
+    sb.append(('0' + v / 10).toChar).append(('0' + v % 10).toChar)
+  }
+
+  /** Format epoch micros as `yyyy-MM-dd HH:mm:ss[.frac]` with `fracDigits`
+    * fraction digits (truncating), matching the fast parser.
+    */
+  def appendTimestampMicros(sb: java.lang.StringBuilder, micros: Long, fracDigits: Int): Unit = {
+    val days = Math.floorDiv(micros, 86400000000L)
+    var rem = Math.floorMod(micros, 86400000000L)
+    val (y, mo, d) = civilFromDays(days)
+    val secs = rem / 1000000L
+    rem = rem % 1000000L
+    if (y >= 1000) sb.append(y)
+    else { sb.append(('0' + y / 1000).toChar); pad2(sb, (y / 10) % 100); sb.append(('0' + y % 10).toChar) }
+    sb.append('-'); pad2(sb, mo); sb.append('-'); pad2(sb, d)
+    sb.append(' '); pad2(sb, (secs / 3600L).toInt); sb.append(':')
+    pad2(sb, ((secs / 60L) % 60L).toInt); sb.append(':'); pad2(sb, (secs % 60L).toInt)
+    if (fracDigits > 0) {
+      sb.append('.')
+      var scale = 100000L
+      var k = 0
+      while (k < fracDigits) {
+        sb.append(('0' + ((rem / scale) % 10L).toInt).toChar)
+        scale /= 10
+        k += 1
+      }
+    }
+  }
 }
 
 final class FourMcOutputWriter(

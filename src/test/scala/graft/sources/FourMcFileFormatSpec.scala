@@ -130,6 +130,39 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(canon(back) == canon(li))
   }
 
+  test("csv payload escaping: delimiters, newlines, nulls and empties round-trip") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val nasty = Seq(
+      "plain", "", "with|pipe", "|leading", "trailing|", "||", "new\nline", "cr\rhere",
+      "back\\slash", "\\", "\\N", "N", "\\\\N", "mix|\n\\|N\r\\N|", "unicode é✓|δ", "\n", "|"
+    )
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab|\\\nN\r é".toCharArray
+    val fuzz = (0 until 500).map { _ =>
+      val n = rng.nextInt(12)
+      new String(Array.fill(n)(alphabet(rng.nextInt(alphabet.length))))
+    }
+    val rows: Seq[(java.lang.Long, String, String)] =
+      (nasty ++ fuzz).zipWithIndex.map { case (s, i) => (java.lang.Long.valueOf(i.toLong), s, s.reverse) } ++
+        Seq((java.lang.Long.valueOf(-1L), null, "after-null")) // null vs "" must be distinct
+    val df = rows.toDF("id", "a", "b")
+    val dir = tmpDir()
+    df.write.format("4mc").option("payload", "csv").option("codec", "lz4-fast").save(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType), StructField("b", StringType)))
+    val back = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val want = rows.map(t => (t._1.longValue(), t._2, t._3)).sortBy(_._1)
+    assert(back.length == want.length)
+    back.zip(want).foreach { case (g, w) => assert(g == w, s"mismatch: got $g want $w") }
+    // empty string came back as empty string, not null
+    val empties = back.filter(_._2 != null).filter(_._2.isEmpty)
+    assert(empties.nonEmpty)
+    // null came back as null
+    assert(back.find(_._1 == -1L).get._2 == null)
+  }
+
   test("binary payload split-invariance under tiny maxPartitionBytes") {
     import spark.implicits._
     val recs = (0 until 30000).map { i =>
