@@ -18,6 +18,7 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
   private var bytesOut = 0L
   private val blockOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
   private var closed = false
+  private var finished = false
 
   writeHeader()
 
@@ -83,6 +84,17 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
 
   override def close(): Unit = {
     if (closed) return
+    finish()
+    out.close()
+    closed = true
+  }
+
+  /** Write EOS + footer WITHOUT closing the underlying stream (idempotent) —
+    * the Hadoop CompressionOutputStream contract separates finish() from
+    * closing the wrapped stream.
+    */
+  def finish(): Unit = {
+    if (closed || finished) return
     flushBlock()
     // EOS marker: an empty block, full 12-byte header of zeros
     writeInt(0); writeInt(0); writeInt(0)
@@ -104,8 +116,7 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
     out.write(f)
     bytesOut += f.length
     writeInt(FourMc.xxhash32(f, 0, f.length))
-    out.close()
-    closed = true
+    finished = true
   }
 
   def bytesWritten: Long = bytesOut
