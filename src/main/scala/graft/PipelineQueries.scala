@@ -222,9 +222,17 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- multimodal
 
-  /** D5 (rows-only): full binary pipeline through the 4mc container. */
+  /** D5: full binary pipeline through the 4mc container. The rolling
+    * checksum column stays out of the driver projection (a per-byte fold the
+    * oracle can't express cheaply; asserted deterministic in OpsSpec) —
+    * everything else, including the first-body-byte payload probe, is
+    * oracle-checked against pure id arithmetic.
+    */
   def multimodalPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
     Multimodal.pipelineMetrics(spark, 2000, s"/tmp/graft-rt/$key/media-4mc")
+      .drop("checksum_sum")
   }
+
+  val multimodalSql: String = Multimodal.pipelineMetricsSql(2000)
 }

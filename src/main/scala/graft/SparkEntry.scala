@@ -99,6 +99,7 @@ object SparkEntry {
     "lang_id_confusion" -> PipelineQueries.langIdConfusionSql,
     "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,
     "quality_filter" -> PipelineQueries.qualityFilterSql,
-    "vocab_stats" -> PipelineQueries.vocabStatsSql
+    "vocab_stats" -> PipelineQueries.vocabStatsSql,
+    "multimodal_pipeline" -> PipelineQueries.multimodalSql
   )
 }

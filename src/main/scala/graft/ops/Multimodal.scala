@@ -22,7 +22,9 @@ object Multimodal {
       width: Int,
       height: Int,
       n_bytes: Int,
-      checksum: Long
+      checksum: Long,
+      head: Int // first body byte (-1 when the body is empty): a cheap
+      //           payload-integrity probe an external oracle can re-derive
   )
 
   private def putBE(a: Array[Byte], off: Int, v: Int): Unit = {
@@ -70,7 +72,8 @@ object Multimodal {
         var cs = 0L
         var i = 12
         while (i < p.length) { cs = cs * 31 + (p(i) & 0xff); i += 1 }
-        MediaMeta(r.media_id, r.kind, getBE(p, 4), getBE(p, 8), p.length, cs)
+        val head = if (p.length > 12) p(12) & 0xff else -1
+        MediaMeta(r.media_id, r.kind, getBE(p, 4), getBE(p, 8), p.length, cs, head)
       }
     }
   }
@@ -180,8 +183,41 @@ object Multimodal {
         sum($"n_bytes").as("total_bytes"),
         max($"width").as("max_w"),
         max($"height").as("max_h"),
+        sum($"head").as("sum_head"),
         sum(pmod($"checksum", lit(1000000007L))).as("checksum_sum") // bounded: ANSI-safe
       )
       .orderBy($"kind")
   }
+
+  /** DuckDB mirror of [[pipelineMetrics]] minus the rolling checksum (a
+    * per-byte fold — left to the sbt determinism test): the blob generator is
+    * pure id arithmetic, so counts, sizes, post-resize dims, and the
+    * first-body-byte probe (one 64-bit LCG step, HUGEINT modular math) are
+    * all re-derivable in SQL from generate_series alone.
+    */
+  def pipelineMetricsSql(n: Long): String =
+    s"""WITH ids AS (
+       |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+       |), m AS (
+       |  SELECT id,
+       |    CASE WHEN id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       |    id % 64 + 8 AS w, id % 48 + 8 AS h,
+       |    CAST((CAST(id AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+       |         % 18446744073709551616 AS HUGEINT) AS x0
+       |  FROM ids
+       |), sized AS (
+       |  SELECT id, kind,
+       |    12 + (w * h) % 4096 AS n_bytes,
+       |    CASE WHEN w <= 32 AND h <= 32 THEN w
+       |         ELSE GREATEST(1, CAST(floor(w * (32.0 / GREATEST(w, h))) AS BIGINT)) END AS w2,
+       |    CASE WHEN w <= 32 AND h <= 32 THEN h
+       |         ELSE GREATEST(1, CAST(floor(h * (32.0 / GREATEST(w, h))) AS BIGINT)) END AS h2,
+       |    CASE WHEN 12 + (w * h) % 4096 > 12
+       |         THEN CAST(x0 // 72057594037927936 AS BIGINT) ELSE -1 END AS head
+       |  FROM m
+       |)
+       |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(MAX(w2) AS INTEGER) AS max_w, CAST(MAX(h2) AS INTEGER) AS max_h,
+       |  CAST(SUM(head) AS BIGINT) AS sum_head
+       |FROM sized GROUP BY kind ORDER BY kind""".stripMargin
 }
