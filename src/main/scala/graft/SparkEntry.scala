@@ -95,6 +95,8 @@ object SparkEntry {
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "dedup_embedding_pairs" -> PipelineQueries.dedupEmbeddingPairsSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
+    "ann_lsh" -> PipelineQueries.annLshSql,
+    "ann_ivf" -> PipelineQueries.annIvfSql,
     "text_stats" -> PipelineQueries.textStatsSql,
     "lang_id_confusion" -> PipelineQueries.langIdConfusionSql,
     "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,

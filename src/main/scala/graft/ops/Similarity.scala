@@ -222,7 +222,7 @@ object Similarity {
       .select(col("qid"), col("nid"), vec_cosine(col("qemb"), col("nemb")).as("sim"))
       .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
   // ----------------------------------------------------------------- SRP-LSH
@@ -272,6 +272,6 @@ object Similarity {
       .distinct() // a pair can collide in several tables — score once
       .select(col("qid"), col("nid"), vec_cosine(col("qemb"), col("nemb")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 }
