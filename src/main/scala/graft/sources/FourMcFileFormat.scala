@@ -73,6 +73,18 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val broadcastConf = sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     val payload = options.getOrElse("payload", "text")
     val binary = payload == "binary"
+    // Reference semantics (FourMcInputFormatUtil.java:50-62): only
+    // .4mc/.4mz files are container data; anything else in the directory is
+    // skipped rather than failing the scan. option("acceptAnyExtension",
+    // true) reads every listed file regardless of name.
+    val acceptAny = options.get("acceptAnyExtension").exists(_.toBoolean)
+    def extOk(file: PartitionedFile): Boolean = {
+      if (acceptAny) true
+      else {
+        val p = file.toPath.getName
+        p.endsWith(".4mc") || p.endsWith(".4mz")
+      }
+    }
 
     if (payload == "csv") {
       // typed delimited parse INSIDE the reader: only the required columns
@@ -85,7 +97,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val nFields = requiredSchema.length
       val totalFields = dataSchema.length
       val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
-      (file: PartitionedFile) => {
+      (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
@@ -154,7 +166,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val offsetFirst = requiredSchema.fieldNames.headOption.contains("offset")
       val nFields = requiredSchema.length
 
-      (file: PartitionedFile) => {
+      (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))

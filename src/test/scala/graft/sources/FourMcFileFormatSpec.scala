@@ -130,6 +130,18 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(canon(back) == canon(li))
   }
 
+  test("stray non-container files in the directory are skipped, not fatal") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val lines = (0 until 2000).map(i => s"keep-$i")
+    lines.toDF("value").coalesce(1).write.format("4mc").save(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.txt"),
+      "not a container\n".getBytes("UTF-8"))
+    val back = spark.read.format("4mc").load(dir).as[String].collect()
+    assert(back.sorted.toSeq == lines.sorted)
+  }
+
   test("csv payload escaping: delimiters, newlines, nulls and empties round-trip") {
     import org.apache.spark.sql.types._
     import spark.implicits._
