@@ -37,6 +37,28 @@ object RoundTrip {
       codec: String = "lz4-fast",
       timestampFormat: String = tsFmt
   ): DataFrame = {
+    val (dir, schema) = ensureRoundTrip(spark, sfDir, tableName, codec, timestampFormat)
+    // typed csv payload: the FileFormat parses ONLY the columns Catalyst
+    // requires (projection pushdown into the parse) — no from_csv struct
+    // materialization, no regex split
+    spark.read
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", timestampFormat)
+      .schema(schema)
+      .load(dir)
+  }
+
+  /** Write (once) the typed-csv 4mc round-trip of `tableName`; returns the
+    * directory and schema — the same dir also serves as a readStream source.
+    */
+  def ensureRoundTrip(
+      spark: SparkSession,
+      sfDir: String,
+      tableName: String,
+      codec: String,
+      timestampFormat: String = tsFmt
+  ): (String, StructType) = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
     val dir = rtDir(sfDir, tableName, codec)
@@ -60,15 +82,7 @@ object RoundTrip {
         .option("codec", codec)
         .save(dir.getAbsolutePath)
     }
-    // typed csv payload: the FileFormat parses ONLY the columns Catalyst
-    // requires (projection pushdown into the parse) — no from_csv struct
-    // materialization, no regex split
-    spark.read
-      .format("4mc")
-      .option("payload", "csv")
-      .option("timestampFormat", timestampFormat)
-      .schema(schema)
-      .load(dir.getAbsolutePath)
+    (dir.getAbsolutePath, schema)
   }
 
   /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */

@@ -59,7 +59,9 @@ object SparkEntry {
     "doc_fingerprints" -> (PipelineQueries.docFingerprints _),
     "quality_filter" -> (PipelineQueries.qualityFilter _),
     "vocab_stats" -> (PipelineQueries.vocabStats _),
-    "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _)
+    "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
+    // D7: Structured Streaming over a 4mz dir, drained to a batch result
+    "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,6 +104,7 @@ object SparkEntry {
     "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,
     "quality_filter" -> PipelineQueries.qualityFilterSql,
     "vocab_stats" -> PipelineQueries.vocabStatsSql,
-    "multimodal_pipeline" -> PipelineQueries.multimodalSql
+    "multimodal_pipeline" -> PipelineQueries.multimodalSql,
+    "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql
   )
 }
