@@ -234,6 +234,48 @@ object PipelineQueries {
       |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- protobuf
+
+  private val partProtoSpec = "1:p_partkey:long,2:p_name:string,3:tags:rstring"
+
+  /** A3/A10 typed-record path: the reference's flagship protobuf Spark
+    * example (`TestProtobufInput.java:88-112` — explode a repeated field,
+    * count per tag, sort) reproduced end-to-end over REAL protobuf wire
+    * bytes: rows serialize to wire format (graft.functions.ProtoWire), ride
+    * the container's binary payload, decode through the proto_struct
+    * Catalyst expression, and the aggregate oracle runs on the original
+    * parquet — any wire-format or container corruption breaks the hash.
+    */
+  def protobufTagCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{ProtoFunctions, ProtoWire}
+    import spark.implicits._
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = new java.io.File(s"/tmp/graft-rt2/$key/part-proto-4mc")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val fields = ProtoWire.parseSpec(partProtoSpec)
+      Queries.table(spark, sfDir, "part")
+        .select($"p_partkey", $"p_name", split($"p_name", " ").as("tags"))
+        .as[(Long, String, Seq[String])]
+        .map { case (k, n, t) => ProtoWire.encode(fields, Seq(k, n, t)) }
+        .toDF("value")
+        .repartition(2)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "binary").option("codec", "lz4-fast")
+        .save(dir.getAbsolutePath)
+    }
+    spark.read.format("4mc").option("payload", "binary").load(dir.getAbsolutePath)
+      .select(ProtoFunctions.proto_struct(col("value"), partProtoSpec).as("m"))
+      .select(explode($"m.tags").as("tag"))
+      .groupBy($"tag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tag")
+  }
+
+  val protobufTagCountsSql: String =
+    """SELECT tag, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(p_name, ' ')) AS tag FROM part) t
+      |GROUP BY tag ORDER BY cnt DESC, tag""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   /** D5: full binary pipeline through the 4mc container. The rolling

@@ -60,6 +60,7 @@ object SparkEntry {
     "quality_filter" -> (PipelineQueries.qualityFilter _),
     "vocab_stats" -> (PipelineQueries.vocabStats _),
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
+    "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _)
   )
@@ -105,6 +106,7 @@ object SparkEntry {
     "quality_filter" -> PipelineQueries.qualityFilterSql,
     "vocab_stats" -> PipelineQueries.vocabStatsSql,
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
+    "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql
   )
 }

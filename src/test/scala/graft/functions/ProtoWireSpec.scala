@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.functions.ProtoWire._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protobuf wire-format conformance: golden bytes computed by hand from the
+  * public encoding spec (varints, key = fieldNo<<3 | wireType,
+  * length-delimited strings), roundtrips incl. negative ints and unicode,
+  * unknown-field skipping, and the proto_struct expression end-to-end.
+  */
+class ProtoWireSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("proto-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val userSpec = "1:name:string,2:id:long,3:tags:rstring"
+  private val userFields = parseSpec(userSpec)
+
+  test("golden bytes: the official example encodings") {
+    // proto spec's own example: field 1 (varint) = 150 -> 08 96 01
+    val g1 = ProtoWire.encode(parseSpec("1:id:long"), Seq(150L))
+    assert(g1.toSeq == Seq(0x08, 0x96, 0x01).map(_.toByte))
+    // field 2 (string) = "testing" -> 12 07 74 65 73 74 69 6e 67
+    val g2 = ProtoWire.encode(parseSpec("2:s:string"), Seq("testing"))
+    assert(g2.toSeq == (Seq(0x12, 0x07) ++ "testing".getBytes("UTF-8").toSeq.map(_.toInt)).map(_.toByte))
+    // negative int64 is ten varint bytes: -2 -> 08 fe ff ff ff ff ff ff ff ff 01
+    val g3 = ProtoWire.encode(parseSpec("1:id:long"), Seq(-2L))
+    assert(g3.length == 11 && g3(0) == 0x08.toByte && g3(1) == 0xfe.toByte && g3(10) == 0x01.toByte)
+  }
+
+  test("message roundtrip with repeated fields, unicode, absent fields") {
+    val cases = Seq(
+      Seq[Any]("Alice", 42L, Seq("a", "b", "c")),
+      Seq[Any]("", 0L, Seq.empty[String]),
+      Seq[Any]("héllo ✓", -9223372036854775808L, Seq("日本語", "")),
+      Seq[Any](null, 7L, Seq("only-tags"))
+    )
+    for (vals <- cases) {
+      val bytes = ProtoWire.encode(userFields, vals)
+      val r = new Reader(bytes)
+      var name: String = null
+      var id: java.lang.Long = null
+      val tags = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (r.hasMore) {
+        val k = r.readVarint()
+        ((k >>> 3).toInt, (k & 7).toInt) match {
+          case (1, 2) => val (o, l) = r.readDelimited(); name = new String(r.bytes, o, l, "UTF-8")
+          case (2, 0) => id = r.readVarint()
+          case (3, 2) => val (o, l) = r.readDelimited(); tags += new String(r.bytes, o, l, "UTF-8")
+          case (_, wt) => r.skip(wt)
+        }
+      }
+      assert(Option(name) == Option(vals(0)).map(_.asInstanceOf[String]))
+      // empty repeated and id=0 still encode (we write explicitly when non-null)
+      assert(id == vals(1).asInstanceOf[Long])
+      assert(tags.toSeq == vals(2).asInstanceOf[Seq[String]])
+    }
+  }
+
+  test("proto_struct expression decodes and skips unknown fields") {
+    import spark.implicits._
+    // encode with an EXTRA field 9 the reader spec doesn't know
+    val fieldsPlus = parseSpec(userSpec + ",9:extra:double")
+    val rows = (0 until 500).map { i =>
+      ProtoWire.encode(fieldsPlus, Seq(s"user-$i", i.toLong, Seq(s"t${i % 7}", s"t${i % 3}"), i * 0.5))
+    }
+    val df = rows.toDF("value")
+      .select(ProtoFunctions.proto_struct(col("value"), userSpec).as("m"))
+      .select($"m.name", $"m.id", $"m.tags")
+    val got = df.collect()
+    assert(got.length == 500)
+    assert(got.forall(r => r.getString(0) == s"user-${r.getLong(1)}"))
+    assert(got.forall(r => r.getSeq[String](2).length == 2))
+    // explode + count matches direct computation
+    val cnt = df.select(explode($"tags").as("t")).groupBy($"t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // occurrences, not rows: i % 21 == 0 contributes two t0 tags
+    assert(cnt("t0") == (0 until 500).count(_ % 7 == 0) + (0 until 500).count(_ % 3 == 0))
+  }
+
+  test("proto messages survive the 4mc binary payload") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("proto4mc").toString + "/d"
+    val rows = (0 until 2000).map(i => ProtoWire.encode(userFields, Seq(s"u$i", i.toLong, Seq(s"x${i % 5}"))))
+    rows.toDF("value").repartition(2)
+      .write.format("4mc").option("payload", "binary").option("codec", "zstd-1").save(dir)
+    val back = spark.read.format("4mc").option("payload", "binary").load(dir)
+      .select(ProtoFunctions.proto_struct(col("value"), userSpec).as("m"))
+      .select($"m.id").as[Long].collect().sorted
+    assert(back.toSeq == (0L until 2000L))
+  }
+}
