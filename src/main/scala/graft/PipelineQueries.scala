@@ -263,9 +263,13 @@ object PipelineQueries {
         .option("payload", "binary").option("codec", "lz4-fast")
         .save(dir.getAbsolutePath)
     }
+    // explode_outer: the plain explode triggers InferFiltersFromGenerate,
+    // which re-evaluates the proto decode inside a pre-filter (3x per row);
+    // outer explode keeps one decode per row, and part names are never empty
     spark.read.format("4mc").option("payload", "binary").load(dir.getAbsolutePath)
       .select(ProtoFunctions.proto_struct(col("value"), partProtoSpec).as("m"))
-      .select(explode($"m.tags").as("tag"))
+      .select(explode_outer($"m.tags").as("tag"))
+      .filter($"tag".isNotNull)
       .groupBy($"tag")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"tag")
