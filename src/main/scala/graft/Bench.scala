@@ -48,10 +48,12 @@ object Bench {
         val w = new FourMcWriter(Files.newOutputStream(p), codec)
         w.write(corpus, 0, corpus.length); w.close()
       }
-      val (_, wSec) = timeIt {
-        val w = new FourMcWriter(Files.newOutputStream(p), codec)
-        w.write(corpus, 0, corpus.length); w.close()
-      }
+      val wSec = (0 until 3).map { _ =>
+        timeIt {
+          val w = new FourMcWriter(Files.newOutputStream(p), codec)
+          w.write(corpus, 0, corpus.length); w.close()
+        }._2
+      }.sorted.apply(1)
       val ratio = corpus.length.toDouble / Files.size(p)
       def readAll(): Long = {
         val in = McInput.local(p)
@@ -67,7 +69,9 @@ object Bench {
         in.close(); total
       }
       readAll() // warmup
-      val (_, rSec) = timeIt(readAll())
+      // median of 3: single-shot read timing swings 2x with page-cache and
+      // JIT state at this corpus size
+      val rSec = (0 until 3).map(_ => timeIt(readAll())._2).sorted.apply(1)
       Files.deleteIfExists(p)
       (mb / wSec, mb / rSec, ratio)
     }

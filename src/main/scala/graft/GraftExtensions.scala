@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpr, DotProductExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, ProtoStructExpr}
 
 /** Cluster-wide registration of graft's native functions:
   *
@@ -31,6 +31,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("vec_cosine"),
         new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "vec_cosine"),
         (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))
+      )
+    )
+    // proto_struct(binary, 'fieldSpec') — the spec arg must be a string literal
+    ext.injectFunction(
+      (
+        FunctionIdentifier("proto_struct"),
+        new ExpressionInfo(classOf[ProtoStructExpr].getName, "proto_struct"),
+        (exprs: Seq[Expression]) =>
+          ProtoStructExpr(
+            exprs.head,
+            exprs(1) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+              case other =>
+                throw new IllegalArgumentException(
+                  s"proto_struct field spec must be a string literal, got $other")
+            }
+          )
       )
     )
   }

@@ -57,6 +57,10 @@ class BinaryRecordsSpec extends AnyFunSuite {
         "SELECT vec_dot(array(cast(2.0 as float), cast(3.0 as float)), " +
           "array(cast(4.0 as float), cast(5.0 as float))) AS d").head().getDouble(0)
       assert(got == 23.0)
+      // proto_struct in SQL: 0x089601 = field 1 varint 150 (the spec example)
+      val pid = s2.sql(
+        "SELECT proto_struct(X'089601', '1:id:long').id AS id").head().getLong(0)
+      assert(pid == 150L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
