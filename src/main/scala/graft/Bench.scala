@@ -93,7 +93,7 @@ object Bench {
     // beat the single-threaded sequential read by a wide margin (the
     // 24-vs-1 headline at 2 GB instead of 40 MB). The generated file is
     // cached in /tmp across runs. SPARK_GRAFT_STRESS=0 skips.
-    val stress: Option[(Double, Int, Int, Double, Double)] =
+    val stress: Option[(Double, Int, Int, Double, Double, Double)] =
       if (sys.env.get("SPARK_GRAFT_STRESS").contains("0")) None
       else {
         val dir = new java.io.File("/tmp/graft-stress")
@@ -137,8 +137,22 @@ object Bench {
         val t2 = System.nanoTime()
         df.coalesce(1).count()
         val oneSecs = (System.nanoTime() - t2) / 1e9
+        // typed csv parse + Q1 aggregate over the whole 2 GiB file: the
+        // realistic "query a big compressed file" number (timestamps in the
+        // corpus are cast-to-string, second precision)
+        val li = Queries.table(spark, sfDir, "lineitem").limit(1)
+        val typedSchema = li.schema
+        val typed = spark.read.format("4mc")
+          .option("payload", "csv")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .schema(typedSchema)
+          .load(big.getAbsolutePath)
+        Queries.q1Over(typed).count() // warm
+        val t3 = System.nanoTime()
+        Queries.q1Over(typed).count()
+        val q1Secs = (System.nanoTime() - t3) / 1e9
         spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-        Some((seqBytes / 1e6, nP, expectP, math.max(seqSecs, oneSecs), parSecs))
+        Some((seqBytes / 1e6, nP, expectP, math.max(seqSecs, oneSecs), parSecs, q1Secs))
       }
 
     // ---- query wall clock: median of 3 after a warmup run -----------------
@@ -159,8 +173,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
 
     val stressJson = stress match {
-      case Some((smb, nP, expP, seqS, parS)) =>
-        f""","stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f"""
+      case Some((smb, nP, expP, seqS, parS, q1S)) =>
+        f""","stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f,"stress_typed_q1_secs":$q1S%.2f"""
       case None => ""
     }
     println(
