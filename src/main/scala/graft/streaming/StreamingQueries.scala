@@ -34,11 +34,18 @@ object StreamingQueries {
       )
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .start()
+    // state-store partitions are fixed at stream start from
+    // spark.sql.shuffle.partitions; ~3.4k windows need few partitions, and
+    // every extra one adds per-batch store open/commit overhead
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name).orderBy(col("hour"), col("event_type"))
