@@ -61,17 +61,25 @@ class FourMzHighCodec extends GraftContainerCodec(McCodec.Zstd6)
 class FourMzUltraCodec extends GraftContainerCodec(McCodec.Zstd12)
 
 /** CompressionOutputStream over [[FourMcWriter]]: finish() emits EOS+footer,
-  * the wrapped stream stays open for the caller to close.
+  * the wrapped stream stays open for the caller to close. resetState()
+  * (SequenceFile emits one independent compressed segment per record/block)
+  * starts a fresh container on the next write — each segment is a complete
+  * header|blocks|EOS|footer unit the matching input stream re-enters after
+  * its own resetState().
   */
 final class FourMcCompressionOutputStream(rawOut: OutputStream, mc: McCodec)
     extends CompressionOutputStream(rawOut) {
-  private val writer = new FourMcWriter(new NonClosingOutputStream(rawOut), mc)
+  private var writer: FourMcWriter = _
 
-  override def write(b: Int): Unit = writer.write(b)
-  override def write(b: Array[Byte], off: Int, len: Int): Unit = writer.write(b, off, len)
-  override def finish(): Unit = writer.finish()
-  override def resetState(): Unit =
-    throw new IOException("4mc container streams cannot be restarted mid-file")
+  private def w: FourMcWriter = {
+    if (writer == null) writer = new FourMcWriter(new NonClosingOutputStream(rawOut), mc)
+    writer
+  }
+
+  override def write(b: Int): Unit = w.write(b)
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = w.write(b, off, len)
+  override def finish(): Unit = if (writer != null) writer.finish()
+  override def resetState(): Unit = { if (writer != null) writer.finish(); writer = null }
   override def flush(): Unit = rawOut.flush()
 }
 

@@ -167,14 +167,20 @@ class ZstCodec extends CompressionCodec {
 
 final class ZstCompressionOutputStream(rawOut: OutputStream, level: Int)
     extends CompressionOutputStream(rawOut) {
-  private val z = new ZstdOutputStream(new NonClosingOutputStream(rawOut), level)
+  private var zs: ZstdOutputStream = _
   private var finished = false
+
+  private def z: ZstdOutputStream = {
+    if (zs == null) { zs = new ZstdOutputStream(new NonClosingOutputStream(rawOut), level); finished = false }
+    zs
+  }
+
   override def write(b: Int): Unit = z.write(b)
   override def write(b: Array[Byte], off: Int, len: Int): Unit = z.write(b, off, len)
-  override def finish(): Unit = if (!finished) { z.close(); finished = true }
-  override def resetState(): Unit =
-    throw new IOException("zst streams cannot be restarted mid-file")
-  override def flush(): Unit = { z.flush(); rawOut.flush() }
+  override def finish(): Unit = if (zs != null && !finished) { zs.close(); finished = true }
+  // one standard zstd frame per segment; a fresh stream starts on next write
+  override def resetState(): Unit = { finish(); zs = null }
+  override def flush(): Unit = { if (zs != null) zs.flush(); rawOut.flush() }
 }
 
 final class ZstCompressionInputStream(raw: InputStream) extends CompressionInputStream(raw) {
