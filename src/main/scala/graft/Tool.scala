@@ -39,7 +39,10 @@ object Tool {
       case p => paths += p
     }
     if (paths.isEmpty) fail("no input file given")
-    if (zstStream) { zstFrame(paths.head, paths.lift(1), decode, level); return }
+    // extension-driven dispatch like the reference CLI: a .zst input decodes
+    // through the full-frame path without needing -s
+    val zstByExt = (decode || testOnly) && paths.head.endsWith(".zst")
+    if (zstStream || zstByExt) { zstFrame(paths.head, paths.lift(1), decode || testOnly, level); return }
     if (paths.head == "-" || paths.lift(1).contains("-")) {
       // stdin/stdout pipeline mode for the container (reference
       // `4mccli.c:282-333`): compress streams through the blockwise writer;
@@ -73,7 +76,17 @@ object Tool {
     val buf = new Array[Byte](1 << 20)
     var total = 0L
     if (decode) {
-      val src = new graft.hadoop.FourMcCompressionInputStream(in)
+      // sniff the first 4 bytes: 4mc/4mz container vs standard zstd frame
+      val pin = new java.io.PushbackInputStream(in, 4)
+      val head = new Array[Byte](4)
+      val got = pin.readNBytes(head, 0, 4)
+      pin.unread(head, 0, got)
+      val isZstFrame = got == 4 &&
+        (head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
+        (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd
+      val src: java.io.InputStream =
+        if (isZstFrame) new com.github.luben.zstd.ZstdInputStream(pin)
+        else new graft.hadoop.FourMcCompressionInputStream(pin)
       var n = src.read(buf, 0, buf.length)
       while (n > 0) { rawOut.write(buf, 0, n); total += n; n = src.read(buf, 0, buf.length) }
       src.close()
