@@ -101,12 +101,18 @@ object Bench {
         val big = new java.io.File(dir, "big.4mc")
         val targetBytes = 2L * 1024 * 1024 * 1024
         if (!big.exists() || big.length() < 100L * 1024 * 1024) {
+          // write to a temp name, rename on success: a run killed
+          // mid-generation must not leave a footerless file that poisons
+          // every later bench via the size-only reuse check
+          val tmp = new java.io.File(dir, "big.4mc.tmp")
           val w = new FourMcWriter(
-            new java.io.BufferedOutputStream(Files.newOutputStream(big.toPath), 1 << 20),
+            new java.io.BufferedOutputStream(Files.newOutputStream(tmp.toPath), 1 << 20),
             McCodec.Lz4Fast)
           var written = 0L
           while (written < targetBytes) { w.write(corpus, 0, corpus.length); written += corpus.length }
           w.close()
+          Files.move(tmp.toPath, big.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         val fileBytes = big.length()
         // sequential single-thread baseline over the same file

@@ -18,12 +18,17 @@ object RoundTrip {
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSS"
 
-  /** Deterministic scratch dir per (table, sf, codec); reused when present. */
-  private def rtDir(sfDir: String, tableName: String, codec: String): java.io.File = {
+  /** Deterministic scratch dir per (table, sf, codec, timestamp format);
+    * reused when present. The format is part of the key — two callers
+    * requesting different precisions must not share a cache written with
+    * whichever format ran first.
+    */
+  private def rtDir(sfDir: String, tableName: String, codec: String, tsFormat: String): java.io.File = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val fkey = java.lang.Integer.toHexString(tsFormat.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-rt2/$key/$tableName-$codec"
+      s"graft-rt2/$key/$tableName-$codec-$fkey"
     )
   }
 
@@ -61,7 +66,7 @@ object RoundTrip {
   ): (String, StructType) = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
-    val dir = rtDir(sfDir, tableName, codec)
+    val dir = rtDir(sfDir, tableName, codec, timestampFormat)
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {
       // typed csv payload sink: the writer serializes InternalRow fields

@@ -42,7 +42,10 @@ object Tool {
     // extension-driven dispatch like the reference CLI: a .zst input decodes
     // through the full-frame path without needing -s
     val zstByExt = (decode || testOnly) && paths.head.endsWith(".zst")
-    if (zstStream || zstByExt) { zstFrame(paths.head, paths.lift(1), decode || testOnly, level); return }
+    if (zstStream || zstByExt) {
+      zstFrame(paths.head, paths.lift(1), decode || testOnly, level, testOnly)
+      return
+    }
     if (paths.head == "-" || paths.lift(1).contains("-")) {
       // stdin/stdout pipeline mode for the container (reference
       // `4mccli.c:282-333`): compress streams through the blockwise writer;
@@ -106,18 +109,21 @@ object Tool {
   /** Full-frame .zst stream (stdin/stdout capable, interoperable with the
     * standard zstd CLI; single frame, not splittable).
     */
-  private def zstFrame(inPath: String, outPath: Option[String], decode: Boolean, level: Int): Unit = {
+  private def zstFrame(inPath: String, outPath: Option[String], decode: Boolean, level: Int,
+                       testOnly: Boolean = false): Unit = {
     val zLevel = Seq(1, 3, 6, 12)(math.min(level, 4) - 1)
     val in: java.io.InputStream =
       if (inPath == "-") System.in
       else Files.newInputStream(Paths.get(inPath))
     val outName = outPath.getOrElse {
-      if (inPath == "-") "-"
+      if (testOnly) "(test)"
+      else if (inPath == "-") "-"
       else if (decode && inPath.endsWith(".zst")) inPath.dropRight(4)
       else inPath + ".zst"
     }
     val rawOut: java.io.OutputStream =
-      if (outName == "-") System.out
+      if (testOnly) java.io.OutputStream.nullOutputStream()
+      else if (outName == "-") System.out
       else Files.newOutputStream(Paths.get(outName))
     val (src, dst) =
       if (decode) (new com.github.luben.zstd.ZstdInputStream(in), rawOut)

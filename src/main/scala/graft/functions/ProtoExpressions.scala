@@ -63,6 +63,10 @@ case class ProtoStructExpr(child: Expression, spec: String)
       val wt = (k & 7).toInt
       byNo.get(no) match {
         case None => r.skip(wt)
+        // wire-type mismatch (schema drift / wrong spec): skip by the ACTUAL
+        // wire type — decoding by the expected kind would desynchronize the
+        // rest of the message
+        case Some((_, f)) if wt != ProtoWire.wireTypeOf(f.kind) => r.skip(wt)
         case Some((i, f)) =>
           f.kind match {
             case KLong   => out(i) = r.readVarint()

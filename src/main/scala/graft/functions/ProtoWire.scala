@@ -33,6 +33,16 @@ object ProtoWire {
 
   final case class Field(no: Int, name: String, kind: Kind)
 
+  /** The wire type each kind is encoded with (0 varint, 1 fixed64, 2
+    * length-delimited, 5 fixed32).
+    */
+  def wireTypeOf(k: Kind): Int = k match {
+    case KLong | KInt | KBool | KRepLong => 0
+    case KDouble                         => 1
+    case KString | KBytes | KRepString   => 2
+    case KFloat                          => 5
+  }
+
   def parseSpec(spec: String): Seq[Field] =
     spec.split(",").toSeq.map { s =>
       val Array(no, name, kind) = s.trim.split(":")

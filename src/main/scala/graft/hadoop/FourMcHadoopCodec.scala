@@ -78,7 +78,10 @@ final class FourMcCompressionOutputStream(rawOut: OutputStream, mc: McCodec)
 
   override def write(b: Int): Unit = w.write(b)
   override def write(b: Array[Byte], off: Int, len: Int): Unit = w.write(b, off, len)
-  override def finish(): Unit = if (writer != null) writer.finish()
+  // finish() with zero writes still emits a VALID empty container
+  // (header|EOS|footer) — an empty task partition must not leave a 0-byte
+  // file that crashes readers
+  override def finish(): Unit = w.finish()
   override def resetState(): Unit = { if (writer != null) writer.finish(); writer = null }
   override def flush(): Unit = rawOut.flush()
 }
@@ -114,11 +117,27 @@ final class FourMcCompressionInputStream(raw: InputStream)
     b
   }
 
+  /** null on clean EOF before the first byte; throws mid-read. */
+  private def readExactlyOrEof(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    val first = in.read(b, 0, n)
+    if (first < 0) return null
+    var got = first
+    while (got < n) {
+      val r = in.read(b, got, n - got)
+      if (r < 0) throw new EOFException(s"truncated 4mc stream: wanted $n bytes, got $got")
+      got += r
+    }
+    b
+  }
+
   private def be(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
-  private def readHeader(): Unit = {
-    val hdr = readExactly(FourMc.HeaderLen)
+  /** false on a clean zero-byte stream (an empty file is valid EOF). */
+  private def readHeader(): Boolean = {
+    val hdr = readExactlyOrEof(FourMc.HeaderLen)
+    if (hdr == null) { eos = true; return false }
     val magic = be(hdr, 0)
     if (!FourMc.isContainerMagic(magic))
       throw new IOException(f"not a 4mc/4mz stream (magic 0x$magic%08x)")
@@ -128,10 +147,11 @@ final class FourMcCompressionInputStream(raw: InputStream)
       throw new IOException("4mc header checksum mismatch")
     zstd = magic == FourMc.MzMagic
     headerRead = true
+    true
   }
 
   private def ensureBlock(): Boolean = {
-    if (!headerRead) readHeader()
+    if (!headerRead && !readHeader()) return false
     while (!eos && (block == null || pos >= block.length)) {
       val hdr = readExactly(FourMc.BlockHeaderLen)
       val unc = be(hdr, 0)

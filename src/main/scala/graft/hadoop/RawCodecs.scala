@@ -90,10 +90,14 @@ final class RawBlockInputStream(raw: InputStream, zstd: Boolean)
   private var pos = 0
   private var eof = false
 
-  private def readIntOrEof(): Int = {
+  /** -1 only on clean EOF BEFORE the first byte; the 4-byte word itself is
+    * returned unsigned (a corrupt size with the top bit set must surface as
+    * a too-large value, not masquerade as EOF and silently truncate).
+    */
+  private def readIntOrEof(): Long = {
     val b0 = in.read()
-    if (b0 < 0) return -1 // clean EOF at a block boundary
-    var v = b0 & 0xff
+    if (b0 < 0) return -1L // clean EOF at a block boundary
+    var v = (b0 & 0xff).toLong
     var k = 0
     while (k < 3) {
       val b = in.read()
@@ -123,8 +127,8 @@ final class RawBlockInputStream(raw: InputStream, zstd: Boolean)
       if (comp < 0) throw new EOFException("truncated raw block header")
       if (unc > graft.format.FourMc.MaxBlockSize || comp > unc)
         throw new IOException(s"corrupt raw block header (unc=$unc comp=$comp)")
-      val payload = readExactly(comp)
-      block = if (comp == unc) payload else McCodec.decompress(zstd, payload, 0, comp, unc)
+      val payload = readExactly(comp.toInt)
+      block = if (comp == unc) payload else McCodec.decompress(zstd, payload, 0, comp.toInt, unc.toInt)
       pos = 0
     }
     !eof

@@ -141,12 +141,13 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                 // per-field String for the hot types
                 fieldTypes(k) match {
                   case LongType    => CsvPayload.parseLong(bytes, s, e)
-                  case IntegerType => CsvPayload.parseLong(bytes, s, e).toInt
+                  case IntegerType => CsvPayload.parseInt(bytes, s, e)
                   case DoubleType  => java.lang.Double.parseDouble(CsvPayload.ascii(bytes, s, e))
                   case FloatType   => java.lang.Float.parseFloat(CsvPayload.ascii(bytes, s, e))
                   case BooleanType => bytes(s) == 't' || bytes(s) == 'T'
                   case TimestampType | TimestampNTZType =>
-                    if (tsMicroDigits >= 0) CsvPayload.parseTimestampMicros(bytes, s, e)
+                    if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
+                      CsvPayload.parseTimestampMicros(bytes, s, e)
                     else {
                       val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
@@ -234,21 +235,19 @@ object FourMcFileFormat {
   // executor instead of per split — the analog of the reference's per-file
   // index cache (FourMcInputFormat.java:132-148). Keyed by modification time
   // too, so a file overwritten in place with the same length cannot serve a
-  // stale index; access-order LRU bounds the cache without the clear-all
-  // race of a check-then-act purge.
-  private val indexCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long), FourMcIndex](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), FourMcIndex]
-      ): Boolean = size() > 4096
-    }
-  )
+  // stale index. ConcurrentHashMap (per-key locking): a synchronized map
+  // would serialize EVERY cold footer I/O behind one mutex. The occasional
+  // full clear past the bound is harmless — mtime keying makes a reload
+  // always correct, so a racing clear only costs a cache miss.
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FourMcIndex]()
 
-  private[sources] def cachedIndex(file: PartitionedFile, in: McInput): FourMcIndex =
+  private[sources] def cachedIndex(file: PartitionedFile, in: McInput): FourMcIndex = {
+    if (indexCache.size > 4096) indexCache.clear()
     indexCache.computeIfAbsent(
       (file.urlEncodedPath, file.fileSize, file.modificationTime),
       _ => FourMcReader.readIndex(in)
     )
+  }
 
   private[sources] def openInput(file: PartitionedFile, conf: Configuration): McInput = {
     val path = file.toPath
@@ -362,9 +361,9 @@ final class FourMcCsvOutputWriter(
           case BooleanType => sb.append(row.getBoolean(i))
           case TimestampType | TimestampNTZType =>
             val micros = row.getLong(i)
-            if (tsMicroDigits >= 0) CsvPayload.appendTimestampMicros(sb, micros, tsMicroDigits)
-            else sb.append(fmt.format(java.time.Instant.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
+            if (tsMicroDigits < 0 || !CsvPayload.appendTimestampMicros(sb, micros, tsMicroDigits))
+              sb.append(fmt.format(java.time.Instant.ofEpochSecond(
+                Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
           case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
         }
       }
@@ -441,6 +440,9 @@ object CsvPayload {
     var neg = false
     if (b(i) == '-') { neg = true; i += 1 }
     else if (b(i) == '+') i += 1
+    // at least one digit, and <= 19 digits (Long.MaxValue has 19) — a bare
+    // sign or a wrapping 20-digit field must fail fast, not parse as garbage
+    if (i >= e || e - i > 19) throw new NumberFormatException(ascii(b, s, e))
     var v = 0L
     while (i < e) {
       val c = b(i) - '0'
@@ -448,7 +450,14 @@ object CsvPayload {
       v = v * 10 + c
       i += 1
     }
+    if (v < 0 && !(neg && v == Long.MinValue)) throw new NumberFormatException(ascii(b, s, e))
     if (neg) -v else v
+  }
+
+  def parseInt(b: Array[Byte], s: Int, e: Int): Int = {
+    val v = parseLong(b, s, e)
+    if (v > Int.MaxValue || v < Int.MinValue) throw new NumberFormatException(ascii(b, s, e))
+    v.toInt
   }
 
   /** -1 unless `pattern` is the fixed layout `yyyy-MM-dd HH:mm:ss` plus an
@@ -516,13 +525,25 @@ object CsvPayload {
     sb.append(('0' + v / 10).toChar).append(('0' + v % 10).toChar)
   }
 
-  /** Format epoch micros as `yyyy-MM-dd HH:mm:ss[.frac]` with `fracDigits`
-    * fraction digits (truncating), matching the fast parser.
+  /** Does the field slice look like the fixed `yyyy-MM-dd HH:mm:ss` layout?
+    * (Four-digit year; separators in place.) Anything else — 5-digit years,
+    * negative years — goes through the formatter fallback.
     */
-  def appendTimestampMicros(sb: java.lang.StringBuilder, micros: Long, fracDigits: Int): Unit = {
+  def isFixedLayout(b: Array[Byte], s: Int, e: Int): Boolean =
+    e - s >= 19 && b(s + 4) == '-' && b(s + 7) == '-' && b(s + 10) == ' ' &&
+      b(s + 13) == ':' && b(s + 16) == ':'
+
+  /** Format epoch micros as `yyyy-MM-dd HH:mm:ss[.frac]` with `fracDigits`
+    * fraction digits (truncating), matching the fast parser. Returns false
+    * WITHOUT appending when the year needs more (or fewer) than 4 digits —
+    * the caller then uses the formatter, keeping writer and parser layouts
+    * in lockstep.
+    */
+  def appendTimestampMicros(sb: java.lang.StringBuilder, micros: Long, fracDigits: Int): Boolean = {
     val days = Math.floorDiv(micros, 86400000000L)
     var rem = Math.floorMod(micros, 86400000000L)
     val (y, mo, d) = civilFromDays(days)
+    if (y < 0 || y > 9999) return false
     val secs = rem / 1000000L
     rem = rem % 1000000L
     if (y >= 1000) sb.append(y)
@@ -540,6 +561,7 @@ object CsvPayload {
         k += 1
       }
     }
+    true
   }
 }
 

@@ -85,6 +85,21 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(cnt("t0") == (0 until 500).count(_ % 7 == 0) + (0 until 500).count(_ % 3 == 0))
   }
 
+  test("wire-type mismatch is skipped, not mis-decoded") {
+    import spark.implicits._
+    // field 2 encoded as a STRING, read with a spec expecting a varint long:
+    // the decoder must skip by the actual wire type and keep parsing
+    val bytes = ProtoWire.encode(parseSpec("1:name:string,2:oops:string,3:tags:rstring"),
+      Seq("Alice", "not-a-number", Seq("t1")))
+    val row = Seq(bytes).toDF("value")
+      .select(ProtoFunctions.proto_struct(col("value"), userSpec).as("m"))
+      .select($"m.name", $"m.id", $"m.tags")
+      .head()
+    assert(row.getString(0) == "Alice")
+    assert(row.isNullAt(1)) // mismatched field comes back absent
+    assert(row.getSeq[String](2) == Seq("t1"))
+  }
+
   test("proto messages survive the 4mc binary payload") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("proto4mc").toString + "/d"

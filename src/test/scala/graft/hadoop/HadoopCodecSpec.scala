@@ -73,6 +73,24 @@ class HadoopCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, payload))
   }
 
+  test("empty partitions produce valid empty containers, not 0-byte files") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 8 partitions, only 3 rows -> most partitions are empty
+    spark.sparkContext.parallelize(Seq("a", "b", "c"), 8)
+      .saveAsTextFile(dir, classOf[FourMcCodec])
+    val parts = new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
+    assert(parts.length == 8)
+    assert(parts.forall(_.length() > 0), "empty partition left a 0-byte file")
+    val back = spark.read.text(dir).as[String].collect()
+    assert(back.sorted.toSeq == Seq("a", "b", "c"))
+    // a genuinely 0-byte .4mc file reads as empty, not as an error
+    val zero = new java.io.File(dir, "zero.4mc")
+    zero.createNewFile()
+    val cis = new FourMcCodec().createInputStream(new java.io.FileInputStream(zero))
+    assert(cis.read() == -1)
+  }
+
   test("corrupt block payload fails the codec input stream") {
     val payload = ("abc" * 100000).getBytes("UTF-8")
     val bos = new java.io.ByteArrayOutputStream()
