@@ -164,7 +164,13 @@ object Bench {
     // ---- query wall clock: median of 3 after a warmup run -----------------
     // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
     // absorb the ±10% scheduler noise local[32] shows at this scale)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (comma-separated names); driver sets nothing.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

@@ -178,6 +178,185 @@ case class SrpSignaturesExpr(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Nearest-centroid assignment in ONE map-only pass: the k×dim centroid
+  * matrix (collected on the driver — k centroids is exactly the data IVF
+  * keeps driver-side) ships as a codegen reference object, and each row's
+  * argmax-cosine cell id is computed inline. Replaces a
+  * crossJoin(broadcast(centroids)) + row_number window — which shuffled the
+  * N×k cross product once per Lloyd iteration — with zero exchanges.
+  *
+  * Cosine math is bit-identical to [[CosineSimilarityExpr]] (same
+  * accumulation order, zero-norm → 0.0) and ties break to the lowest cell
+  * id (strict `>` keeps the first maximum; `cids` is sorted ascending), so
+  * assignments match the old window formulation exactly.
+  */
+case class NearestCentroidExpr(
+    child: Expression,
+    cids: Array[Int],       // sorted ascending; parallel to matrix rows
+    matrix: Array[Double],  // layout: (row * dim + j), row i is centroid cids(i)
+    dim: Int
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    var best = Double.NegativeInfinity
+    var bestCid = -1
+    var c = 0
+    while (c < cids.length) {
+      val base = c * dim
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = a.getFloat(j).toDouble; val y = matrix(base + j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > best) { best = sim; bestCid = cids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val matRef = ctx.addReferenceObj("matrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
+      s"""
+         |int $n = Math.min($a.numElements(), $dim);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCid = -1;
+         |for (int $c = 0; $c < $cidsRef.length; $c++) {
+         |  int base = $c * $dim;
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double x = (double)$a.getFloat($j);
+         |    double y = $matRef[base + $j];
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  double sim = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |  if (sim > $best) { $best = sim; $bestCid = $cidsRef[$c]; }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Top-`nprobe` nearest centroids (argmax cosine, ties to lower cid) as an
+  * array<int> — the probe-side companion of [[NearestCentroidExpr]]: a query
+  * row explodes into its `nprobe` cells with zero joins. Insertion sort over
+  * the running top-n is O(k·nprobe) with k ≤ a few hundred centroids.
+  */
+case class TopCentroidsExpr(
+    child: Expression,
+    cids: Array[Int],
+    matrix: Array[Double],
+    dim: Int,
+    nprobe: Int
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "top_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_centroids expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val bs = new Array[Double](nprobe)
+    val bc = new Array[Int](nprobe)
+    var filled = 0
+    var c = 0
+    while (c < cids.length) {
+      val base = c * dim
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = a.getFloat(j).toDouble; val y = matrix(base + j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      var pos = filled
+      while (pos > 0 && sim > bs(pos - 1)) pos -= 1
+      if (pos < nprobe) {
+        var m = math.min(filled, nprobe - 1)
+        while (m > pos) { bs(m) = bs(m - 1); bc(m) = bc(m - 1); m -= 1 }
+        bs(pos) = sim; bc(pos) = cids(c)
+        if (filled < nprobe) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(bc, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val matRef = ctx.addReferenceObj("matrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val bs = ctx.freshName("bs"); val bc = ctx.freshName("bc")
+      val filled = ctx.freshName("filled")
+      s"""
+         |int $n = Math.min($a.numElements(), $dim);
+         |double[] $bs = new double[$nprobe];
+         |int[] $bc = new int[$nprobe];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $cidsRef.length; $c++) {
+         |  int base = $c * $dim;
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double x = (double)$a.getFloat($j);
+         |    double y = $matRef[base + $j];
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  double sim = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |  int pos = $filled;
+         |  while (pos > 0 && sim > $bs[pos - 1]) pos--;
+         |  if (pos < $nprobe) {
+         |    for (int m = Math.min($filled, $nprobe - 1); m > pos; m--) {
+         |      $bs[m] = $bs[m - 1]; $bc[m] = $bc[m - 1];
+         |    }
+         |    $bs[pos] = sim; $bc[pos] = $cidsRef[$c];
+         |    if ($filled < $nprobe) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bc, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -188,6 +367,14 @@ object VectorFunctions {
   /** Column API: cosine similarity of two array<float> columns. */
   def vec_cosine(a: Column, b: Column): Column =
     column(CosineSimilarityExpr(expression(a), expression(b)))
+
+  /** Column API: argmax-cosine cell id against a driver-side centroid matrix. */
+  def nearest_centroid(emb: Column, cids: Array[Int], matrix: Array[Double], dim: Int): Column =
+    column(NearestCentroidExpr(expression(emb), cids, matrix, dim))
+
+  /** Column API: the `nprobe` closest cell ids, similarity-descending. */
+  def top_centroids(emb: Column, cids: Array[Int], matrix: Array[Double], dim: Int, nprobe: Int): Column =
+    column(TopCentroidsExpr(expression(emb), cids, matrix, dim, nprobe))
 
   /** SQL registration: SELECT vec_cosine(a.embedding, b.embedding) ... */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -168,59 +168,168 @@ object Similarity {
     */
   def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
-    var centroids = corpus
-      .orderBy(col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
-      .localCheckpoint(true)
-    // re-id 0..k-1 deterministically
-    centroids = centroids.orderBy(col("cid"))
-      .withColumn("cid", (row_number().over(Window.orderBy(col("cid"))) - 1))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val assigned = assignToCentroid(corpus, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy(col("cid"), col("i"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-        .select(col("cid"), transform(col("pairs"), p => p.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint(true)
+    val (cids, m, dim) = trainCentroids(corpus, k, iters)
+    val rows = cids.indices.map { i =>
+      org.apache.spark.sql.Row(cids(i), (0 until dim).map(j => m(i * dim + j).toFloat))
     }
-    centroids
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(FloatType, containsNull = false), nullable = false))))
   }
 
-  /** Nearest centroid per corpus row (broadcast centroids, map-only). */
-  private def assignToCentroid(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
-    corpus
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", vec_cosine(col("embedding"), col("centroid")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+  /** Lloyd training with the centroid state held on the DRIVER (k×dim
+    * doubles — the data IVF keeps driver-side by design): each iteration is
+    * exactly ONE Spark job — a map-only [[graft.functions.NearestCentroidExpr]]
+    * assignment fused into a partial-aggregated (cid, i) mean, collecting
+    * k×dim rows. No checkpoints, no window re-id, no per-iteration shuffle
+    * beyond the k×dim aggregate. Means are rounded through float like the
+    * previous DataFrame formulation (`cast("float")`) so trained centroids
+    * are bit-identical to it.
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, k: Int, iters: Int): (Array[Int], Array[Double], Int) = {
+    import graft.functions.VectorFunctions.nearest_centroid
+    val first = corpus.orderBy(col("vec_id")).limit(k).select(col("embedding")).collect()
+    require(first.nonEmpty, "empty corpus")
+    val dim = first.head.getSeq[Float](0).length
+    var cids = Array.range(0, first.length)
+    var m = new Array[Double](first.length * dim)
+    for (i <- first.indices) {
+      val v = first(i).getSeq[Float](0)
+      var j = 0
+      while (j < math.min(v.length, dim)) { m(i * dim + j) = v(j).toDouble; j += 1 }
+    }
+    // One fused pass per iteration (the classic k-means partial-agg loop):
+    // each partition folds its rows into (count, sum-vector) per cell with
+    // primitive-array arithmetic, partials merge on the DRIVER in partition-
+    // index order — deterministic, unlike shuffle-fetch-ordered agg merges.
+    // k×dim partials per partition is the map-side-combine shape that holds
+    // at 1000 executors.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    for (_ <- 0 until iters) {
+      val curCids = cids
+      val curM = m
+      val k2 = curCids.length
+      val partials = vecs.mapPartitions { it =>
+        val counts = new Array[Long](k2)
+        val sums = new Array[Double](k2 * dim)
+        while (it.hasNext) {
+          val v = it.next()
+          val n = math.min(v.length, dim)
+          // argmax cosine, ties to first (lowest cid) — NearestCentroidExpr semantics
+          var best = Double.NegativeInfinity
+          var bi = -1
+          var c = 0
+          while (c < k2) {
+            val base = c * dim
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var j = 0
+            while (j < n) {
+              val x = v(j).toDouble; val y = curM(base + j)
+              dot += x * y; na += x * x; nb += y * y
+              j += 1
+            }
+            val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+            if (sim > best) { best = sim; bi = c }
+            c += 1
+          }
+          counts(bi) += 1
+          var j = 0
+          while (j < n) { sums(bi * dim + j) += v(j).toDouble; j += 1 }
+        }
+        Iterator.single((counts, sums))
+      }.collect()
+      val counts = new Array[Long](k2)
+      val sums = new Array[Double](k2 * dim)
+      partials.foreach { case (pc, ps) =>
+        var i = 0
+        while (i < k2) { counts(i) += pc(i); i += 1 }
+        i = 0
+        while (i < k2 * dim) { sums(i) += ps(i); i += 1 }
+      }
+      val live = (0 until k2).filter(counts(_) > 0)
+      val nm = new Array[Double](live.length * dim)
+      for ((ci, idx) <- live.zipWithIndex) {
+        var j = 0
+        // float round-trip mirrors the old `cast("float")` centroid column
+        while (j < dim) {
+          nm(idx * dim + j) = (sums(ci * dim + j) / counts(ci)).toFloat.toDouble
+          j += 1
+        }
+      }
+      cids = live.map(curCids).toArray
+      m = nm
+    }
+    (cids, m, dim)
   }
 
-  /** IVF approximate top-k: probe the `nprobe` closest cells per query. */
+  /** Collect the (tiny) centroid table to a driver-side matrix, cids sorted
+    * ascending so the expression's strict-`>` tie-break mirrors the old
+    * `csim desc, cid asc` window ordering.
+    */
+  private def collectCentroids(centroids: DataFrame): (Array[Int], Array[Double], Int) = {
+    val rows = centroids
+      .select(col("cid").cast("int"), col("centroid"))
+      .orderBy(col("cid"))
+      .collect()
+    require(rows.nonEmpty, "empty centroid table")
+    val dim = rows.head.getSeq[Float](1).length
+    val cids = new Array[Int](rows.length)
+    val m = new Array[Double](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      cids(i) = rows(i).getInt(0)
+      val v = rows(i).getSeq[Float](1)
+      var j = 0
+      while (j < math.min(v.length, dim)) { m(i * dim + j) = v(j).toDouble; j += 1 }
+      i += 1
+    }
+    (cids, m, dim)
+  }
+
+  /** Nearest centroid per corpus row — map-only: one fused codegen argmax
+    * over the driver-collected k×dim matrix, no join, no window, no
+    * exchange (PlanShapeSpec pins this). The k×dim collect per Lloyd
+    * iteration is the data IVF keeps driver-side by design.
+    */
+  private[graft] def assignToCentroid(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val (cids, m, dim) = collectCentroids(centroids)
+    corpus.select(
+      col("vec_id"),
+      col("embedding"),
+      graft.functions.VectorFunctions.nearest_centroid(col("embedding"), cids, m, dim).as("cid"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` closest cells per query.
+    * Both assignment sides are map-only codegen over the driver-side
+    * centroid matrix — corpus rows get one cell id
+    * ([[graft.functions.NearestCentroidExpr]]), query rows explode into
+    * their `nprobe` cells ([[graft.functions.TopCentroidsExpr]]) — so the
+    * only joins left are the broadcast probe-to-cell equality join and the
+    * final top-k, with no cross product anywhere (PlanShapeSpec pins this).
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
               nprobe: Int, iters: Int = 3): DataFrame = {
-    val centroids = ivfCentroids(corpus, nCells, iters)
-    val cells = assignToCentroid(corpus, centroids)
-      .select(col("vec_id").as("nid"), col("embedding").as("nemb"), col("cid"))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid").asc)
-    val probes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", vec_cosine(col("qemb"), col("centroid")))
-      .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("qemb"), col("cid"))
+    import graft.functions.VectorFunctions.top_centroids
+    val (cids, m, dim) = trainCentroids(corpus, nCells, iters)
+    val cells = corpus.select(
+      col("vec_id").as("nid"),
+      col("embedding").as("nemb"),
+      graft.functions.VectorFunctions.nearest_centroid(col("embedding"), cids, m, dim).as("cid"))
+    val probes = queries.select(
+      col("vec_id").as("qid"),
+      col("embedding").as("qemb"),
+      explode(top_centroids(col("embedding"), cids, m, dim, nprobe)).as("cid"))
+    // no distinct: every corpus vector lives in exactly ONE cell and probe
+    // cells are distinct per query, so (qid, nid) pairs are already unique —
+    // unlike multi-table LSH, where the same pair collides repeatedly
     val scored = broadcast(probes)
       .join(cells, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), vec_cosine(col("qemb"), col("nemb")).as("sim"))
-      .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }

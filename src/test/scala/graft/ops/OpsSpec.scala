@@ -122,6 +122,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.2f too low")
   }
 
+  test("ivf centroid assignment is map-only and matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = Similarity.ivfCentroids(emb, 16)
+    val assigned = Similarity.assignToCentroid(emb, centroids)
+    // map-only: a projection over the scan — no exchange, no window, no join
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"exchange in assignment plan:\n${plan.take(800)}")
+    assert(!plan.contains("Window"), s"window in assignment plan:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), s"join in assignment plan:\n${plan.take(800)}")
+    // bit-identical to the old crossJoin + row_number formulation
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val ref = emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", vec_cosine(col("embedding"), col("centroid")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = assigned.select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == ref)
+  }
+
+  test("ann_ivf end-to-end plan has no cross product") {
+    val df = graft.PipelineQueries.annIvf(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n${plan.take(1200)}")
+    assert(df.count() > 0)
+  }
+
   test("multimodal pipeline: deterministic counts through 4mc binary") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/m"
     val out = Multimodal.pipelineMetrics(spark, 2000, dir).collect()
