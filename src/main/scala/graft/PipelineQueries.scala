@@ -96,6 +96,26 @@ object PipelineQueries {
   def dedupEmbeddingPairsSql: String =
     Similarity.embeddingDupPairsSql(0.4) + "\nORDER BY simr DESC, d1, d2"
 
+  /** D2 embedding flavor at the dedup-realistic regime (τ=0.8, bits=8,
+    * tables=8): the corpus is embeddings ∪ a deterministically perturbed twin
+    * of every vector ([[Similarity.withPlantedDups]] — pure id arithmetic the
+    * oracle replays), so ground truth is ~N real pairs at cosine ≈ 1 while
+    * cross pairs stay ≤ 0.61. At this τ the SRP buckets prune candidates to
+    * ~4% of N²/2 (26×, measured at all SFs, recall 1.0 — asserted in
+    * OpsSpec), which is the regime that makes the operator linear-ish at
+    * 100 TB; the τ=0.4 row keeps the loose-threshold semantics.
+    */
+  def dedupEmbeddingPairsTight(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingDupPairsViaLsh(
+        Similarity.withPlantedDups(emb(spark, sfDir), PlantedIdOffset),
+        0.8, dim = 64, bits = 8, tables = 8)
+      .orderBy(col("d1"), col("d2"))
+
+  private val PlantedIdOffset = 1000000L
+
+  def dedupEmbeddingPairsTightSql: String =
+    Similarity.plantedDupPairsSql(0.8, PlantedIdOffset) + "\nORDER BY d1, d2"
+
   /** D3 approximate: SRP-LSH bucketed ANN over the same queries. At
     * (bits=2, tables=24) the bucket union covers every true top-5 neighbor
     * on this corpus (measured at all SFs; deterministic hyperplanes), so the

@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (PipelineQueries.dedupMinhashPairs _),
     "dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "dedup_embedding_pairs" -> (PipelineQueries.dedupEmbeddingPairs _),
+    "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
     "ann_ivf" -> (PipelineQueries.annIvf _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> PipelineQueries.dedupMinhashSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "dedup_embedding_pairs" -> PipelineQueries.dedupEmbeddingPairsSql,
+    "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "ann_lsh" -> PipelineQueries.annLshSql,
     "ann_ivf" -> PipelineQueries.annIvfSql,

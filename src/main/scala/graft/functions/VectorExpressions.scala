@@ -213,7 +213,11 @@ case class NearestCentroidExpr(
     val a = v.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), dim)
     var best = Double.NegativeInfinity
-    var bestCid = -1
+    // all-NaN sims (NaN embedding element) never beat -Inf: fall back to the
+    // lowest cell id, matching the old window formulation (NaN ordered
+    // greatest, ties to cid asc) instead of emitting a -1 sentinel that would
+    // silently drop the row from every cell
+    var bestCid = if (cids.nonEmpty) cids(0) else -1
     var c = 0
     while (c < cids.length) {
       val base = c * dim
@@ -241,7 +245,7 @@ case class NearestCentroidExpr(
       s"""
          |int $n = Math.min($a.numElements(), $dim);
          |double $best = Double.NEGATIVE_INFINITY;
-         |int $bestCid = -1;
+         |int $bestCid = ${if (cids.nonEmpty) cidsRef + "[0]" else "-1"};
          |for (int $c = 0; $c < $cidsRef.length; $c++) {
          |  int base = $c * $dim;
          |  double dot = 0.0, na = 0.0, nb = 0.0;

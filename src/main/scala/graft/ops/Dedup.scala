@@ -255,7 +255,13 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                    numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, numHashes).cache()
+    // localCheckpoint, NOT cache(): the signature subplan (md5 + 64
+    // permutation passes) feeds the banded self-join twice plus the two
+    // shingle-set rejoins, so it must materialize once — but cache() pins the
+    // blocks in the CacheManager for the whole session (the r2/r3 leak),
+    // while checkpoint blocks are dropped by the ContextCleaner as soon as
+    // the result plan is unreferenced.
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes).localCheckpoint(true)
     val cands = lshCandidates(sigs, numHashes, rowsPerBand)
     val withSets = cands
       .join(sigs.select(col("doc").as("d1"), col("shingles").as("sh1")), "d1")

@@ -113,13 +113,7 @@ object Similarity {
     */
   def embeddingDupPairsViaLsh(emb: DataFrame, threshold: Double, dim: Int,
                               bits: Int = 2, tables: Int = 20): DataFrame = {
-    val posts = srpPostings(emb, "id", "emb", dim, bits, tables)
-      .select(col("tbl"), col("bucket"), col("id"))
-    val cands = posts.as("x")
-      .join(posts.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"))
-      .distinct()
+    val cands = embeddingLshCandidates(emb, dim, bits, tables)
     val normed = emb.select(
       col("vec_id"),
       col("embedding"),
@@ -138,6 +132,64 @@ object Similarity {
         ).as("simr")
       )
       .filter(col("simr") >= threshold)
+  }
+
+  /** Corpus ∪ a deterministically perturbed copy of itself: each vector gets a
+    * twin at `vec_id + idOffset` with per-dimension multiplicative noise
+    * `1 + ((vec_id*31 + j) % 7 - 3)/1000` (±0.3%), computed in double and
+    * rounded through float exactly like stored embeddings. Twin pairs land at
+    * cosine ≈ 0.99998 while every cross pair keeps its original sim (≤ 0.61
+    * on this corpus) — a planted ground truth for the tight-τ dedup regime,
+    * replayable in DuckDB with the same integer arithmetic.
+    */
+  def withPlantedDups(emb: DataFrame, idOffset: Long): DataFrame = {
+    val perturbed = emb.select(
+      (col("vec_id") + lit(idOffset)).as("vec_id"),
+      transform(
+        col("embedding"),
+        (x, j) =>
+          (x.cast(DoubleType) *
+            (lit(1.0) + ((col("vec_id") * 31 + j) % 7 - 3).cast(DoubleType) * lit(0.001)))
+            .cast(FloatType)
+      ).as("embedding"))
+    emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
+  }
+
+  /** DuckDB mirror of [[withPlantedDups]] + [[embeddingDupPairsSql]]: the
+    * all-pairs formulation over the planted corpus at threshold τ.
+    */
+  def plantedDupPairsSql(threshold: Double, idOffset: Long): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), pert AS (
+       |  SELECT vec_id + $idOffset AS vec_id,
+       |         CAST(CAST(v * (1 + ((vec_id * 31 + (i - 1)) % 7 - 3) * 0.001) AS FLOAT) AS DOUBLE) AS v,
+       |         i
+       |  FROM base
+       |), e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |n AS (SELECT vec_id, SUM(v*v) AS nn FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v*b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 5) AS simr
+       |FROM d JOIN n n1 ON d1 = n1.vec_id JOIN n n2 ON d2 = n2.vec_id
+       |WHERE round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 5) >= $threshold""".stripMargin
+
+  /** The SRP-bucket candidate pair set (pre-verification) — exposed so the
+    * suite can assert the pruning regime directly: at dedup-realistic
+    * thresholds (τ ≥ 0.8, bits=8) candidate count must be ≪ N²/2.
+    */
+  def embeddingLshCandidates(emb: DataFrame, dim: Int, bits: Int, tables: Int): DataFrame = {
+    val posts = srpPostings(emb, "id", "emb", dim, bits, tables)
+      .select(col("tbl"), col("bucket"), col("id"))
+    posts.as("x")
+      .join(posts.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      .distinct()
   }
 
   def embeddingDupPairsSql(threshold: Double): String =
@@ -218,7 +270,12 @@ object Similarity {
         val sums = new Array[Double](k2 * dim)
         while (it.hasNext) {
           val v = it.next()
-          val n = math.min(v.length, dim)
+          // ragged vectors would silently skew the per-cell mean (the divisor
+          // is the row count, not a per-dimension count) — reject them here
+          if (v.length != dim)
+            throw new IllegalArgumentException(
+              s"embedding length ${v.length} != $dim: ragged embeddings are not supported")
+          val n = dim
           // argmax cosine, ties to first (lowest cid) — NearestCentroidExpr semantics
           var best = Double.NegativeInfinity
           var bi = -1
@@ -236,6 +293,11 @@ object Similarity {
             if (sim > best) { best = sim; bi = c }
             c += 1
           }
+          // all-NaN sims (a NaN embedding element) leave bi at -1: assign to
+          // the first cell — the old window formulation ordered NaN greatest,
+          // which with the cid-asc tie-break also landed such rows in the
+          // lowest cell (NearestCentroidExpr mirrors this)
+          if (bi < 0) bi = 0
           counts(bi) += 1
           var j = 0
           while (j < n) { sums(bi * dim + j) += v(j).toDouble; j += 1 }

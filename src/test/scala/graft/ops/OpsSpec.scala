@@ -153,6 +153,28 @@ class OpsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("ivf handles NaN embeddings (lowest cell) and rejects ragged vectors") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // one poisoned row: all sims become NaN -> must land in the LOWEST cell,
+    // not a -1 sentinel that silently drops it
+    val poisoned = base.unionByName(
+      Seq((99999L, Array.fill(64)(Float.NaN))).toDF("vec_id", "embedding"))
+    val centroids = Similarity.ivfCentroids(poisoned, 8)
+    val assigned = Similarity.assignToCentroid(poisoned, centroids)
+    val nanRow = assigned.filter($"vec_id" === 99999L).select($"cid").as[Int].collect()
+    val minCid = centroids.agg(min($"cid")).as[Int].head()
+    assert(nanRow.toSeq == Seq(minCid), s"NaN row assigned ${nanRow.toSeq}, want lowest cell $minCid")
+    // ragged vector: training must fail loudly, not skew the mean silently
+    val ragged = base.unionByName(
+      Seq((99998L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.ivfCentroids(ragged, 8).collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")))
+  }
+
   test("multimodal pipeline: deterministic counts through 4mc binary") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString + "/m"
     val out = Multimodal.pipelineMetrics(spark, 2000, dir).collect()
@@ -202,6 +224,45 @@ class OpsSpec extends AnyFunSuite {
     val exact = Similarity.embeddingDupPairs(emb, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fast == exact, s"${fast.size} via LSH vs ${exact.size} exact")
+  }
+
+  test("tight-regime LSH (tau=0.8, bits=8) prunes hard and keeps recall 1.0") {
+    val corpus = Similarity.withPlantedDups(emb, 1000000L)
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.embeddingLshCandidates(corpus, 64, bits = 8, tables = 8)
+    val nCands = cands.count()
+    // the point of the tight regime: candidate volume must be FAR below N²/2
+    // (measured ~26x pruning at every SF) — this is what makes the operator
+    // linear-ish at 100 TB instead of quadratic
+    assert(nCands * 10 < allPairs, s"$nCands candidates vs $allPairs all-pairs: pruning too weak")
+    // and recall stays exact: every true pair at tau>=0.8 is a candidate
+    val exact = Similarity.embeddingDupPairs(corpus, 0.8).select("d1", "d2")
+    val missed = exact.except(cands).count()
+    assert(missed == 0, s"$missed true pairs missed by the bucket join")
+    // end-to-end result equals the all-pairs formulation, plan has no BNLJ
+    val tight = Similarity.embeddingDupPairsViaLsh(corpus, 0.8, 64, bits = 8, tables = 8)
+    val plan = tight.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"cartesian in plan:\n${plan.take(800)}")
+    val got = tight.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Similarity.embeddingDupPairs(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"${got.size} via LSH vs ${want.size} exact")
+    // every planted twin pair is found (ground truth is real, not vacuous)
+    val planted = got.count { case (d1, d2, _) => d2 == d1 + 1000000L }
+    assert(planted == emb.count(), s"found $planted of ${emb.count()} planted pairs")
+  }
+
+  test("nearDupPairs materializes signatures once and leaves no cached plan behind") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // signatures come from the eagerly-checkpointed RDD (md5 + 64-perm subplan
+    // ran exactly once); the session CacheManager stays empty, so nothing is
+    // pinned for the session lifetime (the r2/r3 sigs.cache() leak)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed signature scan:\n${plan.take(1200)}")
+    assert(!plan.contains("md5"), s"signature subplan must not be recomputed:\n${plan.take(1200)}")
+    assert(spark.sharedState.cacheManager.isEmpty, "nearDupPairs must not leave cached plans behind")
   }
 
   test("exactDedupByDigest matches exactDedup") {
