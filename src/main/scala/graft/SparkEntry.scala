@@ -63,7 +63,8 @@ object SparkEntry {
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
     "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
-    "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _)
+    "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
+    "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -109,6 +110,7 @@ object SparkEntry {
     "vocab_stats" -> PipelineQueries.vocabStatsSql,
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
     "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
-    "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql
+    "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
+    "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql
   )
 }

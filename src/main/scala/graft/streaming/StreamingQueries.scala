@@ -6,21 +6,33 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-/** SURVEY §2 D7 as a driver-gated query: Structured Streaming over a 4mz
+/** SURVEY §2 D7 as driver-gated queries: Structured Streaming over a 4mz
   * directory (the SAME typed-csv FileFormat powers readStream), hourly
   * tumbling aggregation, memory sink drained with processAllAvailable — the
   * finished result is a plain DataFrame the DuckDB oracle checks like any
   * batch query. countDistinct is excluded (unsupported in streaming aggs);
   * everything else matches the batch q_events_hourly semantics.
+  *
+  * Session hygiene: each query runs in `spark.newSession()` — the state-store
+  * partition override and the memory-sink temp view live and die in that
+  * session, so concurrent planning on the caller's session never sees a
+  * mutated `spark.sql.shuffle.partitions` and no temp view accumulates per
+  * invocation (the r3 leak). The sink's rows stay reachable through the
+  * returned DataFrame's analyzed plan after the view is dropped.
   */
 object StreamingQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Complete-mode formulation: the full window range re-emits every batch.
+    * Correct for bounded backfills; for unbounded 100-TB ingest use
+    * [[streamingEventsWatermarked]], which only materializes closed windows.
+    */
   def streamingEventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val (dir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
-    val stream = spark.readStream
+    val session = spark.newSession()
+    val stream = session.readStream
       .format("4mc")
       .option("payload", "csv")
       .option("timestampFormat", micro)
@@ -33,22 +45,8 @@ object StreamingQueries {
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
       )
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
-    val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    // state-store partitions are fixed at stream start from
-    // spark.sql.shuffle.partitions; ~3.4k windows need few partitions, and
-    // every extra one adds per-batch store open/commit overhead
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream
-        .outputMode(OutputMode.Complete())
-        .format("memory")
-        .queryName(name)
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name).orderBy(col("hour"), col("event_type"))
+    drain(session, agg, OutputMode.Complete())
+      .orderBy(col("hour"), col("event_type"))
   }
 
   /** Same aggregate over the raw parquet in DuckDB: window(1 hour).start ==
@@ -58,4 +56,70 @@ object StreamingQueries {
     """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** The 100-TB output pattern: watermarked APPEND mode. Each hourly window
+    * is emitted exactly once, when the event-time watermark
+    * (max ts − 17 min) passes its end — state for closed windows is dropped,
+    * so state-store size is bounded by the windows inside the lateness
+    * horizon, not the stream's history, and the sink receives each result
+    * row once instead of a full re-emit per batch. Draining a bounded
+    * directory yields every window whose end ≤ final watermark; the last
+    * (still-open) windows are exactly the ones the oracle's HAVING clause
+    * excludes.
+    */
+  def streamingEventsWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    val stream = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .schema(schema)
+      .load(dir)
+    val agg = stream
+      .withWatermark("ts", "17 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
+      )
+      .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+    drain(session, agg, OutputMode.Append())
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** DuckDB mirror: append mode emits a window once its end is at or below
+    * the final watermark = max(ts) floored to milliseconds (Spark tracks
+    * event time in millis) minus the 17-minute delay.
+    */
+  val streamingEventsWatermarkedSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+      |  (SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) - INTERVAL 17 MINUTE FROM events)
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** Start `agg` against an in-memory sink on `session`, drain it fully, and
+    * return the result with the temp view already dropped. The state-store
+    * partition count (fixed at stream start from
+    * `spark.sql.shuffle.partitions`) is set on the isolated session only:
+    * ~3.4k windows need few partitions, and every extra one adds per-batch
+    * store open/commit overhead.
+    */
+  private def drain(session: SparkSession, agg: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = session.table(name)
+    session.catalog.dropTempView(name)
+    out
+  }
 }

@@ -97,6 +97,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == want && n > 0)
   }
 
+  test("watermarked append-mode query emits exactly the closed windows, isolated session") {
+    val sf = "/root/testdata/sf0.001"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val viewsBefore = spark.catalog.listTables().count()
+    val got = graft.streaming.StreamingQueries.streamingEventsWatermarked(spark, sf).collect()
+    // session hygiene: the stream ran in an isolated session — the caller's
+    // conf is untouched and no memory-sink temp view leaked into any catalog
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevShuffle)
+    assert(spark.catalog.listTables().count() == viewsBefore)
+    assert(got.nonEmpty)
+    // closed-window semantics: everything up to max(ts)-17min window end,
+    // nothing after — i.e. the batch result minus the still-open windows
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    val wmMs = maxTs.getTime - 17 * 60 * 1000
+    val batch = events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("hour"), $"window.end".as("end"), $"event_type", $"n_events")
+      .collect()
+    val wantClosed = batch.filter(_.getTimestamp(1).getTime <= wmMs)
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+    val gotSet = got.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotSet == wantClosed,
+      s"${gotSet.size} emitted vs ${wantClosed.size} closed windows (of ${batch.length} total)")
+    assert(gotSet.size < batch.length, "some windows must remain open for the test to mean anything")
+  }
+
+  test("complete-mode hourly query leaves no temp view or conf mutation behind") {
+    val sf = "/root/testdata/sf0.001"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val got = graft.streaming.StreamingQueries.streamingEventsHourly(spark, sf)
+    assert(got.count() > 0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevShuffle)
+    assert(spark.catalog.listTables().filter(_.name.startsWith("graft_stream")).isEmpty)
+  }
+
   test("stateful flatMapGroupsWithState: per-user event counting") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream4mc2").toString + "/events"
