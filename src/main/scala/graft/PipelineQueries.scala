@@ -256,7 +256,9 @@ object PipelineQueries {
 
   // --------------------------------------------------------------- protobuf
 
-  private val partProtoSpec = "1:p_partkey:long,2:p_name:string,3:tags:rstring"
+  // field 4 is repeated int64 — written PACKED (wire type 2, the proto3
+  // default), exercising the packed decode path end-to-end
+  private val partProtoSpec = "1:p_partkey:long,2:p_name:string,3:tags:rstring,4:tag_lens:rlong"
 
   /** A3/A10 typed-record path: the reference's flagship protobuf Spark
     * example (`TestProtobufInput.java:88-112` — explode a repeated field,
@@ -269,20 +271,7 @@ object PipelineQueries {
   def protobufTagCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{ProtoFunctions, ProtoWire}
     import spark.implicits._
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    val dir = new java.io.File(s"/tmp/graft-rt2/$key/part-proto-4mc")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      val fields = ProtoWire.parseSpec(partProtoSpec)
-      Queries.table(spark, sfDir, "part")
-        .select($"p_partkey", $"p_name", split($"p_name", " ").as("tags"))
-        .as[(Long, String, Seq[String])]
-        .map { case (k, n, t) => ProtoWire.encode(fields, Seq(k, n, t)) }
-        .toDF("value")
-        .repartition(2)
-        .write.mode("overwrite").format("4mc")
-        .option("payload", "binary").option("codec", "lz4-fast")
-        .save(dir.getAbsolutePath)
-    }
+    val dir = partProtoDir(spark, sfDir)
     // explode_outer: the plain explode triggers InferFiltersFromGenerate,
     // which re-evaluates the proto decode inside a pre-filter (3x per row);
     // outer explode keeps one decode per row, and part names are never empty
@@ -299,6 +288,55 @@ object PipelineQueries {
     """SELECT tag, COUNT(*) AS cnt FROM (
       |  SELECT unnest(string_split(p_name, ' ')) AS tag FROM part) t
       |GROUP BY tag ORDER BY cnt DESC, tag""".stripMargin
+
+  /** Write (once per sf) the part table as protobuf wire messages inside the
+    * 4mc binary payload. Field 4 (`tag_lens`) is a packed repeated int64.
+    */
+  private def partProtoDir(spark: SparkSession, sfDir: String): java.io.File = {
+    import graft.functions.ProtoWire
+    import spark.implicits._
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = new java.io.File(s"/tmp/graft-rt2/$key/part-proto2-4mc")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val fields = ProtoWire.parseSpec(partProtoSpec)
+      Queries.table(spark, sfDir, "part")
+        .select($"p_partkey", $"p_name", split($"p_name", " ").as("tags"))
+        .as[(Long, String, Seq[String])]
+        .map { case (k, n, t) =>
+          ProtoWire.encode(fields, Seq(k, n, t, t.map(_.length.toLong)))
+        }
+        .toDF("value")
+        .repartition(2)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "binary").option("codec", "lz4-fast")
+        .save(dir.getAbsolutePath)
+    }
+    dir
+  }
+
+  /** A3 packed-repeated path: decode the PACKED int64 field per message and
+    * oracle-check its per-row aggregate against string arithmetic on the
+    * original parquet — any mis-framing of the packed run breaks the hash.
+    */
+  def protobufPackedLens(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ProtoFunctions
+    import spark.implicits._
+    val dir = partProtoDir(spark, sfDir)
+    spark.read.format("4mc").option("payload", "binary").load(dir.getAbsolutePath)
+      .select(ProtoFunctions.proto_struct(col("value"), partProtoSpec).as("m"))
+      .select(
+        $"m.p_partkey".as("p_partkey"),
+        size($"m.tag_lens").as("n_tags"),
+        aggregate($"m.tag_lens", lit(0L), (a, x) => a + x).as("sum_len"))
+      .orderBy($"p_partkey")
+  }
+
+  val protobufPackedLensSql: String =
+    """SELECT p_partkey,
+      |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_tags,
+      |  CAST(list_aggregate(list_transform(string_split(p_name, ' '),
+      |       w -> CAST(length(w) AS BIGINT)), 'sum') AS BIGINT) AS sum_len
+      |FROM part ORDER BY p_partkey""".stripMargin
 
   // ------------------------------------------------------------- multimodal
 

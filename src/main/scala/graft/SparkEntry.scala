@@ -62,6 +62,7 @@ object SparkEntry {
     "vocab_stats" -> (PipelineQueries.vocabStats _),
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
     "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
+    "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _)
@@ -110,6 +111,7 @@ object SparkEntry {
     "vocab_stats" -> PipelineQueries.vocabStatsSql,
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
     "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
+    "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql
   )

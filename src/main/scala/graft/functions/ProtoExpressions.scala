@@ -65,8 +65,10 @@ case class ProtoStructExpr(child: Expression, spec: String)
         case None => r.skip(wt)
         // wire-type mismatch (schema drift / wrong spec): skip by the ACTUAL
         // wire type — decoding by the expected kind would desynchronize the
-        // rest of the message
-        case Some((_, f)) if wt != ProtoWire.wireTypeOf(f.kind) => r.skip(wt)
+        // rest of the message. Exception: repeated varints also accept wire
+        // type 2 (proto3's default PACKED encoding).
+        case Some((_, f)) if wt != ProtoWire.wireTypeOf(f.kind) &&
+            !(f.kind == KRepLong && wt == 2) => r.skip(wt)
         case Some((i, f)) =>
           f.kind match {
             case KLong   => out(i) = r.readVarint()
@@ -86,7 +88,13 @@ case class ProtoStructExpr(child: Expression, spec: String)
               reps(i) += UTF8String.fromBytes(r.bytes, off, len)
             case KRepLong =>
               if (reps(i) == null) reps(i) = new ArrayBuffer[Any](4)
-              reps(i) += r.readVarint()
+              if (wt == 2) {
+                // packed run: a bounded sub-reader over the delimited window
+                // (concatenates with any unpacked occurrences, per spec)
+                val (off, len) = r.readDelimited()
+                val sub = new Reader(r.bytes, off, off + len)
+                while (sub.hasMore) reps(i) += sub.readVarint()
+              } else reps(i) += r.readVarint()
           }
       }
     }

@@ -34,7 +34,9 @@ object ProtoWire {
   final case class Field(no: Int, name: String, kind: Kind)
 
   /** The wire type each kind is encoded with (0 varint, 1 fixed64, 2
-    * length-delimited, 5 fixed32).
+    * length-delimited, 5 fixed32). Repeated varints ENCODE packed (wire
+    * type 2, the proto3 default) but DECODE from either representation —
+    * see [[ProtoStructExpr]].
     */
   def wireTypeOf(k: Kind): Int = k match {
     case KLong | KInt | KBool | KRepLong => 0
@@ -102,6 +104,21 @@ object ProtoWire {
     }
 
     def string(no: Int, v: String): Unit = bytes(no, v.getBytes("UTF-8"))
+
+    /** Packed repeated varints (proto3's default encoding for repeated
+      * scalars): one length-delimited field holding the concatenated varint
+      * run.
+      */
+    def packedInt64s(no: Int, vs: Seq[Long]): Unit = {
+      var len = 0L
+      vs.foreach(v => len += varintSize(v))
+      key(no, 2)
+      writeVarint(len)
+      vs.foreach(writeVarint)
+    }
+
+    private def varintSize(v: Long): Int =
+      if (v == 0L) 1 else (63 - java.lang.Long.numberOfLeadingZeros(v)) / 7 + 1
   }
 
   /** Encode one message: values aligned with `fields` (null = absent;
@@ -121,7 +138,9 @@ object ProtoWire {
           case (KDouble, x: Double)  => w.double(f.no, x)
           case (KFloat, x: Float)    => w.float(f.no, x)
           case (KRepString, xs: Seq[_]) => xs.foreach(x => w.string(f.no, x.asInstanceOf[String]))
-          case (KRepLong, xs: Seq[_])   => xs.foreach(x => w.int64(f.no, x.asInstanceOf[Long]))
+          // packed, like proto3 encoders; empty repeated fields are omitted
+          case (KRepLong, xs: Seq[_]) =>
+            if (xs.nonEmpty) w.packedInt64s(f.no, xs.map(_.asInstanceOf[Long]))
           case (k, x) => throw new IllegalArgumentException(s"cannot encode $x as $k")
         }
     }
@@ -130,16 +149,22 @@ object ProtoWire {
 
   // ------------------------------------------------------------------ decode
 
-  final class Reader(b: Array[Byte]) {
-    var pos = 0
-    def hasMore: Boolean = pos < b.length
+  /** Bounded cursor over `b[start, end)`. Every read and skip is bounds-
+    * checked against `end` with overflow-safe arithmetic, so adversarial
+    * lengths raise IOException — never ArrayIndexOutOfBounds — and a
+    * sub-Reader windowed on a packed field cannot run past it.
+    */
+  final class Reader(b: Array[Byte], start: Int, end: Int) {
+    def this(b: Array[Byte]) = this(b, 0, b.length)
+    var pos = start
+    def hasMore: Boolean = pos < end
 
     def readVarint(): Long = {
       var shift = 0
       var v = 0L
       var more = true
       while (more) {
-        if (pos >= b.length) throw new java.io.IOException("truncated varint")
+        if (pos >= end) throw new java.io.IOException("truncated varint")
         val x = b(pos); pos += 1
         v |= (x & 0x7fL) << shift
         shift += 7
@@ -150,6 +175,7 @@ object ProtoWire {
     }
 
     def readFixed64(): Long = {
+      if (end - pos < 8) throw new java.io.IOException("truncated fixed64")
       var v = 0L
       var i = 0
       while (i < 8) { v |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -158,6 +184,7 @@ object ProtoWire {
     }
 
     def readFixed32(): Int = {
+      if (end - pos < 4) throw new java.io.IOException("truncated fixed32")
       var v = 0
       var i = 0
       while (i < 4) { v |= (b(pos + i) & 0xff) << (8 * i); i += 1 }
@@ -166,8 +193,11 @@ object ProtoWire {
     }
 
     def readDelimited(): (Int, Int) = { // (offset, length) into b
-      val len = readVarint().toInt
-      if (len < 0 || pos + len > b.length) throw new java.io.IOException("truncated field")
+      // compare as Long BEFORE narrowing: a length like 2^32+5 would .toInt
+      // to a small positive number and silently desynchronize the stream
+      val lenL = readVarint()
+      if (lenL < 0L || lenL > (end - pos).toLong) throw new java.io.IOException("truncated field")
+      val len = lenL.toInt
       val off = pos
       pos += len
       (off, len)
@@ -175,9 +205,13 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 =>
+        if (end - pos < 8) throw new java.io.IOException("truncated fixed64")
+        pos += 8
       case 2 => val _ = readDelimited()
-      case 5 => pos += 4
+      case 5 =>
+        if (end - pos < 4) throw new java.io.IOException("truncated fixed32")
+        pos += 4
       case wt => throw new java.io.IOException(s"unsupported wire type $wt")
     }
 

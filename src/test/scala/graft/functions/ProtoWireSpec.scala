@@ -100,6 +100,66 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(row.getSeq[String](2) == Seq("t1"))
   }
 
+  test("packed repeated int64: golden bytes, roundtrip, mixed with unpacked") {
+    import spark.implicits._
+    // proto spec's packed example: field 6 = [3, 270, 86942]
+    //   -> 32 06 03 8E 02 9E A7 05
+    val g = ProtoWire.encode(parseSpec("6:v:rlong"), Seq(Seq(3L, 270L, 86942L)))
+    assert(g.toSeq == Seq(0x32, 0x06, 0x03, 0x8e, 0x02, 0x9e, 0xa7, 0x05).map(_.toByte))
+    // expression decodes the packed run
+    val spec = "1:id:long,2:vals:rlong"
+    val cases = Seq(
+      Seq(1L, 2L, 3L),
+      Seq(0L, Long.MaxValue, Long.MinValue, -1L),
+      Seq(150L)
+    )
+    for (vs <- cases) {
+      val bytes = ProtoWire.encode(parseSpec(spec), Seq(7L, vs))
+      val row = Seq(bytes).toDF("value")
+        .select(ProtoFunctions.proto_struct(col("value"), spec).as("m"))
+        .select($"m.id", $"m.vals").head()
+      assert(row.getLong(0) == 7L)
+      assert(row.getSeq[Long](1) == vs, s"packed roundtrip of $vs")
+    }
+    // unpacked occurrences (old-style wire type 0) still decode, and a
+    // packed run CONCATENATES with them per the spec
+    val w = new ProtoWire.Writer
+    w.int64(2, 10L) // unpacked occurrence
+    val packedTail = ProtoWire.encode(parseSpec(spec), Seq(null, Seq(20L, 30L)))
+    val mixed = w.toBytes ++ packedTail
+    val got = Seq(mixed).toDF("value")
+      .select(ProtoFunctions.proto_struct(col("value"), spec).as("m"))
+      .select($"m.vals").head().getSeq[Long](0)
+    assert(got == Seq(10L, 20L, 30L), s"mixed unpacked+packed decoded as $got")
+  }
+
+  test("adversarial bytes raise IOException, never ArrayIndexOutOfBounds") {
+    def decoding(bytes: Array[Byte])(body: Reader => Unit): Unit = {
+      val e = intercept[Exception](body(new Reader(bytes)))
+      assert(e.isInstanceOf[java.io.IOException], s"got ${e.getClass}: $e")
+    }
+    // delimited length Long.MaxValue: overflows pos+len if added naively
+    decoding(Array(0x12, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0x7f).map(_.toByte)) { r =>
+      r.readVarint(); r.readDelimited()
+    }
+    // delimited length 2^32+5: .toInt truncates to small positive 5 — must
+    // still be rejected (Long comparison), not silently mis-framed
+    decoding(Array(0x12, 0x85, 0x80, 0x80, 0x80, 0x10, 1, 2, 3, 4, 5).map(_.toByte)) { r =>
+      r.readVarint()
+      val (_, len) = r.readDelimited()
+      assert(len != 5, "2^32+5 must not truncate to 5")
+    }
+    // truncated fixed64 (3 of 8 bytes)
+    decoding(Array(0x09, 0x01, 0x02, 0x03).map(_.toByte)) { r => r.readVarint(); r.readFixed64() }
+    // truncated fixed32 (2 of 4 bytes)
+    decoding(Array(0x15, 0x01, 0x02).map(_.toByte)) { r => r.readVarint(); r.readFixed32() }
+    // skip() past end for unknown fixed64/fixed32 fields
+    decoding(Array(0x79, 0x01).map(_.toByte)) { r => r.readVarint(); r.skip(1) }
+    decoding(Array(0x7d, 0x01).map(_.toByte)) { r => r.readVarint(); r.skip(5) }
+    // truncated varint (continuation bit set at end of buffer)
+    decoding(Array(0x08, 0xff.toByte)) { r => r.readVarint(); r.readVarint() }
+  }
+
   test("proto messages survive the 4mc binary payload") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("proto4mc").toString + "/d"
