@@ -245,6 +245,11 @@ final class FourMcLineIterator(
     if (nextLine == null) finished = true
   }
 
+  /** File offset consumed so far (compressed coordinates) — progress
+    * reporting for Hadoop record readers.
+    */
+  def progressPos: Long = consumedPos
+
   private var primed = false
   override def hasNext: Boolean = {
     if (!primed) { advance(); primed = true }
