@@ -1,15 +1,16 @@
 package graft
 
 import graft.format._
-import java.nio.file.{Files, Paths, Path}
+import java.nio.file.{Files, Path, Paths}
 
 /** CLI compress/decompress for 4mc/4mz files — the analog of the reference's
   * `4mc` tool (`native/4mccli.c:170-361`): level flags `-1..-4`, `-z` for
-  * ZSTD, `-d` to decode, auto extension handling. Useful for fixtures and for
-  * moving data in/out of the engine without Spark.
+  * ZSTD, `-d` to decode, auto extension handling, plus the reference's
+  * control flags (`4mccli.c:226-255`): `-f` overwrite, `-c` force stdout,
+  * `-t` test, `-v`/`-q` display level, `-V`/`-h` version/usage.
   *
   * Usage:
-  *   graft.Tool [-z] [-s] [-1|-2|-3|-4] [-d] [-t] input [output]
+  *   graft.Tool [-z] [-s] [-1|-2|-3|-4] [-d] [-t] [-f] [-c] [-v|-q] input [output]
   *     -z  use ZSTD container (.4mz); default LZ4 (.4mc)
   *     -s  ZSTD full-frame stream (.zst, NOT splittable) — the reference's
   *         ZstCodec family (`ZstCodec.java:47-51`); for data exchange with
@@ -17,52 +18,92 @@ import java.nio.file.{Files, Paths, Path}
   *     -1..-4  level fast/medium/high/ultra (compress only)
   *     -d  decompress ("-" as input/output = stdin/stdout)
   *     -t  test integrity (decode, discard output)
+  *     -f  overwrite the output file if it exists (refused otherwise)
+  *     -c  write to stdout (implies keeping the input file)
+  *     -v  verbose; -q  suppress status messages
+  *     -V / -h  print version / usage and exit 0
   */
 object Tool {
-  private def fail(msg: String): Nothing = { System.err.println(s"4mc: $msg"); sys.exit(1) }
 
-  def main(args: Array[String]): Unit = {
+  private final class CliError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new CliError(msg)
+
+  private val Version = "4mc-graft 1.0 (pure-JVM 4mc/4mz container tool)"
+  private val Usage =
+    """usage: 4mc [-z] [-s] [-1|-2|-3|-4] [-d] [-t] [-f] [-c] [-v|-q] input [output]
+      |  -z zstd container (.4mz)   -s zstd full-frame stream (.zst)
+      |  -1..-4 compression level   -d decompress   -t test integrity
+      |  -f force overwrite         -c force stdout
+      |  -v verbose                 -q quiet        -V version   -h help""".stripMargin
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  /** Parse + execute; returns the process exit code (0 ok, 1 error). Kept
+    * sys.exit-free so the suite can drive it in-process.
+    */
+  def run(args: Array[String]): Int = {
     var zstd = false; var level = 1; var decode = false; var testOnly = false
-    var zstStream = false
+    var zstStream = false; var force = false; var toStdout = false; var quiet = false
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-    args.foreach {
-      case "-z" => zstd = true
-      case "-s" => zstStream = true
-      case "-d" => decode = true
-      case "-t" => testOnly = true
-      case "-1" => level = 1
-      case "-2" => level = 2
-      case "-3" => level = 3
-      case "-4" => level = 4
-      case "-" => paths += "-"
-      case a if a.startsWith("-") => fail(s"unknown flag $a")
-      case p => paths += p
-    }
-    if (paths.isEmpty) fail("no input file given")
-    // extension-driven dispatch like the reference CLI: a .zst input decodes
-    // through the full-frame path without needing -s
-    val zstByExt = (decode || testOnly) && paths.head.endsWith(".zst")
-    if (zstStream || zstByExt) {
-      zstFrame(paths.head, paths.lift(1), decode || testOnly, level, testOnly)
-      return
-    }
-    if (paths.head == "-" || paths.lift(1).contains("-")) {
-      // stdin/stdout pipeline mode for the container (reference
-      // `4mccli.c:282-333`): compress streams through the blockwise writer;
-      // decompress uses the sequential (footer-free) block decoder
-      containerPipe(paths.head, paths.lift(1), decode || testOnly, testOnly, zstd, level)
-      return
-    }
-    val in = Paths.get(paths.head)
-    if (!Files.exists(in)) fail(s"input not found: $in")
+    try {
+      args.foreach {
+        case "-z" => zstd = true
+        case "-s" => zstStream = true
+        case "-d" => decode = true
+        case "-t" => testOnly = true
+        case "-f" => force = true
+        case "-c" => toStdout = true
+        case "-v" => quiet = false
+        case "-q" => quiet = true
+        case "-V" => System.out.println(Version); return 0
+        case "-h" | "-H" | "--help" => System.out.println(Usage); return 0
+        case "-1" => level = 1
+        case "-2" => level = 2
+        case "-3" => level = 3
+        case "-4" => level = 4
+        case "-" => paths += "-"
+        case a if a.startsWith("-") => fail(s"unknown flag $a")
+        case p => paths += p
+      }
+      if (paths.isEmpty) fail("no input file given")
+      val outArg = if (toStdout) Some("-") else paths.lift(1)
+      // extension-driven dispatch like the reference CLI: a .zst input
+      // decodes through the full-frame path without needing -s
+      val zstByExt = (decode || testOnly) && paths.head.endsWith(".zst")
+      if (zstStream || zstByExt) {
+        zstFrame(paths.head, outArg, decode || testOnly, level, testOnly, force, quiet)
+        return 0
+      }
+      if (paths.head == "-" || outArg.contains("-")) {
+        // stdin/stdout pipeline mode for the container (reference
+        // `4mccli.c:282-333`): compress streams through the blockwise writer;
+        // decompress uses the sequential (footer-free) block decoder
+        containerPipe(paths.head, outArg, decode || testOnly, testOnly, zstd, level, force, quiet)
+        return 0
+      }
+      val in = Paths.get(paths.head)
+      if (!Files.exists(in)) fail(s"input not found: $in")
 
-    if (decode || testOnly) decompress(in, paths.lift(1).map(Paths.get(_)), testOnly)
-    else compress(in, paths.lift(1).map(Paths.get(_)), zstd, level)
+      if (decode || testOnly) decompress(in, outArg.map(Paths.get(_)), testOnly, force, quiet)
+      else compress(in, outArg.map(Paths.get(_)), zstd, level, force, quiet)
+      0
+    } catch {
+      case e: CliError => System.err.println(s"4mc: ${e.getMessage}"); 1
+      case e: java.io.IOException => System.err.println(s"4mc: ${e.getMessage}"); 1
+    }
   }
+
+  /** Reference overwrite semantics (`4mccli.c` overwriteMode): an existing
+    * output file is an ERROR unless -f was given.
+    */
+  private def checkOverwrite(out: Path, force: Boolean): Unit =
+    if (!force && Files.exists(out))
+      fail(s"output file $out already exists; use -f to overwrite")
 
   /** Container compress/decompress with "-" as stdin/stdout on either side. */
   private def containerPipe(inPath: String, outPath: Option[String], decode: Boolean,
-                            testOnly: Boolean, zstd: Boolean, level: Int): Unit = {
+                            testOnly: Boolean, zstd: Boolean, level: Int,
+                            force: Boolean, quiet: Boolean): Unit = {
     val in: java.io.InputStream =
       if (inPath == "-") System.in else Files.newInputStream(Paths.get(inPath))
     val outName = outPath.getOrElse {
@@ -72,6 +113,7 @@ object Tool {
         else inPath + ".out"
       } else inPath + codecFor(zstd, level).fileExtension
     }
+    if (!testOnly && outName != "-") checkOverwrite(Paths.get(outName), force)
     val rawOut: java.io.OutputStream =
       if (testOnly) java.io.OutputStream.nullOutputStream()
       else if (outName == "-") System.out
@@ -102,7 +144,7 @@ object Tool {
     }
     rawOut.flush()
     if (outName != "-") rawOut.close()
-    System.err.println(
+    if (!quiet) System.err.println(
       s"$inPath -> ${if (testOnly) "(test)" else outName} ($total bytes ${if (decode) "out" else "in"})")
   }
 
@@ -110,7 +152,7 @@ object Tool {
     * standard zstd CLI; single frame, not splittable).
     */
   private def zstFrame(inPath: String, outPath: Option[String], decode: Boolean, level: Int,
-                       testOnly: Boolean = false): Unit = {
+                       testOnly: Boolean, force: Boolean, quiet: Boolean): Unit = {
     val zLevel = Seq(1, 3, 6, 12)(math.min(level, 4) - 1)
     val in: java.io.InputStream =
       if (inPath == "-") System.in
@@ -121,6 +163,7 @@ object Tool {
       else if (decode && inPath.endsWith(".zst")) inPath.dropRight(4)
       else inPath + ".zst"
     }
+    if (!testOnly && outName != "-" && outName != "(test)") checkOverwrite(Paths.get(outName), force)
     val rawOut: java.io.OutputStream =
       if (testOnly) java.io.OutputStream.nullOutputStream()
       else if (outName == "-") System.out
@@ -133,7 +176,8 @@ object Tool {
     var total = 0L
     while (n > 0) { dst.write(buf, 0, n); total += n; n = src.read(buf) }
     src.close(); dst.close()
-    if (outName != "-") System.err.println(s"$inPath -> $outName ($total bytes ${if (decode) "out" else "in"})")
+    if (outName != "-" && !quiet)
+      System.err.println(s"$inPath -> $outName ($total bytes ${if (decode) "out" else "in"})")
   }
 
   private def codecFor(zstd: Boolean, level: Int): McCodec = (zstd, level) match {
@@ -147,9 +191,11 @@ object Tool {
     case (true, _)  => McCodec.Zstd12
   }
 
-  private def compress(in: Path, outOpt: Option[Path], zstd: Boolean, level: Int): Unit = {
+  private def compress(in: Path, outOpt: Option[Path], zstd: Boolean, level: Int,
+                       force: Boolean, quiet: Boolean): Unit = {
     val codec = codecFor(zstd, level)
     val out = outOpt.getOrElse(Paths.get(in.toString + codec.fileExtension))
+    checkOverwrite(out, force)
     val t0 = System.nanoTime()
     val w = new FourMcWriter(new java.io.BufferedOutputStream(Files.newOutputStream(out), 1 << 16), codec)
     val inStream = Files.newInputStream(in)
@@ -160,16 +206,18 @@ object Tool {
     inStream.close(); w.close()
     val secs = (System.nanoTime() - t0) / 1e9
     val outLen = Files.size(out)
-    println(f"$in -> $out [${codec.name}] $total%d -> $outLen%d bytes " +
+    if (!quiet) System.out.println(f"$in -> $out [${codec.name}] $total%d -> $outLen%d bytes " +
       f"(ratio ${total.toDouble / math.max(1, outLen)}%.3f, ${total / 1e6 / secs}%.1f MB/s)")
   }
 
-  private def decompress(in: Path, outOpt: Option[Path], testOnly: Boolean): Unit = {
+  private def decompress(in: Path, outOpt: Option[Path], testOnly: Boolean,
+                         force: Boolean, quiet: Boolean): Unit = {
     val out = outOpt.getOrElse {
       val s = in.toString
       if (s.endsWith(".4mc") || s.endsWith(".4mz")) Paths.get(s.dropRight(4))
       else Paths.get(s + ".out")
     }
+    if (!testOnly) checkOverwrite(out, force)
     val t0 = System.nanoTime()
     val mcIn = McInput.local(in)
     try {
@@ -188,10 +236,9 @@ object Tool {
       }
       os.close()
       val secs = (System.nanoTime() - t0) / 1e9
-      if (testOnly) println(f"$in: OK (${idx.numBlocks} blocks, $total bytes, ${total / 1e6 / secs}%.1f MB/s)")
-      else println(f"$in -> $out $total bytes (${total / 1e6 / secs}%.1f MB/s)")
-    } catch {
-      case e: java.io.IOException => fail(e.getMessage)
+      if (quiet) ()
+      else if (testOnly) System.out.println(f"$in: OK (${idx.numBlocks} blocks, $total bytes, ${total / 1e6 / secs}%.1f MB/s)")
+      else System.out.println(f"$in -> $out $total bytes (${total / 1e6 / secs}%.1f MB/s)")
     } finally mcIn.close()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.format.{FourMcReader, McInput}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** CLI flag parity with the reference tool (`native/4mccli.c:226-255`):
+  * overwrite refusal without -f, forced stdout via -c, -V/-h exit 0, -q
+  * silence. Driven in-process through Tool.run (sys.exit-free).
+  */
+class ToolSpec extends AnyFunSuite {
+
+  private def tmpInput(): Path = {
+    val dir = Files.createTempDirectory("toolspec")
+    val f = dir.resolve("data.txt")
+    Files.writeString(f, (0 until 2000).map(i => s"row-$i").mkString("\n"))
+    f
+  }
+
+  private def capturingStd[A](body: => A): (A, Array[Byte], String) = {
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val (po, pe) = (System.out, System.err)
+    System.setOut(new java.io.PrintStream(outBuf, true))
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try { val a = body; (a, outBuf.toByteArray, errBuf.toString("UTF-8")) }
+    finally { System.setOut(po); System.setErr(pe) }
+  }
+
+  test("refuses to overwrite an existing output without -f, overwrites with -f") {
+    val in = tmpInput()
+    val out = in.resolveSibling("data.txt.4mc")
+    assert(Tool.run(Array("-q", in.toString)) == 0)
+    val firstBytes = Files.readAllBytes(out)
+    // second run must refuse AND leave the file untouched
+    val (rc, _, err) = capturingStd(Tool.run(Array("-q", in.toString)))
+    assert(rc == 1, "existing output must be an error without -f")
+    assert(err.contains("-f"), s"error should point at -f, got: $err")
+    assert(Files.readAllBytes(out).toSeq == firstBytes.toSeq)
+    // -f overwrites (use a higher level so content provably changed)
+    assert(Tool.run(Array("-q", "-f", "-3", in.toString)) == 0)
+    assert(Files.exists(out))
+    // decompress path honors the same semantics toward the .txt target
+    assert(Tool.run(Array("-q", "-d", out.toString)) == 1, "decode onto existing input must fail")
+    assert(Tool.run(Array("-q", "-d", "-f", out.toString)) == 0)
+    assert(Files.readString(in).startsWith("row-0"))
+  }
+
+  test("-c forces container output to stdout") {
+    val in = tmpInput()
+    val (rc, outBytes, _) = capturingStd(Tool.run(Array("-q", "-c", in.toString)))
+    assert(rc == 0)
+    val f = Files.createTempFile("stdout", ".4mc")
+    Files.write(f, outBytes)
+    val mc = McInput.local(f)
+    try {
+      val idx = FourMcReader.readIndex(mc)
+      val (block, _) = FourMcReader.readBlock(mc, idx.zstd, idx.blockOffsets(0))
+      assert(new String(block, "UTF-8") == Files.readString(in))
+    } finally mc.close()
+  }
+
+  test("-V and -h exit 0 and print; unknown flag exits 1") {
+    val (rcV, outV, _) = capturingStd(Tool.run(Array("-V")))
+    assert(rcV == 0 && new String(outV).contains("4mc"))
+    val (rcH, outH, _) = capturingStd(Tool.run(Array("-h")))
+    assert(rcH == 0 && new String(outH).contains("usage"))
+    val (rcX, _, errX) = capturingStd(Tool.run(Array("-x", "nope")))
+    assert(rcX == 1 && errX.contains("unknown flag"))
+  }
+
+  test("-q silences status output; default prints it") {
+    val in = tmpInput()
+    val (rcQ, outQ, errQ) = capturingStd(Tool.run(Array("-q", "-t", in.toString + {
+      Tool.run(Array("-q", in.toString)); ".4mc"
+    })))
+    assert(rcQ == 0)
+    assert(outQ.isEmpty && errQ.isEmpty, s"quiet run should print nothing, got '${new String(outQ)}' / '$errQ'")
+    val (rcL, outL, _) = capturingStd(Tool.run(Array("-t", in.toString + ".4mc")))
+    assert(rcL == 0 && new String(outL).contains("OK"))
+  }
+}
