@@ -175,7 +175,9 @@ final class ZstCompressionOutputStream(rawOut: OutputStream, level: Int)
   private var finished = false
 
   private def z: ZstdOutputStream = {
-    if (zs == null) { zs = new ZstdOutputStream(new NonClosingOutputStream(rawOut), level); finished = false }
+    // a finished frame's encoder is closed — writes after finish (with or
+    // without an intervening resetState) start a fresh frame
+    if (zs == null || finished) { zs = new ZstdOutputStream(new NonClosingOutputStream(rawOut), level); finished = false }
     zs
   }
 
@@ -184,12 +186,26 @@ final class ZstCompressionOutputStream(rawOut: OutputStream, level: Int)
   override def finish(): Unit = if (zs != null && !finished) { zs.close(); finished = true }
   // one standard zstd frame per segment; a fresh stream starts on next write
   override def resetState(): Unit = { finish(); zs = null }
-  override def flush(): Unit = { if (zs != null) zs.flush(); rawOut.flush() }
+  override def flush(): Unit = { if (zs != null && !finished) zs.flush(); rawOut.flush() }
 }
 
 final class ZstCompressionInputStream(raw: InputStream) extends CompressionInputStream(raw) {
-  private val z = new ZstdInputStream(raw).setContinuous(true)
+  // no-close wrapper: decoder turnover must not close the consumer's stream
+  private val src = new java.io.FilterInputStream(raw) { override def close(): Unit = () }
+  private var z = new ZstdInputStream(src).setContinuous(true)
   override def read(): Int = z.read()
   override def read(b: Array[Byte], off: Int, len: Int): Int = z.read(b, off, len)
-  override def resetState(): Unit = ()
+
+  /** SequenceFile RECORD/BLOCK consumers refill the underlying stream and
+    * call resetState at every compressed-segment boundary. A no-op here (the
+    * r3 state) desyncs: the old decoder's buffered frame state bleeds into
+    * the next segment. Start a fresh decoder over the repositioned stream
+    * and close the old one (frees its native window).
+    */
+  override def resetState(): Unit = {
+    z.close()
+    z = new ZstdInputStream(src).setContinuous(true)
+  }
+
+  override def close(): Unit = { z.close(); super.close() }
 }

@@ -345,19 +345,28 @@ object Dedup {
   /** Connected components over dup pairs by iterative min-label propagation —
     * converges in O(log(diameter)) joins, all distributed (no driver graph).
     * Returns (doc, component) where component = min doc id in the cluster.
+    *
+    * Checkpointing each iteration truncates lineage so iteration i does not
+    * re-execute the (potentially huge) pair-generation plan i times.
+    * `reliableCheckpoint = true` writes iterations to the SparkContext's
+    * checkpoint directory instead of executor block storage: on a long
+    * many-iteration run over 100 TB, an executor loss then replays from the
+    * last checkpoint file rather than recomputing the whole label chain
+    * (localCheckpoint blocks die with their executor). Requires
+    * `sc.setCheckpointDir` on a fault-tolerant FS.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // localCheckpoint each iteration: truncates lineage so iteration i does
-    // not re-execute the (potentially huge) pair-generation plan i times.
-    val edges = pairs
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
+    val ck: DataFrame => DataFrame =
+      if (reliableCheckpoint) df => df.checkpoint(eager = true)
+      else df => df.localCheckpoint(eager = true)
+    val edges = ck(pairs
       .select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint(true)
-    var labels = edges
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+    var labels = ck(edges
       .select(col("a").as("doc"))
       .distinct()
-      .withColumn("comp", col("doc"))
-      .localCheckpoint(true)
+      .withColumn("comp", col("doc")))
     var i = 0
     var converged = false
     // labels are monotone non-increasing per doc (least(comp, nbrMin)), so
@@ -369,10 +378,9 @@ object Dedup {
         .join(labels, edges("b") === labels("doc"))
         .groupBy(edges("a").as("doc"))
         .agg(min(col("comp")).as("nbrComp"))
-      val updated = labels
+      val updated = ck(labels
         .join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"), least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .select(col("doc"), least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")))
       val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum

@@ -14,10 +14,10 @@ import java.nio.file.Files
   */
 class SequenceFileSpec extends AnyFunSuite {
 
-  private def roundtrip(ct: CompressionType): Unit = {
+  private def roundtrip(ct: CompressionType,
+                        codec: org.apache.hadoop.io.compress.CompressionCodec = new FourMzMediumCodec): Unit = {
     val conf = new Configuration()
     val p = new Path(Files.createTempDirectory("seq4mc").toString, s"data-$ct.seq")
-    val codec = new FourMzMediumCodec
     val w = SequenceFile.createWriter(
       conf,
       SequenceFile.Writer.file(p),
@@ -49,5 +49,15 @@ class SequenceFileSpec extends AnyFunSuite {
 
   test("SequenceFile BLOCK compression with the 4mz codec round-trips") {
     roundtrip(CompressionType.BLOCK)
+  }
+
+  // .zst: the reader calls resetState() at every compressed-segment
+  // boundary — a stale decoder there desyncs the stream (the r3 no-op bug)
+  test("SequenceFile RECORD compression with the .zst codec round-trips") {
+    roundtrip(CompressionType.RECORD, new ZstCodec)
+  }
+
+  test("SequenceFile BLOCK compression with the .zst codec round-trips") {
+    roundtrip(CompressionType.BLOCK, new ZstCodec)
   }
 }

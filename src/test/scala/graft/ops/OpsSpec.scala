@@ -80,6 +80,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
   }
 
+  test("duplicateClusters with reliable checkpointing matches local-checkpoint result") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("ccck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0), (6L, 7L, 1.0), (7L, 8L, 1.0))
+      .toDF("d1", "d2", "jaccard")
+    val local = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.duplicateClusters(pairs, reliableCheckpoint = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable(3L) == 1L && reliable(8L) == 5L)
+    // checkpoint FILES were actually written (executor-loss survivable state)
+    val files = new java.io.File(ckDir).listFiles
+    assert(files != null && files.nonEmpty, "reliable checkpoint must write to the checkpoint dir")
+  }
+
   test("vec_cosine expression matches built-in computation and is codegen'd") {
     import spark.implicits._
     val two = emb.limit(2).collect()
