@@ -42,6 +42,7 @@ case class ProtoStructExpr(child: Expression, spec: String)
       case KFloat     => FloatType
       case KRepString => ArrayType(StringType)
       case KRepLong   => ArrayType(LongType)
+      case KRepBytes  => ArrayType(BinaryType)
     }
     StructField(f.name, dt, nullable = true)
   })
@@ -86,6 +87,10 @@ case class ProtoStructExpr(child: Expression, spec: String)
               val (off, len) = r.readDelimited()
               if (reps(i) == null) reps(i) = new ArrayBuffer[Any](4)
               reps(i) += UTF8String.fromBytes(r.bytes, off, len)
+            case KRepBytes =>
+              val (off, len) = r.readDelimited()
+              if (reps(i) == null) reps(i) = new ArrayBuffer[Any](4)
+              reps(i) += java.util.Arrays.copyOfRange(r.bytes, off, off + len)
             case KRepLong =>
               if (reps(i) == null) reps(i) = new ArrayBuffer[Any](4)
               if (wt == 2) {

@@ -30,6 +30,7 @@ object ProtoWire {
   case object KFloat extends Kind
   case object KRepString extends Kind
   case object KRepLong extends Kind
+  case object KRepBytes extends Kind
 
   final case class Field(no: Int, name: String, kind: Kind)
 
@@ -39,10 +40,10 @@ object ProtoWire {
     * see [[ProtoStructExpr]].
     */
   def wireTypeOf(k: Kind): Int = k match {
-    case KLong | KInt | KBool | KRepLong => 0
-    case KDouble                         => 1
-    case KString | KBytes | KRepString   => 2
-    case KFloat                          => 5
+    case KLong | KInt | KBool | KRepLong           => 0
+    case KDouble                                   => 1
+    case KString | KBytes | KRepString | KRepBytes => 2
+    case KFloat                                    => 5
   }
 
   def parseSpec(spec: String): Seq[Field] =
@@ -58,6 +59,7 @@ object ProtoWire {
         case "float"   => KFloat
         case "rstring" => KRepString
         case "rlong"   => KRepLong
+        case "rbytes"  => KRepBytes
         case other     => throw new IllegalArgumentException(s"unknown proto kind $other")
       }
       Field(no.toInt, name, k)
@@ -138,6 +140,7 @@ object ProtoWire {
           case (KDouble, x: Double)  => w.double(f.no, x)
           case (KFloat, x: Float)    => w.float(f.no, x)
           case (KRepString, xs: Seq[_]) => xs.foreach(x => w.string(f.no, x.asInstanceOf[String]))
+          case (KRepBytes, xs: Seq[_])  => xs.foreach(x => w.bytes(f.no, x.asInstanceOf[Array[Byte]]))
           // packed, like proto3 encoders; empty repeated fields are omitted
           case (KRepLong, xs: Seq[_]) =>
             if (xs.nonEmpty) w.packedInt64s(f.no, xs.map(_.asInstanceOf[Long]))

@@ -47,8 +47,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       files: Seq[FileStatus]
   ): Option[StructType] = {
     if (options.getOrElse("payload", "text") == "csv") return None // user-provided schema
-    val valueType =
-      if (options.getOrElse("payload", "text") == "binary") BinaryType else StringType
+    val valueType = options.getOrElse("payload", "text") match {
+      case "binary" | "eb-proto" => BinaryType
+      case _                     => StringType
+    }
     val base = StructType(Seq(StructField("value", valueType, nullable = false)))
     if (options.get("withOffsets").exists(_.toBoolean))
       Some(StructType(StructField("offset", LongType, nullable = false) +: base.fields))
@@ -166,6 +168,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val wantValue = requiredSchema.fieldNames.contains("value")
       val offsetFirst = requiredSchema.fieldNames.headOption.contains("offset")
       val nFields = requiredSchema.length
+      val ebProto = payload == "eb-proto"
+      val ebMarker = graft.format.EbBlocks.parseMarker(options.get("ebMarker"))
+      val binaryValue = binary || ebProto
 
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
@@ -173,12 +178,13 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         val index = FourMcFileFormat.cachedIndex(file, in)
         val raw: Iterator[(Long, Array[Byte])] =
-          if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
+          if (ebProto) new graft.format.FourMcEbBlockIterator(in, index, file.start, file.start + file.length, ebMarker)
+          else if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
           else new FourMcLineIterator(in, index, file.start, file.start + file.length)
         raw.map { case (off, bytes) =>
           val row = new GenericInternalRow(nFields)
           if (nFields > 0) {
-            val v: Any = if (binary) bytes else UTF8String.fromBytes(bytes)
+            val v: Any = if (binaryValue) bytes else UTF8String.fromBytes(bytes)
             if (wantOffset && wantValue) {
               if (offsetFirst) { row.update(0, off); row.update(1, v) }
               else { row.update(0, v); row.update(1, off) }
@@ -218,6 +224,11 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           context: TaskAttemptContext
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt)
+        else if (payload == "eb-proto")
+          new FourMcEbOutputWriter(path, context, McCodec(codecName),
+            graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
+            options.getOrElse("ebClassName", ""),
+            options.getOrElse("ebBlockRecords", "100").toInt)
         else new FourMcOutputWriter(path, context, McCodec(codecName), binary)
     }
   }
@@ -599,4 +610,41 @@ final class FourMcOutputWriter(
   }
 
   override def close(): Unit = out.close()
+}
+
+/** Elephant-Bird SerializedBlock sink ([[graft.format.EbBlocks]]): buffers
+  * `blockRecords` binary rows (EB's default 100) into one framed block.
+  * Blocks may span container blocks — the reader resynchronizes on the
+  * marker, so no alignment flush is needed.
+  */
+final class FourMcEbOutputWriter(
+    val path: String,
+    context: TaskAttemptContext,
+    codec: McCodec,
+    marker: Array[Byte],
+    className: String,
+    blockRecords: Int
+) extends OutputWriter {
+  private val fsPath = new Path(path)
+  private val out = {
+    val fs = fsPath.getFileSystem(context.getConfiguration)
+    new FourMcWriter(new java.io.BufferedOutputStream(fs.create(fsPath, false), 1 << 16), codec)
+  }
+  private val pending = new scala.collection.mutable.ArrayBuffer[Array[Byte]](blockRecords)
+
+  private def flushEbBlock(): Unit = if (pending.nonEmpty) {
+    val block = graft.format.EbBlocks.blockBytes(className, pending.toSeq, marker)
+    out.write(block, 0, block.length)
+    pending.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    pending += row.getBinary(0)
+    if (pending.length >= blockRecords) flushEbBlock()
+  }
+
+  override def close(): Unit = {
+    flushEbBlock()
+    out.close()
+  }
 }
