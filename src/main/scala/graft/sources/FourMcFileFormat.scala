@@ -144,8 +144,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                 fieldTypes(k) match {
                   case LongType    => CsvPayload.parseLong(bytes, s, e)
                   case IntegerType => CsvPayload.parseInt(bytes, s, e)
-                  case DoubleType  => java.lang.Double.parseDouble(CsvPayload.ascii(bytes, s, e))
-                  case FloatType   => java.lang.Float.parseFloat(CsvPayload.ascii(bytes, s, e))
+                  case DoubleType  => CsvPayload.parseDouble(bytes, s, e)
+                  case FloatType   => CsvPayload.parseFloat(bytes, s, e)
                   case BooleanType => bytes(s) == 't' || bytes(s) == 'T'
                   case TimestampType | TimestampNTZType =>
                     if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
@@ -469,6 +469,67 @@ object CsvPayload {
     val v = parseLong(b, s, e)
     if (v > Int.MaxValue || v < Int.MinValue) throw new NumberFormatException(ascii(b, s, e))
     v.toInt
+  }
+
+  private val Pow10: Array[Double] = (0 to 22).map(k => math.pow(10, k)).toArray
+  private val Pow10F: Array[Float] = (0 to 10).map(k => math.pow(10, k).toFloat).toArray
+
+  /** Byte-slice decimal double — the Clinger/Gay exact fast path: when the
+    * mantissa fits 53 bits and the decimal scale k ≤ 22, both `m.toDouble`
+    * and `10^k` are exact, so one correctly-rounded division equals
+    * `Double.parseDouble` bit-for-bit. Everything else (scientific notation,
+    * long mantissas, NaN/Inf) falls back to the String path. No allocation
+    * on the fast path — the last per-value String in the csv reader.
+    */
+  def parseDouble(b: Array[Byte], s0: Int, e: Int): Double = {
+    var s = s0
+    var neg = false
+    if (s < e && (b(s) == '-' || b(s) == '+')) { neg = b(s) == '-'; s += 1 }
+    var m = 0L
+    var digits = 0
+    var frac = -1
+    var i = s
+    var fast = i < e
+    while (fast && i < e) {
+      val c = b(i)
+      if (c == '.') { if (frac >= 0) fast = false else frac = 0 }
+      else if (c >= '0' && c <= '9') {
+        if (digits >= 18) fast = false
+        else { m = m * 10 + (c - '0'); digits += 1; if (frac >= 0) frac += 1 }
+      } else fast = false
+      i += 1
+    }
+    if (!fast || digits == 0 || m > (1L << 53) || frac > 22)
+      return java.lang.Double.parseDouble(ascii(b, s0, e))
+    val v = if (frac <= 0) m.toDouble else m.toDouble / Pow10(frac)
+    if (neg) -v else v
+  }
+
+  /** Float analog: exact for mantissa ≤ 2^24 and scale ≤ 10 (10^10 = 5^10·2^10
+    * with 5^10 < 2^24, so the divisor is exact in float).
+    */
+  def parseFloat(b: Array[Byte], s0: Int, e: Int): Float = {
+    var s = s0
+    var neg = false
+    if (s < e && (b(s) == '-' || b(s) == '+')) { neg = b(s) == '-'; s += 1 }
+    var m = 0L
+    var digits = 0
+    var frac = -1
+    var i = s
+    var fast = i < e
+    while (fast && i < e) {
+      val c = b(i)
+      if (c == '.') { if (frac >= 0) fast = false else frac = 0 }
+      else if (c >= '0' && c <= '9') {
+        if (digits >= 9) fast = false
+        else { m = m * 10 + (c - '0'); digits += 1; if (frac >= 0) frac += 1 }
+      } else fast = false
+      i += 1
+    }
+    if (!fast || digits == 0 || m > (1L << 24) || frac > 10)
+      return java.lang.Float.parseFloat(ascii(b, s0, e))
+    val v = if (frac <= 0) m.toFloat else m.toFloat / Pow10F(frac)
+    if (neg) -v else v
   }
 
   /** -1 unless `pattern` is the fixed layout `yyyy-MM-dd HH:mm:ss` plus an

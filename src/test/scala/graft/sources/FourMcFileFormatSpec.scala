@@ -130,6 +130,33 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(canon(back) == canon(li))
   }
 
+  test("byte-slice double/float parse is bit-identical to the String parsers") {
+    val rnd = new scala.util.Random(7)
+    val edge = Seq("0", "-0.0", "0.0", "3.14", "17290.19", "-0.04", "1.0E10", "-1.7E-9",
+      "9007199254740993", "0.1234567890123456789", "123456789012345678901234",
+      "2.2250738585072014E-308", "1.7976931348623157E308", "+4.25", "00012.5000")
+    val doubles = edge ++
+      (0 until 20000).map(_ => (rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10) *
+        (if (rnd.nextBoolean()) -1 else 1)).toString) ++
+      (0 until 5000).map(_ => (rnd.nextInt(2000000) / 100.0).toString) // lineitem-shaped
+    for (s <- doubles) {
+      val b = s.getBytes("UTF-8")
+      assert(
+        java.lang.Double.doubleToRawLongBits(CsvPayload.parseDouble(b, 0, b.length)) ==
+          java.lang.Double.doubleToRawLongBits(java.lang.Double.parseDouble(s)),
+        s"double mismatch for '$s'")
+    }
+    val floats = edge ++ (0 until 20000).map(_ => (rnd.nextFloat() *
+      math.pow(10, rnd.nextInt(12) - 6).toFloat * (if (rnd.nextBoolean()) -1 else 1)).toString)
+    for (s <- floats) {
+      val b = s.getBytes("UTF-8")
+      assert(
+        java.lang.Float.floatToRawIntBits(CsvPayload.parseFloat(b, 0, b.length)) ==
+          java.lang.Float.floatToRawIntBits(java.lang.Float.parseFloat(s)),
+        s"float mismatch for '$s'")
+    }
+  }
+
   test("stray non-container files in the directory are skipped, not fatal") {
     import spark.implicits._
     val dir = tmpDir()
