@@ -169,17 +169,12 @@ object Bench {
     // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
     // absorb the ±10% scheduler noise local[32] shows at this scale)
     // Local-iteration filter (comma-separated names); driver sets nothing.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty) // empty/blank value = no filter, not "run nothing"
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        System.err.println(s"[bench] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(",")}")
-    }
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+    val selected = SparkEntry.selectQueries(
+      sys.env.get("SPARK_GRAFT_ONLY"),
+      m => System.err.println(s"[bench] WARNING: $m"))
+    if (selected.isEmpty) {
+      System.err.println("[bench] ERROR: selection matched zero queries")
+      sys.exit(2)
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {

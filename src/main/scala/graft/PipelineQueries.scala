@@ -105,16 +105,16 @@ object PipelineQueries {
     * OpsSpec), which is the regime that makes the operator linear-ish at
     * 100 TB; the τ=0.4 row keeps the loose-threshold semantics.
     */
-  def dedupEmbeddingPairsTight(spark: SparkSession, sfDir: String): DataFrame =
+  def dedupEmbeddingPairsTight(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
     Similarity.embeddingDupPairsViaLsh(
-        Similarity.withPlantedDups(emb(spark, sfDir), PlantedIdOffset),
+        Similarity.withPlantedDups(e, Similarity.plantedOffset(e)),
         0.8, dim = 64, bits = 8, tables = 8)
       .orderBy(col("d1"), col("d2"))
-
-  private val PlantedIdOffset = 1000000L
+  }
 
   def dedupEmbeddingPairsTightSql: String =
-    Similarity.plantedDupPairsSql(0.8, PlantedIdOffset) + "\nORDER BY d1, d2"
+    Similarity.plantedDupPairsSql(0.8) + "\nORDER BY d1, d2"
 
   /** D3 approximate: SRP-LSH bucketed ANN over the same queries. At
     * (bits=2, tables=24) the bucket union covers every true top-5 neighbor

@@ -68,6 +68,26 @@ object SparkEntry {
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _)
   )
 
+  /** Resolve the SPARK_GRAFT_ONLY filter (comma-separated names; blank or
+    * unset = everything). Warnings for unknown names go through `warn`;
+    * callers decide the empty-selection policy (both entry points treat it
+    * as fatal — benching or verifying zero queries would silently zero a
+    * round).
+    */
+  def selectQueries(only: Option[String], warn: String => Unit): Map[String, (SparkSession, String) => DataFrame] = {
+    val names = only
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    names.foreach { ns =>
+      val unknown = ns -- queries.keySet
+      if (unknown.nonEmpty) warn(s"unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(",")}")
+    }
+    names match {
+      case Some(ns) => queries.filter { case (n, _) => ns(n) }
+      case None     => queries
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Queries.q1Sql,
     "q6_forecast" -> Queries.q6Sql,

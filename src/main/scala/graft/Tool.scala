@@ -164,9 +164,10 @@ object Tool {
       else inPath + ".zst"
     }
     if (!testOnly && outName != "-" && outName != "(test)") checkOverwrite(Paths.get(outName), force)
+    val toStdout = outName == "-"
     val rawOut: java.io.OutputStream =
       if (testOnly) java.io.OutputStream.nullOutputStream()
-      else if (outName == "-") System.out
+      else if (toStdout) new graft.hadoop.NonClosingOutputStream(System.out)
       else Files.newOutputStream(Paths.get(outName))
     val (src, dst) =
       if (decode) (new com.github.luben.zstd.ZstdInputStream(in), rawOut)
@@ -175,7 +176,10 @@ object Tool {
     var n = src.read(buf)
     var total = 0L
     while (n > 0) { dst.write(buf, 0, n); total += n; n = src.read(buf) }
+    // the no-close stdout wrapper lets dst.close() finish the zstd frame
+    // without killing the process's real System.out (Tool.run is in-process)
     src.close(); dst.close()
+    if (toStdout) System.out.flush()
     if (outName != "-" && !quiet)
       System.err.println(s"$inPath -> $outName ($total bytes ${if (decode) "out" else "in"})")
   }

@@ -27,18 +27,9 @@ object Verify {
     implicit val ec: ExecutionContext = ExecutionContext.global
     // Local-iteration filter (comma-separated names); driver sets nothing →
     // all queries run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty) // empty/blank value = no filter, not "run nothing"
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        System.err.println(s"[verify] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(",")}")
-    }
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectQueries(
+      sys.env.get("SPARK_GRAFT_ONLY"),
+      m => System.err.println(s"[verify] WARNING: $m"))
     if (selected.isEmpty) {
       System.err.println("[verify] ERROR: selection matched zero queries")
       sys.exit(2)

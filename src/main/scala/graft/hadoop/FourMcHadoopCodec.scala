@@ -86,7 +86,7 @@ final class FourMcCompressionOutputStream(rawOut: OutputStream, mc: McCodec)
   override def flush(): Unit = rawOut.flush()
 }
 
-private final class NonClosingOutputStream(out: OutputStream) extends OutputStream {
+final class NonClosingOutputStream(out: OutputStream) extends OutputStream {
   override def write(b: Int): Unit = out.write(b)
   override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
   override def flush(): Unit = out.flush()

@@ -355,6 +355,26 @@ object Dedup {
     * (localCheckpoint blocks die with their executor). Requires
     * `sc.setCheckpointDir` on a fault-tolerant FS.
     */
+  /** Reliable-checkpoint dir of a checkpointed frame (None for local
+    * checkpoints — Spark only reports files for reliable ones).
+    */
+  private def checkpointDirOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+    }.flatten
+
+  /** Delete a superseded reliable checkpoint. Spark never cleans these by
+    * default (spark.cleaner.referenceTracking.cleanCheckpoints=false), so a
+    * maxIter-deep label chain would otherwise leave maxIter full copies of
+    * the label table on the checkpoint FS — the GraphX Pregel pattern is to
+    * drop iteration i-1 once iteration i is materialized.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    checkpointDirOf(df).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
                         reliableCheckpoint: Boolean = false): DataFrame = {
     val ck: DataFrame => DataFrame =
@@ -384,9 +404,14 @@ object Dedup {
       val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
+      // iteration i is materialized — iteration i-1's reliable checkpoint
+      // files are dead (no-op for local checkpoints)
+      dropCheckpoint(labels)
       labels = updated
       i += 1
     }
+    // the returned frame depends only on the final labels checkpoint
+    dropCheckpoint(edges)
     labels
   }
 

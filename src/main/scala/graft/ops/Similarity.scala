@@ -142,6 +142,14 @@ object Similarity {
     * on this corpus) — a planted ground truth for the tight-τ dedup regime,
     * replayable in DuckDB with the same integer arithmetic.
     */
+  /** Twin-id offset that can never collide with a real vec_id: max + 1.
+    * Computed from the data (one tiny agg) so the construction stays valid
+    * at any corpus size — a fixed constant would alias twins onto real rows
+    * once the corpus passes it. The SQL mirror is the same scalar subquery.
+    */
+  def plantedOffset(emb: DataFrame): Long =
+    emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+
   def withPlantedDups(emb: DataFrame, idOffset: Long): DataFrame = {
     val perturbed = emb.select(
       (col("vec_id") + lit(idOffset)).as("vec_id"),
@@ -158,13 +166,13 @@ object Similarity {
   /** DuckDB mirror of [[withPlantedDups]] + [[embeddingDupPairsSql]]: the
     * all-pairs formulation over the planted corpus at threshold τ.
     */
-  def plantedDupPairsSql(threshold: Double, idOffset: Long): String =
+  def plantedDupPairsSql(threshold: Double): String =
     s"""WITH base AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings
        |), pert AS (
-       |  SELECT vec_id + $idOffset AS vec_id,
+       |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
        |         CAST(CAST(v * (1 + ((vec_id * 31 + (i - 1)) % 7 - 3) * 0.001) AS FLOAT) AS DOUBLE) AS v,
        |         i
        |  FROM base
@@ -293,14 +301,16 @@ object Similarity {
             if (sim > best) { best = sim; bi = c }
             c += 1
           }
-          // all-NaN sims (a NaN embedding element) leave bi at -1: assign to
-          // the first cell — the old window formulation ordered NaN greatest,
-          // which with the cid-asc tie-break also landed such rows in the
-          // lowest cell (NearestCentroidExpr mirrors this)
-          if (bi < 0) bi = 0
-          counts(bi) += 1
-          var j = 0
-          while (j < n) { sums(bi * dim + j) += v(j).toDouble; j += 1 }
+          // all-NaN sims (a NaN embedding element) leave bi at -1: EXCLUDE
+          // the row from training — folding NaN components into a cell's sum
+          // would poison that centroid to all-NaN and silently evict every
+          // real vector from it. At index time NearestCentroidExpr still
+          // assigns such rows to the lowest cell.
+          if (bi >= 0) {
+            counts(bi) += 1
+            var j = 0
+            while (j < n) { sums(bi * dim + j) += v(j).toDouble; j += 1 }
+          }
         }
         Iterator.single((counts, sums))
       }.collect()

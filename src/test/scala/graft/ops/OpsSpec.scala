@@ -92,9 +92,16 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable == local)
     assert(reliable(3L) == 1L && reliable(8L) == 5L)
-    // checkpoint FILES were actually written (executor-loss survivable state)
-    val files = new java.io.File(ckDir).listFiles
-    assert(files != null && files.nonEmpty, "reliable checkpoint must write to the checkpoint dir")
+    // checkpoint FILES were actually written (executor-loss survivable
+    // state), and superseded iterations were deleted — only the final
+    // labels checkpoint may remain (Spark never cleans these itself)
+    val rddDirs = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) :+ f else Seq(f)
+      walk(new java.io.File(ckDir)).filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    }
+    assert(rddDirs.nonEmpty, "reliable checkpoint must write to the checkpoint dir")
+    assert(rddDirs.length == 1, s"superseded checkpoints must be deleted, found ${rddDirs.map(_.getName)}")
   }
 
   test("vec_cosine expression matches built-in computation and is codegen'd") {
@@ -182,6 +189,15 @@ class OpsSpec extends AnyFunSuite {
     val nanRow = assigned.filter($"vec_id" === 99999L).select($"cid").as[Int].collect()
     val minCid = centroids.agg(min($"cid")).as[Int].head()
     assert(nanRow.toSeq == Seq(minCid), s"NaN row assigned ${nanRow.toSeq}, want lowest cell $minCid")
+    // and training EXCLUDED the NaN row: every trained centroid stays finite
+    // (folding NaN into a cell's sum would poison it to all-NaN)
+    val cents = centroids.collect()
+    assert(cents.forall(_.getSeq[Float](1).forall(f => !f.isNaN && !f.isInfinite)),
+      "NaN row must not poison trained centroids")
+    val plain = Similarity.ivfCentroids(base, 8).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap == plain,
+      "training with an excluded NaN row must equal training without it")
     // ragged vector: training must fail loudly, not skew the mean silently
     val ragged = base.unionByName(
       Seq((99998L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding"))
@@ -244,7 +260,8 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("tight-regime LSH (tau=0.8, bits=8) prunes hard and keeps recall 1.0") {
-    val corpus = Similarity.withPlantedDups(emb, 1000000L)
+    val offset = Similarity.plantedOffset(emb)
+    val corpus = Similarity.withPlantedDups(emb, offset)
     val n = corpus.count()
     val allPairs = n * (n - 1) / 2
     val cands = Similarity.embeddingLshCandidates(corpus, 64, bits = 8, tables = 8)
@@ -266,7 +283,7 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == want, s"${got.size} via LSH vs ${want.size} exact")
     // every planted twin pair is found (ground truth is real, not vacuous)
-    val planted = got.count { case (d1, d2, _) => d2 == d1 + 1000000L }
+    val planted = got.count { case (d1, d2, _) => d2 == d1 + offset }
     assert(planted == emb.count(), s"found $planted of ${emb.count()} planted pairs")
   }
 
