@@ -361,6 +361,88 @@ case class TopCentroidsExpr(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All MinHash permutation minima in ONE pass over the base-hash array:
+  * min_i over elements h of (a_i·h + b_i) mod p for every permutation i —
+  * replacing numHashes separate `transform` + `array_min` traversals (each a
+  * lambda-interpreted pass allocating an intermediate array) with a single
+  * fused loop over (element × permutation). Bit-identical to the column
+  * formulation: coefficients are in [0, p) and base hashes are non-negative,
+  * so Java % equals Spark's Remainder here. Empty input yields null minima,
+  * matching `array_min` of an empty array.
+  */
+case class MinHashSignaturesExpr(
+    child: Expression,
+    coefA: Array[Long],
+    coefB: Array[Long],
+    p: Long
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(coefA.length == coefB.length, "coefficient arrays must align")
+  override def prettyName: String = "minhash_signatures"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signatures expects array<long>, got $other")
+    }
+
+  private def k: Int = coefA.length
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = a.getLong(j)
+      var i = 0
+      while (i < k) {
+        val x = (coefA(i) * h + coefB(i)) % p
+        if (x < mins(i)) mins(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("coefB", coefB, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long h = $a.getLong($j);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long x = ($aRef[$i] * h + $bRef[$i]) % ${p}L;
+         |      if (x < $mins[$i]) $mins[$i] = x;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 

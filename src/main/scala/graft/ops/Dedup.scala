@@ -207,23 +207,44 @@ object Dedup {
     * signatures bit-exactly (same trick as [[simHash]]).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String, numHashes: Int = 64): DataFrame = {
-    val withShingles = docs
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col("doc"), array_distinct(shinglesFromTokens(col("_toks"))).as("shingles"))
-    val withHashes = withShingles.withColumn(
-      "_hs",
-      transform(
-        col("shingles"),
-        s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % MinHashP
-      )
-    )
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // all permutation minima in ONE codegen pass over the base hashes
+    // (MinHashSignaturesExpr) — bit-identical to the 64 × (transform +
+    // array_min) column formulation (asserted in OpsSpec), without the 64
+    // interpreted array traversals per document
+    val sig = column(graft.functions.MinHashSignaturesExpr(
+      expression(col("_hs")),
+      Array.tabulate(numHashes)(minHashCoefA),
+      Array.tabulate(numHashes)(minHashCoefB),
+      MinHashP))
+    withBaseHashes(docs, idCol, textCol).select(col("doc"), sig.as("sig"), col("shingles"))
+  }
+
+  /** The original column-only formulation — the equivalence baseline for
+    * [[graft.functions.MinHashSignaturesExpr]] (and the shape the DuckDB
+    * oracle replays).
+    */
+  private[graft] def minHashSignaturesColumns(docs: DataFrame, idCol: String, textCol: String,
+                                              numHashes: Int = 64): DataFrame = {
     val sig = array(
       (0 until numHashes).map { i =>
         array_min(transform(col("_hs"), h => (lit(minHashCoefA(i)) * h + lit(minHashCoefB(i))) % MinHashP))
       }: _*
     )
-    withHashes.select(col("doc"), sig.as("sig"), col("shingles"))
+    withBaseHashes(docs, idCol, textCol).select(col("doc"), sig.as("sig"), col("shingles"))
   }
+
+  private def withBaseHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc"), array_distinct(shinglesFromTokens(col("_toks"))).as("shingles"))
+      .withColumn(
+        "_hs",
+        transform(
+          col("shingles"),
+          s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % MinHashP
+        )
+      )
 
   /** Banded LSH candidate pairs: two docs collide when any band of
     * `rowsPerBand` consecutive signature entries is IDENTICAL. The band key

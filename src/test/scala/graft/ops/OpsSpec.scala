@@ -287,6 +287,17 @@ class OpsSpec extends AnyFunSuite {
     assert(planted == emb.count(), s"found $planted of ${emb.count()} planted pairs")
   }
 
+  test("one-pass minhash_signatures equals the 64x transform+array_min formulation") {
+    val fused = Dedup.minHashSignatures(docs, "doc_id", "text")
+      .select("doc", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val columns = Dedup.minHashSignaturesColumns(docs, "doc_id", "text")
+      .select("doc", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == columns.keySet)
+    assert(fused == columns, "fused expression must be bit-identical")
+  }
+
   test("nearDupPairs materializes signatures once and leaves no cached plan behind") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
     val plan = pairs.queryExecution.executedPlan.toString
