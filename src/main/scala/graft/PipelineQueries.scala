@@ -249,6 +249,33 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** D4: whitespace vs BPE-ish subword token budget per language. The corpus
+    * text is pure lowercase words, so the subword tokenizer is exercised on
+    * derived mixed text (a deterministic `" v<id>.x!"` suffix adds digit and
+    * punctuation runs) — the two counts must diverge by exactly the extra
+    * runs, and the oracle replays the same regex in RE2.
+    */
+  def tokenCountsSubword(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"lang",
+        concat($"text", lit(" v"), $"doc_id".cast("string"), lit(".x!")).as("t2"))
+      .groupBy($"lang")
+      .agg(
+        sum(TextAnalysis.tokenCount($"t2").cast("long")).as("ws_tokens"),
+        sum(TextAnalysis.subwordTokenCount($"t2").cast("long")).as("subword_tokens"))
+      .orderBy($"lang")
+  }
+
+  val tokenCountsSubwordSql: String = {
+    import TextAnalysis._
+    s"""SELECT lang,
+       |  CAST(SUM(${tokenCountSql("t2")}) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(${subwordTokenCountSql("t2")}) AS BIGINT) AS subword_tokens
+       |FROM (SELECT lang, text || ' v' || CAST(doc_id AS VARCHAR) || '.x!' AS t2 FROM documents) d
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val vocabStatsSql: String =
     """SELECT lang, COUNT(DISTINCT w) AS vocab_exact, COUNT(*) AS n_tokens FROM (
       |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t

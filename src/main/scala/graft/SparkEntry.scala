@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_fingerprints" -> (PipelineQueries.docFingerprints _),
     "quality_filter" -> (PipelineQueries.qualityFilter _),
     "vocab_stats" -> (PipelineQueries.vocabStats _),
+    "token_counts_subword" -> (PipelineQueries.tokenCountsSubword _),
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
     "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
     "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,
     "quality_filter" -> PipelineQueries.qualityFilterSql,
     "vocab_stats" -> PipelineQueries.vocabStatsSql,
+    "token_counts_subword" -> PipelineQueries.tokenCountsSubwordSql,
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
     "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
     "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,

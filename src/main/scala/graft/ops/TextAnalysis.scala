@@ -26,6 +26,24 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer (simplified, public pattern shape): English
+    * contractions, optional-space letter runs, digit runs, and
+    * non-alphanumeric runs — the "BPE-ish" subword unit count a training
+    * pipeline budgets by, without a merges table. Deterministic and
+    * RE2/Java-regex-agreeing (literal alternations + ASCII classes only), so
+    * DuckDB replays it exactly.
+    */
+  val SubwordPattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+
+  def subwordTokenCount(text: Column): Column = regexp_count(text, lit(SubwordPattern))
+
+  def subwordTokenCountSql(t: String): String = {
+    // DuckDB plain string literals pass backslashes through; only quotes
+    // need doubling
+    val sqlPattern = SubwordPattern.replace("'", "''")
+    s"len(regexp_extract_all($t, '$sqlPattern'))"
+  }
+
   /** Mean token length ×1000, floored — integer arithmetic, FP-safe. */
   def meanTokenLenMilliFromTokens(toks: Column): Column =
     floor(

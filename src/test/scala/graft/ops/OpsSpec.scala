@@ -359,6 +359,22 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getSeq[Float](2) == again.getSeq[Float](2))
   }
 
+  test("subword token count follows the GPT-2-style pre-tokenizer runs") {
+    import spark.implicits._
+    val cases = Seq(
+      ("hello world", 2),        // two letter runs
+      ("it's fine", 3),          // letters + contraction + letters
+      ("v123.x!", 5),            // letters, digits, punct, letters, punct
+      ("a  b", 2),               // double space: second " b" still one match
+      ("42", 1),
+      ("", 0)
+    )
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.subwordTokenCount($"t").as("n"))
+      .as[Int].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got want ${cases.map(_._2)}")
+  }
+
   test("quality score and lang id are stable expressions") {
     import spark.implicits._
     val r = docs
