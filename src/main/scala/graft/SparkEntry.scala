@@ -38,6 +38,19 @@ object SparkEntry {
     "q_having_suppliers" -> (Queries.qHavingSuppliers _),
     "q_events_hourly" -> (Queries.qEventsHourly _),
     "q_events_sessions" -> (Queries.qEventsSessions _),
+    "q8_market_share" -> (Queries2.q8MarketShare _),
+    "q9_profit_nation" -> (Queries2.q9ProfitNation _),
+    "q12_priority_class" -> (Queries2.q12PriorityClass _),
+    "q13_order_distribution" -> (Queries2.q13OrderDistribution _),
+    "q15_top_supplier" -> (Queries2.q15TopSupplier _),
+    "q16_supplier_variety" -> (Queries2.q16SupplierVariety _),
+    "q18_large_orders" -> (Queries2.q18LargeOrders _),
+    "q19_disjunctive" -> (Queries2.q19Disjunctive _),
+    "q22_wealthy_inactive" -> (Queries2.q22WealthyInactive _),
+    "q_cube_revenue" -> (Queries2.qCubeRevenue _),
+    "q_pivot_status" -> (Queries2.qPivotStatus _),
+    "q_json_props" -> (Queries2.qJsonProps _),
+    "q_intersect_nations" -> (Queries2.qIntersectNations _),
     // format layer: queries over 4mc/4mz round-tripped tables
     "fourmc_lineitem_q1" -> (RoundTrip.q1OverFourMc _),
     "fourmz_lineitem_q1" -> (RoundTrip.q1OverFourMz _),
@@ -109,6 +122,19 @@ object SparkEntry {
     "q_having_suppliers" -> Queries.qHavingSql,
     "q_events_hourly" -> Queries.qEventsHourlySql,
     "q_events_sessions" -> Queries.qEventsSessionsSql,
+    "q8_market_share" -> Queries2.q8Sql,
+    "q9_profit_nation" -> Queries2.q9Sql,
+    "q12_priority_class" -> Queries2.q12Sql,
+    "q13_order_distribution" -> Queries2.q13Sql,
+    "q15_top_supplier" -> Queries2.q15Sql,
+    "q16_supplier_variety" -> Queries2.q16Sql,
+    "q18_large_orders" -> Queries2.q18Sql,
+    "q19_disjunctive" -> Queries2.q19Sql,
+    "q22_wealthy_inactive" -> Queries2.q22Sql,
+    "q_cube_revenue" -> Queries2.qCubeSql,
+    "q_pivot_status" -> Queries2.qPivotSql,
+    "q_json_props" -> Queries2.qJsonSql,
+    "q_intersect_nations" -> Queries2.qIntersectSql,
     "fourmc_lineitem_q1" -> Queries.q1Sql,
     "fourmz_lineitem_q1" -> Queries.q1Sql,
     "fourmz_document_stats" -> RoundTrip.documentStatsSql,
