@@ -98,6 +98,21 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val fieldTypes = requiredSchema.fields.map(_.dataType)
       val nFields = requiredSchema.length
       val totalFields = dataSchema.length
+      // Precompiled parse tags: the hot loop dispatches on an Int jump table
+      // instead of re-matching DataType case objects per value.
+      val fieldTags: Array[Int] = fieldTypes.map {
+        case StringType                       => CsvPayload.TagString
+        case LongType                         => CsvPayload.TagLong
+        case IntegerType                      => CsvPayload.TagInt
+        case DoubleType                       => CsvPayload.TagDouble
+        case FloatType                        => CsvPayload.TagFloat
+        case BooleanType                      => CsvPayload.TagBoolean
+        case TimestampType | TimestampNTZType => CsvPayload.TagTimestamp
+        case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
+      }
+      // Boundary scan can stop after the last REQUIRED field: a projection of
+      // the first k columns never walks the tail of the line.
+      val neededFields = if (fieldIdx.isEmpty) 0 else fieldIdx.max + 1
       val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
@@ -111,12 +126,13 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         val lines = new FourMcLineIterator(in, index, file.start, file.start + file.length)
         val starts = new Array[Int](totalFields + 1)
         lines.map { case (_, bytes) =>
-          // locate field boundaries in one pass; a '\' escapes the next byte,
-          // so escaped delimiters inside values don't split fields
+          // locate field boundaries in one pass, stopping after the last
+          // required field; a '\' escapes the next byte, so escaped
+          // delimiters inside values don't split fields
           var f = 1
           starts(0) = 0
           var i = 0
-          while (i < bytes.length && f < totalFields) {
+          while (i < bytes.length && f < neededFields) {
             val b = bytes(i)
             if (b == CsvPayload.Esc) i += 2
             else {
@@ -124,37 +140,53 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
               i += 1
             }
           }
-          starts(totalFields) = bytes.length + 1
-          while (f < totalFields) { starts(f) = bytes.length + 1; f += 1 } // missing fields -> empty
+          // boundary of the field after the last delimiter found: end of line
+          // if the scan consumed it, else the next delimiter position found
+          // lazily — missing trailing fields read as empty
+          while (f <= math.min(neededFields, totalFields - 1)) { starts(f) = bytes.length + 1; f += 1 }
+          if (neededFields == totalFields) starts(totalFields) = bytes.length + 1
           val row = new GenericInternalRow(nFields)
           var k = 0
           while (k < nFields) {
             val src = fieldIdx(k)
             val s = starts(src)
-            val e = math.min(starts(src + 1) - 1, bytes.length)
+            val e =
+              if (src + 1 >= neededFields && src + 1 < totalFields) {
+                // required field is the last scanned one but not the last in
+                // the schema: its value ends at the next delimiter, which the
+                // capped scan didn't index — find it forward from s
+                var j = s
+                var stop = -1
+                while (j < bytes.length && stop < 0) {
+                  if (bytes(j) == CsvPayload.Esc) j += 2
+                  else if (bytes(j) == delim) stop = j
+                  else j += 1
+                }
+                if (stop < 0) bytes.length else stop
+              } else math.min(starts(src + 1) - 1, bytes.length)
             val v: Any =
               if (CsvPayload.isNullMarker(bytes, s, e)) null
-              else if (fieldTypes(k) == StringType) {
+              else if (fieldTags(k) == CsvPayload.TagString) {
                 if (s >= e) UTF8String.EMPTY_UTF8 // empty field = empty string, not null
                 else CsvPayload.unescape(bytes, s, e, delim)
               } else if (s >= e) null
               else {
                 // numeric/timestamp decode straight off the byte slice — no
-                // per-field String for the hot types
-                fieldTypes(k) match {
-                  case LongType    => CsvPayload.parseLong(bytes, s, e)
-                  case IntegerType => CsvPayload.parseInt(bytes, s, e)
-                  case DoubleType  => CsvPayload.parseDouble(bytes, s, e)
-                  case FloatType   => CsvPayload.parseFloat(bytes, s, e)
-                  case BooleanType => bytes(s) == 't' || bytes(s) == 'T'
-                  case TimestampType | TimestampNTZType =>
+                // per-field String for the hot types, Int-tag jump table
+                // instead of a DataType match per value
+                (fieldTags(k): @scala.annotation.switch) match {
+                  case CsvPayload.TagLong    => CsvPayload.parseLong(bytes, s, e)
+                  case CsvPayload.TagInt     => CsvPayload.parseInt(bytes, s, e)
+                  case CsvPayload.TagDouble  => CsvPayload.parseDouble(bytes, s, e)
+                  case CsvPayload.TagFloat   => CsvPayload.parseFloat(bytes, s, e)
+                  case CsvPayload.TagBoolean => bytes(s) == 't' || bytes(s) == 'T'
+                  case _ =>
                     if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
                       CsvPayload.parseTimestampMicros(bytes, s, e)
                     else {
                       val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     }
-                  case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
                 }
               }
             row.update(k, v)
@@ -394,6 +426,16 @@ final class FourMcCsvOutputWriter(
   */
 object CsvPayload {
   val Esc: Byte = '\\'.toByte
+
+  // parse-dispatch tags (compile DataType to an Int once per reader; the
+  // per-value hot loop then switches on a jump table)
+  final val TagString = 0
+  final val TagLong = 1
+  final val TagInt = 2
+  final val TagDouble = 3
+  final val TagFloat = 4
+  final val TagBoolean = 5
+  final val TagTimestamp = 6
 
   def isNullMarker(b: Array[Byte], s: Int, e: Int): Boolean =
     e - s == 2 && b(s) == Esc && b(s + 1) == 'N'

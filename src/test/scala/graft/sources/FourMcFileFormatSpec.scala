@@ -279,6 +279,39 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
   }
 
+  test("csv narrow projections: capped boundary scan matches full reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // Escaped delimiters/newlines in EVERY field so the capped scan and its
+    // forward search for the last required field's extent must honor escapes;
+    // trailing fields are never reached by the scan when pruned.
+    val rng = new scala.util.Random(7)
+    val alphabet = "ab|\\\nN\r é".toCharArray
+    def s(): String = new String(Array.fill(rng.nextInt(10))(alphabet(rng.nextInt(alphabet.length))))
+    val rows = (0 until 300).map(i => (i.toLong, s(), rng.nextDouble(), s(), s()))
+    val df = rows.toDF("id", "a", "x", "b", "c")
+    val dir = tmpDir()
+    df.write.format("4mc").option("payload", "csv").option("codec", "lz4-fast").save(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType), StructField("x", DoubleType),
+      StructField("b", StringType), StructField("c", StringType)))
+    val back = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    // middle column only: scan stops at field 1's end via forward search
+    val gotA = back.select("a").as[String].collect().sorted.toSeq
+    assert(gotA == rows.map(_._2).sorted.toSeq)
+    // leading column only
+    val gotId = back.select("id").as[Long].collect().sorted.toSeq
+    assert(gotId == rows.map(_._1).sorted.toSeq)
+    // two non-adjacent columns incl. a numeric
+    val gotIdX = back.select("id", "x").collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(gotIdX == rows.map(t => (t._1, t._3)).sortBy(_._1).toSeq)
+    // last column still correct (full scan path)
+    val gotC = back.select("c").as[String].collect().sorted.toSeq
+    assert(gotC == rows.map(_._5).sorted.toSeq)
+    // count(*) with zero required columns
+    assert(back.count() == rows.length)
+  }
+
   test("sql over 4mc lines: csv parse + aggregate") {
     import spark.implicits._
     val dir = tmpDir()
