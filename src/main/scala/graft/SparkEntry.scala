@@ -51,6 +51,8 @@ object SparkEntry {
     "q_pivot_status" -> (Queries2.qPivotStatus _),
     "q_json_props" -> (Queries2.qJsonProps _),
     "q_intersect_nations" -> (Queries2.qIntersectNations _),
+    "asof_purchase_attribution" -> (graft.ops.TemporalJoins.asofPurchaseAttribution _),
+    "range_join_view_click" -> (graft.ops.TemporalJoins.rangeViewClick _),
     // format layer: queries over 4mc/4mz round-tripped tables
     "fourmc_lineitem_q1" -> (RoundTrip.q1OverFourMc _),
     "fourmz_lineitem_q1" -> (RoundTrip.q1OverFourMz _),
@@ -135,6 +137,8 @@ object SparkEntry {
     "q_pivot_status" -> Queries2.qPivotSql,
     "q_json_props" -> Queries2.qJsonSql,
     "q_intersect_nations" -> Queries2.qIntersectSql,
+    "asof_purchase_attribution" -> graft.ops.TemporalJoins.asofPurchaseAttributionSql,
+    "range_join_view_click" -> graft.ops.TemporalJoins.rangeViewClickSql,
     "fourmc_lineitem_q1" -> Queries.q1Sql,
     "fourmz_lineitem_q1" -> Queries.q1Sql,
     "fourmz_document_stats" -> RoundTrip.documentStatsSql,
