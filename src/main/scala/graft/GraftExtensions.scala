@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpr, DotProductExpr, ProtoStructExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, FrequencySketch, ProtoStructExpr}
 
 /** Cluster-wide registration of graft's native functions:
   *
@@ -48,6 +48,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                   s"proto_struct field spec must be a string literal, got $other")
             }
           )
+      )
+    )
+    // topk_freq(col, k, capacity) — mergeable Misra-Gries heavy hitters;
+    // k/capacity must be integer literals
+    ext.injectFunction(
+      (
+        FunctionIdentifier("topk_freq"),
+        new ExpressionInfo(classOf[FrequencySketch].getName, "topk_freq"),
+        (exprs: Seq[Expression]) => {
+          def intLit(e: Expression, what: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other =>
+              throw new IllegalArgumentException(s"topk_freq $what must be an int literal, got $other")
+          }
+          FrequencySketch(
+            exprs.head,
+            intLit(exprs(1), "k"),
+            intLit(exprs(2), "capacity")
+          ).toAggregateExpression()
+        }
       )
     )
   }

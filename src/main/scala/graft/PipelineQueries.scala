@@ -380,4 +380,26 @@ object PipelineQueries {
   }
 
   val multimodalSql: String = Multimodal.pipelineMetricsSql(2000)
+
+  // --------------------------------------------------------- sketch surface
+
+  /** D8: heavy hitters via the mergeable Misra-Gries aggregate
+    * ([[graft.functions.FrequencySketch]]). capacity=64 exceeds the
+    * event_type cardinality, so the sketch is EXACT here and oracle-checkable;
+    * the approximation regime (capacity < distinct) is pinned in
+    * FrequencySketchSpec. At 100 TB each partition ships 64 counters — the
+    * shuffle never carries rows.
+    */
+  def topkEventTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Queries.events(spark, sfDir)
+      .agg(graft.functions.FrequencySketch.topk_freq($"event_type", 5, 64).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("event_type"), $"e.cnt".as("n_events"))
+      .orderBy($"n_events".desc, $"event_type")
+  }
+
+  val topkEventTypesSql: String =
+    """SELECT event_type, COUNT(*) AS n_events FROM events
+      |GROUP BY event_type ORDER BY n_events DESC, event_type LIMIT 5""".stripMargin
 }

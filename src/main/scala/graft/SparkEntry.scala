@@ -78,6 +78,7 @@ object SparkEntry {
     "token_counts_subword" -> (PipelineQueries.tokenCountsSubword _),
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
     "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
+    "topk_event_types" -> (PipelineQueries.topkEventTypes _),
     "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "token_counts_subword" -> PipelineQueries.tokenCountsSubwordSql,
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
     "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
+    "topk_event_types" -> PipelineQueries.topkEventTypesSql,
     "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql
