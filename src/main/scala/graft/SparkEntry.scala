@@ -82,7 +82,8 @@ object SparkEntry {
     "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
-    "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _)
+    "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _),
+    "streaming_sessions_stateful" -> (graft.streaming.StreamingQueries.streamingSessionsStateful _)
   )
 
   /** Resolve the SPARK_GRAFT_ONLY filter (comma-separated names; blank or
@@ -167,6 +168,7 @@ object SparkEntry {
     "topk_event_types" -> PipelineQueries.topkEventTypesSql,
     "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
-    "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql
+    "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,
+    "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql
   )
 }

@@ -101,6 +101,65 @@ object StreamingQueries {
       |  (SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) - INTERVAL 17 MINUTE FROM events)
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Stateful session windows in APPEND mode: `session_window(ts, 30 min)`
+    * per user — windows merge while consecutive gaps stay under 30 minutes
+    * and close (emit + state drop) when the watermark passes `last event +
+    * gap`. The state store holds only OPEN sessions, so at 100 TB its size
+    * tracks concurrently-active users inside the lateness horizon, not
+    * history. Drained result is re-aggregated per user over the CLOSED
+    * sessions; the oracle mirrors the gap-split (new session when the gap is
+    * >= 30 min — session_window's interval end is exclusive) and the closing
+    * condition.
+    */
+  def streamingSessionsStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    val stream = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .schema(schema)
+      .load(dir)
+    val perSession = stream
+      .withWatermark("ts", "17 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_session_events"))
+      .select(col("user_id"), col("n_session_events"))
+    drain(session, perSession, OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_session_events")).as("n_events")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  /** DuckDB mirror: gap-split sessionization (>= 30 min starts a new
+    * session), keep sessions whose `max(ts) + 30 min` is at or below the
+    * final watermark, re-aggregate per user.
+    */
+  val streamingSessionsStatefulSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagged
+      |), sess AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_session_events, MAX(ts) AS last_ts
+      |  FROM numbered GROUP BY 1, 2
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_session_events) AS BIGINT) AS n_events
+      |FROM sess
+      |WHERE last_ts + INTERVAL 30 MINUTE <=
+      |  (SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) - INTERVAL 17 MINUTE FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Start `agg` against an in-memory sink on `session`, drain it fully, and
     * return the result with the temp view already dropped. The state-store
     * partition count (fixed at stream start from

@@ -173,4 +173,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.join(want, Seq("user_id")).filter(got("n") =!= want("n")).count() == 0)
     assert(got.count() == want.count())
   }
+
+  test("stateful session windows: closed sessions match the batch gap-split") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val out = StreamingQueries.streamingSessionsStateful(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out.nonEmpty)
+    // batch mirror: gap >= 30 min starts a new session; keep sessions closed
+    // at the final watermark (max ts floored to ms − 17 min)
+    val ev = graft.Queries.events(spark, "/root/testdata/sf0.001")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wm = ev.agg(max(expr("timestamp_millis(unix_millis(ts))"))).head().getTimestamp(0).getTime - 17 * 60 * 1000
+    val sess = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull || unix_micros($"ts") - unix_micros($"prev_ts") >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n"), max($"ts").as("last_ts"))
+      .filter(unix_millis($"last_ts") + 30 * 60 * 1000 <= wm)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out == sess)
+    // session hygiene: caller conf untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
