@@ -402,4 +402,79 @@ object PipelineQueries {
   val topkEventTypesSql: String =
     """SELECT event_type, COUNT(*) AS n_events FROM events
       |GROUP BY event_type ORDER BY n_events DESC, event_type LIMIT 5""".stripMargin
+
+  // ------------------------------------------------------- skew & bucketing
+
+  /** Salted join driver row: per-supplier revenue through
+    * [[Skew.saltedJoin]] — the salt spreads a hot supplier over 8 reducers
+    * and must NOT change the result, so the oracle is the plain join.
+    */
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val li = Queries.table(spark, sfDir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+    val supp = Queries.table(spark, sfDir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+    Skew.saltedJoin(li, supp, "suppkey", 8)
+      .groupBy($"s_name")
+      .agg(
+        sum(($"l_extendedprice".cast(DecimalType(18, 2))) * (lit(1) - $"l_discount".cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy($"revenue".desc, $"s_name")
+      .limit(25)
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT s_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 25""".stripMargin
+
+  /** Hot-key measurement op as a driver row: the 10 heaviest part keys. */
+  def skewHotKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.hotKeys(Queries.table(spark, sfDir, "lineitem"), "l_partkey", 10)
+
+  val skewHotKeysSql: String =
+    """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 10""".stripMargin
+
+  /** Bucketed co-located join as a driver row: both sides written
+    * bucketed+sorted on the join key (once per JVM per sf), then joined with
+    * ZERO exchange (plan pinned in OpsSpec) — result identical to the plain
+    * join, which is the oracle.
+    */
+  def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val liTbl = s"graft_li_bkt_$key"
+    val ordTbl = s"graft_ord_bkt_$key"
+    if (!spark.catalog.tableExists(liTbl)) {
+      Bucketing.writeBucketed(
+        Queries.table(spark, sfDir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        liTbl, "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        Queries.table(spark, sfDir, "orders").select($"o_orderkey", $"o_orderpriority"),
+        ordTbl, "o_orderkey", 8)
+    }
+    spark.table(liTbl)
+      .join(spark.table(ordTbl), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(($"l_extendedprice".cast(DecimalType(18, 2))) * (lit(1) - $"l_discount".cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy($"o_orderpriority")
+  }
+
+  val bucketedJoinRevenueSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -79,6 +79,9 @@ object SparkEntry {
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
     "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
     "topk_event_types" -> (PipelineQueries.topkEventTypes _),
+    "skew_salted_join" -> (PipelineQueries.skewSaltedJoin _),
+    "skew_hot_keys" -> (PipelineQueries.skewHotKeys _),
+    "bucketed_join_revenue" -> (PipelineQueries.bucketedJoinRevenue _),
     "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
@@ -166,6 +169,9 @@ object SparkEntry {
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
     "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
     "topk_event_types" -> PipelineQueries.topkEventTypesSql,
+    "skew_salted_join" -> PipelineQueries.skewSaltedJoinSql,
+    "skew_hot_keys" -> PipelineQueries.skewHotKeysSql,
+    "bucketed_join_revenue" -> PipelineQueries.bucketedJoinRevenueSql,
     "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,

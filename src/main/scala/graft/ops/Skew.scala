@@ -31,5 +31,8 @@ object Skew {
     * deciding to salt, cap, or broadcast.
     */
   def hotKeys(df: DataFrame, key: String, n: Int): DataFrame =
-    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).orderBy(col("cnt").desc).limit(n)
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc) // key tiebreak: deterministic under count ties
+      .limit(n)
 }
