@@ -159,4 +159,38 @@ object RoundTrip {
   val ordersSelfJoinSql: String =
     """SELECT COUNT(*) AS n_rows, CAST(SUM(CASE WHEN o_totalprice = o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_price_equal
       |FROM orders""".stripMargin
+
+  /** Documents round-tripped into a HIVE-PARTITIONED 4mc layout
+    * (`lang=<v>/…`), then scanned with a partition filter: Spark's FileIndex
+    * prunes the other languages' directories before any 4mc footer or block
+    * is touched — the per-partition-dir analog of split planning, and the
+    * standard 100-TB layout for a corpus keyed by source/language/date. The
+    * oracle applies the same predicate relationally.
+    */
+  def docsPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = rtDir(sfDir, "documents-bylang", "lz4-fast", tsFmt)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Queries.table(spark, sfDir, "documents")
+        .select($"doc_id", $"n_chars", $"source", $"lang")
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .partitionBy("lang").save(dir.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("source", StringType), StructField("lang", StringType)))
+    spark.read
+      .format("4mc").option("payload", "csv").schema(schema)
+      .load(dir.getAbsolutePath)
+      .filter($"lang" === "en" || $"lang" === "zh")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val docsPartitionPrunedSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang IN ('en', 'zh')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 }

@@ -59,6 +59,7 @@ object SparkEntry {
     "fourmz_document_stats" -> (RoundTrip.documentStats _),
     "fourmz_events_hourly" -> (RoundTrip.eventsHourlyOverFourMz _),
     "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _),
+    "fourmc_partition_pruned" -> (RoundTrip.docsPartitionPruned _),
     // LLM-pipeline operators (SURVEY §2 D)
     "dedup_exact_docs" -> (PipelineQueries.dedupExactDocs _),
     "dedup_ngram_pairs" -> (PipelineQueries.dedupNgramPairs _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "fourmz_document_stats" -> RoundTrip.documentStatsSql,
     "fourmz_events_hourly" -> Queries.qEventsHourlySql,
     "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
+    "fourmc_partition_pruned" -> RoundTrip.docsPartitionPrunedSql,
     // pipeline operators with DuckDB-expressible semantics
     "dedup_exact_docs" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_pairs" -> PipelineQueries.dedupNgramSql,

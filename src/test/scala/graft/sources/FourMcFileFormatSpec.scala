@@ -312,6 +312,35 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(back.count() == rows.length)
   }
 
+  test("hive-partitioned 4mc dir: partition pruning eliminates non-matching files") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select($"doc_id", $"n_chars", $"lang")
+      .write.format("4mc").option("payload", "csv").partitionBy("lang").save(dir)
+    // partition dirs exist per lang
+    val langDirs = new java.io.File(dir).listFiles.filter(_.getName.startsWith("lang=")).map(_.getName)
+    assert(langDirs.length > 1, langDirs.mkString(","))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType),
+      StructField("lang", StringType)))
+    val back = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val one = back.filter($"lang" === "en")
+    // pruning visible in the plan…
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n${scan.take(800)}")
+    // …and in the files actually read
+    val files = one.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.take(3).mkString(","))
+    // values correct: per-lang totals match parquet
+    val got = back.groupBy($"lang").agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = docs.groupBy($"lang").agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("sql over 4mc lines: csv parse + aggregate") {
     import spark.implicits._
     val dir = tmpDir()
