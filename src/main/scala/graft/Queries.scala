@@ -72,9 +72,12 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Q6: tight scan + filter + scalar agg; filters push to the parquet scan. */
-  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    table(spark, sfDir, "lineitem")
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    q6Over(table(spark, sfDir, "lineitem"))
+
+  def q6Over(lineitem: DataFrame): DataFrame = {
+    import lineitem.sparkSession.implicits._
+    lineitem
       .filter(
         $"l_shipdate" >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
           $"l_shipdate" < lit("1997-01-01 00:00:00").cast(TimestampType) &&

@@ -98,6 +98,13 @@ object RoundTrip {
   def q1OverFourMz(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "zstd-3"))
 
+  /** Q6 over the LZ4 round-trip: a ~2%-selective predicate pushed into the
+    * csv parse — rows failing the shipdate/discount/quantity window parse
+    * only the filter columns (the reader's in-parse predicate path).
+    */
+  def q6OverFourMc(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q6Over(roundTrip(spark, sfDir, "lineitem", "lz4-fast"))
+
   /** Documents through 4mz: per-language doc count + exact char sum. The text
     * itself crosses the container, not just the metadata.
     */

@@ -60,6 +60,7 @@ object SparkEntry {
     "fourmz_events_hourly" -> (RoundTrip.eventsHourlyOverFourMz _),
     "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _),
     "fourmc_partition_pruned" -> (RoundTrip.docsPartitionPruned _),
+    "fourmc_q6_selective" -> (RoundTrip.q6OverFourMc _),
     // LLM-pipeline operators (SURVEY §2 D)
     "dedup_exact_docs" -> (PipelineQueries.dedupExactDocs _),
     "dedup_ngram_pairs" -> (PipelineQueries.dedupNgramPairs _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "fourmz_events_hourly" -> Queries.qEventsHourlySql,
     "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
     "fourmc_partition_pruned" -> RoundTrip.docsPartitionPrunedSql,
+    "fourmc_q6_selective" -> Queries.q6Sql,
     // pipeline operators with DuckDB-expressible semantics
     "dedup_exact_docs" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_pairs" -> PipelineQueries.dedupNgramSql,

@@ -114,6 +114,14 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // the first k columns never walks the tail of the line.
       val neededFields = if (fieldIdx.isEmpty) 0 else fieldIdx.max + 1
       val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
+      // Pushed-filter evaluation INSIDE the parse: filter-bound fields parse
+      // first and each predicate runs as soon as its value exists, so a row
+      // that fails a selective scan predicate never parses the remaining
+      // columns. Spark re-applies every pushed filter above the scan, so the
+      // compiled subset only has to be sound, not complete.
+      val fieldPreds = CsvPayload.compileFilters(filters, requiredSchema, fieldTags)
+      val parseOrder: Array[Int] =
+        (0 until nFields).sortBy(k => (if (fieldPreds(k).nonEmpty) 0 else 1, k)).toArray
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
@@ -146,8 +154,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           while (f <= math.min(neededFields, totalFields - 1)) { starts(f) = bytes.length + 1; f += 1 }
           if (neededFields == totalFields) starts(totalFields) = bytes.length + 1
           val row = new GenericInternalRow(nFields)
-          var k = 0
-          while (k < nFields) {
+          var keep = true
+          var oi = 0
+          while (oi < nFields && keep) {
+            val k = parseOrder(oi)
             val src = fieldIdx(k)
             val s = starts(src)
             val e =
@@ -189,11 +199,17 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                     }
                 }
               }
-            row.update(k, v)
-            k += 1
+            val ps = fieldPreds(k)
+            var pi = 0
+            while (pi < ps.length && keep) {
+              if (!ps(pi)(v)) keep = false
+              pi += 1
+            }
+            if (keep) row.update(k, v)
+            oi += 1
           }
-          row: InternalRow
-        }
+          (if (keep) row else null): InternalRow
+        }.filter(_ ne null)
       }
     } else {
       val wantOffset = requiredSchema.fieldNames.contains("offset")
@@ -436,6 +452,113 @@ object CsvPayload {
   final val TagFloat = 4
   final val TagBoolean = 5
   final val TagTimestamp = 6
+
+  /** Compile the pushable single-column conjuncts of `filters` into per-
+    * required-field predicates over PARSED values (internal representations:
+    * UTF8String / Long / Int / Double / Float / Boolean / micros-Long).
+    *
+    * Only filters the parse can decide locally are compiled — everything
+    * else is left to Spark's own Filter above the scan (which re-applies ALL
+    * pushed filters, so dropping a filter here is always safe, never wrong).
+    * Comparison predicates are false on null (SQL three-valued logic: an
+    * UNKNOWN row can never pass the downstream filter either, so skipping it
+    * early is sound).
+    *
+    * Returns one (possibly empty) predicate array per required-schema field.
+    */
+  def compileFilters(
+      filters: Seq[Filter],
+      schema: StructType,
+      tags: Array[Int]
+  ): Array[Array[Any => Boolean]] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
+    def lit(tag: Int, v: Any): Option[Any] = tag match {
+      case TagString => Some(UTF8String.fromString(v.toString))
+      case TagLong | TagInt =>
+        v match { case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue)); case _ => None }
+      case TagDouble =>
+        v match { case n: java.lang.Number => Some(java.lang.Double.valueOf(n.doubleValue)); case _ => None }
+      case TagFloat =>
+        v match { case n: java.lang.Number => Some(java.lang.Float.valueOf(n.floatValue)); case _ => None }
+      case TagBoolean => v match { case b: java.lang.Boolean => Some(b); case _ => None }
+      case TagTimestamp =>
+        v match {
+          case t: java.sql.Timestamp     => Some(java.lang.Long.valueOf(DateTimeUtils.fromJavaTimestamp(t)))
+          case i: java.time.Instant      => Some(java.lang.Long.valueOf(DateTimeUtils.instantToMicros(i)))
+          case l: java.time.LocalDateTime => Some(java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(l)))
+          case _                         => None
+        }
+      case _ => None
+    }
+
+    // parsed-value vs converted-literal comparison; caller guarantees x != null
+    def cmp(tag: Int, x: Any, l: Any): Int = tag match {
+      case TagString => x.asInstanceOf[UTF8String].compareTo(l.asInstanceOf[UTF8String])
+      case TagLong | TagInt =>
+        val xv = x match { case i: java.lang.Integer => i.longValue; case n: java.lang.Number => n.longValue }
+        java.lang.Long.compare(xv, l.asInstanceOf[java.lang.Long].longValue)
+      case TagDouble =>
+        java.lang.Double.compare(x.asInstanceOf[java.lang.Double].doubleValue, l.asInstanceOf[java.lang.Double].doubleValue)
+      case TagFloat =>
+        java.lang.Float.compare(x.asInstanceOf[java.lang.Float].floatValue, l.asInstanceOf[java.lang.Float].floatValue)
+      case TagBoolean =>
+        java.lang.Boolean.compare(x.asInstanceOf[java.lang.Boolean].booleanValue, l.asInstanceOf[java.lang.Boolean].booleanValue)
+      case TagTimestamp =>
+        java.lang.Long.compare(x.asInstanceOf[java.lang.Long].longValue, l.asInstanceOf[java.lang.Long].longValue)
+      case _ => 0
+    }
+
+    val byField = Array.fill(schema.length)(List.empty[Any => Boolean])
+    def fieldOf(attr: String): Int =
+      schema.fields.indexWhere(_.name == attr) // -1 when the column isn't required here
+
+    def add(attr: String, p: Int => Option[Any => Boolean]): Unit = {
+      val k = fieldOf(attr)
+      if (k >= 0) p(k).foreach(pred => byField(k) = pred :: byField(k))
+    }
+
+    def compileOne(f: Filter): Unit = f match {
+      case And(a, b) => compileOne(a); compileOne(b)
+      case IsNotNull(a) => add(a, _ => Some(v => v != null))
+      case IsNull(a)    => add(a, _ => Some(v => v == null))
+      case EqualTo(a, v) =>
+        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) == 0))
+      case GreaterThan(a, v) =>
+        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) > 0))
+      case GreaterThanOrEqual(a, v) =>
+        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) >= 0))
+      case LessThan(a, v) =>
+        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) < 0))
+      case LessThanOrEqual(a, v) =>
+        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) <= 0))
+      case In(a, vs) =>
+        add(a, k => {
+          val ls = vs.toSeq.map(v => lit(tags(k), v))
+          if (ls.exists(_.isEmpty)) None
+          else { val arr = ls.flatten; Some(x => x != null && arr.exists(l => cmp(tags(k), x, l) == 0)) }
+        })
+      case StringStartsWith(a, v) =>
+        add(a, k => if (tags(k) == TagString) {
+          val p = UTF8String.fromString(v)
+          Some(x => x != null && x.asInstanceOf[UTF8String].startsWith(p))
+        } else None)
+      case StringEndsWith(a, v) =>
+        add(a, k => if (tags(k) == TagString) {
+          val p = UTF8String.fromString(v)
+          Some(x => x != null && x.asInstanceOf[UTF8String].endsWith(p))
+        } else None)
+      case StringContains(a, v) =>
+        add(a, k => if (tags(k) == TagString) {
+          val p = UTF8String.fromString(v)
+          Some(x => x != null && x.asInstanceOf[UTF8String].contains(p))
+        } else None)
+      case _ => // Or / Not / nested — left to Spark's post-scan Filter
+    }
+    filters.foreach(compileOne)
+    byField.map(_.toArray)
+  }
 
   def isNullMarker(b: Array[Byte], s: Int, e: Int): Boolean =
     e - s == 2 && b(s) == Esc && b(s + 1) == 'N'

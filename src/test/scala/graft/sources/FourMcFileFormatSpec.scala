@@ -312,6 +312,71 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(back.count() == rows.length)
   }
 
+  test("csv pushed filters evaluate during parse: every type, nulls, equivalence") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val rows: Seq[(java.lang.Long, java.lang.Double, String, java.sql.Timestamp)] =
+      (0 until 1000).map { i =>
+        (
+          java.lang.Long.valueOf(i.toLong),
+          if (i % 7 == 0) null else java.lang.Double.valueOf(i * 1.5),
+          if (i % 11 == 0) null else s"s${i % 13}|x", // escaped delimiter inside values
+          java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 12:00:00")
+        )
+      }
+    rows.toDF("id", "x", "s", "ts")
+      .write.format("4mc").option("payload", "csv")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").option("codec", "lz4-fast").save(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("s", StringType), StructField("ts", TimestampType)))
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").schema(schema).load(dir)
+    val ref = rows.toDF("id", "x", "s", "ts")
+    def check(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val got = f(back).collect().map(_.toSeq).toSet
+      val want = f(ref).collect().map(_.toSeq).toSet
+      assert(got == want, s"$name: ${got.size} vs ${want.size}")
+    }
+    check("long range", _.filter($"id" > 900))
+    check("double lt null-skip", _.filter($"x" < 100.0))
+    check("string eq escaped", _.filter($"s" === "s3|x"))
+    check("string startswith", _.filter($"s".startsWith("s1")))
+    check("isnull", _.filter($"x".isNull).select($"id"))
+    check("isnotnull", _.filter($"s".isNotNull).select($"id"))
+    check("in-set", _.filter($"id".isin(1L, 500L, 999L)))
+    check("ts range", _.filter($"ts" >= java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+    check("conjunction", _.filter($"id" > 100 && $"x" < 600.0 && $"s".isNotNull))
+  }
+
+  test("compileFilters: sound predicates over parsed internal values") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType), StructField("c", DoubleType)))
+    val tags = Array(CsvPayload.TagLong, CsvPayload.TagString, CsvPayload.TagDouble)
+    val preds = CsvPayload.compileFilters(
+      Seq(
+        GreaterThan("a", java.lang.Long.valueOf(10L)),
+        EqualTo("b", "hi"),
+        And(IsNotNull("c"), LessThanOrEqual("c", java.lang.Double.valueOf(2.5))),
+        EqualTo("missing", "ignored"), // column not in required schema: dropped
+        Or(EqualTo("a", 1L), EqualTo("a", 2L)) // disjunction: left to Spark
+      ),
+      schema, tags)
+    assert(preds(0).length == 1 && preds(1).length == 1 && preds(2).length == 2)
+    assert(preds(0).forall(_(java.lang.Long.valueOf(11L))))
+    assert(!preds(0).forall(_(java.lang.Long.valueOf(10L))))
+    assert(!preds(0).forall(_(null))) // null fails comparisons (3VL)
+    assert(preds(1).forall(_(UTF8String.fromString("hi"))))
+    assert(!preds(1).forall(_(UTF8String.fromString("ho"))))
+    assert(preds(2).forall(_(java.lang.Double.valueOf(2.5))))
+    assert(!preds(2).forall(_(java.lang.Double.valueOf(2.6))))
+    assert(!preds(2).forall(_(null)))
+  }
+
   test("hive-partitioned 4mc dir: partition pruning eliminates non-matching files") {
     import spark.implicits._
     import org.apache.spark.sql.types._
