@@ -48,6 +48,8 @@ object SparkEntry {
     "q19_disjunctive" -> (Queries2.q19Disjunctive _),
     "q22_wealthy_inactive" -> (Queries2.q22WealthyInactive _),
     "q_cube_revenue" -> (Queries2.qCubeRevenue _),
+    "q_grouping_sets" -> (Queries2.qGroupingSets _),
+    "q_percentiles" -> (Queries2.qPercentiles _),
     "q_pivot_status" -> (Queries2.qPivotStatus _),
     "q_json_props" -> (Queries2.qJsonProps _),
     "q_intersect_nations" -> (Queries2.qIntersectNations _),
@@ -141,6 +143,8 @@ object SparkEntry {
     "q19_disjunctive" -> Queries2.q19Sql,
     "q22_wealthy_inactive" -> Queries2.q22Sql,
     "q_cube_revenue" -> Queries2.qCubeSql,
+    "q_grouping_sets" -> Queries2.qGroupingSetsSql,
+    "q_percentiles" -> Queries2.qPercentilesSql,
     "q_pivot_status" -> Queries2.qPivotSql,
     "q_json_props" -> Queries2.qJsonSql,
     "q_intersect_nations" -> Queries2.qIntersectSql,
