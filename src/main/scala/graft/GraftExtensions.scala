@@ -57,8 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("topk_freq"),
         new ExpressionInfo(classOf[FrequencySketch].getName, "topk_freq"),
         (exprs: Seq[Expression]) => {
+          if (exprs.length != 3)
+            throw new IllegalArgumentException(
+              s"topk_freq(col, k, capacity) takes 3 arguments, got ${exprs.length}")
           def intLit(e: Expression, what: String): Int = e match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+                if v.isValidInt => v.toInt
             case other =>
               throw new IllegalArgumentException(s"topk_freq $what must be an int literal, got $other")
           }

@@ -38,6 +38,13 @@ case class FrequencySketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_freq requires a STRING column, got ${child.dataType.simpleString}")
+  }
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("item", StringType), StructField("cnt", LongType))),
     containsNull = false

@@ -116,8 +116,12 @@ object TemporalJoins {
     import spark.implicits._
     val events = graft.Queries.events(spark, sfDir)
     val clicks = events.filter($"event_type" === "click").select($"user_id", $"ts")
+    // null-valued purchases are excluded on BOTH sides: the oracle's
+    // last_value(... IGNORE NULLS) would otherwise skip past a null-valued
+    // purchase that Spark's as-of (which tracks the row, not the value)
+    // would pick
     val purchases = events
-      .filter($"event_type" === "purchase")
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
       .select($"user_id", $"ts", $"value")
     asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
       .groupBy($"user_id")
@@ -132,7 +136,8 @@ object TemporalJoins {
 
   val asofPurchaseAttributionSql: String =
     """WITH tagged AS (
-      |  SELECT user_id, ts, value AS p_value, 1 AS is_p FROM events WHERE event_type = 'purchase'
+      |  SELECT user_id, ts, value AS p_value, 1 AS is_p FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
       |  UNION ALL
       |  SELECT user_id, ts, NULL, 0 FROM events WHERE event_type = 'click'
       |), attributed AS (

@@ -474,7 +474,7 @@ object CsvPayload {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
-    def lit(tag: Int, v: Any): Option[Any] = tag match {
+    def lit(tag: Int, v: Any): Option[Any] = if (v == null) None else tag match {
       case TagString => Some(UTF8String.fromString(v.toString))
       case TagLong | TagInt =>
         v match { case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue)); case _ => None }

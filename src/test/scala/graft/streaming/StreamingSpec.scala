@@ -185,7 +185,9 @@ class StreamingSpec extends AnyFunSuite {
     val ev = graft.Queries.events(spark, "/root/testdata/sf0.001")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wm = ev.agg(max(expr("timestamp_millis(unix_millis(ts))"))).head().getTimestamp(0).getTime - 17 * 60 * 1000
+    // watermark is ms-floored, but Spark compares the session's FULL-micro
+    // end (last event + gap) against it — keep micros on the session side
+    val wmMicros = (ev.agg(max(unix_millis($"ts"))).head().getLong(0) - 17 * 60 * 1000) * 1000L
     val sess = ev
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn("new_s",
@@ -194,7 +196,7 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("sid", sum($"new_s").over(w.rowsBetween(Long.MinValue, 0)))
       .groupBy($"user_id", $"sid")
       .agg(count(lit(1)).as("n"), max($"ts").as("last_ts"))
-      .filter(unix_millis($"last_ts") + 30 * 60 * 1000 <= wm)
+      .filter(unix_micros($"last_ts") + 1800000000L <= wmMicros)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_sessions"), sum($"n").as("n_events"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
