@@ -17,13 +17,25 @@ object Bucketing {
       tableName: String,
       bucketCol: String,
       numBuckets: Int
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    // The default catalog is in-memory, so a crashed JVM leaves the managed
+    // table's warehouse directory on disk with no catalog entry; saveAsTable
+    // then fails with LOCATION_ALREADY_EXISTS even in overwrite mode. The
+    // table names here are graft-owned, so reclaiming the orphan is safe.
+    if (!spark.catalog.tableExists(tableName)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName) // managed table under spark.sql.warehouse.dir
+  }
 
   /** Join two bucketed tables on their bucket key — no Exchange when both
     * sides share the bucket count (verify with

@@ -342,6 +342,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed reclaims an orphaned warehouse directory") {
+    import spark.implicits._
+    // Simulate a crashed JVM: location exists on disk, catalog has no entry.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, "b_orphan")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet")).close()
+    spark.sql("DROP TABLE IF EXISTS b_orphan") // catalog must NOT know it
+    try {
+      Bucketing.writeBucketed(
+        spark.range(10).select($"id".as("k")), "b_orphan", "k", 2)
+      assert(spark.table("b_orphan").count() == 10)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orphan")
+    }
+  }
+
   test("multimodal frame-sample and feature-extract stubs") {
     import spark.implicits._
     val blobs = Multimodal.syntheticBlobs(spark, 500)
