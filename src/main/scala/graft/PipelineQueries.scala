@@ -477,4 +477,86 @@ object PipelineQueries {
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------- release-hygiene ops
+
+  /** Benchmark decontamination: eval split = doc_id % 10 == 0, report every
+    * eval doc whose 3-gram shingles appear in the train split.
+    */
+  def decontaminateEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Decontaminate.contaminationReport(
+      docs(spark, sfDir), "doc_id", "text", col("doc_id") % 10 === 0)
+      .orderBy($"contamination".desc, $"eval_doc")
+  }
+
+  val decontaminateEvalSql: String =
+    Decontaminate.contaminationReportSql("doc % 10 = 0") +
+      "\nORDER BY contamination DESC, eval_doc"
+
+  /** Deterministic stratified sampling: md5-bucket Bernoulli at per-language
+    * rates (en 25%, zh 75%, rest 50%) counted in one conditional-agg pass.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rate = when($"lang" === "en", 25).when($"lang" === "zh", 75).otherwise(50)
+    docs(spark, sfDir)
+      .withColumn("_b", Sampling.md5Bucket($"doc_id", 100))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when($"_b" < rate, lit(1))).as("n_sampled")
+      )
+      .orderBy($"lang")
+  }
+
+  val sampleStratifiedSql: String = {
+    val b = Sampling.md5BucketSql("doc_id", 100)
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN $b < (CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 75 ELSE 50 END)
+       |        THEN 1 END) AS n_sampled
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Deterministic 80/10/10 train/val/test assignment, counted per split and
+    * language.
+    */
+  def splitAssignmentCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .withColumn("split", Sampling.splitAssignment($"doc_id", 80, 10))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"split", $"lang")
+  }
+
+  val splitAssignmentSql: String =
+    s"""SELECT ${Sampling.splitAssignmentSql("doc_id", 80, 10)} AS split, lang,
+       |  COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** Token-window chunking (64-token windows, stride 48) rolled up per
+    * language: chunk count, full-window count, mean chunk tokens.
+    */
+  def docChunkStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, sfDir)
+      .select($"lang", TextAnalysis.tokens($"text").as("_toks"))
+      .select($"lang", explode(TextAnalysis.chunkLengths($"_toks", 64, 48)).as("clen"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when($"clen" === 64, lit(1))).as("full_chunks"),
+        (sum($"clen").cast(org.apache.spark.sql.types.DoubleType) / count(lit(1))).as("avg_chunk_tokens")
+      )
+      .orderBy($"lang")
+  }
+
+  val docChunkStatsSql: String =
+    s"""SELECT lang, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN clen = 64 THEN 1 END) AS full_chunks,
+       |  CAST(SUM(clen) AS DOUBLE) / COUNT(*) AS avg_chunk_tokens
+       |FROM (SELECT lang, unnest(${TextAnalysis.chunkLengthsSql("text", 64, 48)}) AS clen
+       |      FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

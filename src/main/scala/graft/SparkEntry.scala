@@ -87,6 +87,10 @@ object SparkEntry {
     "skew_hot_keys" -> (PipelineQueries.skewHotKeys _),
     "bucketed_join_revenue" -> (PipelineQueries.bucketedJoinRevenue _),
     "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
+    "decontaminate_eval" -> (PipelineQueries.decontaminateEval _),
+    "sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "split_assignment" -> (PipelineQueries.splitAssignmentCounts _),
+    "doc_chunk_stats" -> (PipelineQueries.docChunkStats _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _),
@@ -181,6 +185,10 @@ object SparkEntry {
     "skew_hot_keys" -> PipelineQueries.skewHotKeysSql,
     "bucketed_join_revenue" -> PipelineQueries.bucketedJoinRevenueSql,
     "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,
+    "decontaminate_eval" -> PipelineQueries.decontaminateEvalSql,
+    "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
+    "split_assignment" -> PipelineQueries.splitAssignmentSql,
+    "doc_chunk_stats" -> PipelineQueries.docChunkStatsSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,
     "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql

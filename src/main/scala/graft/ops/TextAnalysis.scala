@@ -134,6 +134,28 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = fingerprintFromTokens(tokens(text))
 
+  /** Overlapping token-window chunking (win tokens, advancing by stride):
+    * the unit a training pipeline feeds to tokenization — long documents
+    * become multiple windows with win−stride tokens of overlap so no context
+    * is lost at a boundary. Map-only array expressions over a MATERIALIZED
+    * token array (same two-phase rule as [[fingerprintFromTokens]]); the
+    * explode that usually follows multiplies rows, not bytes shuffled,
+    * because chunking runs before any wide operation.
+    *
+    * Every document yields >= 1 chunk (an empty token array yields one
+    * zero-length chunk) — start offsets are 0, stride, … <= size-1.
+    */
+  def chunkStarts(toks: Column, stride: Int): Column =
+    sequence(lit(0), greatest(lit(0), size(toks) - 1), lit(stride))
+
+  /** Token count of each chunk: least(win, size − start). */
+  def chunkLengths(toks: Column, win: Int, stride: Int): Column =
+    transform(chunkStarts(toks, stride), s => least(lit(win), size(toks) - s))
+
+  /** The chunk token arrays themselves (slice is 1-indexed). */
+  def chunks(toks: Column, win: Int, stride: Int): Column =
+    transform(chunkStarts(toks, stride), s => slice(toks, s + 1, lit(win)))
+
   // ------------------------------------------------------------- DuckDB SQL
 
   private def sqlToks(t: String) = s"string_split_regex(trim($t), '\\s+')"
@@ -172,6 +194,15 @@ object TextAnalysis {
     }
     val anyHit = scoreSqls.map(_._2).mkString(" + ") + " > 0"
     s"CASE WHEN NOT ($anyHit) THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** DuckDB mirror of [[chunkLengths]]: range(0, n, stride) excludes n, so
+    * range(0, greatest(1, n), stride) equals Spark's
+    * sequence(0, greatest(0, n−1), stride) element-for-element.
+    */
+  def chunkLengthsSql(t: String, win: Int, stride: Int): String = {
+    val toks = sqlToks(t)
+    s"list_transform(range(0, greatest(1, len($toks)), $stride), s -> least($win, len($toks) - s))"
   }
 
   def fingerprintSql(t: String): String = {

@@ -342,6 +342,73 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking covers every token with the expected overlap") {
+    import spark.implicits._
+    val row = Seq((1 to 150).map(i => s"w$i").mkString(" ")).toDF("text")
+      .select(TextAnalysis.tokens($"text").as("toks"))
+      .select(
+        $"toks",
+        TextAnalysis.chunks($"toks", 64, 48).as("cs"),
+        TextAnalysis.chunkLengths($"toks", 64, 48).as("lens"))
+      .head()
+    val toks = row.getSeq[String](0).toSeq
+    val cs = row.getSeq[scala.collection.Seq[String]](1).toSeq.map(_.toSeq)
+    val lens = row.getSeq[Int](2).toSeq
+    assert(cs.map(_.length) == lens)
+    assert(cs.zipWithIndex.forall { case (c, i) => c == toks.slice(i * 48, i * 48 + 64) })
+    // full coverage: last chunk reaches the last token
+    assert((cs.length - 1) * 48 + cs.last.length == toks.length)
+    // consecutive chunks overlap by a_end - b_start (16 for full chunks)
+    cs.sliding(2).zipWithIndex.foreach {
+      case (Seq(a, b), i) =>
+        val overlap = (i * 48 + a.length) - (i + 1) * 48
+        if (overlap > 0) assert(a.takeRight(overlap) == b.take(overlap))
+      case _ =>
+    }
+    // degenerate: empty token array still yields one (empty) chunk
+    val empty = spark.sql("SELECT array() AS toks")
+      .select(TextAnalysis.chunkLengths(col("toks").cast("array<string>"), 64, 48).as("l"))
+      .head().getSeq[Int](0)
+    assert(empty == Seq(0))
+  }
+
+  test("md5Bucket is deterministic, uniform-ish, and engine-portable") {
+    import spark.implicits._
+    val b = docs.select($"doc_id", Sampling.md5Bucket($"doc_id", 100).as("b"))
+    val again = docs.select($"doc_id", Sampling.md5Bucket($"doc_id", 100).as("b"))
+    assert(b.collect().toSeq.sortBy(_.getLong(0)) == again.collect().toSeq.sortBy(_.getLong(0)))
+    val buckets = b.select("b").as[Long].collect()
+    assert(buckets.forall(x => x >= 0 && x < 100))
+    // uniform-ish at n=100: the 80/10/10 split should not collapse
+    val splits = docs.select(Sampling.splitAssignment($"doc_id", 80, 10).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val", "test"), s"got $splits")
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+    // spot-check the exact value DuckDB computes for key 42 (verified
+    // out-of-band: md5('42') = a1d0c6e8..., 0xa1d0c6e8 = 2714814184)
+    val v = spark.range(42, 43).select(Sampling.md5Bucket($"id", 100).as("b")).head().getLong(0)
+    assert(v == 2714814184L % 100)
+  }
+
+  test("decontamination finds a planted eval-train leak") {
+    import spark.implicits._
+    // plant: eval doc 900001 is a verbatim copy of train doc; eval doc
+    // 900002 is unrelated noise sharing no 3-gram with anything
+    val trainText = docs.orderBy($"doc_id").select($"text").head().getString(0)
+    val planted = Seq(
+      (900000L, trainText),
+      (900002L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")
+    ).toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text").unionByName(planted)
+    val report = Decontaminate
+      .contaminationReport(corpus, "doc_id", "text", $"doc_id" >= 900000L)
+      .collect()
+    val byDoc = report.map(r => r.getLong(0) -> r).toMap
+    assert(byDoc.contains(900000L), "verbatim copy must be reported")
+    assert(byDoc(900000L).getDouble(3) == 1.0, "full copy leaks every shingle")
+    assert(!byDoc.contains(900002L), "noise doc must not be reported")
+  }
+
   test("writeBucketed reclaims an orphaned warehouse directory") {
     import spark.implicits._
     // Simulate a crashed JVM: location exists on disk, catalog has no entry.
