@@ -478,6 +478,41 @@ object PipelineQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Runtime bloom-filter join as a driver row: a selective predicate on
+    * orders injects a bloom probe on the lineitem side BEFORE its shuffle
+    * (Catalyst InjectRuntimeFilter) — at 100 TB the fact table shuffles only
+    * probable matches, not every row. Runs in an isolated session: the
+    * thresholds that make the optimization fire at test scale (and the
+    * disabled broadcast that makes the join shuffle at all) never touch the
+    * caller's conf. Plan pinned in OpsSpec; the result is byte-identical to
+    * the plain join, which is the oracle.
+    */
+  def bloomFilteredJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Queries.table(s, sfDir, "lineitem")
+    val ord = Queries.table(s, sfDir, "orders").filter(col("o_totalprice") > 250000)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(li("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)))
+          * (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomFilteredJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 250000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------- release-hygiene ops
 
   /** Benchmark decontamination: eval split = doc_id % 10 == 0, report every

@@ -91,6 +91,8 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "split_assignment" -> (PipelineQueries.splitAssignmentCounts _),
     "doc_chunk_stats" -> (PipelineQueries.docChunkStats _),
+    "bloom_filtered_join" -> (PipelineQueries.bloomFilteredJoin _),
+    "streaming_ingest_fourmc" -> (graft.streaming.StreamingQueries.streamingIngestFourMc _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _),
@@ -189,6 +191,8 @@ object SparkEntry {
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "split_assignment" -> PipelineQueries.splitAssignmentSql,
     "doc_chunk_stats" -> PipelineQueries.docChunkStatsSql,
+    "bloom_filtered_join" -> PipelineQueries.bloomFilteredJoinSql,
+    "streaming_ingest_fourmc" -> graft.streaming.StreamingQueries.streamingIngestFourMcSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,
     "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql

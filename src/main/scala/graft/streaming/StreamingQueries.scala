@@ -160,6 +160,66 @@ object StreamingQueries {
       |  (SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) - INTERVAL 17 MINUTE FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming ingest INTO the container — the reference format's primary
+    * production pattern (logs stream in, land as splittable compressed
+    * files): readStream over the 4mz dir in bounded micro-batches
+    * (maxFilesPerTrigger + AvailableNow), each batch APPENDED to a fresh
+    * 4mc/lz4 directory via foreachBatch, then the sink dir is read back
+    * through the splittable batch reader and aggregated hourly.
+    *
+    * At 100 TB this is the durable-sink shape (no driver materialization at
+    * all — the memory-sink queries exist for the oracle gate): state is
+    * zero (no agg inside the stream), each executor writes its own block-
+    * aligned files, and downstream batch jobs split them independently of
+    * the micro-batch boundaries.
+    */
+  def streamingIngestFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (srcDir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest_").toFile
+    out.deleteOnExit()
+    val q = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .option("maxFilesPerTrigger", "4")
+      .schema(schema)
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write
+          .mode("append")
+          .format("4mc")
+          .option("payload", "csv")
+          .option("timestampFormat", micro)
+          .option("codec", "lz4-medium")
+          .save(out.getAbsolutePath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.read
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .schema(schema)
+      .load(out.getAbsolutePath)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
+      )
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Ingest preserves every row and value exactly, so the oracle is the
+    * plain batch aggregate over the raw parquet.
+    */
+  val streamingIngestFourMcSql: String = streamingEventsHourlySql
+
   /** Start `agg` against an in-memory sink on `session`, drain it fully, and
     * return the result with the temp view already dropped. The state-store
     * partition count (fixed at stream start from

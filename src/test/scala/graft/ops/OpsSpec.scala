@@ -409,6 +409,17 @@ class OpsSpec extends AnyFunSuite {
     assert(!byDoc.contains(900002L), "noise doc must not be reported")
   }
 
+  test("bloom_filtered_join injects a runtime bloom filter; caller conf untouched") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val df = graft.PipelineQueries.bloomFilteredJoin(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(
+      plan.contains("bloom_filter") || plan.contains("might_contain"),
+      s"no runtime bloom filter in the driver query's plan:\n${plan.take(1000)}")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before,
+      "isolated-session confs leaked into the caller's session")
+  }
+
   test("writeBucketed reclaims an orphaned warehouse directory") {
     import spark.implicits._
     // Simulate a crashed JVM: location exists on disk, catalog has no entry.

@@ -97,6 +97,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == want && n > 0)
   }
 
+  test("foreachBatch ingest into 4mc preserves every row across micro-batches") {
+    val out = StreamingQueries.streamingIngestFourMc(spark, "/root/testdata/sf0.001")
+    val got = out.agg(sum(col("n_events"))).head().getLong(0)
+    val want = graft.Queries.table(spark, "/root/testdata/sf0.001", "events").count()
+    assert(got == want, s"ingested $got events, source has $want")
+  }
+
   test("watermarked append-mode query emits exactly the closed windows, isolated session") {
     val sf = "/root/testdata/sf0.001"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
