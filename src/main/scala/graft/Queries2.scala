@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -449,4 +450,49 @@ object Queries2 {
       |  INTERSECT
       |  SELECT s_nationkey AS nationkey FROM supplier) t
       |JOIN nation ON nationkey = n_nationkey ORDER BY n_name""".stripMargin
+
+  /** Sequential window functions beyond top-k: per-customer ROWS-frame
+    * running spend, lag-based order gap, and the first order crossing a
+    * cumulative threshold (running sum → filter → row_number). Every window
+    * is partitioned by o_custkey — at 100 TB each customer's timeline sorts
+    * inside its own shuffle partition; there is no global-order window
+    * anywhere. Decimal accumulation keeps the running sum order-independent
+    * of FP rounding; cast to double only at the output edge.
+    */
+  def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, sfDir, "orders")
+      .withColumn("running_spend", sum($"o_totalprice".cast(DecimalType(18, 2))).over(wcum))
+      .withColumn(
+        "gap_days",
+        coalesce(datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast(LongType), lit(-1L)))
+      .filter($"running_spend" >= 300000)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select(
+        $"o_custkey",
+        $"o_orderkey".as("crossing_order"),
+        $"running_spend".cast(DoubleType).as("running_spend"),
+        $"gap_days")
+      .orderBy($"o_custkey")
+  }
+
+  val qWindowRunningSql: String =
+    """WITH runs AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS running,
+      |    COALESCE(date_diff('day',
+      |      CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)), -1) AS gap_days
+      |  FROM orders
+      |), crossed AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+      |  FROM runs WHERE running >= 300000
+      |)
+      |SELECT o_custkey, o_orderkey AS crossing_order,
+      |  CAST(running AS DOUBLE) AS running_spend, gap_days
+      |FROM crossed WHERE rk = 1 ORDER BY o_custkey""".stripMargin
 }

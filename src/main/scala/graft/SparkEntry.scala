@@ -53,6 +53,7 @@ object SparkEntry {
     "q_pivot_status" -> (Queries2.qPivotStatus _),
     "q_json_props" -> (Queries2.qJsonProps _),
     "q_intersect_nations" -> (Queries2.qIntersectNations _),
+    "q_window_running" -> (Queries2.qWindowRunning _),
     "asof_purchase_attribution" -> (graft.ops.TemporalJoins.asofPurchaseAttribution _),
     "range_join_view_click" -> (graft.ops.TemporalJoins.rangeViewClick _),
     // format layer: queries over 4mc/4mz round-tripped tables
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_pivot_status" -> Queries2.qPivotSql,
     "q_json_props" -> Queries2.qJsonSql,
     "q_intersect_nations" -> Queries2.qIntersectSql,
+    "q_window_running" -> Queries2.qWindowRunningSql,
     "asof_purchase_attribution" -> graft.ops.TemporalJoins.asofPurchaseAttributionSql,
     "range_join_view_click" -> graft.ops.TemporalJoins.rangeViewClickSql,
     "fourmc_lineitem_q1" -> Queries.q1Sql,
