@@ -513,6 +513,60 @@ object PipelineQueries {
       |WHERE o_totalprice > 250000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TF-IDF top terms per language: the classic postings shape — explode to
+    * (doc, term), two partial-agg'd groupBys (per-doc tf, then per-language
+    * totals and global document frequency), a shuffle join on term, and a
+    * WindowGroupLimit top-5 per language. All aggregation is exact integer
+    * arithmetic, and the one transcendental — ln(N/df) — is floored to
+    * integer millis BEFORE it enters the score, because libm ln differs by
+    * 1 ulp between the JVM and DuckDB (observed: …2253 vs …2251): scoring
+    * and ranking stay in exact BIGINT arithmetic on both engines.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val d = docs(spark, sfDir)
+    val n = d.count() // one count job; the oracle's scalar subquery
+    val tf = d
+      .select($"lang", $"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"lang", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
+    val byLang = tf.groupBy($"lang", $"term").agg(sum($"tf").as("total_tf"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"term")
+    byLang
+      .join(dfreq, "term")
+      .withColumn("idf_milli",
+        floor(lit(1000.0) * log(lit(n).cast(DoubleType) / $"dfreq")).cast("long"))
+      .withColumn("score", $"total_tf" * $"idf_milli")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk".cast("long").as("rk"), $"term", $"total_tf", $"dfreq", $"score")
+      .orderBy($"lang", $"rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1
+      |), bylang AS (
+      |  SELECT lang, term, CAST(SUM(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT lang, term, total_tf, dfreq,
+      |    total_tf * CAST(floor(1000.0
+      |      * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfreq)) AS BIGINT) AS score
+      |  FROM bylang JOIN dfreq USING (term)
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rk
+      |  FROM scored
+      |)
+      |SELECT lang, rk, term, total_tf, dfreq, score FROM ranked
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   // ------------------------------------------------- release-hygiene ops
 
   /** Benchmark decontamination: eval split = doc_id % 10 == 0, report every

@@ -92,6 +92,7 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "split_assignment" -> (PipelineQueries.splitAssignmentCounts _),
     "doc_chunk_stats" -> (PipelineQueries.docChunkStats _),
+    "tfidf_top_terms" -> (PipelineQueries.tfidfTopTerms _),
     "bloom_filtered_join" -> (PipelineQueries.bloomFilteredJoin _),
     "streaming_ingest_fourmc" -> (graft.streaming.StreamingQueries.streamingIngestFourMc _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
@@ -193,6 +194,7 @@ object SparkEntry {
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "split_assignment" -> PipelineQueries.splitAssignmentSql,
     "doc_chunk_stats" -> PipelineQueries.docChunkStatsSql,
+    "tfidf_top_terms" -> PipelineQueries.tfidfTopTermsSql,
     "bloom_filtered_join" -> PipelineQueries.bloomFilteredJoinSql,
     "streaming_ingest_fourmc" -> graft.streaming.StreamingQueries.streamingIngestFourMcSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
