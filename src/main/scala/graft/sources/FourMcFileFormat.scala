@@ -133,6 +133,20 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           .withZone(java.time.ZoneOffset.UTC)
         val lines = new FourMcLineIterator(in, index, file.start, file.start + file.length)
         val starts = new Array[Int](totalFields + 1)
+        // One UnsafeRowWriter reused for every line (the same pattern as
+        // Spark's text source): primitives land in the row buffer unboxed,
+        // and downstream operators consume UnsafeRow directly instead of
+        // converting a boxed GenericInternalRow per row. Consumers that
+        // buffer rows copy them (Spark's reader contract), so reuse is safe.
+        val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(nFields)
+        def pass(ps: Array[Any => Boolean], v: Any): Boolean = {
+          var pi = 0
+          while (pi < ps.length) {
+            if (!ps(pi)(v)) return false
+            pi += 1
+          }
+          true
+        }
         lines.map { case (_, bytes) =>
           // locate field boundaries in one pass, stopping after the last
           // required field; a '\' escapes the next byte, so escaped
@@ -153,7 +167,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           // lazily — missing trailing fields read as empty
           while (f <= math.min(neededFields, totalFields - 1)) { starts(f) = bytes.length + 1; f += 1 }
           if (neededFields == totalFields) starts(totalFields) = bytes.length + 1
-          val row = new GenericInternalRow(nFields)
+          writer.reset()
+          writer.zeroOutNullBytes()
           var keep = true
           var oi = 0
           while (oi < nFields && keep) {
@@ -174,41 +189,59 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                 }
                 if (stop < 0) bytes.length else stop
               } else math.min(starts(src + 1) - 1, bytes.length)
-            val v: Any =
-              if (CsvPayload.isNullMarker(bytes, s, e)) null
-              else if (fieldTags(k) == CsvPayload.TagString) {
-                if (s >= e) UTF8String.EMPTY_UTF8 // empty field = empty string, not null
-                else CsvPayload.unescape(bytes, s, e, delim)
-              } else if (s >= e) null
-              else {
-                // numeric/timestamp decode straight off the byte slice — no
-                // per-field String for the hot types, Int-tag jump table
-                // instead of a DataType match per value
-                (fieldTags(k): @scala.annotation.switch) match {
-                  case CsvPayload.TagLong    => CsvPayload.parseLong(bytes, s, e)
-                  case CsvPayload.TagInt     => CsvPayload.parseInt(bytes, s, e)
-                  case CsvPayload.TagDouble  => CsvPayload.parseDouble(bytes, s, e)
-                  case CsvPayload.TagFloat   => CsvPayload.parseFloat(bytes, s, e)
-                  case CsvPayload.TagBoolean => bytes(s) == 't' || bytes(s) == 'T'
-                  case _ =>
+            val ps = fieldPreds(k)
+            val tag = fieldTags(k)
+            if (CsvPayload.isNullMarker(bytes, s, e) ||
+              (s >= e && tag != CsvPayload.TagString)) {
+              keep = ps.length == 0 || pass(ps, null)
+              if (keep) writer.setNullAt(k)
+            } else {
+              // numeric/timestamp decode straight off the byte slice — no
+              // per-field String for the hot types, Int-tag jump table
+              // instead of a DataType match per value; predicates box only
+              // for filter-bound fields
+              (tag: @scala.annotation.switch) match {
+                case CsvPayload.TagString =>
+                  val u =
+                    if (s >= e) UTF8String.EMPTY_UTF8 // empty field = empty string, not null
+                    else CsvPayload.unescape(bytes, s, e, delim)
+                  keep = ps.length == 0 || pass(ps, u)
+                  if (keep) writer.write(k, u)
+                case CsvPayload.TagLong =>
+                  val x = CsvPayload.parseLong(bytes, s, e)
+                  keep = ps.length == 0 || pass(ps, x)
+                  if (keep) writer.write(k, x)
+                case CsvPayload.TagInt =>
+                  val x = CsvPayload.parseInt(bytes, s, e)
+                  keep = ps.length == 0 || pass(ps, x)
+                  if (keep) writer.write(k, x)
+                case CsvPayload.TagDouble =>
+                  val x = CsvPayload.parseDouble(bytes, s, e)
+                  keep = ps.length == 0 || pass(ps, x)
+                  if (keep) writer.write(k, x)
+                case CsvPayload.TagFloat =>
+                  val x = CsvPayload.parseFloat(bytes, s, e)
+                  keep = ps.length == 0 || pass(ps, x)
+                  if (keep) writer.write(k, x)
+                case CsvPayload.TagBoolean =>
+                  val x = bytes(s) == 't' || bytes(s) == 'T'
+                  keep = ps.length == 0 || pass(ps, x)
+                  if (keep) writer.write(k, x)
+                case _ =>
+                  val x =
                     if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
                       CsvPayload.parseTimestampMicros(bytes, s, e)
                     else {
                       val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     }
-                }
+                  keep = ps.length == 0 || pass(ps, x)
+                  if (keep) writer.write(k, x)
               }
-            val ps = fieldPreds(k)
-            var pi = 0
-            while (pi < ps.length && keep) {
-              if (!ps(pi)(v)) keep = false
-              pi += 1
             }
-            if (keep) row.update(k, v)
             oi += 1
           }
-          (if (keep) row else null): InternalRow
+          (if (keep) writer.getRow else null): InternalRow
         }.filter(_ ne null)
       }
     } else {
