@@ -262,17 +262,19 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           if (ebProto) new graft.format.FourMcEbBlockIterator(in, index, file.start, file.start + file.length, ebMarker)
           else if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
           else new FourMcLineIterator(in, index, file.start, file.start + file.length)
+        // reused writer, as in the csv branch: value bytes are copied into
+        // the row buffer once (UTF8String and BinaryType share the byte[]
+        // representation inside UnsafeRow)
+        val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(nFields)
+        val valueOrd = if (wantOffset && wantValue) (if (offsetFirst) 1 else 0) else 0
+        val offsetOrd = if (wantOffset && wantValue) (if (offsetFirst) 0 else 1) else 0
         raw.map { case (off, bytes) =>
-          val row = new GenericInternalRow(nFields)
+          writer.reset()
           if (nFields > 0) {
-            val v: Any = if (binaryValue) bytes else UTF8String.fromBytes(bytes)
-            if (wantOffset && wantValue) {
-              if (offsetFirst) { row.update(0, off); row.update(1, v) }
-              else { row.update(0, v); row.update(1, off) }
-            } else if (wantOffset) row.update(0, off)
-            else if (wantValue) row.update(0, v)
+            if (wantValue) writer.write(valueOrd, bytes, 0, bytes.length)
+            if (wantOffset) writer.write(offsetOrd, off)
           }
-          row: InternalRow
+          writer.getRow: InternalRow
         }
       }
     }
