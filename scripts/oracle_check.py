@@ -22,8 +22,9 @@ fails = []
 skipped = 0
 for name, sql in sorted(oracle.items()):
     # a filtered Verify run (SPARK_GRAFT_ONLY) writes only selected queries;
-    # absent outputs are "not run", not failures
-    if not os.path.isdir(f"{outdir}/{name}"):
+    # absent outputs are "not run" there — but in a FULL run a missing dir
+    # means the query crashed before writing, which must stay a failure
+    if not os.path.isdir(f"{outdir}/{name}") and os.environ.get("SPARK_GRAFT_ONLY"):
         skipped += 1
         continue
     try:

@@ -583,6 +583,21 @@ object PipelineQueries {
     Decontaminate.contaminationReportSql("doc % 10 = 0") +
       "\nORDER BY contamination DESC, eval_doc"
 
+  /** The capped variant (maxDocFreq=5): boilerplate shingles present in >5
+    * docs of a split are dropped from that split before the overlap join —
+    * the skew guard a full-corpus train side needs, oracle-proven here.
+    */
+  def decontaminateEvalCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Decontaminate.contaminationReport(
+      docs(spark, sfDir), "doc_id", "text", col("doc_id") % 10 === 0, maxDocFreq = 5L)
+      .orderBy($"contamination".desc, $"eval_doc")
+  }
+
+  val decontaminateEvalCappedSql: String =
+    Decontaminate.contaminationReportSql("doc % 10 = 0", maxDocFreq = 5L) +
+      "\nORDER BY contamination DESC, eval_doc"
+
   /** Deterministic stratified sampling: md5-bucket Bernoulli at per-language
     * rates (en 25%, zh 75%, rest 50%) counted in one conditional-agg pass.
     */

@@ -89,6 +89,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> (PipelineQueries.bucketedJoinRevenue _),
     "protobuf_packed_lens" -> (PipelineQueries.protobufPackedLens _),
     "decontaminate_eval" -> (PipelineQueries.decontaminateEval _),
+    "decontaminate_eval_capped" -> (PipelineQueries.decontaminateEvalCapped _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "split_assignment" -> (PipelineQueries.splitAssignmentCounts _),
     "doc_chunk_stats" -> (PipelineQueries.docChunkStats _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "bucketed_join_revenue" -> PipelineQueries.bucketedJoinRevenueSql,
     "protobuf_packed_lens" -> PipelineQueries.protobufPackedLensSql,
     "decontaminate_eval" -> PipelineQueries.decontaminateEvalSql,
+    "decontaminate_eval_capped" -> PipelineQueries.decontaminateEvalCappedSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "split_assignment" -> PipelineQueries.splitAssignmentSql,
     "doc_chunk_stats" -> PipelineQueries.docChunkStatsSql,

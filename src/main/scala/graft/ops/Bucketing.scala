@@ -24,8 +24,11 @@ object Bucketing {
     // then fails with LOCATION_ALREADY_EXISTS even in overwrite mode. The
     // table names here are graft-owned, so reclaiming the orphan is safe.
     if (!spark.catalog.tableExists(tableName)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase(java.util.Locale.ROOT))
+      // defaultTablePath resolves current database and <db>.db nesting —
+      // string-concatenating <warehouse>/<name> is only right for the
+      // default database
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

@@ -51,9 +51,16 @@ object Decontaminate {
 
   /** DuckDB mirror of [[contaminationReport]] over `documents` with
     * `evalPredSql` selecting the eval split (same 3-gram construction as
-    * [[Dedup.ngramJaccardPairsSql]]).
+    * [[Dedup.ngramJaccardPairsSql]]). `maxDocFreq` mirrors the Scala cap,
+    * including its per-split document-frequency definition (each split
+    * drops ITS OWN boilerplate shingles).
     */
-  def contaminationReportSql(evalPredSql: String): String =
+  def contaminationReportSql(evalPredSql: String, maxDocFreq: Long = 0L): String = {
+    def capped(src: String): String =
+      if (maxDocFreq <= 0) s"SELECT * FROM $src"
+      else
+        s"""SELECT * FROM $src WHERE w NOT IN (
+           |    SELECT w FROM $src GROUP BY w HAVING COUNT(*) > $maxDocFreq)""".stripMargin
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
        |), posts AS (
@@ -62,10 +69,14 @@ object Decontaminate {
        |           ELSE list_transform(range(1, len(l) - 1), i -> array_to_string(l[i:i+2], ' '))
        |           END) AS w
        |  FROM toks
-       |), ev AS (
+       |), ev0 AS (
        |  SELECT * FROM posts WHERE $evalPredSql
-       |), tr AS (
+       |), tr0 AS (
        |  SELECT * FROM posts WHERE NOT ($evalPredSql)
+       |), ev AS (
+       |  ${capped("ev0")}
+       |), tr AS (
+       |  ${capped("tr0")}
        |), sizes AS (
        |  SELECT doc, COUNT(*) AS sz FROM ev GROUP BY doc
        |), hit AS (
@@ -77,4 +88,5 @@ object Decontaminate {
        |SELECT eval_doc, n_train_docs, leaked_ngrams,
        |       CAST(leaked_ngrams AS DOUBLE) / sz AS contamination
        |FROM hit JOIN sizes ON eval_doc = sizes.doc""".stripMargin
+  }
 }

@@ -143,18 +143,24 @@ object TextAnalysis {
     * because chunking runs before any wide operation.
     *
     * Every document yields >= 1 chunk (an empty token array yields one
-    * zero-length chunk) — start offsets are 0, stride, … <= size-1.
+    * zero-length chunk). Starts are 0, stride, …, stopping at the first
+    * window that reaches the document's end — a further start would yield a
+    * chunk fully contained in its predecessor (pure duplicate data for the
+    * training pipeline): last start = stride * ceil(max(0, size−win)/stride).
     */
-  def chunkStarts(toks: Column, stride: Int): Column =
-    sequence(lit(0), greatest(lit(0), size(toks) - 1), lit(stride))
+  def chunkStarts(toks: Column, win: Int, stride: Int): Column = {
+    val last =
+      floor((greatest(lit(0), size(toks) - win) + lit(stride - 1)) / lit(stride)).cast("int") * stride
+    sequence(lit(0), last, lit(stride))
+  }
 
   /** Token count of each chunk: least(win, size − start). */
   def chunkLengths(toks: Column, win: Int, stride: Int): Column =
-    transform(chunkStarts(toks, stride), s => least(lit(win), size(toks) - s))
+    transform(chunkStarts(toks, win, stride), s => least(lit(win), size(toks) - s))
 
   /** The chunk token arrays themselves (slice is 1-indexed). */
   def chunks(toks: Column, win: Int, stride: Int): Column =
-    transform(chunkStarts(toks, stride), s => slice(toks, s + 1, lit(win)))
+    transform(chunkStarts(toks, win, stride), s => slice(toks, s + 1, lit(win)))
 
   // ------------------------------------------------------------- DuckDB SQL
 
@@ -196,13 +202,13 @@ object TextAnalysis {
     s"CASE WHEN NOT ($anyHit) THEN 'und' ${whens.mkString(" ")} ELSE 'und' END"
   }
 
-  /** DuckDB mirror of [[chunkLengths]]: range(0, n, stride) excludes n, so
-    * range(0, greatest(1, n), stride) equals Spark's
-    * sequence(0, greatest(0, n−1), stride) element-for-element.
+  /** DuckDB mirror of [[chunkLengths]]: range's exclusive upper bound is the
+    * last start + 1, with the same ceil(max(0, n−win)/stride) last start.
     */
   def chunkLengthsSql(t: String, win: Int, stride: Int): String = {
     val toks = sqlToks(t)
-    s"list_transform(range(0, greatest(1, len($toks)), $stride), s -> least($win, len($toks) - s))"
+    val last = s"((greatest(len($toks) - $win, 0) + ${stride - 1}) // $stride) * $stride"
+    s"list_transform(range(0, $last + 1, $stride), s -> least($win, len($toks) - s))"
   }
 
   def fingerprintSql(t: String): String = {

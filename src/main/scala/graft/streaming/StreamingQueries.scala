@@ -178,8 +178,18 @@ object StreamingQueries {
     val (srcDir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", "8")
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_ingest_").toFile
-    out.deleteOnExit()
+    // ONE deterministic sink dir per source sf, wiped before each ingest:
+    // append across invocations would duplicate rows, and deleteOnExit
+    // cannot remove non-empty directories — this bounds /tmp usage at one
+    // ingested copy per sf instead of leaking one per invocation.
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ingest_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    if (out.exists()) {
+      val fs = new org.apache.hadoop.fs.Path(out.getAbsolutePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out.getAbsolutePath), true)
+    }
     val q = session.readStream
       .format("4mc")
       .option("payload", "csv")

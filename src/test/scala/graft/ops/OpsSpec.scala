@@ -365,6 +365,15 @@ class OpsSpec extends AnyFunSuite {
         if (overlap > 0) assert(a.takeRight(overlap) == b.take(overlap))
       case _ =>
     }
+    // chunk ends strictly increase: no chunk is contained in its predecessor
+    val ends = cs.zipWithIndex.map { case (c, i) => i * 48 + c.length }
+    assert(ends == ends.sorted && ends.distinct == ends)
+    // a document covered by one window yields exactly ONE chunk (a second
+    // start would duplicate a suffix of the first)
+    val one = Seq((1 to 50).map(i => s"w$i").mkString(" ")).toDF("text")
+      .select(TextAnalysis.chunkLengths(TextAnalysis.tokens($"text"), 64, 48).as("l"))
+      .head().getSeq[Int](0)
+    assert(one == Seq(50), s"got $one")
     // degenerate: empty token array still yields one (empty) chunk
     val empty = spark.sql("SELECT array() AS toks")
       .select(TextAnalysis.chunkLengths(col("toks").cast("array<string>"), 64, 48).as("l"))
@@ -392,7 +401,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("decontamination finds a planted eval-train leak") {
     import spark.implicits._
-    // plant: eval doc 900001 is a verbatim copy of train doc; eval doc
+    // plant: eval doc 900000 is a verbatim copy of a train doc; eval doc
     // 900002 is unrelated noise sharing no 3-gram with anything
     val trainText = docs.orderBy($"doc_id").select($"text").head().getString(0)
     val planted = Seq(
