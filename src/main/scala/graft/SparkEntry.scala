@@ -96,6 +96,7 @@ object SparkEntry {
     "tfidf_top_terms" -> (PipelineQueries.tfidfTopTerms _),
     "bloom_filtered_join" -> (PipelineQueries.bloomFilteredJoin _),
     "streaming_ingest_fourmc" -> (graft.streaming.StreamingQueries.streamingIngestFourMc _),
+    "streaming_ingest_partitioned" -> (graft.streaming.StreamingQueries.streamingIngestPartitioned _),
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "tfidf_top_terms" -> PipelineQueries.tfidfTopTermsSql,
     "bloom_filtered_join" -> PipelineQueries.bloomFilteredJoinSql,
     "streaming_ingest_fourmc" -> graft.streaming.StreamingQueries.streamingIngestFourMcSql,
+    "streaming_ingest_partitioned" -> graft.streaming.StreamingQueries.streamingIngestPartitionedSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,
     "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql

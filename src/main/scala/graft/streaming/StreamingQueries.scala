@@ -230,6 +230,78 @@ object StreamingQueries {
     */
   val streamingIngestFourMcSql: String = streamingEventsHourlySql
 
+  /** Partitioned variant of [[streamingIngestFourMc]] — the standard lake
+    * layout: each micro-batch appends hive-partitioned
+    * (`event_type=.../part-*.4mc`) files, and the read-back query filters
+    * one partition so the scan plans PartitionFilters and never opens the
+    * other directories (pruning pinned in StreamingSpec). At 100 TB the
+    * partition column is the coarse access path and the footer block index
+    * parallelizes within each partition's files.
+    */
+  def streamingIngestPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (srcDir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ingest_part_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    if (out.exists()) {
+      val p = new org.apache.hadoop.fs.Path(out.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val q = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .option("maxFilesPerTrigger", "4")
+      .schema(schema)
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write
+          .mode("append")
+          .format("4mc")
+          .option("payload", "csv")
+          .option("timestampFormat", micro)
+          .option("codec", "lz4-medium")
+          .partitionBy("event_type")
+          .save(out.getAbsolutePath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    readIngestedPartitioned(spark, out.getAbsolutePath, schema)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
+      )
+      .orderBy(col("hour"))
+  }
+
+  /** Batch read of a partitioned ingest dir (partition column resolved by
+    * name from the dir layout; data files carry the remaining columns).
+    */
+  private[streaming] def readIngestedPartitioned(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.read
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .schema(schema)
+      .load(dir)
+
+  val streamingIngestPartitionedSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY hour""".stripMargin
+
   /** Start `agg` against an in-memory sink on `session`, drain it fully, and
     * return the result with the temp view already dropped. The state-store
     * partition count (fixed at stream start from

@@ -104,6 +104,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"ingested $got events, source has $want")
   }
 
+  test("partitioned ingest prunes partitions on read-back and keeps every row") {
+    val sf = "/root/testdata/sf0.001"
+    val out = StreamingQueries.streamingIngestPartitioned(spark, sf)
+    // correctness: the click-hourly aggregate equals the batch answer
+    val gotClicks = out.agg(sum(col("n_events"))).head().getLong(0)
+    val src = graft.Queries.table(spark, sf, "events")
+    assert(gotClicks == src.filter(col("event_type") === "click").count())
+    // pruning: the filtered read-back scan carries a PartitionFilters entry
+    // on event_type and zero pushed data filters for it
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ingest_part_${java.lang.Integer.toHexString(sf.hashCode)}")
+    assert(dir.listFiles().exists(f => f.getName.startsWith("event_type=")), "hive layout expected")
+    val pruned = StreamingQueries.readIngestedPartitioned(spark, dir.getAbsolutePath, src.schema)
+      .filter(col("event_type") === "purchase")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("event_type"),
+      s"no partition pruning in:\n${planStr.take(800)}")
+    assert(pruned.count() == src.filter(col("event_type") === "purchase").count())
+  }
+
   test("watermarked append-mode query emits exactly the closed windows, isolated session") {
     val sf = "/root/testdata/sf0.001"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
