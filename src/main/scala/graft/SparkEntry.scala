@@ -54,6 +54,10 @@ object SparkEntry {
     "q_json_props" -> (Queries2.qJsonProps _),
     "q_intersect_nations" -> (Queries2.qIntersectNations _),
     "q_window_running" -> (Queries2.qWindowRunning _),
+    "q2_min_cost_supplier" -> (Queries3.q2MinCostSupplier _),
+    "q11_important_parts" -> (Queries3.q11ImportantParts _),
+    "q20_promotion_suppliers" -> (Queries3.q20PromotionSuppliers _),
+    "q21_waiting_suppliers" -> (Queries3.q21WaitingSuppliers _),
     "asof_purchase_attribution" -> (graft.ops.TemporalJoins.asofPurchaseAttribution _),
     "range_join_view_click" -> (graft.ops.TemporalJoins.rangeViewClick _),
     // format layer: queries over 4mc/4mz round-tripped tables
@@ -159,6 +163,10 @@ object SparkEntry {
     "q_json_props" -> Queries2.qJsonSql,
     "q_intersect_nations" -> Queries2.qIntersectSql,
     "q_window_running" -> Queries2.qWindowRunningSql,
+    "q2_min_cost_supplier" -> Queries3.q2Sql,
+    "q11_important_parts" -> Queries3.q11Sql,
+    "q20_promotion_suppliers" -> Queries3.q20Sql,
+    "q21_waiting_suppliers" -> Queries3.q21Sql,
     "asof_purchase_attribution" -> graft.ops.TemporalJoins.asofPurchaseAttributionSql,
     "range_join_view_click" -> graft.ops.TemporalJoins.rangeViewClickSql,
     "fourmc_lineitem_q1" -> Queries.q1Sql,

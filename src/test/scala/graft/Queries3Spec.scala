@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape and rewrite-equivalence checks for the final TPC-H tranche
+  * (Q2/Q11/Q20/Q21). DuckDB correctness is the driver's gate; these pin the
+  * distributed shapes (semi joins, broadcasts, no cross products) and prove
+  * the Q21 aggregation rewrite equals the correlated EXISTS form.
+  */
+class Queries3Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("queries3-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // sf0.01, not sf0.001: the smallest fixture has only 10 suppliers spread
+  // over 10 random nations, so the NATION_* filters these queries use can
+  // legitimately match nothing there — the invariants would assert vacuously.
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q2: min-cost filter keeps only the per-part minimum; dims broadcast") {
+    val df = Queries3.q2MinCostSupplier(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(1200)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per part, all returned costs are equal (they all carry the minimum)
+    rows.groupBy(_.getAs[Long]("p_partkey")).foreach { case (pk, rs) =>
+      val costs = rs.map(_.getAs[Double]("supply_cost")).distinct
+      assert(costs.length == 1, s"part $pk carries mixed costs: ${costs.mkString(",")}")
+    }
+  }
+
+  test("q11: every returned part exceeds the scalar fraction of the total") {
+    import spark.implicits._
+    val out = Queries3.q11ImportantParts(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute the nation-restricted total independently
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+    val nat = spark.read.parquet(s"$sf/nation.parquet").filter($"n_name" === "NATION_7")
+    val keys = supp.join(nat, $"s_nationkey" === $"n_nationkey").select($"s_suppkey").as[Long].collect().toSet
+    val total = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_suppkey".isInCollection(keys))
+      .select(($"l_extendedprice".cast("decimal(18,2)") * (org.apache.spark.sql.functions.lit(1) - $"l_discount".cast("decimal(18,2)"))).as("r"))
+      .agg(org.apache.spark.sql.functions.sum($"r").cast("double")).as[Double].head()
+    out.foreach { r =>
+      assert(r.getAs[Double]("part_value") > 0.001 * total,
+        s"part ${r.getAs[Long]("l_partkey")} below threshold")
+    }
+  }
+
+  test("q20: both IN subqueries become semi joins — no row re-expansion") {
+    val plan = Queries3.q20PromotionSuppliers(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = Queries3.q20PromotionSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // suppliers are distinct and sorted
+    val keys = rows.map(_.getAs[Long]("s_suppkey"))
+    assert(keys.distinct.length == keys.length)
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q21: aggregation rewrite equals the correlated EXISTS/NOT EXISTS form") {
+    val got = Queries3.q21WaitingSuppliers(spark, sf).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li21")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("o21")
+    spark.read.parquet(s"$sf/supplier.parquet").createOrReplaceTempView("s21")
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("n21")
+    val want = spark.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM s21, li21 l1, o21, n21
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
+        |  AND EXISTS (
+        |    SELECT 1 FROM li21 l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM li21 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Seq("li21", "o21", "s21", "n21").foreach(spark.catalog.dropTempView)
+    assert(got.nonEmpty)
+    assert(got == want, s"rewrite diverges:\n got=$got\nwant=$want")
+  }
+}
