@@ -663,4 +663,168 @@ object PipelineQueries {
        |FROM (SELECT lang, unnest(${TextAnalysis.chunkLengthsSql("text", 64, 48)}) AS clen
        |      FROM documents)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------- repetition / scrub / BM25
+
+  /** Gopher-style repetition quality signals, rolled up per language:
+    * type-token ratio and top-bigram mass per document (both ppm-scaled
+    * integers BEFORE the rollup, so the per-language averages are exact
+    * integer sums divided once — no cross-engine double accumulation), plus
+    * the count of docs whose single most-common bigram exceeds 5% of all
+    * bigrams (the "repetitive doc" filter a training pipeline drops).
+    *
+    * Scale shape: ratios are pure array expressions (map-only); only the
+    * (doc, bigram) counts shuffle, partial-aggregated map-side, and the
+    * per-doc rollup reuses the same key prefix.
+    */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir)
+      .select($"doc_id", $"lang", TextAnalysis.tokens($"text").as("w"))
+    val perDoc = d.select(
+      $"doc_id", $"lang",
+      size($"w").as("n_words"),
+      size(array_distinct($"w")).as("n_distinct"))
+    val topBigram = d
+      .select($"doc_id", explode(TextAnalysis.bigrams($"w")).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("total_c"))
+    perDoc
+      .join(topBigram, Seq("doc_id"), "left")
+      .withColumn("ttr_ppm",
+        round(lit(1e6) * $"n_distinct" / $"n_words").cast("long"))
+      .withColumn("topbg_ppm",
+        coalesce(round(lit(1e6) * $"top_c" / $"total_c").cast("long"), lit(0L)))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"ttr_ppm").cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)))
+          .as("avg_ttr_ppm"),
+        (sum($"topbg_ppm").cast(org.apache.spark.sql.types.DoubleType) / count(lit(1)))
+          .as("avg_topbg_ppm"),
+        count(when($"topbg_ppm" >= 50000, lit(1))).as("n_repetitive"),
+        max($"topbg_ppm").as("max_topbg_ppm"))
+      .orderBy($"lang")
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), per_doc AS (
+      |  SELECT doc_id, lang, len(toks) AS n_words,
+      |    len(list_distinct(toks)) AS n_distinct FROM w
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM w WHERE len(toks) >= 2
+      |), bgc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |), top_bg AS (
+      |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_c FROM bgc GROUP BY 1
+      |), scored AS (
+      |  SELECT lang,
+      |    CAST(round(1e6 * n_distinct / n_words) AS BIGINT) AS ttr_ppm,
+      |    COALESCE(CAST(round(1e6 * top_c / total_c) AS BIGINT), 0) AS topbg_ppm
+      |  FROM per_doc LEFT JOIN top_bg USING (doc_id)
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(ttr_ppm) AS DOUBLE) / COUNT(*) AS avg_ttr_ppm,
+      |  CAST(SUM(topbg_ppm) AS DOUBLE) / COUNT(*) AS avg_topbg_ppm,
+      |  COUNT(CASE WHEN topbg_ppm >= 50000 THEN 1 END) AS n_repetitive,
+      |  MAX(topbg_ppm) AS max_topbg_ppm
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** PII/secret scrub over the events props payload: redact numeric runs
+    * (and emails — none in this corpus, proving the no-op path) and report,
+    * per event type, how many tokens were redacted and how many distinct
+    * redacted "shapes" remain. Map-only except the final small aggregate;
+    * the regexes are RE2/Java-common so DuckDB replays them byte-identically.
+    */
+  def piiScrubEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    Queries.table(spark, sfDir, "events")
+      .select(
+        $"event_type",
+        size(regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("n_nums"),
+        size(regexp_extract_all($"props", lit(email), lit(0))).as("n_emails"),
+        regexp_replace($"props", lit("[0-9]+"), lit("<NUM>")).as("shape"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"n_nums").as("n_redacted_nums"),
+        sum($"n_emails").as("n_redacted_emails"),
+        countDistinct($"shape").as("n_shapes"))
+      .orderBy($"event_type")
+  }
+
+  val piiScrubEventsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_redacted_nums,
+      |  CAST(SUM(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_redacted_emails,
+      |  COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS n_shapes
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** BM25 (k1=1.2, b=0.75) top-15 documents for a fixed 3-term query.
+    * Determinism follows tfidf_top_terms: the transcendental idf is floored
+    * to integer millis, the rational tf-normalization (exact-input IEEE
+    * arithmetic, identical expression tree on both engines) is rounded to
+    * integer micros, and the final score is an exact BIGINT sum — ranking
+    * can't diverge by a ulp. Scale shape: one (doc, term) partial-agg
+    * shuffle over only the matching terms, df is a 3-row broadcast, dl/avgdl
+    * ride along without a second scan.
+    */
+  def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val terms = Seq("dup", "spark", "vector")
+    val d = docs(spark, sfDir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+    val n = d.count() // one count job, mirrors the oracle's scalar subquery
+    val tf = d
+      .select($"doc_id", size($"w").as("dl"), explode($"w").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
+    val avgdl = d.agg(
+      (sum(size($"w")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf_milli",
+        floor(lit(1000.0) * log(
+          lit(1.0) + (lit(n).cast(DoubleType) - $"dfreq" + lit(0.5)) / ($"dfreq" + lit(0.5))))
+          .cast("long"))
+      .withColumn("tfnorm_micro",
+        round(lit(1e6) * $"tf" * lit(2.2) /
+          ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * $"dl" / $"avgdl")))
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"idf_milli" * $"tfnorm_micro").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(15)
+  }
+
+  val bm25TopDocsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), stats AS (
+      |  SELECT CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM w
+      |), tf AS (
+      |  SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM w)
+      |  WHERE term IN ('dup', 'spark', 'vector')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1
+      |), scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor(1000.0 * ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5) / (dfreq + 0.5))) AS BIGINT) AS idf_milli,
+      |    CAST(round(1e6 * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS BIGINT) AS tfnorm_micro
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |)
+      |SELECT doc_id, CAST(SUM(idf_milli * tfnorm_micro) AS BIGINT) AS score, COUNT(*) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 }

@@ -98,6 +98,9 @@ object SparkEntry {
     "split_assignment" -> (PipelineQueries.splitAssignmentCounts _),
     "doc_chunk_stats" -> (PipelineQueries.docChunkStats _),
     "tfidf_top_terms" -> (PipelineQueries.tfidfTopTerms _),
+    "repetition_signals" -> (PipelineQueries.repetitionSignals _),
+    "pii_scrub_events" -> (PipelineQueries.piiScrubEvents _),
+    "bm25_top_docs" -> (PipelineQueries.bm25TopDocs _),
     "bloom_filtered_join" -> (PipelineQueries.bloomFilteredJoin _),
     "streaming_ingest_fourmc" -> (graft.streaming.StreamingQueries.streamingIngestFourMc _),
     "streaming_ingest_partitioned" -> (graft.streaming.StreamingQueries.streamingIngestPartitioned _),
@@ -206,6 +209,9 @@ object SparkEntry {
     "split_assignment" -> PipelineQueries.splitAssignmentSql,
     "doc_chunk_stats" -> PipelineQueries.docChunkStatsSql,
     "tfidf_top_terms" -> PipelineQueries.tfidfTopTermsSql,
+    "repetition_signals" -> PipelineQueries.repetitionSignalsSql,
+    "pii_scrub_events" -> PipelineQueries.piiScrubEventsSql,
+    "bm25_top_docs" -> PipelineQueries.bm25TopDocsSql,
     "bloom_filtered_join" -> PipelineQueries.bloomFilteredJoinSql,
     "streaming_ingest_fourmc" -> graft.streaming.StreamingQueries.streamingIngestFourMcSql,
     "streaming_ingest_partitioned" -> graft.streaming.StreamingQueries.streamingIngestPartitionedSql,

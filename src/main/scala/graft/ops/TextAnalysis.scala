@@ -26,6 +26,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Adjacent-token bigrams ("w1 w2") of a token array — empty for arrays
+    * shorter than 2. Pure array expression (sequence + transform), so bigram
+    * construction stays map-side; only the (doc, bigram) counts shuffle.
+    */
+  def bigrams(toks: Column): Column =
+    // explicit <2 guard: sequence(1, 0) would yield a DESCENDING [1, 0],
+    // not an empty range
+    when(size(toks) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+
   /** GPT-2-style pre-tokenizer (simplified, public pattern shape): English
     * contractions, optional-space letter runs, digit runs, and
     * non-alphanumeric runs — the "BPE-ish" subword unit count a training

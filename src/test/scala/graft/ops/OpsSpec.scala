@@ -492,4 +492,61 @@ class OpsSpec extends AnyFunSuite {
       .head()
     assert(r.getLong(3) > 0)
   }
+
+  test("bigrams: adjacency, boundaries, and the <2-token guard") {
+    import spark.implicits._
+    val got = Seq("a b c", "solo", "", "x y")
+      .toDF("t")
+      .select(TextAnalysis.bigrams(TextAnalysis.tokens($"t")).as("bg"))
+      .as[Seq[String]]
+      .collect()
+      .toSeq
+    assert(got(0) == Seq("a b", "b c"))
+    assert(got(1).isEmpty)
+    // "" trims/splits to a single empty token — still under the guard
+    assert(got(2).isEmpty)
+    assert(got(3) == Seq("x y"))
+  }
+
+  test("repetition signals flag a planted repetitive doc") {
+    import spark.implicits._
+    // one doc that is a single bigram repeated: top-bigram mass ~100%
+    val planted = Seq((999999L, "zz", "qq zz qq zz qq zz qq zz qq zz qq"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("planted"))
+      .withColumn("n_chars", length($"text"))
+    val dir = java.nio.file.Files.createTempDirectory("rep_sig").toFile
+    try {
+      docs.unionByName(planted).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.PipelineQueries.repetitionSignals(spark, dir.toString)
+        .filter($"lang" === "zz")
+        .head()
+      assert(out.getAs[Long]("n_repetitive") == 1L)
+      assert(out.getAs[Long]("max_topbg_ppm") > 400000L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("bm25: rare query term dominates ranking; plan broadcasts df and avgdl") {
+    import spark.implicits._
+    val q = graft.PipelineQueries.bm25TopDocs(spark, "/root/testdata/sf0.01")
+    val plan = q.queryExecution.executedPlan.toString
+    // the 1-row avgdl side rides a broadcast (BNLJ over one row is fine);
+    // a CartesianProduct would mean the broadcast hint was lost
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n${plan.take(1200)}")
+    val rows = q.collect()
+    assert(rows.length == 15)
+    // scores strictly ordered desc with doc_id tiebreak
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.sameElements(scores.sortBy(-_: Long)))
+    // docs containing the rare term 'dup' (idf ~11x the common terms) must
+    // fill the top ranks
+    val topDoc = rows.head.getAs[Long]("doc_id")
+    val hasDup = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter($"doc_id" === topDoc)
+      .select(array_contains(split(trim($"text"), "\\s+"), "dup"))
+      .head().getBoolean(0)
+    assert(hasDup, s"top-ranked doc $topDoc does not contain the rare term")
+  }
 }
