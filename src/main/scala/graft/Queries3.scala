@@ -173,11 +173,12 @@ object Queries3 {
     * the order date.)
     *
     * The reference shape is a double-correlated EXISTS / NOT EXISTS; per-row
-    * subqueries don't distribute, so this uses the standard rewrite: ONE
-    * aggregation per order computes (distinct suppliers, distinct late
-    * suppliers), and the EXISTS pair becomes `ns > 1 && nls = 1`. Both the
-    * aggregate and the join back to the late rows shuffle on orderkey —
-    * the same key — so AQE coalesces them into one exchange lineage.
+    * subqueries don't distribute, so this uses the standard rewrite: collapse
+    * the joined stream once to (order, supplier, late-row count), then the
+    * EXISTS pair is a per-order census over that collapsed table
+    * (`ns > 1 && nls = 1`) and numwait is a sum of the already-counted late
+    * rows — one lineitem scan, no countDistinct Expand, every aggregate
+    * partial map-side.
     */
   def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -189,18 +190,25 @@ object Queries3 {
           .select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
       .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
-    val soloLateOrders = li
+    // ONE pass over the joined stream: collapse to (order, supplier) first —
+    // countDistinct would Expand the full stream ×2 and the late rows would
+    // need a second lineitem scan; this partial-aggregated collapse feeds
+    // both the per-order supplier census and the per-supplier late-row count.
+    val perOrderSupp = li
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"late", 1L).otherwise(0L)).as("n_late_rows"))
+    val soloLateOrders = perOrderSupp
       .groupBy($"l_orderkey")
       .agg(
-        countDistinct($"l_suppkey").as("ns"),
-        countDistinct(when($"late", $"l_suppkey")).as("nls"))
+        count(lit(1)).as("ns"),
+        count(when($"n_late_rows" > 0, lit(1))).as("nls"))
       .filter($"ns" > 1 && $"nls" === 1)
       .select($"l_orderkey".as("wait_orderkey"))
-    val numwait = li
-      .filter($"late")
+    val numwait = perOrderSupp
+      .filter($"n_late_rows" > 0)
       .join(soloLateOrders, $"l_orderkey" === $"wait_orderkey")
       .groupBy($"l_suppkey")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"n_late_rows").as("numwait"))
     table(spark, sfDir, "supplier")
       .join(
         broadcast(table(spark, sfDir, "nation").filter($"n_name" === "NATION_2")),
