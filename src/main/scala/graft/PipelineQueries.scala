@@ -83,14 +83,21 @@ object PipelineQueries {
 
   def annBruteForceSql: String = Similarity.bruteForceSql(10, 5)
 
-  /** D2 embedding flavor: cosine near-dup pairs. The registered query runs
-    * the scale-shaped SRP-bucketed candidate join (equality shuffle, no
-    * BroadcastNestedLoopJoin); the oracle stays the all-pairs SQL — the
-    * (bits=2, tables=20) family holds recall 1.0 on this corpus at all SFs
-    * (measured; deterministic planes), so the outputs are identical.
+  /** D2 embedding flavor at a LOOSE threshold (τ=0.4) — the documented
+    * recall-floor demo, NOT the scale path. At τ=0.4 over dense 64-dim
+    * embeddings a threshold pair's per-bit SRP agreement (~0.63) is barely
+    * above random (0.5), so *no* (bits, tables) family both prunes and keeps
+    * recall — LSH degenerates to all-pairs plus a 20× posting/distinct
+    * overhead (measured: the bucketed form was the slowest query in the
+    * whole bench at 3.2 s, ~all N²/2 candidates surviving). The honest
+    * baseline at this regime is therefore the EXACT all-pairs formulation
+    * with precomputed norms; at corpus scale a loose-τ sweep is intrinsically
+    * near-quadratic and simply isn't run — real dedup thresholds (τ ≥ 0.8)
+    * use the SRP-bucketed operator, proven sub-quadratic by the `_tight` row
+    * and OpsSpec's candidate-volume assertion.
     */
   def dedupEmbeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.embeddingDupPairsViaLsh(emb(spark, sfDir), 0.4, dim = 64, bits = 2, tables = 20)
+    Similarity.embeddingDupPairs(emb(spark, sfDir), 0.4)
       .orderBy(col("simr").desc, col("d1"), col("d2"))
 
   def dedupEmbeddingPairsSql: String =
@@ -673,28 +680,30 @@ object PipelineQueries {
     * the count of docs whose single most-common bigram exceeds 5% of all
     * bigrams (the "repetitive doc" filter a training pipeline drops).
     *
-    * Scale shape: ratios are pure array expressions (map-only); only the
-    * (doc, bigram) counts shuffle, partial-aggregated map-side, and the
-    * per-doc rollup reuses the same key prefix.
+    * Scale shape: MAP-ONLY per document. Top-bigram mass is a per-row
+    * statistic, so it's computed as a pure array expression — sort the
+    * bigram array, take the longest equal run ([[TextAnalysis.maxRunLength]],
+    * O(n log n) per row inside codegen) — instead of exploding to a
+    * (doc, bigram) stream and shuffling it through two groupBys. The ONLY
+    * exchange in the plan is the final tiny per-language rollup (pinned in
+    * OpsSpec).
     */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, sfDir)
       .select($"doc_id", $"lang", TextAnalysis.tokens($"text").as("w"))
-    val perDoc = d.select(
-      $"doc_id", $"lang",
-      size($"w").as("n_words"),
-      size(array_distinct($"w")).as("n_distinct"))
-    val topBigram = d
-      .select($"doc_id", explode(TextAnalysis.bigrams($"w")).as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("total_c"))
-    perDoc
-      .join(topBigram, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"w", TextAnalysis.bigrams($"w").as("bg"))
+    d.select(
+        $"lang",
+        size($"w").as("n_words"),
+        size(array_distinct($"w")).as("n_distinct"),
+        TextAnalysis.maxRunLength(array_sort($"bg")).as("top_c"),
+        size($"bg").as("total_c"))
       .withColumn("ttr_ppm",
         round(lit(1e6) * $"n_distinct" / $"n_words").cast("long"))
       .withColumn("topbg_ppm",
-        coalesce(round(lit(1e6) * $"top_c" / $"total_c").cast("long"), lit(0L)))
+        when($"total_c" > 0, round(lit(1e6) * $"top_c" / $"total_c").cast("long"))
+          .otherwise(lit(0L)))
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -766,13 +775,19 @@ object PipelineQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** BM25 (k1=1.2, b=0.75) top-15 documents for a fixed 3-term query.
-    * Determinism follows tfidf_top_terms: the transcendental idf is floored
-    * to integer millis, the rational tf-normalization (exact-input IEEE
-    * arithmetic, identical expression tree on both engines) is rounded to
-    * integer micros, and the final score is an exact BIGINT sum — ranking
-    * can't diverge by a ulp. Scale shape: one (doc, term) partial-agg
-    * shuffle over only the matching terms, df is a 3-row broadcast, dl/avgdl
-    * ride along without a second scan.
+    * Determinism follows tfidf_top_terms: idf is floored to integer millis,
+    * the rational tf-normalization (exact-input IEEE arithmetic, identical
+    * expression tree on both engines) is rounded to integer micros, and the
+    * final score is an exact BIGINT sum. One caveat (tiny, accepted): ln is
+    * transcendental, and JVM Math.log vs DuckDB's libm are not guaranteed
+    * identically rounded — a last-ulp disagreement EXACTLY at an integer
+    * milli boundary could flip idf_milli by 1. With 3 query terms (3 idf
+    * values) the exposure is negligible, but it is a soft spot, not a proof.
+    *
+    * Scale shape: one (doc, term) partial-agg shuffle over only the matching
+    * terms, df is a 3-row broadcast, and corpus stats (n, avgdl) ride in ONE
+    * broadcast 1-row aggregate — no driver-side count job, no extra scan
+    * (mirrors the oracle's `stats` CTE; single-job shape pinned in OpsSpec).
     */
   def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -780,20 +795,20 @@ object PipelineQueries {
     val terms = Seq("dup", "spark", "vector")
     val d = docs(spark, sfDir)
       .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
-    val n = d.count() // one count job, mirrors the oracle's scalar subquery
     val tf = d
       .select($"doc_id", size($"w").as("dl"), explode($"w").as("term"))
       .filter($"term".isin(terms: _*))
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
-    val avgdl = d.agg(
-      (sum(size($"w")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val stats = d.agg(
+      (sum(size($"w")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n"))
     tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(stats))
       .withColumn("idf_milli",
         floor(lit(1000.0) * log(
-          lit(1.0) + (lit(n).cast(DoubleType) - $"dfreq" + lit(0.5)) / ($"dfreq" + lit(0.5))))
+          lit(1.0) + ($"n".cast(DoubleType) - $"dfreq" + lit(0.5)) / ($"dfreq" + lit(0.5))))
           .cast("long"))
       .withColumn("tfnorm_micro",
         round(lit(1e6) * $"tf" * lit(2.2) /

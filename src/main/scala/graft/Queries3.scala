@@ -214,7 +214,11 @@ object Queries3 {
         broadcast(table(spark, sfDir, "nation").filter($"n_name" === "NATION_2")),
         $"s_nationkey" === $"n_nationkey")
       .join(numwait, $"s_suppkey" === $"l_suppkey")
-      .select($"s_name", $"numwait")
+      // final GROUP BY s_name, exactly like the SQL form: two suppliers
+      // sharing a name must merge their counts (the datagen happens to make
+      // s_name unique, but the rewrite must not depend on that)
+      .groupBy($"s_name")
+      .agg(sum($"numwait").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(100)
   }

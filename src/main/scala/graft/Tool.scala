@@ -9,6 +9,11 @@ import java.nio.file.{Files, Path, Paths}
   * control flags (`4mccli.c:226-255`): `-f` overwrite, `-c` force stdout,
   * `-t` test, `-v`/`-q` display level, `-V`/`-h` version/usage.
   *
+  * Switches aggregate exactly like the reference's char-walk parser
+  * (`4mccli.c:206-224`): `-zf4` == `-z -f -4`, and any digit run is a level
+  * (`-12` clamps to ultra). `-l` (Linux-kernel legacy LZ4 frames,
+  * `4mccli.c:232-234`) is explicitly unsupported and errors out.
+  *
   * Usage:
   *   graft.Tool [-z] [-s] [-1|-2|-3|-4] [-d] [-t] [-f] [-c] [-v|-q] input [output]
   *     -z  use ZSTD container (.4mz); default LZ4 (.4mc)
@@ -46,24 +51,46 @@ object Tool {
     var zstStream = false; var force = false; var toStdout = false; var quiet = false
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      args.foreach {
-        case "-z" => zstd = true
-        case "-s" => zstStream = true
-        case "-d" => decode = true
-        case "-t" => testOnly = true
-        case "-f" => force = true
-        case "-c" => toStdout = true
-        case "-v" => quiet = false
-        case "-q" => quiet = true
-        case "-V" => System.out.println(Version); return 0
-        case "-h" | "-H" | "--help" => System.out.println(Usage); return 0
-        case "-1" => level = 1
-        case "-2" => level = 2
-        case "-3" => level = 3
-        case "-4" => level = 4
-        case "-" => paths += "-"
-        case a if a.startsWith("-") => fail(s"unknown flag $a")
-        case p => paths += p
+      // Char-walk parser mirroring the reference CLI (`4mccli.c:206-255`):
+      // switches aggregate ("-zf4" == "-z -f -4") and any digit run is a
+      // compression level ("-12" == level 12). Levels clamp like the
+      // reference's compressor mapping (<=1 fast, 2 medium, 3 high, >=4
+      // ultra, `4mc.c:411-419`).
+      args.foreach { arg =>
+        if (arg == "-") paths += "-"
+        else if (arg == "--help") { System.out.println(Usage); return 0 }
+        else if (arg.startsWith("-")) {
+          var i = 1
+          while (i < arg.length) {
+            val c = arg(i)
+            if (c.isDigit) {
+              var lvl = 0
+              while (i < arg.length && arg(i).isDigit) {
+                lvl = math.min(lvl * 10 + (arg(i) - '0'), 99); i += 1
+              }
+              i -= 1
+              level = math.max(1, math.min(lvl, 4))
+            } else c match {
+              case 'z' => zstd = true
+              case 's' => zstStream = true
+              case 'd' => decode = true
+              case 't' => testOnly = true
+              case 'f' => force = true
+              case 'c' => toStdout = true
+              case 'v' => quiet = false
+              case 'q' => quiet = true
+              case 'V' => System.out.println(Version); return 0
+              case 'h' | 'H' => System.out.println(Usage); return 0
+              case 'l' =>
+                // reference `-l` selects the Linux-kernel legacy LZ4 frame
+                // (`4mccli.c:232-234`) — explicitly unsupported here rather
+                // than silently producing a non-legacy file
+                fail("legacy (Linux-kernel LZ4) format (-l) is not supported")
+              case other => fail(s"unknown flag -$other")
+            }
+            i += 1
+          }
+        } else paths += arg
       }
       if (paths.isEmpty) fail("no input file given")
       val outArg = if (toStdout) Some("-") else paths.lift(1)

@@ -39,6 +39,27 @@ object TextAnalysis {
           sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
 
+  /** Longest run of equal adjacent elements in a SORTED string array — i.e.
+    * the count of the most frequent element, computed without any shuffle.
+    * A single `aggregate` fold carrying (prev, current-run, best-run), so a
+    * per-row mode-count stays inside whole-stage codegen instead of becoming
+    * an explode + groupBy over the element stream. Empty arrays yield 0.
+    */
+  def maxRunLength(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(
+        lit(null).cast(StringType).as("prev"),
+        lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** GPT-2-style pre-tokenizer (simplified, public pattern shape): English
     * contractions, optional-space letter runs, digit runs, and
     * non-alphanumeric runs — the "BPE-ish" subword unit count a training

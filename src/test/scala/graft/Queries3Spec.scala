@@ -67,6 +67,22 @@ class Queries3Spec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("q11/q21: the twice-referenced aggregate reuses one exchange — no double lineitem scan") {
+    // Both queries feed an aggregated subplan into two consumers (Q11: v →
+    // total + filter; Q21: perOrderSupp → census + numwait). AQE dedupes the
+    // shared exchange today; this pins it so a plan change can't silently
+    // regress into scanning lineitem twice.
+    for ((name, df) <- Seq(
+        "q11" -> Queries3.q11ImportantParts(spark, sf),
+        "q21" -> Queries3.q21WaitingSuppliers(spark, sf))) {
+      df.collect() // materialize so AQE settles the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
+      assert(plan.contains("ReusedExchange") || lineitemScans <= 1,
+        s"$name: no ReusedExchange and $lineitemScans lineitem scans:\n${plan.take(2000)}")
+    }
+  }
+
   test("q21: aggregation rewrite equals the correlated EXISTS/NOT EXISTS form") {
     val got = Queries3.q21WaitingSuppliers(spark, sf).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li21")

@@ -27,6 +27,28 @@ class ToolSpec extends AnyFunSuite {
     finally { System.setOut(po); System.setErr(pe) }
   }
 
+  test("aggregated switches and free-form levels parse like the reference; -l errors") {
+    val in = tmpInput()
+    val out = in.resolveSibling("data.txt.4mz")
+    // "-zf4" == "-z -f -4" (reference char-walk, 4mccli.c:206-224)
+    assert(Tool.run(Array("-q", "-zf4", in.toString)) == 0)
+    val agg = Files.readAllBytes(out)
+    assert(Tool.run(Array("-q", "-z", "-f", "-4", in.toString)) == 0)
+    assert(Files.readAllBytes(out).toSeq == agg.toSeq,
+      "aggregated and separated flags must produce identical output")
+    // any digit run is a level; >=4 clamps to ultra exactly like the
+    // reference compressor mapping (4mc.c:411-419)
+    assert(Tool.run(Array("-q", "-zf12", in.toString)) == 0)
+    assert(Files.readAllBytes(out).toSeq == agg.toSeq)
+    // -l (Linux-kernel legacy LZ4 frame) is explicitly unsupported
+    val (rcL, _, errL) = capturingStd(Tool.run(Array("-l", in.toString)))
+    assert(rcL == 1)
+    assert(errL.contains("legacy"), s"expected a clear legacy-format error, got: $errL")
+    // unknown flag inside an aggregate still errors
+    val (rcX, _, errX) = capturingStd(Tool.run(Array("-zfx", in.toString)))
+    assert(rcX == 1 && errX.contains("unknown flag"))
+  }
+
   test("refuses to overwrite an existing output without -f, overwrites with -f") {
     val in = tmpInput()
     val out = in.resolveSibling("data.txt.4mc")

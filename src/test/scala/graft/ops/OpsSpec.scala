@@ -528,6 +528,52 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("maxRunLength: longest equal run of a sorted array, map-side") {
+    import spark.implicits._
+    val got = Seq(
+      Seq.empty[String],
+      Seq("a"),
+      Seq("a", "a", "a"),
+      Seq("a", "a", "b", "b", "b", "c")
+    ).toDF("xs")
+      .select(TextAnalysis.maxRunLength(array_sort($"xs")).as("m"))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(0L, 1L, 3L, 3L))
+  }
+
+  test("repetition signals plan is map-only: one rollup shuffle, no explode") {
+    val q = graft.PipelineQueries.repetitionSignals(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the bigram statistic must NOT leave the row: no Generate (explode) and
+    // exactly one hash exchange (the per-language rollup; the orderBy adds
+    // only a range exchange)
+    assert(!plan.contains("Generate"), s"explode leaked into the plan:\n${plan.take(1500)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (per-lang rollup), got $hashExchanges:\n${plan.take(1500)}")
+  }
+
+  test("bm25 construction launches no action job: corpus stats ride the broadcast") {
+    // spark.read.parquet itself runs a 1-task footer/schema-inference job
+    // ("parquet at ..."); what must NOT appear is an ACTION job (the old
+    // driver-side d.count() fired "count at PipelineQueries.scala" during
+    // DataFrame construction).
+    val actionJobs = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name).mkString(" | ")
+        if (!names.contains("parquet at ")) actionJobs.put(js.jobId, names)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.PipelineQueries.bm25TopDocs(spark, sf) // no action
+      Thread.sleep(1000) // listener bus is async; give events time to drain
+      assert(actionJobs.isEmpty,
+        s"DataFrame construction ran action job(s): ${actionJobs.values.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bm25: rare query term dominates ranking; plan broadcasts df and avgdl") {
     import spark.implicits._
     val q = graft.PipelineQueries.bm25TopDocs(spark, "/root/testdata/sf0.01")
