@@ -190,13 +190,40 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // ---- pipeline-operator stress: >=1 GB replicated corpus ----------------
+    // The format stress above proves 2 GiB container reads; this proves the
+    // bucketed PIPELINE operators (dedup/ANN/text) at 700x the sf0.1 document
+    // volume. Sub-quadratic growth is read directly off the JSON: compare
+    // each stress op's secs against the same op's 1x time in "queries"
+    // (which run BEFORE this block, so their numbers stay unperturbed).
+    // Corpus generation is deterministic and cached in /tmp across runs.
+    // SPARK_GRAFT_STRESS_PIPELINE=0 skips; any other integer overrides the
+    // 700x replication factor.
+    val stressPipe: Option[tools.StressPipeline.StressReport] =
+      if (sys.env.get("SPARK_GRAFT_STRESS_PIPELINE").contains("0")) None
+      else {
+        val repDocs = sys.env.get("SPARK_GRAFT_STRESS_PIPELINE")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(700)
+        val repEmb = math.max(1, repDocs * 5 / 7)
+        try Some(tools.StressPipeline.run(spark, sfDir, repDocs, repEmb))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] stress_pipeline failed: ${e.getMessage}")
+            None
+        }
+      }
+
     val stressJson = stress match {
       case Some((smb, nP, expP, seqS, parS, q1S)) =>
         f""","stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f,"stress_typed_q1_secs":$q1S%.2f"""
       case None => ""
     }
+    val stressPipeJson = stressPipe match {
+      case Some(r) => s""","stress_pipeline":${tools.StressPipeline.toJson(r)}"""
+      case None => ""
+    }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts$stressJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts$stressJson$stressPipeJson}"""
     )
     spark.stop()
   }

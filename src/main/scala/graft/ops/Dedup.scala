@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators (SURVEY §2 D1/D2), each designed as shuffle-native
   * DataFrame transforms with no driver-side materialization:
@@ -85,20 +86,47 @@ object Dedup {
     */
   private val PrefixFanoutThreshold = 64.0
 
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val posts = shinglePostings(docs, idCol, textCol).localCheckpoint(true)
-    val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df")).localCheckpoint(true)
+  /** `maxDocFreq` is the corpus-scale skew guard: shingles present in more
+    * than that many documents are boilerplate (license headers, navigation
+    * chrome, stop-trigram runs) whose posting self-join alone is O(df²) —
+    * at a million+ documents a single hot shingle would dominate the whole
+    * stage. Dropping them from BOTH the candidate generation and the
+    * verified sets keeps one consistent (capped) Jaccard semantics. The
+    * default 0 = uncapped keeps exact oracle parity; callers at scale pass a
+    * cap comfortably above any legitimate near-dup shingle frequency.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+                        maxDocFreq: Long = 0L): DataFrame = {
+    // DISK_ONLY: the postings table is O(corpus tokens) — at stress scale
+    // (3.5M docs) the default MEMORY_AND_DISK checkpoint competes with
+    // execution memory for the whole unified pool and OOMs the aggregation
+    // tasks (measured); shingling recompute is what the checkpoint avoids,
+    // and local disk reads back at scan speed
+    val posts = shinglePostings(docs, idCol, textCol, maxDocFreq)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // cost-based strategy choice from one tiny scalar aggregate
     val stats = dfreq.agg(sum(col("df") * col("df")).as("df2"), sum(col("df")).as("dfs")).head()
     val fanout = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
     if (fanout < PrefixFanoutThreshold) jaccardFromPosts(posts, threshold)
-    else ngramJaccardPairsPrefix(docs, idCol, textCol, threshold)
+    else prefixFromPosts(posts, dfreq, threshold)
   }
 
   /** Prefix-filtered path (forced) — see [[ngramJaccardPairs]]. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val posts = shinglePostings(docs, idCol, textCol).localCheckpoint(true)
     val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df"))
+    prefixFromPosts(posts, dfreq, threshold)
+  }
+
+  /** Everything — prefix selection, candidates, AND the verification sets —
+    * derives from the same `posts`, so a df-capped postings table yields one
+    * consistent capped-Jaccard semantics (sets rebuilt per doc via
+    * collect_set: one linear shuffle, vs. re-deriving uncapped sets from the
+    * raw text and silently verifying a different measure).
+    */
+  private def prefixFromPosts(posts: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
     val wDoc = Window.partitionBy(col("doc")).orderBy(col("df").asc, col("w").asc)
     val prefix = posts
       .join(dfreq, "w")
@@ -111,10 +139,10 @@ object Dedup {
       .join(prefix.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
-    val sets = docs
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col("doc"), array_sort(array_distinct(shinglesFromTokens(col("_toks")))).as("set"))
-      .localCheckpoint(true)
+    val sets = posts
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("w"))).as("set"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     cands
       .join(sets.select(col("doc").as("d1"), col("set").as("s1")), "d1")
       .join(sets.select(col("doc").as("d2"), col("set").as("s2")), "d2")
