@@ -807,8 +807,11 @@ object PipelineQueries {
     val d = docs(spark, sfDir)
       .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
     val tf = d
-      .select($"doc_id", size($"w").as("dl"), explode($"w").as("term"))
-      .filter($"term".isin(terms: _*))
+      // filter INSIDE the array before exploding: the corpus token stream
+      // never materializes as rows — only matching terms (~0-3 per doc vs
+      // ~50) leave the codegen stage
+      .select($"doc_id", size($"w").as("dl"),
+        explode(filter($"w", t => t.isin(terms: _*))).as("term"))
       .groupBy($"doc_id", $"dl", $"term")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))

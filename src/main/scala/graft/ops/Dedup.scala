@@ -95,17 +95,24 @@ object Dedup {
     * default 0 = uncapped keeps exact oracle parity; callers at scale pass a
     * cap comfortably above any legitimate near-dup shingle frequency.
     */
+  /** Storage level for the O(corpus-tokens) intermediate checkpoints,
+    * settable per session via `spark.graft.checkpoint.storage`. The default
+    * MEMORY_AND_DISK is right while the postings fit beside execution
+    * memory; at stress/corpus scale set DISK_ONLY — measured at 700× sf0.1,
+    * the memory-first checkpoint competes with aggregation tasks for the
+    * unified pool and OOMs them, while DISK_ONLY reads back at scan speed.
+    * (graft.tools.StressPipeline sets this for its run and restores after.)
+    */
+  private def ckptLevel(df: DataFrame): StorageLevel =
+    StorageLevel.fromString(
+      df.sparkSession.conf.get("spark.graft.checkpoint.storage", "MEMORY_AND_DISK"))
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                         maxDocFreq: Long = 0L): DataFrame = {
-    // DISK_ONLY: the postings table is O(corpus tokens) — at stress scale
-    // (3.5M docs) the default MEMORY_AND_DISK checkpoint competes with
-    // execution memory for the whole unified pool and OOMs the aggregation
-    // tasks (measured); shingling recompute is what the checkpoint avoids,
-    // and local disk reads back at scan speed
-    val posts = shinglePostings(docs, idCol, textCol, maxDocFreq)
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val postsPlan = shinglePostings(docs, idCol, textCol, maxDocFreq)
+    val posts = postsPlan.localCheckpoint(true, ckptLevel(postsPlan))
     val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, ckptLevel(postsPlan))
     // cost-based strategy choice from one tiny scalar aggregate
     val stats = dfreq.agg(sum(col("df") * col("df")).as("df2"), sum(col("df")).as("dfs")).head()
     val fanout = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
@@ -142,7 +149,7 @@ object Dedup {
     val sets = posts
       .groupBy(col("doc"))
       .agg(sort_array(collect_set(col("w"))).as("set"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, ckptLevel(posts))
     cands
       .join(sets.select(col("doc").as("d1"), col("set").as("s1")), "d1")
       .join(sets.select(col("doc").as("d2"), col("set").as("s2")), "d2")

@@ -148,9 +148,19 @@ object StressPipeline {
     // coalescing restore bounded per-task state; restored after the run so
     // the per-query bench keeps its own sizing.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCkpt = spark.conf.getOption("spark.graft.checkpoint.storage")
     spark.conf.set("spark.sql.shuffle.partitions", "256")
+    // DISK_ONLY intermediates at this volume: a memory-first checkpoint of
+    // the O(corpus-token) postings starves aggregation tasks (measured OOM)
+    spark.conf.set("spark.graft.checkpoint.storage", "DISK_ONLY")
     try runOps(spark, dir, emb, repDocs, repEmb, nDocs, nVecs, textMb, genSecs)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevCkpt match {
+        case Some(v) => spark.conf.set("spark.graft.checkpoint.storage", v)
+        case None => spark.conf.unset("spark.graft.checkpoint.storage")
+      }
+    }
   }
 
   private def runOps(spark: SparkSession, dir: String, emb: DataFrame,
