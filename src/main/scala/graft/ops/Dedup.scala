@@ -166,8 +166,10 @@ object Dedup {
     * low-fanout strategy, and the equivalence baseline for the
     * prefix-filtered path.
     */
-  def ngramJaccardPairsNaive(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
-    jaccardFromPosts(shinglePostings(docs, idCol, textCol).localCheckpoint(true), threshold)
+  def ngramJaccardPairsNaive(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val posts = shinglePostings(docs, idCol, textCol)
+    jaccardFromPosts(posts.localCheckpoint(true, ckptLevel(posts)), threshold)
+  }
 
   private def jaccardFromPosts(posts: DataFrame, threshold: Double): DataFrame = {
     val sizes = posts.groupBy("doc").agg(count(lit(1)).as("sz"))
@@ -317,7 +319,8 @@ object Dedup {
     // blocks in the CacheManager for the whole session (the r2/r3 leak),
     // while checkpoint blocks are dropped by the ContextCleaner as soon as
     // the result plan is unreferenced.
-    val sigs = minHashSignatures(docs, idCol, textCol, numHashes).localCheckpoint(true)
+    val sigsPlan = minHashSignatures(docs, idCol, textCol, numHashes)
+    val sigs = sigsPlan.localCheckpoint(true, ckptLevel(sigsPlan))
     val cands = lshCandidates(sigs, numHashes, rowsPerBand)
     val withSets = cands
       .join(sigs.select(col("doc").as("d1"), col("shingles").as("sh1")), "d1")
@@ -435,7 +438,7 @@ object Dedup {
                         reliableCheckpoint: Boolean = false): DataFrame = {
     val ck: DataFrame => DataFrame =
       if (reliableCheckpoint) df => df.checkpoint(eager = true)
-      else df => df.localCheckpoint(eager = true)
+      else df => df.localCheckpoint(true, ckptLevel(df))
     val edges = ck(pairs
       .select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))

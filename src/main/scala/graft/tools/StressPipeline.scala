@@ -124,7 +124,15 @@ object StressPipeline {
       case e: Throwable =>
         System.err.println(s"[stress] $name failed: ${e.getMessage}")
         OpResult(name, -1.0, -1L, shuffleBytes.get() / 1e6)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      // each op checkpoints multi-GB intermediates (postings, signatures, CC
+      // labels); the ContextCleaner only reclaims them after a driver GC
+      // notices the dropped references, and at this volume a later op can
+      // heap-OOM first (measured) — release them deterministically instead
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
   }
 
   /** Run the five bucketed pipeline operators on the replicated corpus.

@@ -218,6 +218,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(3) <= 63 + 8)) // max_w bounded by generator
   }
 
+  test("df-capped jaccard pairs equal uncapped at test scale (cap never engages)") {
+    // the registered query caps shingle df at 256 as the corpus-scale
+    // boilerplate guard; at test SFs max df is far below it, so output must
+    // be IDENTICAL to the uncapped oracle formulation
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6, maxDocFreq = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(capped == uncapped, s"cap engaged at test scale: ${capped.size} vs ${uncapped.size}")
+  }
+
   test("prefix-filtered jaccard pairs equal the naive postings join") {
     for (t <- Seq(0.5, 0.6, 0.8)) {
       val fast = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", t)
