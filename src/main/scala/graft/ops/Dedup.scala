@@ -171,16 +171,23 @@ object Dedup {
     jaccardFromPosts(posts.localCheckpoint(true, ckptLevel(posts)), threshold)
   }
 
+  /** Per-doc set sizes ride WITH the postings into the self-join (one small
+    * extra column per posting row) instead of joining the candidate-pair
+    * table against a sizes table twice afterwards: the pair table is the
+    * LARGEST relation in the whole operator (every doc pair sharing a
+    * shingle), and the old shape re-shuffled it through two sort-merge
+    * joins; sz is functionally dependent on the doc key, so min() recovers
+    * it exactly in the same aggregation that counts the intersection.
+    */
   private def jaccardFromPosts(posts: DataFrame, threshold: Double): DataFrame = {
     val sizes = posts.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val inter = posts
+    val postsSz = posts.join(sizes, "doc")
+    val inter = postsSz
       .as("a")
-      .join(posts.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .join(postsSz.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"), min(col("a.sz")).as("sz1"), min(col("b.sz")).as("sz2"))
     inter
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
       .withColumn("jaccard", col("inter").cast(DoubleType) / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
