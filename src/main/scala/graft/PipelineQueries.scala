@@ -535,7 +535,10 @@ object PipelineQueries {
     * arithmetic, and the one transcendental — ln(N/df) — is floored to
     * integer millis BEFORE it enters the score, because libm ln differs by
     * 1 ulp between the JVM and DuckDB (observed: …2253 vs …2251): scoring
-    * and ranking stay in exact BIGINT arithmetic on both engines.
+    * and ranking stay in exact BIGINT arithmetic on both engines. (Flooring
+    * shrinks the exposure to the case where a ulp disagreement straddles an
+    * exact integer-milli boundary — vanishingly rare with a handful of
+    * distinct df values, but a soft spot, not a proof; same caveat as bm25.)
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
