@@ -109,10 +109,25 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                         maxDocFreq: Long = 0L): DataFrame = {
-    val postsPlan = shinglePostings(docs, idCol, textCol, maxDocFreq)
-    val posts = postsPlan.localCheckpoint(true, ckptLevel(postsPlan))
-    val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true, ckptLevel(postsPlan))
+    // ONE vocabulary aggregate serves the cap, the cost-based dispatch, and
+    // the prefix ordering: shinglePostings' own maxDocFreq path would run a
+    // second full groupBy(w) over the postings just to find the hot list —
+    // at stress scale that is an extra multi-GB shuffle for values the
+    // uncapped aggregate already holds. The capped postings themselves stay
+    // a map-side broadcast anti-join over the checkpointed raw postings.
+    val rawPlan = shinglePostings(docs, idCol, textCol)
+    val raw = rawPlan.localCheckpoint(true, ckptLevel(rawPlan))
+    val dfreqAll = raw.groupBy("w").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true, ckptLevel(rawPlan))
+    val (posts, dfreq) =
+      if (maxDocFreq <= 0) (raw, dfreqAll)
+      else (
+        // materialize the capped postings once (map-side anti-join read of
+        // the raw checkpoint) — four downstream consumers would otherwise
+        // each re-derive them
+        raw.join(broadcast(dfreqAll.filter(col("df") > maxDocFreq)), Seq("w"), "left_anti")
+          .localCheckpoint(true, ckptLevel(rawPlan)),
+        dfreqAll.filter(col("df") <= maxDocFreq))
     // cost-based strategy choice from one tiny scalar aggregate
     val stats = dfreq.agg(sum(col("df") * col("df")).as("df2"), sum(col("df")).as("dfs")).head()
     val fanout = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
