@@ -174,21 +174,33 @@ object StressPipeline {
   private def runOps(spark: SparkSession, dir: String, emb: DataFrame,
                      repDocs: Int, repEmb: Int, nDocs: Long, nVecs: Long,
                      textMb: Double, genSecs: Double): StressReport = {
+    // Total time budget for the section (SPARK_GRAFT_STRESS_BUDGET seconds,
+    // default 1500): an over-budget run SKIPS remaining ops with secs = -2
+    // — visible in the JSON, never a silent truncation — so one slow box
+    // can't starve the rest of the bench or lose the whole output line.
+    val budgetSecs = sys.env.get("SPARK_GRAFT_STRESS_BUDGET")
+      .flatMap(_.toLongOption).getOrElse(1500L)
+    val deadline = System.nanoTime() + budgetSecs * 1000000000L
+    def guarded(name: String)(action: => Long): OpResult =
+      if (System.nanoTime() > deadline) {
+        System.err.println(s"[stress] $name skipped: section budget (${budgetSecs}s) exhausted")
+        OpResult(name, -2.0, -1L, 0.0)
+      } else timed(spark, name)(action)
     val ops = Seq(
-      timed(spark, "dedup_ngram_pairs") {
+      guarded("dedup_ngram_pairs") {
         graft.PipelineQueries.dedupNgramPairs(spark, dir).count()
       },
-      timed(spark, "dedup_minhash_pairs") {
+      guarded("dedup_minhash_pairs") {
         graft.PipelineQueries.dedupMinhashPairs(spark, dir).count()
       },
-      timed(spark, "dedup_clusters") {
+      guarded("dedup_clusters") {
         graft.PipelineQueries.dedupClusters(spark, dir).count()
       },
-      timed(spark, "ann_lsh_b12t8") {
+      guarded("ann_lsh_b12t8") {
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
           bits = 12, tables = 8).count()
       },
-      timed(spark, "tfidf_top_terms") {
+      guarded("tfidf_top_terms") {
         graft.PipelineQueries.tfidfTopTerms(spark, dir).count()
       })
     StressReport(repDocs, repEmb, nDocs, nVecs, textMb, genSecs, ops)
