@@ -176,6 +176,7 @@ object Bench {
       System.err.println("[bench] ERROR: selection matched zero queries")
       sys.exit(2)
     }
+    graft.sources.FourMcScanMetrics.reset()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -187,6 +188,10 @@ object Bench {
       val samples = Seq(run(), run(), run())
       name -> (if (warm < 0 || samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }
+    // block-stats pruning effectiveness across the query set (4 runs each):
+    // skipped = owned blocks never decompressed by the pruned csv scan path
+    val prunedRead = graft.sources.FourMcScanMetrics.blocksRead.sum()
+    val prunedSkipped = graft.sources.FourMcScanMetrics.blocksSkipped.sum()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -223,7 +228,7 @@ object Bench {
       case None => ""
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts$stressJson$stressPipeJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressJson$stressPipeJson}"""
     )
     spark.stop()
   }

@@ -98,12 +98,68 @@ object RoundTrip {
   def q1OverFourMz(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "zstd-3"))
 
-  /** Q6 over the LZ4 round-trip: a ~2%-selective predicate pushed into the
-    * csv parse — rows failing the shipdate/discount/quantity window parse
-    * only the filter columns (the reader's in-parse predicate path).
+  /** Write (once) a SORT-CLUSTERED round-trip: rows range-partitioned and
+    * sorted by `sortCol`, so the per-block min/max stats segment
+    * ([[graft.format.BlockStats]]) actually separates blocks and a selective
+    * scan can skip most of them before decompression. This is the declared
+    * sort key every columnar warehouse needs for zone-map pruning — parquet
+    * row-group min/max is exactly as useless on unclustered data.
+    */
+  def ensureRoundTripSorted(
+      spark: SparkSession,
+      sfDir: String,
+      tableName: String,
+      codec: String,
+      sortCol: String,
+      timestampFormat: String = tsFmt
+  ): (String, StructType) = {
+    val src = Queries.table(spark, sfDir, tableName)
+    val schema = src.schema
+    val dir = rtDir(sfDir, s"$tableName-by-$sortCol", codec, timestampFormat)
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      // Fewer, bigger files than the unsorted round-trip (~32 MiB of source
+      // parquet each): pruning granularity is the 4 MiB BLOCK, so large files
+      // cost nothing — and read parallelism comes from block-aligned splits,
+      // not file count. This is the 100 TB layout: big sorted files, zone-map
+      // skipping inside them.
+      val srcBytes = new java.io.File(s"$sfDir/$tableName.parquet").length()
+      val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes + (32L << 20) - 1) / (32L << 20))).toInt
+      src
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", timestampFormat)
+        .option("codec", codec)
+        .save(dir.getAbsolutePath)
+    }
+    (dir.getAbsolutePath, schema)
+  }
+
+  private def readSorted(
+      spark: SparkSession, sfDir: String, tableName: String, codec: String, sortCol: String
+  ): DataFrame = {
+    val (dir, schema) = ensureRoundTripSorted(spark, sfDir, tableName, codec, sortCol)
+    spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+  }
+
+  /** Q6 over the LZ4 round-trip CLUSTERED on `l_shipdate`: the pushed
+    * shipdate range prunes whole 4 MiB blocks against the stats segment
+    * before any decompression; surviving blocks still run the in-parse
+    * predicate path on the discount/quantity columns.
     */
   def q6OverFourMc(spark: SparkSession, sfDir: String): DataFrame =
-    Queries.q6Over(roundTrip(spark, sfDir, "lineitem", "lz4-fast"))
+    Queries.q6Over(readSorted(spark, sfDir, "lineitem", "lz4-fast", "l_shipdate"))
+
+  /** The same pruned scan through the 4mz (zstd) container — registered
+    * separately so block skipping is oracle-checked on both codec families;
+    * `FourMcScanMetrics` asserts the skip ratio in the spec layer.
+    */
+  def q6OverFourMcSkipped(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q6Over(readSorted(spark, sfDir, "lineitem", "zstd-1", "l_shipdate"))
 
   /** Documents through 4mz: per-language doc count + exact char sum. The text
     * itself crosses the container, not just the metadata.

@@ -68,6 +68,7 @@ object SparkEntry {
     "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _),
     "fourmc_partition_pruned" -> (RoundTrip.docsPartitionPruned _),
     "fourmc_q6_selective" -> (RoundTrip.q6OverFourMc _),
+    "fourmc_q6_skipped" -> (RoundTrip.q6OverFourMcSkipped _),
     // LLM-pipeline operators (SURVEY §2 D)
     "dedup_exact_docs" -> (PipelineQueries.dedupExactDocs _),
     "dedup_ngram_pairs" -> (PipelineQueries.dedupNgramPairs _),
@@ -179,6 +180,7 @@ object SparkEntry {
     "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
     "fourmc_partition_pruned" -> RoundTrip.docsPartitionPrunedSql,
     "fourmc_q6_selective" -> Queries.q6Sql,
+    "fourmc_q6_skipped" -> Queries.q6Sql,
     // pipeline operators with DuckDB-expressible semantics
     "dedup_exact_docs" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_pairs" -> PipelineQueries.dedupNgramSql,

@@ -1,0 +1,505 @@
+package graft.format
+
+import graft.sources.CsvPayload
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Optional per-block column-statistics segment for csv-payload 4mc/4mz files
+  * — the container-level analog of parquet row-group min/max, and the lever
+  * that lets a selective scan skip whole 4 MiB blocks BEFORE decompression.
+  *
+  * Placement extends the reference container (`4mc-format-spec:29-35`)
+  * backward-compatibly:
+  *
+  * {{{
+  * HEADER | BLOCK_1..N | EOS | [STATS SEGMENT] | FOOTER
+  * STATS  = magic(4) version(4) nCols(4) tag(1)xC nBlocks(4) blockEntry xN
+  *          totalLen(4) magic(4) xxhash32(everything before this field)(4)
+  * blockEntry = firstOwnedStart(4) lineCount(4) colEntry xC
+  * colEntry   = nullCount(4) flags(1)
+  *              [hasBounds: string -> minLen(1) minBytes maxLen(1) maxBytes
+  *                          else   -> min(8) max(8)]
+  * }}}
+  *
+  * Detection is unambiguous: in a stats-less file the 12 bytes before the
+  * footer are always the EOS marker (12 zeros); in a stats file they are
+  * `totalLen|magic|checksum` with a nonzero magic. Readers that predate the
+  * segment (or an unknown statsVersion) fall back to a plain scan — the block
+  * index and footer are byte-identical either way.
+  *
+  * == Line ownership ==
+  *
+  * Stats attribute each line to the block containing the byte BEFORE its
+  * first byte (file start → block 0): a line starting at offset 0 of block b
+  * belongs to block b-1. This matches split semantics exactly — the reader
+  * that consumed block b-1's tail is the one that emits that line — so a
+  * pruned scan (skip whole blocks whose stats refute the pushed filters)
+  * emits every matching line exactly once for ANY byte-range partition of
+  * the file, the same invariant the unpruned reader guarantees.
+  *
+  * `firstOwnedStart` encodes where block b's first owned line begins:
+  * `>= 0` = offset within b; `-2` = offset 0 of block b+1 (b's payload ends
+  * exactly at a line boundary and b has no interior starts); `-1` = b owns no
+  * lines (one giant line spans it).
+  */
+object BlockStats {
+  val StatsMagic: Int = 0x344d4353 // "4MCS"
+  val StatsVersion: Int = 1
+  val TrailerLen: Int = 12
+  val MaxStrBytes: Int = 16
+
+  final val FirstAtNextBlock: Int = -2
+  final val NoOwnedLines: Int = -1
+
+  // col flags
+  private[format] final val FlagBounds = 1
+  private[format] final val FlagMinExact = 2
+  private[format] final val FlagMaxExact = 4
+}
+
+/** Parsed stats for one file. Arrays are indexed [block] and [block*nCols+col]. */
+final class McBlockStats(
+    val tags: Array[Int], // CsvPayload parse tag per data-schema column
+    val firstOwnedStart: Array[Int],
+    val lineCount: Array[Int],
+    val nullCount: Array[Int], // flattened [block*nCols + col]
+    val hasBounds: Array[Boolean],
+    val minLong: Array[Long], // numeric/bool/timestamp (double/float via raw bits)
+    val maxLong: Array[Long],
+    val minBytes: Array[Array[Byte]], // strings (truncated); null for non-string
+    val maxBytes: Array[Array[Byte]],
+    val minExact: Array[Boolean],
+    val maxExact: Array[Boolean]
+) extends Serializable {
+  def nCols: Int = tags.length
+  def nBlocks: Int = firstOwnedStart.length
+}
+
+/** Writer-side accumulator. The csv OutputWriter calls [[startLine]] once per
+  * row (before serializing it) and one typed observe per column, then hands
+  * [[serialize]] to the container writer to emit just before the footer.
+  */
+final class McStatsBuilder(schema: StructType) {
+  import BlockStats._
+
+  val tags: Array[Int] = schema.fields.map(_.dataType match {
+    case StringType                       => CsvPayload.TagString
+    case LongType                         => CsvPayload.TagLong
+    case IntegerType                      => CsvPayload.TagInt
+    case DoubleType                       => CsvPayload.TagDouble
+    case FloatType                        => CsvPayload.TagFloat
+    case BooleanType                      => CsvPayload.TagBoolean
+    case TimestampType | TimestampNTZType => CsvPayload.TagTimestamp
+    case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
+  })
+  private val nCols = tags.length
+
+  private final class BlockAcc {
+    var firstOwned: Int = NoOwnedLines
+    var lines: Int = 0
+    val nulls = new Array[Int](nCols)
+    val bounded = new Array[Boolean](nCols)
+    val noBounds = new Array[Boolean](nCols) // poisoned (NaN)
+    val minL = new Array[Long](nCols)
+    val maxL = new Array[Long](nCols)
+    val minB = new Array[Array[Byte]](nCols)
+    val maxB = new Array[Array[Byte]](nCols)
+    val minX = new Array[Boolean](nCols)
+    val maxX = new Array[Boolean](nCols)
+  }
+
+  private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockAcc]
+  private var cur: BlockAcc = _
+
+  private def blockAt(i: Int): BlockAcc = {
+    while (blocks.length <= i) blocks += new BlockAcc
+    blocks(i)
+  }
+
+  /** Register a line starting at `offsetInBlock` of `blockIdx` (the writer's
+    * pending-block coordinates, read before the line bytes are written).
+    * Routes ownership per the offset-0 rule above.
+    */
+  def startLine(blockIdx: Int, offsetInBlock: Int): Unit = {
+    val owner = if (offsetInBlock == 0 && blockIdx > 0) blockIdx - 1 else blockIdx
+    cur = blockAt(owner)
+    cur.lines += 1
+    if (cur.firstOwned == NoOwnedLines) {
+      cur.firstOwned =
+        if (owner == blockIdx) offsetInBlock // includes file-start (0, 0)
+        else FirstAtNextBlock
+    }
+  }
+
+  def observeNull(col: Int): Unit = cur.nulls(col) += 1
+
+  def observeLong(col: Int, v: Long): Unit = {
+    if (!cur.bounded(col)) { cur.bounded(col) = true; cur.minL(col) = v; cur.maxL(col) = v }
+    else {
+      if (v < cur.minL(col)) cur.minL(col) = v
+      if (v > cur.maxL(col)) cur.maxL(col) = v
+    }
+  }
+
+  /** Doubles/floats ride the long slots as raw bits; NaN poisons the block-col. */
+  def observeDouble(col: Int, v: Double): Unit = {
+    if (java.lang.Double.isNaN(v)) { cur.noBounds(col) = true; return }
+    if (!cur.bounded(col)) {
+      cur.bounded(col) = true
+      cur.minL(col) = java.lang.Double.doubleToLongBits(v)
+      cur.maxL(col) = cur.minL(col)
+    } else {
+      if (v < java.lang.Double.longBitsToDouble(cur.minL(col)))
+        cur.minL(col) = java.lang.Double.doubleToLongBits(v)
+      if (v > java.lang.Double.longBitsToDouble(cur.maxL(col)))
+        cur.maxL(col) = java.lang.Double.doubleToLongBits(v)
+    }
+  }
+
+  def observeString(col: Int, bytes: Array[Byte]): Unit = {
+    val (trunc, exact) =
+      if (bytes.length <= MaxStrBytes) (bytes, true)
+      else (java.util.Arrays.copyOf(bytes, MaxStrBytes), false)
+    if (!cur.bounded(col)) {
+      cur.bounded(col) = true
+      cur.minB(col) = trunc; cur.minX(col) = exact
+      cur.maxB(col) = trunc; cur.maxX(col) = exact
+    } else {
+      // unsigned byte-wise order, the same collation the reader compares with
+      if (McStatsPruning.byteCompare(trunc, cur.minB(col)) < 0) { cur.minB(col) = trunc; cur.minX(col) = exact }
+      if (McStatsPruning.byteCompare(trunc, cur.maxB(col)) > 0) { cur.maxB(col) = trunc; cur.maxX(col) = exact }
+    }
+  }
+
+  /** Serialize stats for exactly `nBlocks` container blocks (blocks beyond the
+    * last observed line are all-empty entries).
+    */
+  def serialize(nBlocks: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64 + nBlocks * (8 + nCols * 24))
+    def w4(v: Int): Unit = {
+      bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
+      bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
+    }
+    def w8(v: Long): Unit = { w4((v >>> 32).toInt); w4(v.toInt) }
+    w4(StatsMagic)
+    w4(StatsVersion)
+    w4(nCols)
+    tags.foreach(bos.write)
+    w4(nBlocks)
+    val empty = new BlockAcc
+    var b = 0
+    while (b < nBlocks) {
+      val acc = if (b < blocks.length) blocks(b) else empty
+      w4(acc.firstOwned)
+      w4(acc.lines)
+      var c = 0
+      while (c < nCols) {
+        w4(acc.nulls(c))
+        val bounds = acc.bounded(c) && !acc.noBounds(c)
+        var flags = 0
+        if (bounds) {
+          flags |= FlagBounds
+          val (mx, xx) =
+            if (tags(c) == CsvPayload.TagString) (acc.minX(c), acc.maxX(c)) else (true, true)
+          if (mx) flags |= FlagMinExact
+          if (xx) flags |= FlagMaxExact
+        }
+        bos.write(flags)
+        if (bounds) {
+          if (tags(c) == CsvPayload.TagString) {
+            bos.write(acc.minB(c).length); bos.write(acc.minB(c), 0, acc.minB(c).length)
+            bos.write(acc.maxB(c).length); bos.write(acc.maxB(c), 0, acc.maxB(c).length)
+          } else { w8(acc.minL(c)); w8(acc.maxL(c)) }
+        }
+        c += 1
+      }
+      b += 1
+    }
+    val totalLen = bos.size() + TrailerLen
+    w4(totalLen)
+    w4(StatsMagic)
+    val body = bos.toByteArray
+    val out = java.util.Arrays.copyOf(body, body.length + 4)
+    val h = FourMc.xxhash32(body, 0, body.length)
+    out(body.length) = ((h >>> 24) & 0xff).toByte
+    out(body.length + 1) = ((h >>> 16) & 0xff).toByte
+    out(body.length + 2) = ((h >>> 8) & 0xff).toByte
+    out(body.length + 3) = (h & 0xff).toByte
+    out
+  }
+}
+
+object McBlockStats {
+  import BlockStats._
+
+  /** Parse a stats segment (bytes from magic through trailing checksum).
+    * Returns None for unknown versions; throws on corruption.
+    */
+  def parse(seg: Array[Byte]): Option[McBlockStats] = {
+    var p = 0
+    def r4(): Int = {
+      val v = ((seg(p) & 0xff) << 24) | ((seg(p + 1) & 0xff) << 16) |
+        ((seg(p + 2) & 0xff) << 8) | (seg(p + 3) & 0xff)
+      p += 4; v
+    }
+    def r8(): Long = { val hi = r4().toLong; val lo = r4().toLong & 0xffffffffL; (hi << 32) | lo }
+    if (r4() != StatsMagic) throw new java.io.IOException("4mc stats segment magic mismatch")
+    if (r4() != StatsVersion) return None // forward-compat: ignore newer stats
+    val nCols = r4()
+    if (nCols < 0 || nCols > 4096) throw new java.io.IOException(s"4mc stats nCols $nCols out of range")
+    val tags = new Array[Int](nCols)
+    var i = 0
+    while (i < nCols) { tags(i) = seg(p) & 0xff; p += 1; i += 1 }
+    val nBlocks = r4()
+    if (nBlocks < 0 || nBlocks > (1 << 24)) throw new java.io.IOException(s"4mc stats nBlocks $nBlocks out of range")
+    val first = new Array[Int](nBlocks)
+    val lines = new Array[Int](nBlocks)
+    val n = nBlocks * nCols
+    val nulls = new Array[Int](n)
+    val bounds = new Array[Boolean](n)
+    val minL = new Array[Long](n)
+    val maxL = new Array[Long](n)
+    val minB = new Array[Array[Byte]](n)
+    val maxB = new Array[Array[Byte]](n)
+    val minX = new Array[Boolean](n)
+    val maxX = new Array[Boolean](n)
+    var b = 0
+    while (b < nBlocks) {
+      first(b) = r4()
+      lines(b) = r4()
+      var c = 0
+      while (c < nCols) {
+        val k = b * nCols + c
+        nulls(k) = r4()
+        val flags = seg(p) & 0xff; p += 1
+        if ((flags & FlagBounds) != 0) {
+          bounds(k) = true
+          minX(k) = (flags & FlagMinExact) != 0
+          maxX(k) = (flags & FlagMaxExact) != 0
+          if (tags(c) == CsvPayload.TagString) {
+            val ml = seg(p) & 0xff; p += 1
+            minB(k) = java.util.Arrays.copyOfRange(seg, p, p + ml); p += ml
+            val xl = seg(p) & 0xff; p += 1
+            maxB(k) = java.util.Arrays.copyOfRange(seg, p, p + xl); p += xl
+          } else { minL(k) = r8(); maxL(k) = r8() }
+        }
+        c += 1
+      }
+      b += 1
+    }
+    Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX))
+  }
+}
+
+/** Compile pushed filters into a per-block keep decision against the stats.
+  * Sound by construction: a block is dropped only when some conjunct is
+  * provably false for every line the block owns; Spark re-applies every
+  * pushed filter above the scan, so pruning can only remove rows that the
+  * downstream filter would drop anyway.
+  */
+object McStatsPruning {
+
+  private final val ModeEq = 0
+  private final val ModeGt = 1
+  private final val ModeGe = 2
+  private final val ModeLt = 3
+  private final val ModeLe = 4
+
+  def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Compare only over the shared prefix: 0 means "cannot order" (equal
+    * prefixes). Used against truncated bounds where the suffix is unknown.
+    */
+  private def prefixCompare(v: Array[Byte], bound: Array[Byte]): Int = {
+    val n = math.min(v.length, bound.length)
+    var i = 0
+    while (i < n) {
+      val d = (v(i) & 0xff) - (bound(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  private def toLongLit(tag: Int, v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    if (v == null) return None
+    tag match {
+      case CsvPayload.TagLong | CsvPayload.TagInt =>
+        v match { case n: java.lang.Number => Some(n.longValue); case _ => None }
+      case CsvPayload.TagBoolean =>
+        v match { case b: java.lang.Boolean => Some(if (b) 1L else 0L); case _ => None }
+      case CsvPayload.TagTimestamp =>
+        v match {
+          case t: java.sql.Timestamp      => Some(DateTimeUtils.fromJavaTimestamp(t))
+          case i: java.time.Instant       => Some(DateTimeUtils.instantToMicros(i))
+          case l: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(l))
+          case _                          => None
+        }
+      case _ => None
+    }
+  }
+
+  private def toDoubleLit(v: Any): Option[Double] =
+    v match { case n: java.lang.Number => Some(n.doubleValue); case _ => None }
+
+  /** keep(b) for every block; `None` when the stats don't apply (schema
+    * mismatch) — caller then scans unpruned.
+    */
+  def keepBlocks(
+      filters: Seq[Filter],
+      dataSchema: StructType,
+      stats: McBlockStats
+  ): Option[Array[Boolean]] = {
+    if (stats.nCols != dataSchema.length) return None
+    val nCols = stats.nCols
+
+    def colOf(attr: String): Int = dataSchema.fields.indexWhere(_.name == attr)
+
+    // possible(f)(b): may any owned line of block b satisfy f?  true = keep-safe
+    def possible(f: Filter): Int => Boolean = f match {
+      case And(a, b) =>
+        val pa = possible(a); val pb = possible(b)
+        blk => pa(blk) && pb(blk)
+      case Or(a, b) =>
+        val pa = possible(a); val pb = possible(b)
+        blk => pa(blk) || pb(blk)
+      case IsNull(attr) =>
+        val c = colOf(attr)
+        if (c < 0) _ => true
+        else blk => stats.nullCount(blk * nCols + c) > 0
+      case IsNotNull(attr) =>
+        val c = colOf(attr)
+        if (c < 0) _ => true
+        else blk => stats.lineCount(blk) - stats.nullCount(blk * nCols + c) > 0
+      case EqualTo(attr, v)            => rangeTest(attr, v, ModeEq)
+      case GreaterThan(attr, v)        => rangeTest(attr, v, ModeGt)
+      case GreaterThanOrEqual(attr, v) => rangeTest(attr, v, ModeGe)
+      case LessThan(attr, v)           => rangeTest(attr, v, ModeLt)
+      case LessThanOrEqual(attr, v)    => rangeTest(attr, v, ModeLe)
+      case In(attr, vs) =>
+        val tests = vs.map(v => rangeTest(attr, v, ModeEq))
+        blk => tests.isEmpty || tests.exists(_(blk))
+      case StringStartsWith(attr, prefix) =>
+        val c = colOf(attr)
+        if (c < 0 || stats.tags(c) != CsvPayload.TagString) _ => true
+        else {
+          val p = prefix.getBytes("UTF-8")
+          blk => {
+            val k = blk * nCols + c
+            if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
+            else if (!stats.hasBounds(k)) true
+            else {
+              // matching strings form the range [p, p·∞); intersect with [min,max]
+              val aboveMin = prefixCompare(stats.maxBytes(k), p) >= 0
+              val belowMax = prefixCompare(stats.minBytes(k), p) <= 0
+              aboveMin && belowMax
+            }
+          }
+        }
+      case _ => _ => true // Not / nested / unknown: never prune on these
+    }
+
+    /** Can some non-null value x among block b's owned lines satisfy
+      * `x <mode> v`?  Per mode, with block bounds [min, max]:
+      * Eq → min ≤ v ≤ max;  Gt → max > v;  Ge → max ≥ v;
+      * Lt → min < v;  Le → min ≤ v.
+      * String bounds may be 16-byte truncations: minBytes ≤ trueMin always
+      * (a prefix sorts before its extension); when maxExact is false,
+      * maxBytes is a strict prefix of trueMax, so trueMax > v is refutable
+      * only when v's shared prefix is strictly above maxBytes.
+      */
+    def rangeTest(attr: String, v: Any, mode: Int): Int => Boolean = {
+      val c = colOf(attr)
+      if (c < 0) return _ => true
+      val tag = stats.tags(c)
+      tag match {
+        case CsvPayload.TagString =>
+          val vb = v match { case s: String => s.getBytes("UTF-8"); case _ => null }
+          if (vb == null) return _ => true
+          blk => {
+            val k = blk * nCols + c
+            if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
+            else if (!stats.hasBounds(k)) true
+            else {
+              val minB = stats.minBytes(k); val maxB = stats.maxBytes(k)
+              def vAboveMax: Boolean = // v > trueMax provable?
+                if (stats.maxExact(k)) byteCompare(vb, maxB) > 0
+                else prefixCompare(vb, maxB) > 0
+              def vBelowMin: Boolean = byteCompare(vb, minB) < 0 // ⇒ v < minBytes ≤ trueMin
+              (mode: @scala.annotation.switch) match {
+                case ModeEq => !(vBelowMin || vAboveMax)
+                case ModeGt | ModeGe => // need trueMax > v (≥ v): refute when trueMax ≤/< v
+                  if (stats.maxExact(k)) {
+                    val d = byteCompare(maxB, vb)
+                    if (mode == ModeGt) d > 0 else d >= 0
+                  } else !(prefixCompare(vb, maxB) > 0) // refuted only if v > any maxBytes-extension
+                case _ => // ModeLt / ModeLe: need trueMin < v (≤ v); trueMin ≥ minBytes
+                  if (stats.minExact(k)) {
+                    val d = byteCompare(minB, vb)
+                    if (mode == ModeLt) d < 0 else d <= 0
+                  } else byteCompare(minB, vb) < 0 // minBytes ≥ v ⇒ trueMin ≥ v (strict ext.) ⇒ refuted
+              }
+            }
+          }
+        case CsvPayload.TagDouble | CsvPayload.TagFloat =>
+          val vd = toDoubleLit(v)
+          if (vd.isEmpty) return _ => true
+          val lit = vd.get
+          blk => {
+            val k = blk * nCols + c
+            if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
+            else if (!stats.hasBounds(k)) true
+            else {
+              val mn = java.lang.Double.longBitsToDouble(stats.minLong(k))
+              val mx = java.lang.Double.longBitsToDouble(stats.maxLong(k))
+              (mode: @scala.annotation.switch) match {
+                case ModeEq => mn <= lit && lit <= mx
+                case ModeGt => mx > lit
+                case ModeGe => mx >= lit
+                case ModeLt => mn < lit
+                case _      => mn <= lit
+              }
+            }
+          }
+        case _ =>
+          val vl = toLongLit(tag, v)
+          if (vl.isEmpty) return _ => true
+          val lit = vl.get
+          blk => {
+            val k = blk * nCols + c
+            if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
+            else if (!stats.hasBounds(k)) true
+            else {
+              val mn = stats.minLong(k); val mx = stats.maxLong(k)
+              (mode: @scala.annotation.switch) match {
+                case ModeEq => mn <= lit && lit <= mx
+                case ModeGt => mx > lit
+                case ModeGe => mx >= lit
+                case ModeLt => mn < lit
+                case _      => mn <= lit
+              }
+            }
+          }
+      }
+    }
+
+    val tests = filters.map(possible)
+    val keep = new Array[Boolean](stats.nBlocks)
+    var b = 0
+    while (b < stats.nBlocks) {
+      keep(b) = stats.lineCount(b) > 0 && tests.forall(_(b))
+      b += 1
+    }
+    Some(keep)
+  }
+}

@@ -27,7 +27,13 @@ object McInput {
   * @param blockOffsets absolute file offset of each block header (first = 12)
   * @param eosPos      offset of the EOS marker = end of the last block
   */
-final case class FourMcIndex(zstd: Boolean, blockOffsets: Array[Long], eosPos: Long, fileLen: Long) {
+final case class FourMcIndex(
+    zstd: Boolean,
+    blockOffsets: Array[Long],
+    eosPos: Long,
+    fileLen: Long,
+    stats: Option[McBlockStats] = None
+) {
 
   /** Smallest block start >= pos; eosPos when no such block (split owns no
     * blocks). Mirrors the reference's slice alignment
@@ -46,6 +52,19 @@ final case class FourMcIndex(zstd: Boolean, blockOffsets: Array[Long], eosPos: L
   }
 
   def numBlocks: Int = blockOffsets.length
+
+  /** Ordinal of the first block whose header starts at or after `pos`
+    * (= numBlocks when none) — the block-index twin of [[nextBlockAt]].
+    */
+  def ordAt(pos: Long): Int = {
+    var lo = 0
+    var hi = blockOffsets.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (blockOffsets(mid) >= pos) hi = mid else lo = mid + 1
+    }
+    lo
+  }
 }
 
 object FourMcReader {
@@ -108,7 +127,31 @@ object FourMcReader {
       offsets(i) = acc
       i += 1
     }
-    FourMcIndex(magic == MzMagic, offsets, fileLen - footerSize - EosLen, fileLen)
+    // Optional stats segment between EOS and footer ([[BlockStats]]): in a
+    // stats-less file the 12 bytes before the footer are the all-zero EOS
+    // marker, so a matching stats magic there is unambiguous.
+    val footerStart = fileLen - footerSize
+    var statsLen = 0L
+    var stats: Option[McBlockStats] = None
+    if (footerStart - HeaderLen - EosLen >= BlockStats.TrailerLen) {
+      val trailer = new Array[Byte](BlockStats.TrailerLen)
+      val tOff = footerStart - BlockStats.TrailerLen
+      if (tOff >= fileLen - tailLen) // already in the tail buffer
+        System.arraycopy(tail, (tOff - (fileLen - tailLen)).toInt, trailer, 0, BlockStats.TrailerLen)
+      else in.readFully(tOff, trailer, 0, BlockStats.TrailerLen)
+      if (getBE(trailer, 4) == BlockStats.StatsMagic) {
+        val segLen = getBE(trailer, 0)
+        if (segLen < BlockStats.TrailerLen || segLen > footerStart - HeaderLen - EosLen)
+          throw new IOException(s"bad 4mc stats segment length $segLen")
+        val seg = new Array[Byte](segLen)
+        in.readFully(footerStart - segLen, seg, 0, segLen)
+        if (getBE(seg, segLen - 4) != xxhash32(seg, 0, segLen - 4))
+          throw new IOException("4mc stats segment checksum mismatch")
+        stats = McBlockStats.parse(seg)
+        statsLen = segLen
+      }
+    }
+    FourMcIndex(magic == MzMagic, offsets, footerStart - statsLen - EosLen, fileLen, stats)
   }
 
   /** Read + verify + decompress the block whose header starts at `pos`.
@@ -249,6 +292,157 @@ final class FourMcLineIterator(
     * reporting for Hadoop record readers.
     */
   def progressPos: Long = consumedPos
+
+  private var primed = false
+  override def hasNext: Boolean = {
+    if (!primed) { advance(); primed = true }
+    !finished && nextLine != null
+  }
+  override def next(): (Long, Array[Byte]) = {
+    if (!hasNext) throw new NoSuchElementException
+    val r = nextLine
+    primed = false
+    r
+  }
+}
+
+/** Stats-pruned variant of [[FourMcLineIterator]]: skips decompression (and
+  * I/O) of whole blocks whose [[McBlockStats]] refute the pushed filters.
+  *
+  * Ownership model (see [[BlockStats]]): a line belongs to the block holding
+  * the byte before its first byte, so `keep` decisions partition lines
+  * exactly across any split layout — every line is emitted by exactly one
+  * split, pruned or not, matching the classic iterator's global guarantee.
+  * Mid-line continuations always fetch the next sequential block regardless
+  * of its keep flag (a kept line may span pruned blocks); only LINE STARTS
+  * are subject to pruning.
+  */
+final class FourMcPrunedLineIterator(
+    in: McInput,
+    index: FourMcIndex,
+    splitStart: Long,
+    splitEnd: Long,
+    keep: Array[Boolean],
+    maxLineLen: Int = 64 * 1024 * 1024
+) extends Iterator[(Long, Array[Byte])] {
+  private val stats = index.stats.getOrElse(
+    throw new IllegalArgumentException("pruned iterator requires block stats"))
+  private val alignedStart = index.nextBlockAt(math.max(splitStart, FourMc.HeaderLen.toLong))
+  private val alignedEnd =
+    if (splitEnd >= index.eosPos) index.eosPos else index.nextBlockAt(splitEnd)
+  private val ownedStartOrd = index.ordAt(alignedStart)
+  private val ownedEndOrd = index.ordAt(alignedEnd) // exclusive
+
+  /** Decompressions performed / owned blocks never touched — scan metrics. */
+  var blocksRead: Long = 0L
+  var blocksSkipped: Long = 0L
+
+  private var block: Array[Byte] = _
+  private var blockPos = 0
+  private var curOrd = -1
+  private var blockFileOff = 0L
+  private var finished = false
+  private var started = false
+  private var nextLine: (Long, Array[Byte]) = _
+
+  private def decompress(ord: Int): Boolean = {
+    if (ord >= index.numBlocks) { block = null; return false }
+    val off = index.blockOffsets(ord)
+    if (off >= index.eosPos) { block = null; return false }
+    val (data, _) = FourMcReader.readBlock(in, index.zstd, off)
+    if (data == null) { block = null; return false }
+    block = data; blockPos = 0; curOrd = ord; blockFileOff = off
+    blocksRead += 1
+    true
+  }
+
+  /** Position at the first owned line of the first kept block at/after
+    * `fromOrd`; false when no such line remains in the owned range.
+    */
+  private def jump(fromOrd: Int): Boolean = {
+    var o = math.max(fromOrd, ownedStartOrd)
+    while (o < ownedEndOrd) {
+      val flo = stats.firstOwnedStart(o)
+      if (keep(o) && flo != BlockStats.NoOwnedLines) {
+        if (flo >= 0) {
+          if (!decompress(o)) return false
+          blockPos = flo
+        } else { // FirstAtNextBlock: o's only owned line starts at (o+1, 0)
+          if (!decompress(o + 1)) return false
+        }
+        return true
+      }
+      blocksSkipped += 1
+      o += 1
+    }
+    false
+  }
+
+  /** Same multi-block line scan as the classic iterator; continuation blocks
+    * are fetched sequentially (never skipped).
+    */
+  private def readLine(): (Long, Array[Byte]) = {
+    if (blockPos >= block.length && !decompress(curOrd + 1)) return null
+    val startOff = blockFileOff
+    var out: java.io.ByteArrayOutputStream = null
+    while (true) {
+      var i = blockPos
+      while (i < block.length && block(i) != '\n') i += 1
+      if (i < block.length) {
+        var end = i
+        val res =
+          if (out == null) {
+            if (end > blockPos && block(end - 1) == '\r') end -= 1
+            java.util.Arrays.copyOfRange(block, blockPos, end)
+          } else {
+            out.write(block, blockPos, end - blockPos)
+            val a = out.toByteArray
+            if (a.nonEmpty && a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1)
+            else a
+          }
+        blockPos = i + 1
+        return (startOff, res)
+      } else {
+        if (out == null) out = new java.io.ByteArrayOutputStream(block.length - blockPos + 64)
+        out.write(block, blockPos, block.length - blockPos)
+        if (out.size() > maxLineLen) throw new IOException("4mc line exceeds max length")
+        blockPos = block.length
+        if (!decompress(curOrd + 1)) {
+          val a = out.toByteArray
+          return if (a.isEmpty) null
+          else {
+            val r =
+              if (a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1) else a
+            (startOff, r)
+          }
+        }
+      }
+    }
+    null // unreachable
+  }
+
+  private def advance(): Unit = {
+    if (finished) return
+    if (!started) {
+      started = true
+      if (!jump(ownedStartOrd)) { finished = true; nextLine = null; return }
+      nextLine = readLine()
+      if (nextLine == null) finished = true
+      return
+    }
+    // candidate next line starts at (curOrd, blockPos); owner = block holding
+    // the byte before it (exhausted block ⇒ next start is (curOrd+1, 0))
+    val owner =
+      if (blockPos >= block.length) curOrd
+      else if (blockPos == 0) math.max(curOrd - 1, 0)
+      else curOrd
+    if (owner >= ownedEndOrd) { finished = true; nextLine = null; return }
+    if (owner < ownedStartOrd || !keep(owner)) {
+      if (!jump(owner + 1)) { finished = true; nextLine = null; return }
+    }
+    nextLine = readLine()
+    if (nextLine == null) finished = true
+  }
 
   private var primed = false
   override def hasNext: Boolean = {

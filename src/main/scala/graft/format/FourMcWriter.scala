@@ -20,6 +20,12 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
   private var closed = false
   private var finished = false
 
+  /** Optional stats-segment provider (block count → serialized segment),
+    * written between EOS and the footer ([[BlockStats]]). Null = no segment;
+    * the footer stays byte-identical either way.
+    */
+  var statsProvider: Int => Array[Byte] = null
+
   writeHeader()
 
   private def writeInt(v: Int): Unit = {
@@ -98,6 +104,10 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
     flushBlock()
     // EOS marker: an empty block, full 12-byte header of zeros
     writeInt(0); writeInt(0); writeInt(0)
+    if (statsProvider != null) {
+      val seg = statsProvider(blockOffsets.length)
+      if (seg != null) { out.write(seg); bytesOut += seg.length }
+    }
     // footer
     val n = blockOffsets.length
     val footerSize = FourMc.FooterFixedLen + 4 * n

@@ -121,6 +121,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val fieldPreds = CsvPayload.compileFilters(filters, requiredSchema, fieldTags)
       val parseOrder: Array[Int] =
         (0 until nFields).sortBy(k => (if (fieldPreds(k).nonEmpty) 0 else 1, k)).toArray
+      // Block-level pruning: when the file carries a stats segment and the
+      // pushed filters refute whole blocks, skip their I/O + decompression
+      // entirely (the container analog of parquet row-group pruning).
+      val statsEnabled = options.getOrElse("blockStats", "true").toBoolean
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
@@ -130,7 +134,21 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         // fast parser doesn't cover
         lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
           .withZone(java.time.ZoneOffset.UTC)
-        val lines = new FourMcLineIterator(in, index, file.start, file.start + file.length)
+        val keepOpt: Option[Array[Boolean]] =
+          if (statsEnabled && filters.nonEmpty)
+            index.stats.flatMap(st => McStatsPruning.keepBlocks(filters, dataSchema, st))
+              .filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
+          else None
+        val lines = keepOpt match {
+          case Some(keepArr) =>
+            val it = new FourMcPrunedLineIterator(in, index, file.start, file.start + file.length, keepArr)
+            Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              FourMcScanMetrics.blocksRead.add(it.blocksRead)
+              FourMcScanMetrics.blocksSkipped.add(it.blocksSkipped)
+            })
+            it
+          case None => new FourMcLineIterator(in, index, file.start, file.start + file.length)
+        }
         val starts = new Array[Int](totalFields + 1)
         // One UnsafeRowWriter reused for every line (the same pattern as
         // Spark's text source): primitives land in the row buffer unboxed,
@@ -305,7 +323,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           schema: StructType,
           context: TaskAttemptContext
       ): OutputWriter =
-        if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt)
+        if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
+          options.getOrElse("blockStats", "true").toBoolean)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -321,6 +340,16 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       true
     case _ => false
   }
+}
+
+/** Process-wide counters for the stats-pruned scan path (local-mode tests and
+  * bench read these directly; on a real cluster they are per-executor and the
+  * per-task SQL metrics would be the aggregation channel).
+  */
+object FourMcScanMetrics {
+  val blocksRead = new java.util.concurrent.atomic.LongAdder
+  val blocksSkipped = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { blocksRead.reset(); blocksSkipped.reset() }
 }
 
 object FourMcFileFormat {
@@ -424,7 +453,8 @@ final class FourMcCsvOutputWriter(
     codec: McCodec,
     schema: StructType,
     delim: String,
-    tsFmt: String
+    tsFmt: String,
+    blockStats: Boolean = true
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -438,7 +468,38 @@ final class FourMcCsvOutputWriter(
     .withZone(java.time.ZoneOffset.UTC)
   private val sb = new java.lang.StringBuilder(256)
 
+  // Per-block column stats ([[BlockStats]]): observed values are exactly what
+  // the reader will parse back — timestamps are floor-truncated to the
+  // serialization precision first, so bounds never exclude a parsed value.
+  private val statsBuilder = if (blockStats) new graft.format.McStatsBuilder(schema) else null
+  if (statsBuilder != null) out.statsProvider = n => statsBuilder.serialize(n)
+  private val tsUnit: Long =
+    if (tsMicroDigits >= 0) math.pow(10, 6 - tsMicroDigits).toLong else -1L
+
+  private def observeStats(row: InternalRow): Unit = {
+    statsBuilder.startLine(out.blockCount, out.pendingBytes)
+    val tags = statsBuilder.tags
+    var i = 0
+    while (i < tags.length) {
+      if (row.isNullAt(i)) statsBuilder.observeNull(i)
+      else (tags(i): @scala.annotation.switch) match {
+        case CsvPayload.TagString  => statsBuilder.observeString(i, row.getUTF8String(i).getBytes)
+        case CsvPayload.TagLong    => statsBuilder.observeLong(i, row.getLong(i))
+        case CsvPayload.TagInt     => statsBuilder.observeLong(i, row.getInt(i).toLong)
+        case CsvPayload.TagDouble  => statsBuilder.observeDouble(i, row.getDouble(i))
+        case CsvPayload.TagFloat   => statsBuilder.observeDouble(i, row.getFloat(i).toDouble)
+        case CsvPayload.TagBoolean => statsBuilder.observeLong(i, if (row.getBoolean(i)) 1L else 0L)
+        case _ =>
+          val micros = row.getLong(i)
+          if (tsUnit > 0) statsBuilder.observeLong(i, Math.floorDiv(micros, tsUnit) * tsUnit)
+          else statsBuilder.observeDouble(i, Double.NaN) // custom format: poison bounds
+      }
+      i += 1
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
+    if (statsBuilder != null) observeStats(row)
     sb.setLength(0)
     var i = 0
     while (i < schema.length) {

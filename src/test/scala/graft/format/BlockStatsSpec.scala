@@ -1,0 +1,163 @@
+package graft.format
+
+import graft.sources.FourMcScanMetrics
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Per-block stats segment + pruned scan: format round-trip, soundness of the
+  * skip decisions under every split layout, and the decompression-skip
+  * counters the 100 TB story rests on.
+  */
+class BlockStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("block-stats-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("fourmc-stats").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("score", DoubleType)
+  ))
+
+  /** ~40 B/row × 800k rows ≈ 32 MB of text → ~8 blocks per single file. */
+  private def writeClustered(dir: String, codec: String = "lz4-fast"): Unit = {
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until 800000L, 1).map { i =>
+        Row(i, f"g${i / 100000L}%03d-${"pad" * 8}", i.toDouble / 1000.0)
+      },
+      schema
+    )
+    df.sortWithinPartitions("id").write.format("4mc")
+      .option("payload", "csv").option("codec", codec).save(dir)
+  }
+
+  test("stats segment round-trips through the container tail and keeps eosPos correct") {
+    val dir = tmpDir()
+    writeClustered(dir)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+    val in = McInput.local(f.toPath)
+    try {
+      val idx = FourMcReader.readIndex(in)
+      assert(idx.stats.isDefined, "stats segment missing")
+      val st = idx.stats.get
+      assert(st.nCols == 3)
+      assert(st.nBlocks == idx.numBlocks)
+      assert(st.nBlocks > 4, s"want a multi-block file, got ${st.nBlocks}")
+      // eosPos still points at the EOS marker: reading blocks sequentially
+      // from block 0 must terminate exactly there
+      var pos = idx.blockOffsets(0)
+      var n = 0
+      var done = false
+      while (!done) {
+        val (d, nxt) = FourMcReader.readBlock(in, idx.zstd, pos)
+        if (d == null) done = true else { n += 1; pos = nxt }
+      }
+      assert(pos == idx.eosPos)
+      assert(n == idx.numBlocks)
+      // id is clustered: per-block [min,max] ranges must be disjoint-ish
+      val mins = (0 until st.nBlocks).filter(b => st.lineCount(b) > 0).map(b => st.minLong(b * 3))
+      assert(mins == mins.sorted, "clustered write should give monotone block minima")
+      // line counts sum to the row count (ownership partition covers all lines)
+      assert(st.lineCount.sum == 800000)
+    } finally in.close()
+  }
+
+  test("old files without stats still read (backward compat)") {
+    val dir = tmpDir()
+    import spark.implicits._
+    (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockStats", "false").save(dir)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+    val in = McInput.local(f.toPath)
+    try assert(FourMcReader.readIndex(in).stats.isEmpty)
+    finally in.close()
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .load(dir)
+    assert(back.count() == 1000)
+  }
+
+  test("pruned scan equals unpruned scan and skips most blocks (selective numeric range)") {
+    val dir = tmpDir()
+    writeClustered(dir)
+    val read = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val readNoStats = spark.read.format("4mc").option("payload", "csv")
+      .option("blockStats", "false").schema(schema).load(dir)
+    val pred = "id >= 100000 AND id < 140000 AND score < 1000.0"
+    FourMcScanMetrics.reset()
+    val got = read.filter(pred).agg(
+      org.apache.spark.sql.functions.count("*"),
+      org.apache.spark.sql.functions.sum("id")).collect()(0)
+    val want = readNoStats.filter(pred).agg(
+      org.apache.spark.sql.functions.count("*"),
+      org.apache.spark.sql.functions.sum("id")).collect()(0)
+    assert(got == want)
+    assert(got.getLong(0) == 40000L)
+    val readBlocks = FourMcScanMetrics.blocksRead.sum()
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    assert(skipped > 0, "expected some blocks skipped")
+    assert(readBlocks < skipped, s"selective scan should skip most blocks (read=$readBlocks skipped=$skipped)")
+  }
+
+  test("pruned scan is exactly-once under every split layout (tiny maxPartitionBytes)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    writeClustered(dir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val read = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+      assert(read.rdd.getNumPartitions > 8, s"want many splits, got ${read.rdd.getNumPartitions}")
+      // range predicate spanning several block boundaries: exact id set back
+      val ids = read.filter("id >= 199990 AND id < 400010").select("id")
+        .as[Long].collect().sorted
+      assert(ids.length == 200020)
+      assert(ids.head == 199990L && ids.last == 400009L)
+      assert(ids.toSeq == (199990L until 400010L).toSeq)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("string and null pruning stay sound") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val strSchema = StructType(Seq(StructField("k", LongType), StructField("s", StringType, nullable = true)))
+    val rows = (0L until 200000L).map { i =>
+      // long strings (> 16B truncation) in one region, nulls in another
+      if (i < 50000L) Row(i, null)
+      else Row(i, f"prefix-that-is-long-$i%09d")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
+      .sortWithinPartitions("k").write.format("4mc").option("payload", "csv").save(dir)
+    val read = spark.read.format("4mc").option("payload", "csv").schema(strSchema).load(dir)
+    assert(read.filter("s IS NULL").count() == 50000L)
+    assert(read.filter("s IS NOT NULL").count() == 150000L)
+    assert(read.filter($"s" === f"prefix-that-is-long-${123456L}%09d").count() == 1L)
+    assert(read.filter($"s" startsWith "prefix-that").count() == 150000L)
+    assert(read.filter($"s" < "prefix-that-is-long-000060000").count() == 10000L)
+  }
+
+  test("zstd (4mz) files prune identically") {
+    val dir = tmpDir()
+    writeClustered(dir, codec = "zstd-1")
+    val read = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    FourMcScanMetrics.reset()
+    assert(read.filter("id >= 700000").count() == 100000L)
+    assert(FourMcScanMetrics.blocksSkipped.sum() > 0)
+  }
+}
