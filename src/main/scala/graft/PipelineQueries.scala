@@ -91,25 +91,36 @@ object PipelineQueries {
 
   def annBruteForceSql: String = Similarity.bruteForceSql(10, 5)
 
-  /** D2 embedding flavor at a LOOSE threshold (τ=0.4) — the documented
-    * recall-floor demo, NOT the scale path. At τ=0.4 over dense 64-dim
+  /** D2 embedding flavor at a LOOSE threshold (τ=0.4) — the QUARANTINED
+    * exact baseline, NOT the scale path. At τ=0.4 over dense 64-dim
     * embeddings a threshold pair's per-bit SRP agreement (~0.63) is barely
     * above random (0.5), so *no* (bits, tables) family both prunes and keeps
     * recall — LSH degenerates to all-pairs plus a 20× posting/distinct
     * overhead (measured: the bucketed form was the slowest query in the
     * whole bench at 3.2 s, ~all N²/2 candidates surviving). The honest
-    * baseline at this regime is therefore the EXACT all-pairs formulation
-    * with precomputed norms; at corpus scale a loose-τ sweep is intrinsically
-    * near-quadratic and simply isn't run — real dedup thresholds (τ ≥ 0.8)
-    * use the SRP-bucketed operator, proven sub-quadratic by the `_tight` row
-    * and OpsSpec's candidate-volume assertion.
+    * baseline at this regime is the EXACT all-pairs formulation with
+    * precomputed norms, and the quarantine makes its cost BOUNDED BY
+    * CONSTRUCTION: both sides are capped to the first
+    * [[EmbeddingBaselineSampleCap]] vector ids, so the plan's nested-loop
+    * join is over a fixed-size sample no matter the corpus size (OpsSpec
+    * asserts no registered plan carries a BNLJ over an unbounded side).
+    * Real dedup thresholds (τ ≥ 0.8) use the SRP-bucketed operator, proven
+    * sub-quadratic by the `_tight` row and OpsSpec's candidate-volume
+    * assertion.
     */
-  def dedupEmbeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.embeddingDupPairs(emb(spark, sfDir), 0.4)
+  def dedupEmbeddingPairsExactBaseline(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.embeddingDupPairs(
+        emb(spark, sfDir).filter(col("vec_id") < EmbeddingBaselineSampleCap), 0.4)
       .orderBy(col("simr").desc, col("d1"), col("d2"))
 
-  def dedupEmbeddingPairsSql: String =
-    Similarity.embeddingDupPairsSql(0.4) + "\nORDER BY simr DESC, d1, d2"
+  /** Covers all of sf0.01 (500 vectors, so the oracle rows are unchanged)
+    * while capping the all-pairs work at 1000²/2 comparisons at any scale.
+    */
+  val EmbeddingBaselineSampleCap = 1000L
+
+  def dedupEmbeddingPairsExactBaselineSql: String =
+    Similarity.embeddingDupPairsSql(0.4, EmbeddingBaselineSampleCap) +
+      "\nORDER BY simr DESC, d1, d2"
 
   /** D2 embedding flavor at the dedup-realistic regime (τ=0.8, bits=8,
     * tables=8): the corpus is embeddings ∪ a deterministically perturbed twin

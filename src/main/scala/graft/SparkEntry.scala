@@ -75,7 +75,7 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_minhash_pairs" -> (PipelineQueries.dedupMinhashPairs _),
     "dedup_clusters" -> (PipelineQueries.dedupClusters _),
-    "dedup_embedding_pairs" -> (PipelineQueries.dedupEmbeddingPairs _),
+    "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
@@ -187,7 +187,7 @@ object SparkEntry {
     "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "dedup_minhash_pairs" -> PipelineQueries.dedupMinhashSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
-    "dedup_embedding_pairs" -> PipelineQueries.dedupEmbeddingPairsSql,
+    "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "ann_lsh" -> PipelineQueries.annLshSql,

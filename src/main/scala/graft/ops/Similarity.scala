@@ -200,11 +200,11 @@ object Similarity {
       .distinct()
   }
 
-  def embeddingDupPairsSql(threshold: Double): String =
+  def embeddingDupPairsSql(threshold: Double, sampleCap: Long = Long.MaxValue): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings
+       |  FROM embeddings${if (sampleCap != Long.MaxValue) s" WHERE vec_id < $sampleCap" else ""}
        |), n AS (SELECT vec_id, SUM(v*v) AS nn FROM e GROUP BY 1),
        |d AS (
        |  SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v*b.v) AS dot

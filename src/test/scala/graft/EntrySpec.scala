@@ -23,4 +23,42 @@ class EntrySpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("every BroadcastNestedLoopJoin in the registered surface is disclosed and bounded") {
+    val sf = "/root/testdata/sf0.001"
+    // A BNLJ is acceptable ONLY when its broadcast side is bounded by
+    // construction. Each allowed query carries the plan marker that proves
+    // its bound; any query not listed here that plans a BNLJ fails — no
+    // undisclosed cartesians can enter the surface.
+    val scalarAgg = (p: String) => p.contains("keys=[]") // 1-row aggregate broadcast
+    val allowedBnlj: Map[String, String => Boolean] = Map(
+      // scalar-subquery thresholds (avg/sum over the whole table → one row)
+      "q_parts_above_avg" -> scalarAgg,
+      "q11_important_parts" -> scalarAgg,
+      "q22_wealthy_inactive" -> scalarAgg,
+      // corpus-stats broadcast rows (N, avgdl …)
+      "tfidf_top_terms" -> scalarAgg,
+      "bm25_top_docs" -> scalarAgg,
+      // 10 probe vectors broadcast against the corpus
+      "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),
+      // the disclosed exact-baseline cartesian: sample cap pushed to BOTH scans
+      "dedup_embedding_pairs_exact_baseline" -> { p =>
+        p.linesIterator.count(l => l.contains("PushedFilters") &&
+          l.contains(s"LessThan(vec_id,${PipelineQueries.EmbeddingBaselineSampleCap}")) >= 2
+      }
+    )
+    // streaming_* construct by draining a stream — their result is a tiny
+    // local batch, no join planning to audit; everything else is swept.
+    val audited = SparkEntry.queries.filterNot(_._1.startsWith("streaming_"))
+    val offenders = audited.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!plan.contains("BroadcastNestedLoopJoin")) None
+      else allowedBnlj.get(name) match {
+        case Some(boundMarker) if boundMarker(plan) => None
+        case Some(_) => Some(s"$name (bound marker missing from plan)")
+        case None    => Some(s"$name (undisclosed BNLJ)")
+      }
+    }
+    assert(offenders.isEmpty, s"BNLJ audit failed: ${offenders.mkString(", ")}")
+  }
 }
