@@ -103,9 +103,16 @@ object Dedup {
     * unified pool and OOMs them, while DISK_ONLY reads back at scan speed.
     * (graft.tools.StressPipeline sets this for its run and restores after.)
     */
-  private def ckptLevel(df: DataFrame): StorageLevel =
-    StorageLevel.fromString(
-      df.sparkSession.conf.get("spark.graft.checkpoint.storage", "MEMORY_AND_DISK"))
+  private def ckptLevel(df: DataFrame): StorageLevel = {
+    val v = df.sparkSession.conf.get("spark.graft.checkpoint.storage", "MEMORY_AND_DISK")
+    try StorageLevel.fromString(v)
+    catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"spark.graft.checkpoint.storage='$v' is not a StorageLevel name " +
+            "(expected e.g. MEMORY_AND_DISK, DISK_ONLY)")
+    }
+  }
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double,
                         maxDocFreq: Long = 0L): DataFrame = {
@@ -137,7 +144,8 @@ object Dedup {
 
   /** Prefix-filtered path (forced) — see [[ngramJaccardPairs]]. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val posts = shinglePostings(docs, idCol, textCol).localCheckpoint(true)
+    val plan = shinglePostings(docs, idCol, textCol)
+    val posts = plan.localCheckpoint(true, ckptLevel(plan))
     val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df"))
     prefixFromPosts(posts, dfreq, threshold)
   }

@@ -49,9 +49,12 @@ object StressPipeline {
           .otherwise(w)))
   }
 
-  /** Generate (or reuse, keyed by row count) the replicated corpus under
-    * `dir`. Writes `documents.parquet` and `embeddings.parquet` Spark
-    * directories so [[graft.PipelineQueries]] reads them like any sf dir.
+  /** Generate (or reuse) the replicated corpus under `dir` (the cache key —
+    * base sf + replication factors — is encoded in the dir name by [[run]];
+    * a cached documents table whose row count disagrees with
+    * repDocs × base-count is treated as stale and regenerated). Writes
+    * `documents.parquet` and `embeddings.parquet` Spark directories so
+    * [[graft.PipelineQueries]] reads them like any sf dir.
     */
   def ensureCorpus(spark: SparkSession, baseSf: String, dir: String,
                    repDocs: Int, repEmb: Int): (Long, Long, Double) = {
@@ -62,6 +65,20 @@ object StressPipeline {
 
     def exists(p: String): Boolean =
       new java.io.File(p, "_SUCCESS").exists()
+
+    // stale-cache guard: replicas (base × repDocs) plus the planted twins
+    // must account for every row; anything else is a corpus from older
+    // generation logic — regenerate rather than silently measuring it
+    if (exists(docsPath)) {
+      val cached = spark.read.parquet(docsPath).count()
+      val expectedBase = docs.count() * repDocs
+      if (cached < expectedBase || cached > expectedBase + expectedBase / 100) {
+        System.err.println(
+          s"[stress] cached corpus $docsPath has $cached rows, expected ~$expectedBase — regenerating")
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(docsPath), true)
+      }
+    }
 
     if (!exists(docsPath)) {
       val reps = broadcast(spark.range(repDocs).select(col("id").as("rep")))
@@ -112,6 +129,10 @@ object StressPipeline {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // snapshot pre-existing persistent RDDs: only blocks created DURING this
+    // op are released below, so a bench section running after (or sharing
+    // the session with) stress cannot lose its own cached data
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     try {
       val t0 = System.nanoTime()
       val rows = action
@@ -130,7 +151,9 @@ object StressPipeline {
       // labels); the ContextCleaner only reclaims them after a driver GC
       // notices the dropped references, and at this volume a later op can
       // heap-OOM first (measured) — release them deterministically instead
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !preexisting.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
   }
@@ -144,7 +167,11 @@ object StressPipeline {
     * names it explicitly (no silent swap).
     */
   def run(spark: SparkSession, baseSf: String, repDocs: Int, repEmb: Int): StressReport = {
-    val dir = s"/tmp/graft-stress-pipeline/d${repDocs}_e$repEmb"
+    // cache key carries the base sf (different bases must not share a
+    // corpus) and a generator version token (bump when perturbation logic
+    // changes so stale corpora from older rounds are never measured)
+    val sfKey = java.lang.Integer.toHexString(baseSf.hashCode)
+    val dir = s"/tmp/graft-stress-pipeline/g2-$sfKey/d${repDocs}_e$repEmb"
     val tGen0 = System.nanoTime()
     val (nDocs, nVecs, textMb) = ensureCorpus(spark, baseSf, dir, repDocs, repEmb)
     val genSecs = (System.nanoTime() - tGen0) / 1e9
