@@ -195,6 +195,61 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // ---- sf1 relational section: 10x facts, same dims ---------------------
+    // The 22 TPC-H rows + the lineitem/orders container twins at 10x the
+    // fact volume: broadcast-vs-SMJ flips, AQE coalescing, and the
+    // block-stats pruning only show their scale behavior here. Gate: every
+    // container twin < 2x its parquet twin at the SAME scale.
+    // SPARK_GRAFT_SF1=0 skips; any other int overrides the factor.
+    val sf1Json: String =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
+      else {
+        val factor = sys.env.get("SPARK_GRAFT_SF1")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
+        val budget = sys.env.get("SPARK_GRAFT_SF1_BUDGET")
+          .flatMap(_.toLongOption).getOrElse(600L)
+        try {
+          val tGen = System.nanoTime()
+          val dir = tools.RelationalScale.ensureScaled(spark, sfDir, factor)
+          val genSecs = (System.nanoTime() - tGen) / 1e9
+          val deadline = System.nanoTime() + budget * 1000000000L
+          val sf1Names = Seq(
+            "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+            "q4_order_priority", "q5_local_supplier", "q6_forecast",
+            "q7_nation_volume", "q8_market_share", "q9_profit_nation",
+            "q10_returned_items", "q11_important_parts", "q12_priority_class",
+            "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+            "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
+            "q19_disjunctive", "q20_promotion_suppliers", "q21_waiting_suppliers",
+            "q22_wealthy_inactive",
+            // container twins over the same scaled tables (q1/q6 above are
+            // their parquet twins)
+            "fourmc_lineitem_q1", "fourmz_lineitem_q1", "fourmc_orders_selfjoin",
+            "fourmc_q6_selective", "fourmc_q6_skipped")
+          val rows = sf1Names.flatMap { name =>
+            SparkEntry.queries.get(name).map { fn =>
+              def run(): Double =
+                if (System.nanoTime() > deadline) -2.0
+                else {
+                  val t0 = System.nanoTime()
+                  try { fn(spark, dir).count() }
+                  catch { case e: Throwable => System.err.println(s"[bench] sf1 $name: ${e.getMessage}"); return -1.0 }
+                  (System.nanoTime() - t0) / 1e9
+                }
+              val warm = run()
+              val t = if (warm < 0) warm else math.min(run(), run())
+              name -> t
+            }
+          }
+          val qjson = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+          f""","sf1":{"factor":$factor,"gen_secs":$genSecs%.1f,"queries":$qjson}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
+            ""
+        }
+      }
+
     // ---- pipeline-operator stress: >=1 GB replicated corpus ----------------
     // The format stress above proves 2 GiB container reads; this proves the
     // bucketed PIPELINE operators (dedup/ANN/text) at 700x the sf0.1 document
@@ -232,7 +287,7 @@ object Bench {
     // times to head truncation — everything the grader reads per-query now
     // survives any head cut that keeps the final bytes.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressJson$stressPipeJson,"queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressJson$sf1Json$stressPipeJson,"queries":$qs}"""
     )
     spark.stop()
   }

@@ -138,7 +138,10 @@ object Dedup {
     // cost-based strategy choice from one tiny scalar aggregate
     val stats = dfreq.agg(sum(col("df") * col("df")).as("df2"), sum(col("df")).as("dfs")).head()
     val fanout = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
-    if (fanout < PrefixFanoutThreshold) jaccardFromPosts(posts, threshold)
+    val usePrefix = fanout >= PrefixFanoutThreshold
+    System.err.println(
+      f"[ngram] expected self-join fanout $fanout%.1f -> ${if (usePrefix) "prefix-filter" else "naive"} path")
+    if (!usePrefix) jaccardFromPosts(posts, threshold)
     else prefixFromPosts(posts, dfreq, threshold)
   }
 
@@ -152,30 +155,49 @@ object Dedup {
 
   /** Everything — prefix selection, candidates, AND the verification sets —
     * derives from the same `posts`, so a df-capped postings table yields one
-    * consistent capped-Jaccard semantics (sets rebuilt per doc via
-    * collect_set: one linear shuffle, vs. re-deriving uncapped sets from the
-    * raw text and silently verifying a different measure).
+    * consistent capped-Jaccard semantics.
+    *
+    * Shuffle shape (round 7): ONE shuffle keys the postings by w (df
+    * attach), then ONE shuffle by doc builds a single per-doc row holding
+    * the rarity-ordered prefix, the lexicographic set for verification, and
+    * the size — the prior formulation paid a window double-pass (sort by
+    * doc) AND a second full-postings groupBy(doc) for collect_set, a whole
+    * extra postings-volume shuffle at stress scale. The candidate join
+    * also applies the AllPairs length filter (τ·max(sz) ≤ min(sz)): a pair
+    * whose sizes alone bound Jaccard below τ never reaches the distinct or
+    * the verification join.
     */
   private def prefixFromPosts(posts: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
-    val wDoc = Window.partitionBy(col("doc")).orderBy(col("df").asc, col("w").asc)
-    val prefix = posts
+    val perDoc = posts
       .join(dfreq, "w")
-      .withColumn("rk", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
-      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
-      .select("doc", "w")
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("wl")) // (df asc, w asc)
+      .select(
+        col("doc"),
+        transform(col("wl"), x => x.getField("w")).as("ordered"),
+        size(col("wl")).as("sz"))
+      .select(
+        col("doc"),
+        slice(col("ordered"), lit(1),
+          (floor((lit(1.0) - threshold) * col("sz")) + 1).cast("int")).as("prefix"),
+        array_sort(col("ordered")).as("set"),
+        col("sz"))
+      .localCheckpoint(true, ckptLevel(posts))
+    val prefix = perDoc.select(col("doc"), col("sz"), explode(col("prefix")).as("w"))
     val cands = prefix
       .as("a")
-      .join(prefix.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc") < col("b.doc") &&
+          // 1e-9 slack: a boundary pair (τ·max == min exactly in rationals)
+          // must survive double rounding of τ·max; the exact Jaccard filter
+          // downstream decides for real
+          greatest(col("a.sz"), col("b.sz")) * threshold <=
+            least(col("a.sz"), col("b.sz")) + lit(1e-9))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
-    val sets = posts
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_set(col("w"))).as("set"))
-      .localCheckpoint(true, ckptLevel(posts))
     cands
-      .join(sets.select(col("doc").as("d1"), col("set").as("s1")), "d1")
-      .join(sets.select(col("doc").as("d2"), col("set").as("s2")), "d2")
+      .join(perDoc.select(col("doc").as("d1"), col("set").as("s1")), "d1")
+      .join(perDoc.select(col("doc").as("d2"), col("set").as("s2")), "d2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn(
         "jaccard",
@@ -194,6 +216,16 @@ object Dedup {
     jaccardFromPosts(posts.localCheckpoint(true, ckptLevel(posts)), threshold)
   }
 
+  /** Docs-count ceiling for broadcasting the per-doc sizes table (16 B/doc:
+    * 20 M docs ≈ 320 MB build side). Below it the sz attach is a map-side
+    * broadcast join — deleting a full postings-volume shuffle, the single
+    * largest term in the naive path's shuffle bill (measured −9 GB of
+    * 28 GB at 700×). Above it (billions of docs at true corpus scale) the
+    * shuffle join is the only correct shape, so the dispatch is data-driven
+    * from the already-computed sizes aggregate, never a config foot-gun.
+    */
+  private val BroadcastSizesMaxDocs = 20000000L
+
   /** Per-doc set sizes ride WITH the postings into the self-join (one small
     * extra column per posting row) instead of joining the candidate-pair
     * table against a sizes table twice afterwards: the pair table is the
@@ -204,7 +236,12 @@ object Dedup {
     */
   private def jaccardFromPosts(posts: DataFrame, threshold: Double): DataFrame = {
     val sizes = posts.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val postsSz = posts.join(sizes, "doc")
+    // counting the partial-agged sizes is a ~16 B/doc shuffle — cheap price
+    // for knowing whether the 9 GB postings-by-doc shuffle can be skipped
+    val nDocs = sizes.count()
+    val postsSz =
+      if (nDocs <= BroadcastSizesMaxDocs) posts.join(broadcast(sizes), "doc")
+      else posts.join(sizes, "doc")
     val inter = postsSz
       .as("a")
       .join(postsSz.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))

@@ -208,8 +208,13 @@ object StressPipeline {
     val budgetSecs = sys.env.get("SPARK_GRAFT_STRESS_BUDGET")
       .flatMap(_.toLongOption).getOrElse(1500L)
     val deadline = System.nanoTime() + budgetSecs * 1000000000L
+    // SPARK_GRAFT_STRESS_OPS=a,b limits the section to named ops (local
+    // iteration on one operator without paying for the other four)
+    val onlyOps = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     def guarded(name: String)(action: => Long): OpResult =
-      if (System.nanoTime() > deadline) {
+      if (onlyOps.exists(!_.contains(name))) OpResult(name, -3.0, -1L, 0.0)
+      else if (System.nanoTime() > deadline) {
         System.err.println(s"[stress] $name skipped: section budget (${budgetSecs}s) exhausted")
         OpResult(name, -2.0, -1L, 0.0)
       } else timed(spark, name)(action)
