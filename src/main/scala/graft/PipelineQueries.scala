@@ -70,10 +70,15 @@ object PipelineQueries {
 
   val dedupClustersSql: String = Dedup.clusterSizesSql(0.5)
 
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `reliableCheckpoint = true` (stress-harness use) writes CC iterations
+    * to the SparkContext's checkpoint dir — the fault-tolerant 100 TB mode —
+    * instead of executor block storage; caller must `setCheckpointDir`.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
     import spark.implicits._
     val pairs = Dedup.nearDupPairs(docs(spark, sfDir), "doc_id", "text", 0.5)
-    Dedup.duplicateClusters(pairs)
+    Dedup.duplicateClusters(pairs, reliableCheckpoint = reliableCheckpoint)
       .groupBy($"comp")
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy($"cluster_size")

@@ -74,7 +74,7 @@ object SparkEntry {
     "dedup_ngram_pairs" -> (PipelineQueries.dedupNgramPairs _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_minhash_pairs" -> (PipelineQueries.dedupMinhashPairs _),
-    "dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => PipelineQueries.dedupClusters(s, d)),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),

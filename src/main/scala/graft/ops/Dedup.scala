@@ -58,10 +58,20 @@ object Dedup {
     // two-phase: materialize the token array, THEN build shingles from it —
     // a lambda that references tokens(text) directly re-runs the regex split
     // per element (no CSE through higher-order functions), turning shingle
-    // construction quadratic in document length
+    // construction quadratic in document length.
+    //
+    // The posting key is xxhash64(shingle), not the shingle string: every
+    // consumer (jaccard self-join, df aggregate, decontamination join) only
+    // ever compares shingles for EQUALITY and none emits the string, so an
+    // 8-byte key halves-or-better every downstream shuffle row vs a ~25-byte
+    // 3-word string (measured −7 GB at the 700× stress point). Semantics are
+    // identical unless two distinct shingles in the same comparison collide
+    // at 64 bits (~n²/2⁶⁵ — vanishing at any corpus size; the DuckDB oracles
+    // keep plain string shingles and stay hash-identical at the oracle SFs).
     val posts = docs
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col("doc"), explode(array_distinct(shinglesFromTokens(col("_toks")))).as("w"))
+      .select(col("doc"),
+        explode(array_distinct(transform(shinglesFromTokens(col("_toks")), w => xxhash64(w)))).as("w"))
     if (maxDocFreq <= 0) posts
     else {
       val hot = posts.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
@@ -159,7 +169,7 @@ object Dedup {
     *
     * Shuffle shape (round 7): ONE shuffle keys the postings by w (df
     * attach), then ONE shuffle by doc builds a single per-doc row holding
-    * the rarity-ordered prefix, the lexicographic set for verification, and
+    * the rarity-ordered prefix, the hash-sorted set for verification, and
     * the size — the prior formulation paid a window double-pass (sort by
     * doc) AND a second full-postings groupBy(doc) for collect_set, a whole
     * extra postings-volume shuffle at stress scale. The candidate join
@@ -244,7 +254,15 @@ object Dedup {
       else posts.join(sizes, "doc")
     val inter = postsSz
       .as("a")
-      .join(postsSz.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      // the AllPairs length filter rides the join condition: J(a,b) ≤
+      // min(sz)/max(sz), so a size-incompatible pair can never reach τ and
+      // its posting-pair rows are dropped BEFORE the (d1,d2) aggregate —
+      // the operator's largest shuffle. 1e-9 absorbs τ·max double rounding
+      // on exact-boundary pairs; the exact jaccard filter below decides.
+      .join(postsSz.as("b"),
+        col("a.w") === col("b.w") && col("a.doc") < col("b.doc") &&
+          greatest(col("a.sz"), col("b.sz")) * threshold <=
+            least(col("a.sz"), col("b.sz")) + lit(1e-9))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("inter"), min(col("a.sz")).as("sz1"), min(col("b.sz")).as("sz2"))
     inter

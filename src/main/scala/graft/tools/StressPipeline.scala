@@ -234,6 +234,21 @@ object StressPipeline {
       },
       guarded("tfidf_top_terms") {
         graft.PipelineQueries.tfidfTopTerms(spark, dir).count()
+      },
+      // same CC computation as dedup_clusters, reliable (FS-backed)
+      // checkpoints: the fault-tolerant mode a 100 TB many-iteration run
+      // would use. The delta vs dedup_clusters IS the measurement —
+      // write-through-FS cost per iteration vs executor block storage.
+      // Runs LAST so a budget exhaustion sacrifices this extra point, never
+      // a primary op's number.
+      guarded("dedup_clusters_reliable") {
+        val ckpt = s"$dir/ckpt"
+        spark.sparkContext.setCheckpointDir(ckpt)
+        try graft.PipelineQueries.dedupClusters(spark, dir, reliableCheckpoint = true).count()
+        finally {
+          val p = new org.apache.hadoop.fs.Path(ckpt)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
       })
     StressReport(repDocs, repEmb, nDocs, nVecs, textMb, genSecs, ops)
   }
