@@ -308,6 +308,15 @@ object StreamingQueries {
     * `spark.sql.shuffle.partitions`) is set on the isolated session only:
     * ~3.4k windows need few partitions, and every extra one adds per-batch
     * store open/commit overhead.
+    *
+    * 8 partitions is measured-optimal for the stateful queries at sf0.1
+    * (round-7 sweep on streaming_sessions_stateful: 2 parts 2.43 s, 4 parts
+    * 2.13 s, 8 parts 2.15 s, 16 parts 3.12 s; sessionWindow local-merge
+    * made it worse, 2.02 → 2.39 s — too few rows per user per partition to
+    * pay for the extra local sort). The absolute number swings ±40 % with
+    * box state across days under identical code+config (1.46 s r5 bench,
+    * 1.75 s r6, 2.0-2.4 s isolated r7 sweep) — treat cross-round deltas on
+    * this row as environment noise unless the config or plan changed.
     */
   private def drain(session: SparkSession, agg: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
