@@ -367,6 +367,14 @@ object Dedup {
           s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % MinHashP
         )
       )
+      // the signature family is md5-over-STRINGS (the oracle replays it
+      // bit-exactly, so _hs must derive from the string shingle) — but the
+      // verification sets carried downstream are only ever intersected for
+      // EQUALITY, so the same 8-byte xxhash64 keying as [[shinglePostings]]
+      // replaces ~25-byte strings in the signatures checkpoint and both
+      // verification rejoins (same ~n²/2⁶⁵ collision caveat, same
+      // string-semantics DuckDB oracle)
+      .withColumn("shingles", transform(col("shingles"), s => xxhash64(s)))
 
   /** Banded LSH candidate pairs: two docs collide when any band of
     * `rowsPerBand` consecutive signature entries is IDENTICAL. The band key
