@@ -309,6 +309,17 @@ class OpsSpec extends AnyFunSuite {
     assert(fused == columns, "fused expression must be bit-identical")
   }
 
+  test("minhash verification sets ride as 8-byte longs, not shingle strings") {
+    // the checkpoint and both verification rejoins carry `shingles`; keying
+    // them as xxhash64 longs (not ~25-byte strings) is the round-7 shuffle
+    // cut (5.7 -> 3.95 GB at 700x) — lock the schema so it can't regress
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    val shinglesType = sigs.schema("shingles").dataType
+    assert(shinglesType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false),
+      s"verification sets must be long-keyed, got $shinglesType")
+  }
+
   test("nearDupPairs materializes signatures once and leaves no cached plan behind") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
     val plan = pairs.queryExecution.executedPlan.toString
