@@ -86,6 +86,42 @@ object PipelineQueries {
       .orderBy($"cluster_size")
   }
 
+  /** D1/D2 composition: keep-one-per-cluster after MinHash near-dup — the
+    * canonical survivor (most tokens, ties → lowest id) of every near-dup
+    * component. The step a real pipeline runs between pair generation and
+    * the training corpus write.
+    */
+  def dedupKeepCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    Dedup.keepCanonical(Dedup.nearDupPairs(d, "doc_id", "text", 0.5), d, "doc_id", "text")
+      .orderBy(col("comp"))
+  }
+
+  val dedupKeepCanonicalSql: String = Dedup.keepCanonicalSql(0.5)
+
+  /** Sequence packing ("concat and chunk", budget 2048 tokens): histogram of
+    * documents-per-bin with token mass per histogram bucket. The engine-side
+    * bin assignment is a distributed prefix sum (see [[graft.ops.Packing]]);
+    * the oracle replays it with a plain global window.
+    */
+  def packTrainingSequences(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packedBins(docs(spark, sfDir), "doc_id", "text", budgetTokens = 2048)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("docs_in_bin"), sum(col("n_tokens")).as("bin_tokens"))
+      .groupBy(col("docs_in_bin"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("bin_tokens")).as("total_tokens"))
+      .orderBy(col("docs_in_bin"))
+
+  val packTrainingSequencesSql: String =
+    s"""WITH b AS (
+       |${Packing.packedBinsSql(2048)}
+       |), g AS (
+       |  SELECT bin, COUNT(*) AS docs_in_bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM b GROUP BY bin
+       |)
+       |SELECT docs_in_bin, COUNT(*) AS n_bins, CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens
+       |FROM g GROUP BY docs_in_bin ORDER BY docs_in_bin""".stripMargin
+
   // ------------------------------------------------------------- similarity
 
   /** D3 exact: top-5 cosine neighbors for queries vec_id < 10. */

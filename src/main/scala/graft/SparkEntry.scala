@@ -75,6 +75,8 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_minhash_pairs" -> (PipelineQueries.dedupMinhashPairs _),
     "dedup_clusters" -> ((s: SparkSession, d: String) => PipelineQueries.dedupClusters(s, d)),
+    "dedup_keep_canonical" -> (PipelineQueries.dedupKeepCanonical _),
+    "pack_training_sequences" -> (PipelineQueries.packTrainingSequences _),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
@@ -187,6 +189,8 @@ object SparkEntry {
     "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "dedup_minhash_pairs" -> PipelineQueries.dedupMinhashSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
+    "dedup_keep_canonical" -> PipelineQueries.dedupKeepCanonicalSql,
+    "pack_training_sequences" -> PipelineQueries.packTrainingSequencesSql,
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,

@@ -113,7 +113,7 @@ object Dedup {
     * unified pool and OOMs them, while DISK_ONLY reads back at scan speed.
     * (graft.tools.StressPipeline sets this for its run and restores after.)
     */
-  private def ckptLevel(df: DataFrame): StorageLevel = {
+  private[ops] def ckptLevel(df: DataFrame): StorageLevel = {
     val v = df.sparkSession.conf.get("spark.graft.checkpoint.storage", "MEMORY_AND_DISK")
     try StorageLevel.fromString(v)
     catch {
@@ -473,11 +473,12 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $threshold""".stripMargin
   }
 
-  /** DuckDB mirror of [[duplicateClusters]] plus the registered cluster-size
-    * histogram: transitive closure via recursive CTE (quadratic in component
-    * size — an oracle-scale formulation), component label = min reachable id.
+  /** Shared recursive-CTE prelude for component-based oracles: MinHash-LSH
+    * pairs at `threshold` → undirected edges → transitive reach → `comp`
+    * table of (doc, comp) with comp = min reachable id. Quadratic in
+    * component size — an oracle-scale formulation.
     */
-  def clusterSizesSql(threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): String =
+  private def componentsSqlPrefix(threshold: Double, numHashes: Int, rowsPerBand: Int): String =
     s"""WITH RECURSIVE pairs AS (
        |${minHashPairsSql(threshold, numHashes, rowsPerBand)}
        |), edges AS (
@@ -488,11 +489,50 @@ object Dedup {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |), comp AS (
        |  SELECT a AS doc, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
-       |), csize AS (
+       |)""".stripMargin
+
+  /** DuckDB mirror of [[duplicateClusters]] plus the registered cluster-size
+    * histogram.
+    */
+  def clusterSizesSql(threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): String =
+    componentsSqlPrefix(threshold, numHashes, rowsPerBand) +
+      s""", csize AS (
        |  SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp
        |)
        |SELECT cluster_size, COUNT(*) AS n_clusters
        |FROM csize GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** Keep-one-per-cluster selection — the pipeline step that follows pair
+    * generation in a real dedup: each near-dup component keeps its canonical
+    * document (most tokens, ties → lowest id) and drops the rest. Returns
+    * (comp, doc, n_tokens) of the survivors.
+    *
+    * The ranking window partitions by component — clusters are small by
+    * construction (they are near-DUP groups), so no skewed partition; the
+    * docs join is a hash join on doc id.
+    */
+  def keepCanonical(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val comp = duplicateClusters(pairs)
+    val sized = comp.join(
+      docs.select(col(idCol).as("doc"), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      "doc")
+    val w = Window.partitionBy(col("comp")).orderBy(col("n_tokens").desc, col("doc"))
+    sized
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("comp"), col("doc"), col("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[keepCanonical]] over the `documents` table. */
+  def keepCanonicalSql(threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): String =
+    componentsSqlPrefix(threshold, numHashes, rowsPerBand) +
+      s""", sized AS (
+       |  SELECT c.comp, c.doc, ${TextAnalysis.tokenCountSql("d.text")} AS n_tokens
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc
+       |)
+       |SELECT comp, doc, n_tokens FROM sized
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_tokens DESC, doc) = 1
+       |ORDER BY comp""".stripMargin
 
   /** Connected components over dup pairs by iterative min-label propagation —
     * converges in O(log(diameter)) joins, all distributed (no driver graph).

@@ -320,6 +320,41 @@ class OpsSpec extends AnyFunSuite {
       s"verification sets must be long-keyed, got $shinglesType")
   }
 
+  test("keepCanonical keeps exactly one survivor per component, the token-max doc") {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+    val comp = Dedup.duplicateClusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = Dedup.keepCanonical(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one survivor per distinct component
+    assert(kept.map(_._1).distinct.length == kept.length)
+    assert(kept.map(_._1).toSet == comp.values.toSet)
+    // each survivor's token count is the max in its cluster (ground truth via
+    // a driver-side recompute over the small fixture)
+    val toks = docs.select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.foreach { case (c, doc, n) =>
+      val members = comp.collect { case (d, cc) if cc == c => d }
+      val best = members.map(d => (toks(d), -d)).max
+      assert((n, -doc) == best, s"component $c kept $doc ($n tokens), expected ${-best._2}")
+    }
+  }
+
+  test("packedBins is invariant to the partition count (distributed prefix sum is exact)") {
+    import spark.implicits._
+    def bins(parts: Int) = Packing.packedBins(docs, "doc_id", "text", 512, numParts = parts)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val one = bins(1)       // degenerate: single partition = plain running sum
+    val seven = bins(7)
+    assert(one == seven, "bin assignment must not depend on partitioning")
+    // brute-force ground truth: global cumulative offsets in doc order
+    val ordered = docs.select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val want = ordered.map { case (d, n) => val b = off / 512; off += n; d -> b }.toMap
+    assert(one == want)
+  }
+
   test("nearDupPairs materializes signatures once and leaves no cached plan behind") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
     val plan = pairs.queryExecution.executedPlan.toString
