@@ -235,6 +235,11 @@ object StressPipeline {
       guarded("tfidf_top_terms") {
         graft.PipelineQueries.tfidfTopTerms(spark, dir).count()
       },
+      // distributed-prefix-sum packing: one scan + range shuffle of
+      // (doc, n_tokens) — should stay near-linear in corpus size
+      guarded("pack_training_sequences") {
+        graft.PipelineQueries.packTrainingSequences(spark, dir).count()
+      },
       // same CC computation as dedup_clusters, reliable (FS-backed)
       // checkpoints: the fault-tolerant mode a 100 TB many-iteration run
       // would use. The delta vs dedup_clusters IS the measurement —
