@@ -237,7 +237,16 @@ object Bench {
                   (System.nanoTime() - t0) / 1e9
                 }
               val warm = run()
-              val t = if (warm < 0) warm else math.min(run(), run())
+              // min over the VALID samples only: a -1/-2 sentinel from the
+              // second sample must not swallow a real first measurement
+              // (math.min(5.0, -2.0) would report a measured query as
+              // budget-skipped)
+              val t =
+                if (warm < 0) warm
+                else {
+                  val samples = Seq(run(), run()).filter(_ >= 0)
+                  if (samples.isEmpty) warm else samples.min
+                }
               name -> t
             }
           }

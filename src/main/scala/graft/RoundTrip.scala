@@ -18,6 +18,16 @@ object RoundTrip {
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSS"
 
+  /** Source size in DATA bytes: a Spark-written table is a DIRECTORY of
+    * part files (File.length() on it returns the ~4 KiB dir entry, which
+    * once sized every sf1 round-trip at nFiles=1 — a single-task write).
+    */
+  private def dataBytes(f: java.io.File): Long =
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.map(dataBytes).sum
+    } else f.length()
+
   /** Deterministic scratch dir per (table, sf, codec, timestamp format);
     * reused when present. The format is part of the key — two callers
     * requesting different precisions must not share a cache written with
@@ -76,7 +86,7 @@ object RoundTrip {
       // scan when a tiny table is shredded into tiny files. Larger files
       // still parallelize beyond the file count because splits are
       // block-aligned byte ranges, not whole files.
-      val srcBytes = new java.io.File(s"$sfDir/$tableName.parquet").length()
+      val srcBytes = dataBytes(new java.io.File(s"$sfDir/$tableName.parquet"))
       val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
         (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
       src
@@ -123,7 +133,7 @@ object RoundTrip {
       // cost nothing — and read parallelism comes from block-aligned splits,
       // not file count. This is the 100 TB layout: big sorted files, zone-map
       // skipping inside them.
-      val srcBytes = new java.io.File(s"$sfDir/$tableName.parquet").length()
+      val srcBytes = dataBytes(new java.io.File(s"$sfDir/$tableName.parquet"))
       val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
         (srcBytes + (32L << 20) - 1) / (32L << 20))).toInt
       src

@@ -455,6 +455,12 @@ object McStatsPruning {
           val vd = toDoubleLit(v)
           if (vd.isEmpty) return _ => true
           val lit = vd.get
+          // Spark orders NaN ABOVE every value (x < NaN is true for all
+          // non-NaN x; NaN = NaN is true), but the primitive comparisons
+          // below are all-false against NaN and would refute every block.
+          // A NaN literal therefore never prunes. (NaN VALUES are already
+          // safe: the writer poisons the block-col bounds — hasBounds=false.)
+          if (java.lang.Double.isNaN(lit)) return _ => true
           blk => {
             val k = blk * nCols + c
             if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false

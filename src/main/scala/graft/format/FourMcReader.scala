@@ -42,13 +42,8 @@ final case class FourMcIndex(
     * partitions the blocks disjointly.
     */
   def nextBlockAt(pos: Long): Long = {
-    var lo = 0
-    var hi = blockOffsets.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (blockOffsets(mid) >= pos) hi = mid else lo = mid + 1
-    }
-    if (lo < blockOffsets.length) blockOffsets(lo) else eosPos
+    val o = ordAt(pos)
+    if (o < blockOffsets.length) blockOffsets(o) else eosPos
   }
 
   def numBlocks: Int = blockOffsets.length
@@ -333,7 +328,9 @@ final class FourMcPrunedLineIterator(
   private val ownedStartOrd = index.ordAt(alignedStart)
   private val ownedEndOrd = index.ordAt(alignedEnd) // exclusive
 
-  /** Decompressions performed / owned blocks never touched — scan metrics. */
+  /** Scan metrics: decompressions performed / owned blocks the stats
+    * refuted (and therefore never decompressed).
+    */
   var blocksRead: Long = 0L
   var blocksSkipped: Long = 0L
 
@@ -372,7 +369,10 @@ final class FourMcPrunedLineIterator(
         }
         return true
       }
-      blocksSkipped += 1
+      // the metric is PRUNING effectiveness: count only blocks the stats
+      // refuted — a kept block with no owned line starts was never going to
+      // be decompressed by this split and must not inflate the skip count
+      if (!keep(o) && flo != BlockStats.NoOwnedLines) blocksSkipped += 1
       o += 1
     }
     false

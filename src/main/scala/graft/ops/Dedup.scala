@@ -226,15 +226,26 @@ object Dedup {
     jaccardFromPosts(posts.localCheckpoint(true, ckptLevel(posts)), threshold)
   }
 
-  /** Docs-count ceiling for broadcasting the per-doc sizes table (16 B/doc:
-    * 20 M docs ≈ 320 MB build side). Below it the sz attach is a map-side
-    * broadcast join — deleting a full postings-volume shuffle, the single
-    * largest term in the naive path's shuffle bill (measured −9 GB of
-    * 28 GB at 700×). Above it (billions of docs at true corpus scale) the
-    * shuffle join is the only correct shape, so the dispatch is data-driven
-    * from the already-computed sizes aggregate, never a config foot-gun.
+  /** Docs-count ceiling for broadcasting the per-doc sizes table. Below it
+    * the sz attach is a map-side broadcast join — deleting a full
+    * postings-volume shuffle, the single largest term in the naive path's
+    * shuffle bill (measured −9 GB of 28 GB at 700×). Above it the shuffle
+    * join is the only correct shape. The default is deliberately well under
+    * what a driver can physically collect: 8 M docs ≈ 128 MB of raw
+    * entries, comfortably inside the default 1g
+    * spark.driver.maxResultSize / broadcast build budget — a run that used
+    * to succeed via shuffle join must never start failing in the broadcast
+    * collect because it sits just under the cutoff. Tunable per session via
+    * `spark.graft.broadcast.sizes.maxDocs` for clusters with bigger
+    * drivers; the dispatch itself stays data-driven from the
+    * already-computed sizes aggregate.
     */
-  private val BroadcastSizesMaxDocs = 20000000L
+  private val BroadcastSizesMaxDocsDefault = 8000000L
+
+  private def broadcastSizesMaxDocs(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.broadcast.sizes.maxDocs", BroadcastSizesMaxDocsDefault.toString)
+      .toLong
 
   /** Per-doc set sizes ride WITH the postings into the self-join (one small
     * extra column per posting row) instead of joining the candidate-pair
@@ -250,7 +261,7 @@ object Dedup {
     // for knowing whether the 9 GB postings-by-doc shuffle can be skipped
     val nDocs = sizes.count()
     val postsSz =
-      if (nDocs <= BroadcastSizesMaxDocs) posts.join(broadcast(sizes), "doc")
+      if (nDocs <= broadcastSizesMaxDocs(posts)) posts.join(broadcast(sizes), "doc")
       else posts.join(sizes, "doc")
     val inter = postsSz
       .as("a")

@@ -38,8 +38,13 @@ object Packing {
     // checkpoint the windowed result: it feeds both the totals aggregate and
     // the final join, and re-deriving it means re-scanning + re-tokenizing
     // the raw text (the expensive part at corpus scale); rows are 4 longs
+    // ROWS frame, not the default RANGE frame: under RANGE, rows tied on
+    // `doc` are all-peers-inclusive and would get identical (wrong) offsets
+    // if ids ever repeat; ROWS matches the oracle's running-sum semantics
     val localPlan = parts.withColumn(
-      "cum", sum(col("n_tokens")).over(Window.partitionBy(col("pid")).orderBy(col("doc"))))
+      "cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("pid")).orderBy(col("doc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val local = localPlan.localCheckpoint(true, Dedup.ckptLevel(localPlan))
     // numParts rows: absolute start offset of each partition via an exclusive
     // running sum (the single-partition window is over numParts rows only)

@@ -152,6 +152,23 @@ class BlockStatsSpec extends AnyFunSuite {
     assert(read.filter($"s" < "prefix-that-is-long-000060000").count() == 10000L)
   }
 
+  test("NaN literal never prunes: Spark orders NaN above every value") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val dSchema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val rows = (0L until 200000L).map(i => Row(i, i.toDouble))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), dSchema)
+      .sortWithinPartitions("k").write.format("4mc").option("payload", "csv").save(dir)
+    val read = spark.read.format("4mc").option("payload", "csv").schema(dSchema).load(dir)
+    // x < NaN is true for every non-NaN x under Spark's ordering; the
+    // primitive `min < lit` test is false against NaN and would have
+    // refuted every block (0 rows instead of all)
+    assert(read.filter($"v" < Double.NaN).count() === 200000L)
+    assert(read.filter($"v" <= Double.NaN).count() === 200000L)
+    assert(read.filter($"v" > Double.NaN).count() === 0L)
+    assert(read.filter($"v" === Double.NaN).count() === 0L)
+  }
+
   test("zstd (4mz) files prune identically") {
     val dir = tmpDir()
     writeClustered(dir, codec = "zstd-1")
