@@ -122,6 +122,60 @@ object PipelineQueries {
        |SELECT docs_in_bin, COUNT(*) AS n_bins, CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens
        |FROM g GROUP BY docs_in_bin ORDER BY docs_in_bin""".stripMargin
 
+  /** Token-budget curation (budget 10 000 tokens): keep the highest-quality
+    * docs until the budget is reached — output size is bounded by the BUDGET,
+    * not the corpus, so the query returns ~the same rows at any scale. The
+    * selection is the same distributed prefix sum as packing, ordered by
+    * (quality desc, id).
+    */
+  def sampleTokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.tokenBudgetSample(docs(spark, sfDir), "doc_id", "text", budgetTokens = 10000L)
+      .orderBy(col("quality").desc, col("doc"))
+
+  val sampleTokenBudgetSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id AS doc, CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+       |    CAST(${TextAnalysis.qualityScoreSql("text")} AS BIGINT) AS quality
+       |  FROM documents
+       |), offs AS (
+       |  SELECT doc, n_tokens, quality,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       |  FROM scored
+       |)
+       |SELECT doc, n_tokens, quality FROM offs WHERE start < 10000
+       |ORDER BY quality DESC, doc""".stripMargin
+
+  /** Domain-mixture reweighting: per-source resampling weight (milli) that
+    * would equalize token mass across sources — the "data mixing" step of a
+    * training pipeline. Corpus totals ride a broadcast 1-row aggregate
+    * (same shape as bm25's stats row — no driver collect, no re-scan).
+    */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    per.join(broadcast(tot))
+      .withColumn("weight_milli",
+        round(lit(1000.0) * col("total") / (col("k") * col("tokens"))).cast("long"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight_milli"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(${TextAnalysis.tokenCountSql("text")}) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per
+       |)
+       |SELECT source, n_docs, tokens,
+       |  CAST(ROUND(1000.0 * total / (k * tokens)) AS BIGINT) AS weight_milli
+       |FROM per, tot ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- similarity
 
   /** D3 exact: top-5 cosine neighbors for queries vec_id < 10. */

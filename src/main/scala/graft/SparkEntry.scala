@@ -77,6 +77,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s: SparkSession, d: String) => PipelineQueries.dedupClusters(s, d)),
     "dedup_keep_canonical" -> (PipelineQueries.dedupKeepCanonical _),
     "pack_training_sequences" -> (PipelineQueries.packTrainingSequences _),
+    "sample_token_budget" -> (PipelineQueries.sampleTokenBudget _),
+    "mixture_weights" -> (PipelineQueries.mixtureWeights _),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
@@ -191,6 +193,8 @@ object SparkEntry {
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "dedup_keep_canonical" -> PipelineQueries.dedupKeepCanonicalSql,
     "pack_training_sequences" -> PipelineQueries.packTrainingSequencesSql,
+    "sample_token_budget" -> PipelineQueries.sampleTokenBudgetSql,
+    "mixture_weights" -> PipelineQueries.mixtureWeightsSql,
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,

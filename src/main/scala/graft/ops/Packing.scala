@@ -1,55 +1,53 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Sequence packing for training pipelines: concatenate the corpus in
-  * deterministic id order and split it at fixed token budgets ("concat and
-  * chunk"). Each document is assigned to the bin its FIRST token lands in,
-  * so the assignment is a pure function of the document's global token
-  * offset — independent of how the corpus happens to be partitioned.
-  *
-  * The global running offset is a DISTRIBUTED prefix sum, not a global
-  * `ORDER BY` window (which Spark executes as one task over the whole
-  * corpus): range-partition by id, local cumulative sums inside each
-  * partition (window PARTITIONED by partition id — parallel), then the
-  * numParts per-partition totals are window-scanned into absolute offsets
-  * and broadcast-joined back. Nothing bigger than numParts rows leaves the
-  * executors, so the shape holds at 100 TB with numParts sized to the data.
+/** Global-running-sum machinery for training pipelines: sequence packing
+  * ("concat and chunk" at a fixed token budget) and token-budget curation
+  * (keep best-first until a global budget). Both need the EXCLUSIVE running
+  * sum of a value column in a deterministic global order — the textbook
+  * anti-scale plan is a global `ORDER BY` window (one task over the whole
+  * corpus), so [[withRunningOffset]] computes it as a DISTRIBUTED prefix
+  * sum instead: range-partition by the order key, local cumulative sums
+  * inside each partition (window PARTITIONED by partition id — parallel),
+  * then the numParts per-partition totals are window-scanned into absolute
+  * offsets and broadcast-joined back. Nothing bigger than numParts rows
+  * leaves the executors, so the shape holds at 100 TB with numParts sized
+  * to the data.
   */
 object Packing {
 
-  /** Per-document bin assignment: (doc, n_tokens, bin).
+  /** Appends `start` = exclusive global running sum of `valueCol` in
+    * `orderCols` order (which must be a total order — include a unique
+    * tiebreaker). The input must already carry `valueCol` as a LongType
+    * column named by `valueCol`.
     *
     * AQE partition coalescing keeps adjacent range partitions adjacent, so
-    * (pid, doc) ordering — and therefore every global offset — is invariant
-    * to the actual partition count the runtime picks.
+    * (pid, orderCols) ordering — and therefore every global offset — is
+    * invariant to the actual partition count the runtime picks.
     */
-  def packedBins(docs: DataFrame, idCol: String, textCol: String, budgetTokens: Int,
-                 numParts: Int = 32): DataFrame = {
-    require(budgetTokens > 0, "budgetTokens must be positive")
-    val toks = docs.select(
-      col(idCol).as("doc"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val parts = toks
-      .repartitionByRange(numParts, col("doc"))
+  def withRunningOffset(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                        numParts: Int): DataFrame = {
+    val parts = df
+      .repartitionByRange(numParts, orderCols: _*)
       .withColumn("pid", spark_partition_id())
     // checkpoint the windowed result: it feeds both the totals aggregate and
-    // the final join, and re-deriving it means re-scanning + re-tokenizing
-    // the raw text (the expensive part at corpus scale); rows are 4 longs
-    // ROWS frame, not the default RANGE frame: under RANGE, rows tied on
-    // `doc` are all-peers-inclusive and would get identical (wrong) offsets
-    // if ids ever repeat; ROWS matches the oracle's running-sum semantics
+    // the final join, and re-deriving it means re-scanning + re-deriving the
+    // inputs (tokenization — the expensive part at corpus scale).
+    // ROWS frame, not the default RANGE frame: under RANGE, rows tied on the
+    // order key are all-peers-inclusive and would get identical (wrong)
+    // offsets; ROWS matches the oracle's running-sum semantics
     val localPlan = parts.withColumn(
-      "cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("pid")).orderBy(col("doc"))
+      "cum", sum(col(valueCol)).over(
+        Window.partitionBy(col("pid")).orderBy(orderCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val local = localPlan.localCheckpoint(true, Dedup.ckptLevel(localPlan))
     // numParts rows: absolute start offset of each partition via an exclusive
     // running sum (the single-partition window is over numParts rows only)
     val offsets = local
-      .groupBy(col("pid")).agg(sum(col("n_tokens")).as("tot"))
+      .groupBy(col("pid")).agg(sum(col(valueCol)).as("tot"))
       .withColumn(
         "off",
         coalesce(
@@ -59,7 +57,22 @@ object Packing {
       .select(col("pid"), col("off"))
     local
       .join(broadcast(offsets), "pid")
-      .withColumn("start", col("off") + col("cum") - col("n_tokens"))
+      .withColumn("start", col("off") + col("cum") - col(valueCol))
+      .drop("pid", "cum")
+  }
+
+  /** Per-document bin assignment: (doc, n_tokens, bin). Each document is
+    * assigned to the bin its FIRST token lands in, so the assignment is a
+    * pure function of the document's global token offset — independent of
+    * how the corpus happens to be partitioned.
+    */
+  def packedBins(docs: DataFrame, idCol: String, textCol: String, budgetTokens: Int,
+                 numParts: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val toks = docs.select(
+      col(idCol).as("doc"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    withRunningOffset(toks, Seq(col("doc")), "n_tokens", numParts)
       .withColumn("bin", floor(col("start") / lit(budgetTokens.toDouble)).cast("long"))
       .select(col("doc"), col("n_tokens"), col("bin"))
   }
@@ -74,4 +87,24 @@ object Packing {
        |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    / ${budgetTokens.toDouble}) AS BIGINT) AS bin
        |FROM documents""".stripMargin
+
+  /** Token-budget curation: greedily keep the highest-quality documents
+    * (ties → lowest id) until the corpus reaches `budgetTokens` — the "best
+    * data under a fixed training budget" selection step. A doc is kept iff
+    * its exclusive running token offset in (quality desc, id) order is
+    * below the budget, so the LAST kept doc may overrun the budget (greedy
+    * semantics, deterministic). Returns (doc, n_tokens, quality) of the
+    * kept docs.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long, numParts: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val scored = docs.select(
+      col(idCol).as("doc"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col(textCol)).cast("long").as("quality"))
+    withRunningOffset(scored, Seq(col("quality").desc, col("doc")), "n_tokens", numParts)
+      .filter(col("start") < budgetTokens)
+      .select(col("doc"), col("n_tokens"), col("quality"))
+  }
 }

@@ -36,9 +36,10 @@ class EntrySpec extends AnyFunSuite {
       "q_parts_above_avg" -> scalarAgg,
       "q11_important_parts" -> scalarAgg,
       "q22_wealthy_inactive" -> scalarAgg,
-      // corpus-stats broadcast rows (N, avgdl …)
+      // corpus-stats broadcast rows (N, avgdl, total-token mass …)
       "tfidf_top_terms" -> scalarAgg,
       "bm25_top_docs" -> scalarAgg,
+      "mixture_weights" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus
       "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),
       // the disclosed exact-baseline cartesian: sample cap pushed to BOTH scans

@@ -355,6 +355,25 @@ class OpsSpec extends AnyFunSuite {
     assert(one == want)
   }
 
+  test("tokenBudgetSample equals the driver-side greedy selection") {
+    import spark.implicits._
+    val got = Packing.tokenBudgetSample(docs, "doc_id", "text", 5000L, numParts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // ground truth: greedy best-first over the small fixture
+    val scored = docs.select(
+      $"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n"),
+      TextAnalysis.qualityScore($"text").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var off = 0L
+    val want = scored.sortBy { case (d, _, q) => (-q, d) }.flatMap { case (d, n, q) =>
+      val keep = off < 5000L; off += n
+      if (keep) Some((d, n, q)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.map(_._2).sum >= 5000L - got.map(_._2).max)
+  }
+
   test("nearDupPairs materializes signatures once and leaves no cached plan behind") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
     val plan = pairs.queryExecution.executedPlan.toString
