@@ -143,6 +143,10 @@ object RoundTrip {
         .option("payload", "csv")
         .option("timestampFormat", timestampFormat)
         .option("codec", codec)
+        // 1 MiB blocks (vs the 4 MiB max): zone-map pruning works at block
+        // granularity, so the sorted layout skips ~4x closer to the true
+        // predicate range — worth the small ratio cost on a sorted file
+        .option("blockBytes", (1 << 20).toString)
         .save(dir.getAbsolutePath)
     }
     (dir.getAbsolutePath, schema)

@@ -12,8 +12,18 @@ import java.io.OutputStream
   * is not strictly smaller is stored plain; EOS is 12 zero bytes; footer is
   * size|version|deltas|size|magic|xxhash32(preceding footer bytes).
   */
-final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream {
-  private val buf = new Array[Byte](FourMc.MaxBlockSize)
+/** @param blockBytes flush threshold (≤ [[FourMc.MaxBlockSize]], the format
+  *   MAXIMUM — smaller blocks are spec-compliant and read-compatible).
+  *   Smaller blocks trade a little ratio/overhead for FINER zone-map
+  *   granularity: a sorted file pruned against [[BlockStats]] skips at
+  *   block resolution, so 1 MiB blocks decode ~4× less surviving data at
+  *   the range edges than 4 MiB ones.
+  */
+final class FourMcWriter(out: OutputStream, codec: McCodec,
+                         blockBytes: Int = FourMc.MaxBlockSize) extends OutputStream {
+  require(blockBytes > 0 && blockBytes <= FourMc.MaxBlockSize,
+    s"blockBytes must be in (0, ${FourMc.MaxBlockSize}], got $blockBytes")
+  private val buf = new Array[Byte](blockBytes)
   private var bufLen = 0
   private var bytesOut = 0L
   private val blockOffsets = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -58,12 +68,12 @@ final class FourMcWriter(out: OutputStream, codec: McCodec) extends OutputStream
     var off = off0
     var len = len0
     while (len > 0) {
-      val n = math.min(len, FourMc.MaxBlockSize - bufLen)
+      val n = math.min(len, blockBytes - bufLen)
       System.arraycopy(b, off, buf, bufLen, n)
       bufLen += n
       off += n
       len -= n
-      if (bufLen == FourMc.MaxBlockSize) flushBlock()
+      if (bufLen == blockBytes) flushBlock()
     }
   }
 

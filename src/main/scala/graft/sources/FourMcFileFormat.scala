@@ -315,6 +315,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     )
     val delim = options.getOrElse("delimiter", "|")
     val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+    // flush threshold for csv sinks (≤ the format's 4 MiB MAX — smaller
+    // blocks are read-compatible): on sorted writes, finer blocks = finer
+    // zone-map pruning granularity
+    val blockBytes = options.get("blockBytes").map(_.toInt).getOrElse(graft.format.FourMc.MaxBlockSize)
     val ext = codec.fileExtension
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ext
@@ -324,7 +328,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           context: TaskAttemptContext
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
-          options.getOrElse("blockStats", "true").toBoolean)
+          options.getOrElse("blockStats", "true").toBoolean, blockBytes)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -454,12 +458,13 @@ final class FourMcCsvOutputWriter(
     schema: StructType,
     delim: String,
     tsFmt: String,
-    blockStats: Boolean = true
+    blockStats: Boolean = true,
+    blockBytes: Int = graft.format.FourMc.MaxBlockSize
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
     val fs = fsPath.getFileSystem(context.getConfiguration)
-    new FourMcWriter(new java.io.BufferedOutputStream(fs.create(fsPath, false), 1 << 16), codec)
+    new FourMcWriter(new java.io.BufferedOutputStream(fs.create(fsPath, false), 1 << 16), codec, blockBytes)
   }
   private val delimByte = delim.charAt(0).toByte
   private val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)

@@ -33,7 +33,8 @@ class BlockStatsSpec extends AnyFunSuite {
   ))
 
   /** ~40 B/row × 800k rows ≈ 32 MB of text → ~8 blocks per single file. */
-  private def writeClustered(dir: String, codec: String = "lz4-fast"): Unit = {
+  private def writeClustered(dir: String, codec: String = "lz4-fast",
+                             extra: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(0L until 800000L, 1).map { i =>
@@ -42,7 +43,7 @@ class BlockStatsSpec extends AnyFunSuite {
       schema
     )
     df.sortWithinPartitions("id").write.format("4mc")
-      .option("payload", "csv").option("codec", codec).save(dir)
+      .option("payload", "csv").option("codec", codec).options(extra).save(dir)
   }
 
   test("stats segment round-trips through the container tail and keeps eosPos correct") {
@@ -150,6 +151,21 @@ class BlockStatsSpec extends AnyFunSuite {
     assert(read.filter($"s" === f"prefix-that-is-long-${123456L}%09d").count() == 1L)
     assert(read.filter($"s" startsWith "prefix-that").count() == 150000L)
     assert(read.filter($"s" < "prefix-that-is-long-000060000").count() == 10000L)
+  }
+
+  test("small-block writes (blockBytes option) round-trip and prune at finer granularity") {
+    val dir = tmpDir()
+    writeClustered(dir, extra = Map("blockBytes" -> (256 * 1024).toString))
+    val read = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    assert(read.count() == 800000L)
+    val pred = "id >= 100000 AND id < 140000"
+    FourMcScanMetrics.reset()
+    assert(read.filter(pred).count() == 40000L)
+    val readBlocks = FourMcScanMetrics.blocksRead.sum()
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    // 256 KiB blocks: the same predicate range survives in proportionally
+    // MORE, smaller blocks — and far more are refuted than read
+    assert(skipped > 3 * readBlocks, s"finer blocks should refute most (read=$readBlocks skipped=$skipped)")
   }
 
   test("NaN literal never prunes: Spark orders NaN above every value") {
