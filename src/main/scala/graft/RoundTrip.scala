@@ -18,6 +18,9 @@ object RoundTrip {
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSS"
 
+  /** Block size for SORT-CLUSTERED round-trips (1 MiB vs the 4 MiB max). */
+  private val SortedBlockBytes = 1 << 20
+
   /** Source size in DATA bytes: a Spark-written table is a DIRECTORY of
     * part files (File.length() on it returns the ~4 KiB dir entry, which
     * once sized every sf1 round-trip at nFiles=1 — a single-task write).
@@ -125,7 +128,10 @@ object RoundTrip {
   ): (String, StructType) = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
-    val dir = rtDir(sfDir, s"$tableName-by-$sortCol", codec, timestampFormat)
+    // the block size is a write-layout knob, so it is part of the cache key
+    // (same rule as timestampFormat): a dir written at another block size
+    // must not be silently reused as evidence for this one
+    val dir = rtDir(sfDir, s"$tableName-by-$sortCol-b${SortedBlockBytes >> 10}k", codec, timestampFormat)
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {
       // Fewer, bigger files than the unsorted round-trip (~32 MiB of source
@@ -146,7 +152,7 @@ object RoundTrip {
         // 1 MiB blocks (vs the 4 MiB max): zone-map pruning works at block
         // granularity, so the sorted layout skips ~4x closer to the true
         // predicate range — worth the small ratio cost on a sorted file
-        .option("blockBytes", (1 << 20).toString)
+        .option("blockBytes", SortedBlockBytes.toString)
         .save(dir.getAbsolutePath)
     }
     (dir.getAbsolutePath, schema)

@@ -22,7 +22,9 @@ object Packing {
   /** Appends `start` = exclusive global running sum of `valueCol` in
     * `orderCols` order (which must be a total order — include a unique
     * tiebreaker). The input must already carry `valueCol` as a LongType
-    * column named by `valueCol`.
+    * column named by `valueCol`, and must not use the reserved working
+    * names `pid`/`cum`/`off`/`start` (enforced — a silent overwrite or an
+    * ambiguous join reference would corrupt caller data otherwise).
     *
     * AQE partition coalescing keeps adjacent range partitions adjacent, so
     * (pid, orderCols) ordering — and therefore every global offset — is
@@ -30,6 +32,9 @@ object Packing {
     */
   def withRunningOffset(df: DataFrame, orderCols: Seq[Column], valueCol: String,
                         numParts: Int): DataFrame = {
+    val reserved = Seq("pid", "cum", "off", "start").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"withRunningOffset reserves column names pid/cum/off/start; input carries: ${reserved.mkString(", ")}")
     val parts = df
       .repartitionByRange(numParts, orderCols: _*)
       .withColumn("pid", spark_partition_id())
@@ -58,7 +63,7 @@ object Packing {
     local
       .join(broadcast(offsets), "pid")
       .withColumn("start", col("off") + col("cum") - col(valueCol))
-      .drop("pid", "cum")
+      .drop("pid", "cum", "off")
   }
 
   /** Per-document bin assignment: (doc, n_tokens, bin). Each document is
@@ -99,10 +104,15 @@ object Packing {
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
                         budgetTokens: Long, numParts: Int = 32): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val scored = docs.select(
-      col(idCol).as("doc"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      TextAnalysis.qualityScore(col(textCol)).cast("long").as("quality"))
+    // tokenize ONCE per row (Catalyst does not CSE the embedded regex split
+    // across tokenCount and qualityScore subtrees — the *FromTokens rule)
+    val scored = docs
+      .select(col(idCol).as("doc"), col(textCol).as("_text"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(
+        col("doc"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens(col("_text"), col("_toks")).cast("long").as("quality"))
     withRunningOffset(scored, Seq(col("quality").desc, col("doc")), "n_tokens", numParts)
       .filter(col("start") < budgetTokens)
       .select(col("doc"), col("n_tokens"), col("quality"))

@@ -317,8 +317,11 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
     // flush threshold for csv sinks (≤ the format's 4 MiB MAX — smaller
     // blocks are read-compatible): on sorted writes, finer blocks = finer
-    // zone-map pruning granularity
+    // zone-map pruning granularity. Rejected (not silently ignored) for
+    // payloads whose writers don't honor it.
     val blockBytes = options.get("blockBytes").map(_.toInt).getOrElse(graft.format.FourMc.MaxBlockSize)
+    require(csv || !options.contains("blockBytes"),
+      s"blockBytes is only supported for payload=csv (got payload=$payload)")
     val ext = codec.fileExtension
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ext

@@ -359,10 +359,11 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     val got = Packing.tokenBudgetSample(docs, "doc_id", "text", 5000L, numParts = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    // ground truth: greedy best-first over the small fixture
+    // ground truth: greedy best-first over the small fixture (scores from
+    // the library — this test checks the SELECTION, not the scorers)
     val scored = docs.select(
       $"doc_id",
-      size(split(trim($"text"), "\\s+")).cast("long").as("n"),
+      TextAnalysis.tokenCount($"text").cast("long").as("n"),
       TextAnalysis.qualityScore($"text").cast("long").as("q"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     var off = 0L
