@@ -176,6 +176,49 @@ object PipelineQueries {
        |  CAST(ROUND(1000.0 * total / (k * tokens)) AS BIGINT) AS weight_milli
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Exact-substring duplication report: the 50 documents most covered by
+    * 8-token spans that appear verbatim in other documents (the
+    * suffix-array-dedup signal at fixed span length). See [[Spans]] for the
+    * linear-scale shape.
+    */
+  def spanDupCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    Spans.dupSpanCoverage(docs(spark, sfDir), "doc_id", "text", k = 8)
+      .orderBy(col("dup_tokens").desc, col("doc"))
+      .limit(50)
+
+  val spanDupCoverageSql: String =
+    Spans.dupSpanCoverageSql(8) + "\nORDER BY dup_tokens DESC, doc LIMIT 50"
+
+  /** Incremental ingest admission: docs with `doc_id % 5 = 4` play the
+    * "new crawl batch", the rest the existing corpus; each batch doc is
+    * classified exact_dup / near_dup (MinHash tau=0.5) / novel and counted
+    * per (lang, status). See [[Incremental]] — the corpus side is never
+    * self-joined, so the shape is batch-bounded at 100 TB.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val isBatch = col("doc_id") % 5 === 4
+    val newDocs = d.filter(isBatch)
+    Incremental.batchStatus(newDocs, d.filter(!isBatch), "doc_id", "text", 0.5)
+      .join(newDocs.select(col("doc_id").as("doc"), col("lang")), "doc")
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("status"))
+  }
+
+  val incrementalDedupSql: String =
+    Incremental.batchStatusCountsSql(0.5, "doc_id % 5 = 4")
+
+  /** Curriculum tiers: 10 equal-population quality bins (0 = best) with
+    * doc/token mass and the exact quality range per bin. Global rank via
+    * the distributed prefix sum ([[Packing.qualityCurriculum]]).
+    */
+  def qualityCurriculum(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.qualityCurriculum(docs(spark, sfDir), "doc_id", "text", nBins = 10)
+      .orderBy(col("bin"))
+
+  val qualityCurriculumSql: String = Packing.qualityCurriculumSql(10)
+
   // ------------------------------------------------------------- similarity
 
   /** D3 exact: top-5 cosine neighbors for queries vec_id < 10. */

@@ -79,6 +79,9 @@ object SparkEntry {
     "pack_training_sequences" -> (PipelineQueries.packTrainingSequences _),
     "sample_token_budget" -> (PipelineQueries.sampleTokenBudget _),
     "mixture_weights" -> (PipelineQueries.mixtureWeights _),
+    "span_dup_coverage" -> (PipelineQueries.spanDupCoverage _),
+    "incremental_dedup" -> (PipelineQueries.incrementalDedup _),
+    "quality_curriculum" -> (PipelineQueries.qualityCurriculum _),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
@@ -195,6 +198,9 @@ object SparkEntry {
     "pack_training_sequences" -> PipelineQueries.packTrainingSequencesSql,
     "sample_token_budget" -> PipelineQueries.sampleTokenBudgetSql,
     "mixture_weights" -> PipelineQueries.mixtureWeightsSql,
+    "span_dup_coverage" -> PipelineQueries.spanDupCoverageSql,
+    "incremental_dedup" -> PipelineQueries.incrementalDedupSql,
+    "quality_curriculum" -> PipelineQueries.qualityCurriculumSql,
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Incremental (batch-vs-corpus) deduplication: classify each document of a
+  * new ingest batch against the existing corpus as `exact_dup` (verbatim
+  * text already present), `near_dup` (MinHash-LSH Jaccard >= threshold with
+  * some corpus document), or `novel`. This is the daily-crawl admission
+  * step of a production pipeline — the batch is small, the corpus is the
+  * 100 TB side, and nothing here ever self-joins the corpus:
+  *
+  *  - exact: one semi join on a 16-byte md5 digest (corpus side shuffles
+  *    digests only, never text);
+  *  - near: the batch's band keys join the corpus's band keys (equality
+  *    join on (band, band-value); in steady state the corpus signatures are
+  *    a precomputed table, so the incremental cost is batch-sized);
+  *  - verification re-joins shingle sets for CANDIDATES only.
+  */
+object Incremental {
+
+  /** Cross-set LSH near-dup pairs (dNew, dCorp, jaccard): band-equality
+    * candidates between the two sets (never within either set), verified by
+    * exact shingle-set Jaccard. Same signature family, banding, and
+    * verification as [[Dedup.nearDupPairs]] — a pair (a, b) with a in
+    * `newDocs`, b in `corpus` surfaces here iff the self-join formulation
+    * over the union would surface it.
+    */
+  def crossNearDupPairs(newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val newSigsPlan = Dedup.minHashSignatures(newDocs, idCol, textCol, numHashes)
+    val corpSigsPlan = Dedup.minHashSignatures(corpus, idCol, textCol, numHashes)
+    // each side feeds its band explosion plus one shingle-set rejoin
+    val newSigs = newSigsPlan.localCheckpoint(true, Dedup.ckptLevel(newSigsPlan))
+    val corpSigs = corpSigsPlan.localCheckpoint(true, Dedup.ckptLevel(corpSigsPlan))
+    def bands(sigs: DataFrame): DataFrame = {
+      val numBands = numHashes / rowsPerBand
+      sigs.select(
+        col("doc"),
+        posexplode(
+          array((0 until numBands).map { b =>
+            array((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+          }: _*)
+        ).as(Seq("band", "bv")))
+    }
+    val cands = bands(newSigs).as("x")
+      .join(bands(corpSigs).as("y"), col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .select(col("x.doc").as("d_new"), col("y.doc").as("d_corp"))
+      .distinct()
+    cands
+      .join(newSigs.select(col("doc").as("d_new"), col("shingles").as("sh1")), "d_new")
+      .join(corpSigs.select(col("doc").as("d_corp"), col("shingles").as("sh2")), "d_corp")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d_new", "d_corp", "jaccard")
+  }
+
+  /** Batch admission statuses: (doc, status) for every document of
+    * `newDocs`, with `exact_dup` taking precedence over `near_dup`.
+    */
+  def batchStatus(newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                  threshold: Double): DataFrame = {
+    val exact = newDocs
+      .select(md5(col(textCol).cast(BinaryType)).as("_dg"), col(idCol).as("doc"))
+      .join(corpus.select(md5(col(textCol).cast(BinaryType)).as("_dg")), Seq("_dg"), "left_semi")
+      .select(col("doc"), lit(true).as("_is_exact"))
+    val near = crossNearDupPairs(newDocs, corpus, idCol, textCol, threshold)
+      .select(col("d_new").as("doc")).distinct()
+      .select(col("doc"), lit(true).as("_is_near"))
+    newDocs
+      .select(col(idCol).as("doc"))
+      .join(exact, Seq("doc"), "left")
+      .join(near, Seq("doc"), "left")
+      .withColumn("status",
+        when(col("_is_exact"), "exact_dup")
+          .when(col("_is_near"), "near_dup")
+          .otherwise("novel"))
+      .select("doc", "status")
+  }
+
+  /** DuckDB mirror of [[batchStatus]] aggregated per (lang, status), for a
+    * batch defined by `batchPredSql` over `documents` (e.g. a doc_id mod
+    * split). The near-dup CTE is the full self-join MinHash formulation
+    * restricted to cross pairs — value-identical to the engine's cross-set
+    * band join (see [[crossNearDupPairs]]).
+    */
+  def batchStatusCountsSql(threshold: Double, batchPredSql: String): String =
+    s"""WITH pairs AS (
+       |${Dedup.minHashPairsSql(threshold)}
+       |), newdocs AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE $batchPredSql
+       |), corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($batchPredSql)
+       |), exactd AS (
+       |  SELECT DISTINCT n.doc_id FROM newdocs n JOIN corpus c ON n.text = c.text
+       |), neard AS (
+       |  SELECT DISTINCT CASE WHEN d1 IN (SELECT doc_id FROM newdocs) THEN d1 ELSE d2 END AS doc_id
+       |  FROM pairs
+       |  WHERE (d1 IN (SELECT doc_id FROM newdocs)) <> (d2 IN (SELECT doc_id FROM newdocs))
+       |), status AS (
+       |  SELECT n.lang,
+       |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |         WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'novel' END AS status
+       |  FROM newdocs n
+       |  LEFT JOIN exactd e ON n.doc_id = e.doc_id
+       |  LEFT JOIN neard r ON n.doc_id = r.doc_id
+       |)
+       |SELECT lang, status, COUNT(*) AS n_docs FROM status
+       |GROUP BY lang, status ORDER BY lang, status""".stripMargin
+}

@@ -93,6 +93,57 @@ object Packing {
        |    / ${budgetTokens.toDouble}) AS BIGINT) AS bin
        |FROM documents""".stripMargin
 
+  /** Curriculum binning: split the corpus into `nBins` equal-population
+    * quality tiers (bin 0 = best) in (quality desc, id) order — the
+    * curriculum/annealing schedule step of a training pipeline. The global
+    * rank is the same distributed prefix sum as packing (running count of
+    * ones), NOT a global `ORDER BY` window; the corpus size rides a
+    * broadcast 1-row aggregate. Returns one row per bin:
+    * (bin, n_docs, tokens, q_min, q_max).
+    */
+  def qualityCurriculum(docs: DataFrame, idCol: String, textCol: String,
+                        nBins: Int = 10, numParts: Int = 32): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val scored = docs
+      .select(col(idCol).as("doc"), col(textCol).as("_text"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(
+        col("doc"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens(col("_text"), col("_toks")).cast("long").as("quality"))
+      .withColumn("one", lit(1L))
+    val ranked = withRunningOffset(scored, Seq(col("quality").desc, col("doc")), "one", numParts)
+    val tot = ranked.agg(count(lit(1)).as("n_total"))
+    ranked
+      .join(broadcast(tot))
+      // exact-integer bin boundary: both engines evaluate the same IEEE
+      // double division, and rank*nBins stays far under 2^53
+      .withColumn("bin", floor(col("start") * nBins / col("n_total")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+      .select(col("bin"), col("n_docs"), col("tokens"), col("q_min"), col("q_max"))
+  }
+
+  /** DuckDB mirror of [[qualityCurriculum]] (global row_number — the
+    * oracle-scale formulation of the distributed rank).
+    */
+  def qualityCurriculumSql(nBins: Int = 10): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id AS doc, CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+       |    CAST(${TextAnalysis.qualityScoreSql("text")} AS BIGINT) AS quality
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT doc, n_tokens, quality,
+       |    ROW_NUMBER() OVER (ORDER BY quality DESC, doc) - 1 AS rk,
+       |    COUNT(*) OVER () AS n_total
+       |  FROM scored
+       |)
+       |SELECT CAST(FLOOR(rk * $nBins / n_total) AS BIGINT) AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       |  MIN(quality) AS q_min, MAX(quality) AS q_max
+       |FROM ranked GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Token-budget curation: greedily keep the highest-quality documents
     * (ties → lowest id) until the corpus reaches `budgetTokens` — the "best
     * data under a fixed training budget" selection step. A doc is kept iff

@@ -40,6 +40,7 @@ class EntrySpec extends AnyFunSuite {
       "tfidf_top_terms" -> scalarAgg,
       "bm25_top_docs" -> scalarAgg,
       "mixture_weights" -> scalarAgg,
+      "quality_curriculum" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus
       "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),
       // the disclosed exact-baseline cartesian: sample cap pushed to BOTH scans

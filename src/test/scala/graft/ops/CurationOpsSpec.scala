@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the corpus-curation ops added in round 7: exact-substring span
+  * coverage, incremental batch-vs-corpus dedup, curriculum binning.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("curation-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("dupSpanCoverage: a full copy is 100% covered, a planted 8-token splice is found") {
+    import spark.implicits._
+    val base = docs.filter(size(split($"text", " ")) >= 30)
+    // doc A: full copy of doc 0's text under a new id -> dup_ratio_milli = 1000
+    val donorRow = base.select($"doc_id", $"text").head()
+    val donorId = donorRow.getLong(0)
+    val donorText = donorRow.getString(1)
+    val splice = donorText.split("\\s+").take(8).mkString(" ")
+    val planted = Seq(
+      (200001L, donorText),
+      // doc B: 8 tokens from the donor spliced between unique sentinels
+      (200002L, s"zqx1 zqx2 zqx3 $splice zqx4 zqx5 zqx6")
+    ).toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(planted)
+    val cov = Spans.dupSpanCoverage(all, "doc_id", "text", k = 8)
+    val byDoc = cov.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byDoc(200001L)._2 == 1000L, s"full copy should be fully covered: ${byDoc.get(200001L)}")
+    assert(byDoc(donorId)._2 == 1000L, "the donor is itself fully duplicated by the copy")
+    assert(byDoc(200002L)._1 == 8L, s"splice doc must have exactly the 8 spliced tokens covered: ${byDoc.get(200002L)}")
+    // sentinel-only docs never appear
+    assert(!byDoc.contains(-1L))
+  }
+
+  test("dupSpanCoverage: within-doc repetition alone does not count as duplication") {
+    import spark.implicits._
+    val rep = ("r1 r2 r3 r4 r5 r6 r7 r8 " * 4).trim // same 8-gram repeats within one doc
+    val one = Seq((1L, rep), (2L, "only unique words appear in this second document here"))
+      .toDF("doc_id", "text")
+    assert(Spans.dupSpanCoverage(one, "doc_id", "text", k = 8).count() == 0)
+  }
+
+  test("crossNearDupPairs finds planted batch-vs-corpus near-dups and nothing within a set") {
+    import spark.implicits._
+    val corpus = docs.filter(size(split($"text", " ")) >= 20)
+    val batch = corpus
+      .limit(20)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat_ws(" ", slice(split($"text", " "), lit(1), size(split($"text", " ")) - 1)).as("text"),
+        $"lang", $"source", $"n_chars")
+    val n = batch.count()
+    val pairs = Incremental.crossNearDupPairs(batch, corpus, "doc_id", "text", 0.5)
+    assert(pairs.filter($"d_new" < 500000).count() == 0, "d_new must come from the batch side")
+    assert(pairs.filter($"d_corp" >= 500000).count() == 0, "d_corp must come from the corpus side")
+    val found = pairs.filter($"d_new" - $"d_corp" === 500000).count()
+    assert(found >= n * 0.8, s"found $found of $n planted cross near-dups")
+  }
+
+  test("batchStatus: exact beats near, unrelated text is novel") {
+    import spark.implicits._
+    val corpus = docs.filter(size(split($"text", " ")) >= 20).limit(50)
+      .select($"doc_id", $"text").localCheckpoint()
+    val rows = corpus.limit(3).collect()
+    val exactCopy = (600001L, rows(0).getString(1))
+    val perturbed = (600002L, rows(1).getString(1).split("\\s+").dropRight(1).mkString(" "))
+    val novel = (600003L, "wholly unrelated sentinel tokens qa qb qc qd qe qf qg qh qi qj")
+    val batch = Seq(exactCopy, perturbed, novel).toDF("doc_id", "text")
+    val st = Incremental.batchStatus(batch, corpus, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st(600001L) == "exact_dup")
+    assert(st(600002L) == "near_dup")
+    assert(st(600003L) == "novel")
+  }
+
+  test("qualityCurriculum: equal-population tiers with monotonically falling quality ranges") {
+    val bins = Packing.qualityCurriculum(docs, "doc_id", "text", nBins = 10)
+      .orderBy(col("bin")).collect()
+    assert(bins.map(_.getLong(0)).toSeq == (0L until 10L), "all 10 bins present")
+    val total = docs.count()
+    assert(bins.map(_.getLong(1)).sum == total, "every doc lands in exactly one bin")
+    val sizes = bins.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"equal population +-1: ${sizes.mkString(",")}")
+    // bin b's worst quality is still >= bin b+1's best quality
+    bins.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getLong(3) >= lo.getLong(4),
+        s"bin ${hi.getLong(0)} q_min ${hi.getLong(3)} < bin ${lo.getLong(0)} q_max ${lo.getLong(4)}")
+    }
+  }
+}
