@@ -240,6 +240,20 @@ object StressPipeline {
       guarded("pack_training_sequences") {
         graft.PipelineQueries.packTrainingSequences(spark, dir).count()
       },
+      // exact-substring coverage: O(corpus tokens) span postings, two-level
+      // distinct aggregate, semi join back, per-doc window — every stage
+      // linear in corpus size (the replicated corpus makes EVERY span
+      // cross-replica-duplicated, so this measures the worst case where the
+      // hot-span set is the whole vocabulary)
+      guarded("span_dup_coverage") {
+        graft.PipelineQueries.spanDupCoverage(spark, dir).count()
+      },
+      // batch-vs-corpus admission: minhash signatures on both splits plus
+      // the cross-set band join — the shape whose incremental cost must stay
+      // batch-bounded, measured here with a 20% batch against an 80% corpus
+      guarded("incremental_dedup") {
+        graft.PipelineQueries.incrementalDedup(spark, dir).count()
+      },
       // same CC computation as dedup_clusters, reliable (FS-backed)
       // checkpoints: the fault-tolerant mode a 100 TB many-iteration run
       // would use. The delta vs dedup_clusters IS the measurement —
