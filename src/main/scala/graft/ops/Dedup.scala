@@ -396,21 +396,45 @@ object Dedup {
     * repeat candidates across bands.
     */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bands = sigs.select(
-      col("doc"),
-      posexplode(
-        array((0 until numBands).map { b =>
-          array((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-        }: _*)
-      ).as(Seq("band", "bv"))
-    )
+    val bands = bandKeys(sigs, numHashes, rowsPerBand)
     bands
       .as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") && col("x.bv") === col("y.bv") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("d1"), col("y.doc").as("d2"))
       .distinct()
   }
+
+  /** (doc, band, bv) band keys of a signature table — the exact value tuple
+    * of each band of `rowsPerBand` consecutive signature entries. The ONE
+    * definition of the banding layout, shared by the self-join path above
+    * and the cross-set path ([[Incremental.crossNearDupPairs]]) so the two
+    * can never drift apart (the incremental oracle's value-identity proof
+    * assumes identical banding).
+    */
+  def bandKeys(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    sigs.select(
+      col("doc"),
+      posexplode(
+        array((0 until numBands).map { b =>
+          array((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)
+      ).as(Seq("band", "bv")))
+  }
+
+  /** Exact shingle-set Jaccard verification over candidate pairs carrying
+    * `sh1`/`sh2` set columns: keeps pairs with Jaccard >= `threshold` and
+    * replaces the set columns with the `jaccard` value. Shared by the
+    * self-join and cross-set LSH paths for the same no-drift reason as
+    * [[bandKeys]].
+    */
+  def verifiedJaccard(withSets: DataFrame, threshold: Double): DataFrame =
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .drop("sh1", "sh2", "inter")
 
   /** D2 (probabilistic flavor): LSH candidates verified by exact shingle-set
     * Jaccard >= threshold.
@@ -429,12 +453,7 @@ object Dedup {
     val withSets = cands
       .join(sigs.select(col("doc").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sigs.select(col("doc").as("d2"), col("shingles").as("sh2")), "d2")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
-      .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "jaccard")
+    verifiedJaccard(withSets, threshold).select("d1", "d2", "jaccard")
   }
 
   /** DuckDB mirror of [[nearDupPairs]]: same shingles, same md5-based

@@ -34,28 +34,18 @@ object Incremental {
     // each side feeds its band explosion plus one shingle-set rejoin
     val newSigs = newSigsPlan.localCheckpoint(true, Dedup.ckptLevel(newSigsPlan))
     val corpSigs = corpSigsPlan.localCheckpoint(true, Dedup.ckptLevel(corpSigsPlan))
-    def bands(sigs: DataFrame): DataFrame = {
-      val numBands = numHashes / rowsPerBand
-      sigs.select(
-        col("doc"),
-        posexplode(
-          array((0 until numBands).map { b =>
-            array((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-          }: _*)
-        ).as(Seq("band", "bv")))
-    }
-    val cands = bands(newSigs).as("x")
-      .join(bands(corpSigs).as("y"), col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+    // banding layout and Jaccard verification are the SHARED definitions in
+    // Dedup — any change to the self-join family propagates here by
+    // construction, keeping the oracle's cross-pair restriction value-exact
+    val cands = Dedup.bandKeys(newSigs, numHashes, rowsPerBand).as("x")
+      .join(Dedup.bandKeys(corpSigs, numHashes, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
       .select(col("x.doc").as("d_new"), col("y.doc").as("d_corp"))
       .distinct()
-    cands
+    val withSets = cands
       .join(newSigs.select(col("doc").as("d_new"), col("shingles").as("sh1")), "d_new")
       .join(corpSigs.select(col("doc").as("d_corp"), col("shingles").as("sh2")), "d_corp")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("d_new", "d_corp", "jaccard")
+    Dedup.verifiedJaccard(withSets, threshold).select("d_new", "d_corp", "jaccard")
   }
 
   /** Batch admission statuses: (doc, status) for every document of

@@ -35,6 +35,10 @@ object Spans {
     // for why lambdas over tokens(text) go quadratic otherwise
     docs
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      // NULL text tokenizes to a NULL array; drop it here to match the
+      // oracle's unnest-over-NULL-list (zero rows) instead of letting the
+      // short-doc branch hash the swallowed NULL into xxhash64("")
+      .filter(col("_toks").isNotNull)
       .select(
         col("doc"),
         size(col("_toks")).cast("long").as("n_tokens"),

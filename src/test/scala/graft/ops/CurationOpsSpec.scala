@@ -24,10 +24,12 @@ class CurationOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val base = docs.filter(size(split($"text", " ")) >= 30)
     // doc A: full copy of doc 0's text under a new id -> dup_ratio_milli = 1000
-    val donorRow = base.select($"doc_id", $"text").head()
+    val donorRow = base.select($"doc_id", $"text").orderBy($"doc_id").head()
     val donorId = donorRow.getLong(0)
     val donorText = donorRow.getString(1)
-    val splice = donorText.split("\\s+").take(8).mkString(" ")
+    // trim first: leading whitespace would make split emit a leading empty
+    // token that Spans' split(trim(text)) tokenization never produces
+    val splice = donorText.trim.split("\\s+").take(8).mkString(" ")
     val planted = Seq(
       (200001L, donorText),
       // doc B: 8 tokens from the donor spliced between unique sentinels
