@@ -219,6 +219,15 @@ object PipelineQueries {
 
   val qualityCurriculumSql: String = Packing.qualityCurriculumSql(10)
 
+  /** D+ per-domain admission cap (Gopher rule): keep the 10 highest-quality
+    * docs per source; per-source admission stats.
+    */
+  def domainCapSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.domainCapSample(docs(spark, sfDir), "doc_id", "text", "source", cap = 10)
+      .orderBy(col("source"))
+
+  val domainCapSampleSql: String = Sampling.domainCapSampleSql(10)
+
   // ------------------------------------------------------------- similarity
 
   /** D3 exact: top-5 cosine neighbors for queries vec_id < 10. */

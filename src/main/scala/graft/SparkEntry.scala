@@ -82,6 +82,7 @@ object SparkEntry {
     "span_dup_coverage" -> (PipelineQueries.spanDupCoverage _),
     "incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "quality_curriculum" -> (PipelineQueries.qualityCurriculum _),
+    "domain_cap_sample" -> (PipelineQueries.domainCapSample _),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "span_dup_coverage" -> PipelineQueries.spanDupCoverageSql,
     "incremental_dedup" -> PipelineQueries.incrementalDedupSql,
     "quality_curriculum" -> PipelineQueries.qualityCurriculumSql,
+    "domain_cap_sample" -> PipelineQueries.domainCapSampleSql,
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,

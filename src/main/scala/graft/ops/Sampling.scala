@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -48,4 +49,68 @@ object Sampling {
     s"""CASE WHEN ${md5BucketSql(keyCol, 100)} < $trainPct THEN 'train'
        |     WHEN ${md5BucketSql(keyCol, 100)} < ${trainPct + valPct} THEN 'val'
        |     ELSE 'test' END""".stripMargin
+
+  /** Per-domain admission cap (the Gopher-style "at most `cap` documents per
+    * domain" curation rule): within each `groupCol` group, keep the `cap`
+    * highest-quality documents (ties -> lowest id) and report per-group
+    * admission stats: (source, n_docs, total_tokens, n_kept, kept_tokens,
+    * q_floor) where q_floor is the lowest quality that was admitted.
+    *
+    * Scale shape: group totals are a plain partial-aggregable groupBy that
+    * never touches a window; only the kept side ranks, and because the
+    * row_number is immediately filtered by `rk <= cap` Spark's
+    * WindowGroupLimit rule inserts a map-side per-group top-`cap` limit
+    * BEFORE the rank exchange — a hot domain with 10^8 docs ships at most
+    * `cap` rows per map partition, not its whole posting list. The final
+    * join is group-count-sized (tiny) on both sides.
+    */
+  def domainCapSample(docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+                      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be at least 1, got $cap")
+    val scored = docs
+      .select(col(groupCol).as("source"), col(idCol).as("doc"),
+        col(textCol).as("_text"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(
+        col("source"), col("doc"),
+        size(col("_toks")).cast(LongType).as("n_tokens"),
+        TextAnalysis.qualityScoreFromTokens(col("_text"), col("_toks")).cast(LongType).as("quality"))
+    val totals = scored
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val win = Window.partitionBy(col("source")).orderBy(col("quality").desc, col("doc"))
+    val kept = scored
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= cap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"),
+        min(col("quality")).as("q_floor"))
+    // cap >= 1 means every non-empty group keeps at least one doc, so the
+    // inner join loses nothing
+    totals.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_kept"), col("kept_tokens"), col("q_floor"))
+  }
+
+  /** DuckDB mirror of [[domainCapSample]] over `documents`. */
+  def domainCapSampleSql(cap: Int): String =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id AS doc,
+       |    CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
+       |    CAST(${TextAnalysis.qualityScoreSql("text")} AS BIGINT) AS quality
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc) AS rk
+       |  FROM scored
+       |), tot AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+       |  FROM scored GROUP BY source
+       |), keptagg AS (
+       |  SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens,
+       |    MIN(quality) AS q_floor
+       |  FROM ranked WHERE rk <= $cap GROUP BY source
+       |)
+       |SELECT t.source, t.n_docs, CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       |  k.n_kept, CAST(k.kept_tokens AS BIGINT) AS kept_tokens, k.q_floor
+       |FROM tot t JOIN keptagg k USING (source)
+       |ORDER BY t.source""".stripMargin
 }

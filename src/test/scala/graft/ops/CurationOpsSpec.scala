@@ -99,4 +99,42 @@ class CurationOpsSpec extends AnyFunSuite {
         s"bin ${hi.getLong(0)} q_min ${hi.getLong(3)} < bin ${lo.getLong(0)} q_max ${lo.getLong(4)}")
     }
   }
+
+  test("domainCapSample: per-source cap, conservation, and agreement with the naive rank") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cap = 10
+    val res = Sampling.domainCapSample(docs, "doc_id", "text", "source", cap)
+      .orderBy($"source").collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(3) == math.min(cap.toLong, r.getLong(1)),
+        s"${r.getString(0)}: n_kept must be min(cap, n_docs)")
+      assert(r.getLong(4) <= r.getLong(2), "kept tokens cannot exceed total tokens")
+    }
+    // independent naive formulation: one window over ALL rows, kept flag
+    // aggregated in place (no totals/kept split) — must agree exactly
+    val scored = docs.select(
+      $"source", $"doc_id".as("doc"),
+      size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore($"text").cast("long").as("quality"))
+    val naiveWin = Window.partitionBy($"source").orderBy($"quality".desc, $"doc")
+    val naive = scored
+      .withColumn("kept", row_number().over(naiveWin) <= cap)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("kept_tokens"),
+        min(when($"kept", $"quality")).as("q_floor"))
+      .orderBy($"source").collect()
+    assert(res.map(_.toSeq).toSeq == naive.map(_.toSeq).toSeq,
+      "split totals/kept formulation must equal the naive single-window one")
+  }
+
+  test("domainCapSample: rank input is top-k-limited map-side (WindowGroupLimit)") {
+    val plan = Sampling.domainCapSample(docs, "doc_id", "text", "source", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a map-side per-group limit before the rank exchange:\n$plan")
+  }
 }
