@@ -134,9 +134,7 @@ object PipelineQueries {
 
   val sampleTokenBudgetSql: String =
     s"""WITH scored AS (
-       |  SELECT doc_id AS doc, CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
-       |    CAST(${TextAnalysis.qualityScoreSql("text")} AS BIGINT) AS quality
-       |  FROM documents
+       |  ${TextAnalysis.scoredDocsSql()}
        |), offs AS (
        |  SELECT doc, n_tokens, quality,
        |    COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc

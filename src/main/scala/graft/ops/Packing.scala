@@ -104,14 +104,7 @@ object Packing {
   def qualityCurriculum(docs: DataFrame, idCol: String, textCol: String,
                         nBins: Int = 10, numParts: Int = 32): DataFrame = {
     require(nBins > 0, "nBins must be positive")
-    val scored = docs
-      .select(col(idCol).as("doc"), col(textCol).as("_text"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(
-        col("doc"),
-        size(col("_toks")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityScoreFromTokens(col("_text"), col("_toks")).cast("long").as("quality"))
-      .withColumn("one", lit(1L))
+    val scored = TextAnalysis.scoredDocs(docs, idCol, textCol).withColumn("one", lit(1L))
     val ranked = withRunningOffset(scored, Seq(col("quality").desc, col("doc")), "one", numParts)
     val tot = ranked.agg(count(lit(1)).as("n_total"))
     ranked
@@ -130,9 +123,7 @@ object Packing {
     */
   def qualityCurriculumSql(nBins: Int = 10): String =
     s"""WITH scored AS (
-       |  SELECT doc_id AS doc, CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
-       |    CAST(${TextAnalysis.qualityScoreSql("text")} AS BIGINT) AS quality
-       |  FROM documents
+       |  ${TextAnalysis.scoredDocsSql()}
        |), ranked AS (
        |  SELECT doc, n_tokens, quality,
        |    ROW_NUMBER() OVER (ORDER BY quality DESC, doc) - 1 AS rk,
@@ -155,15 +146,7 @@ object Packing {
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
                         budgetTokens: Long, numParts: Int = 32): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    // tokenize ONCE per row (Catalyst does not CSE the embedded regex split
-    // across tokenCount and qualityScore subtrees — the *FromTokens rule)
-    val scored = docs
-      .select(col(idCol).as("doc"), col(textCol).as("_text"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(
-        col("doc"),
-        size(col("_toks")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityScoreFromTokens(col("_text"), col("_toks")).cast("long").as("quality"))
+    val scored = TextAnalysis.scoredDocs(docs, idCol, textCol)
     withRunningOffset(scored, Seq(col("quality").desc, col("doc")), "n_tokens", numParts)
       .filter(col("start") < budgetTokens)
       .select(col("doc"), col("n_tokens"), col("quality"))

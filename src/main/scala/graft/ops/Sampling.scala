@@ -67,13 +67,12 @@ object Sampling {
   def domainCapSample(docs: DataFrame, idCol: String, textCol: String, groupCol: String,
                       cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be at least 1, got $cap")
-    val scored = docs
-      .select(col(groupCol).as("source"), col(idCol).as("doc"),
-        col(textCol).as("_text"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(
-        col("source"), col("doc"),
-        size(col("_toks")).cast(LongType).as("n_tokens"),
-        TextAnalysis.qualityScoreFromTokens(col("_text"), col("_toks")).cast(LongType).as("quality"))
+    // shared scoring projection; materialize once — it feeds both the
+    // totals aggregate and the rank branch, and re-deriving it means
+    // re-scanning + re-tokenizing (the expensive part at corpus scale)
+    val scoredPlan = TextAnalysis.scoredDocs(docs, idCol, textCol, Seq(groupCol))
+      .withColumnRenamed(groupCol, "source")
+    val scored = scoredPlan.localCheckpoint(true, Dedup.ckptLevel(scoredPlan))
     val totals = scored
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
@@ -94,10 +93,7 @@ object Sampling {
   /** DuckDB mirror of [[domainCapSample]] over `documents`. */
   def domainCapSampleSql(cap: Int): String =
     s"""WITH scored AS (
-       |  SELECT source, doc_id AS doc,
-       |    CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens,
-       |    CAST(${TextAnalysis.qualityScoreSql("text")} AS BIGINT) AS quality
-       |  FROM documents
+       |  ${TextAnalysis.scoredDocsSql("source")}
        |), ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc) AS rk
        |  FROM scored

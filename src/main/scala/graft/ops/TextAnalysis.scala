@@ -120,6 +120,33 @@ object TextAnalysis {
 
   def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
 
+  /** Scored-document projection (extras..., doc, n_tokens, quality) — the
+    * ONE definition shared by quality curriculum, token-budget curation,
+    * and the per-domain cap, so tokenization/scoring can never drift
+    * between those ops or their DuckDB mirrors ([[scoredDocsSql]]).
+    * Tokenizes ONCE per row (Catalyst does not CSE the regex split across
+    * the tokenCount and qualityScore subtrees — hence the *FromTokens form).
+    */
+  def scoredDocs(docs: DataFrame, idCol: String, textCol: String,
+                 extraCols: Seq[String] = Nil): DataFrame =
+    docs
+      .select(extraCols.map(col) ++ Seq(col(idCol).as("doc"),
+        col(textCol).as("_text"), tokens(col(textCol)).as("_toks")): _*)
+      .select(extraCols.map(col) ++ Seq(
+        col("doc"),
+        size(col("_toks")).cast(LongType).as("n_tokens"),
+        qualityScoreFromTokens(col("_text"), col("_toks")).cast(LongType).as("quality")): _*)
+
+  /** DuckDB mirror of [[scoredDocs]] over `documents` (a SELECT, ready to
+    * wrap in a CTE).
+    */
+  def scoredDocsSql(extraCols: String*): String = {
+    val ex = extraCols.map(_ + ", ").mkString
+    s"""SELECT ${ex}doc_id AS doc, CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens,
+       |    CAST(${qualityScoreSql("text")} AS BIGINT) AS quality
+       |  FROM documents""".stripMargin
+  }
+
   // Tiny marker lists per language; deterministic argmax with fixed order.
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),

@@ -134,7 +134,12 @@ class CurationOpsSpec extends AnyFunSuite {
   test("domainCapSample: rank input is top-k-limited map-side (WindowGroupLimit)") {
     val plan = Sampling.domainCapSample(docs, "doc_id", "text", "source", 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      s"expected a map-side per-group limit before the rank exchange:\n$plan")
+    val wgl = plan.linesIterator.filter(_.contains("WindowGroupLimit")).toSeq
+    // the Partial node is the one that caps rows BEFORE the rank exchange —
+    // a Final-only plan would ship whole hot-domain posting lists again
+    assert(wgl.exists(_.contains("Partial")),
+      s"expected a map-side (Partial) per-group limit before the rank exchange:\n$plan")
+    assert(wgl.exists(_.contains("Final")),
+      s"expected the reduce-side (Final) per-group limit:\n$plan")
   }
 }
