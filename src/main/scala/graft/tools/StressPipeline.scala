@@ -254,6 +254,13 @@ object StressPipeline {
       guarded("incremental_dedup") {
         graft.PipelineQueries.incrementalDedup(spark, dir).count()
       },
+      // per-domain cap: one checkpointed scoring pass, then a plain agg +
+      // a WindowGroupLimit-capped rank — the window shuffle carries at most
+      // cap rows per (map partition, domain), so corpus growth should cost
+      // only the linear scoring scan
+      guarded("domain_cap_sample") {
+        graft.PipelineQueries.domainCapSample(spark, dir).count()
+      },
       // same CC computation as dedup_clusters, reliable (FS-backed)
       // checkpoints: the fault-tolerant mode a 100 TB many-iteration run
       // would use. The delta vs dedup_clusters IS the measurement —
