@@ -20,17 +20,15 @@ object Queries {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects; read nanos
-    * as long and convert to microsecond TimestampType (lossless here — the
-    * generator emits microsecond precision). DuckDB's epoch_us applies the
-    * same floor division.
+  /** events.ts is tz-naive TIMESTAMP(MICROS) parquet, which Spark reads as
+    * TIMESTAMP_NTZ; cast to session-zone TimestampType (value-preserving —
+    * every entry point pins spark.sql.session.timeZone=UTC) so windowing,
+    * watermarks, and timestamp literals all resolve against one type.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read
       .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Exact money arithmetic: cast before aggregating. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -24,10 +24,9 @@ class StreamingSpec extends AnyFunSuite {
 
   private def eventsAsFourMc(dir: String): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", $"ts".cast(TimestampType))
       .select(concat_ws("|", $"event_id", date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSS"),
         $"user_id", $"event_type", $"value").as("value"))
       .repartition(4)
@@ -138,9 +137,8 @@ class StreamingSpec extends AnyFunSuite {
     // closed-window semantics: everything up to max(ts)-17min window end,
     // nothing after — i.e. the batch result minus the still-open windows
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", $"ts".cast(TimestampType))
     val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
     val wmMs = maxTs.getTime - 17 * 60 * 1000
     val batch = events
