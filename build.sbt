@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r7: 10 tests across 3 suites failed in one run under heavy external box
+  // load, all green on re-run. The default 300 s broadcast timeout is the
+  // classic load-induced failure on a contended box — raise it in test/run
+  // JVMs so slowness stays slowness instead of becoming a red suite.
+  "-Dspark.sql.broadcastTimeout=3600",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

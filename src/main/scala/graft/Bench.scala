@@ -5,18 +5,55 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
-/** Per-round benchmark: prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  plus codec-throughput extras matched against BASELINE.md}.
+/** Per-round benchmark. Output contract (r7 verdict item #1 — the driver
+  * archives only the LAST 2000 chars of stdout, and a monolithic line lost
+  * whole sections to the tail cut three rounds running):
+  *
+  *  - one self-contained JSON line per section as soon as it completes
+  *    ({"section":"gates"|"stress"|"queries"|"sf1"|"stress_pipeline",...}),
+  *    so any tail cut drops whole sections, never splits one;
+  *  - the COMPLETE artifact (every section + canaries) is also written to
+  *    bench/BENCH_full_<sf>.json inside the repo, immune to stdout limits;
+  *  - the FINAL line is a compact summary (< ~1 KB) carrying a digest of
+  *    every section plus the canary times — it always survives the tail cut
+  *    and parses on its own;
+  *  - a fixed-work single-thread spin canary is timed at five points
+  *    (start, post-gates, pre-queries, post-queries, end). Unloaded this
+  *    box runs it in ~200 ms; a contended box inflates it proportionally,
+  *    so the artifact carries its own load calibration (r7's 28× q18 swing
+  *    on unchanged code was unprovable without this).
   *
   * Codec numbers are single-threaded over the sf lineitem corpus (the
   * reference's numbers are single-threaded silesia runs, FourMcCodec.java:55-60);
-  * query numbers are local[32] wall clock, best of 2 runs (first run pays JVM
-  * + codegen warmup and the round-trip cache fill).
+  * query numbers are local[32] wall clock, median of 3 after a warmup run.
   */
 object Bench {
+
+  /** Fixed-work single-thread spin (xorshift-multiply mix, 2e8 rounds):
+    * pure ALU, no allocation, no memory traffic — wall time tracks CPU
+    * contention and nothing else. Returns milliseconds.
+    */
+  def spinCanaryMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("spin fixpoint") // defeat dead-code elim
+    ms
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val canaryStart = spinCanaryMs()
+    val sections = scala.collection.mutable.LinkedHashMap[String, String]()
+    def emitSection(name: String, body: String): Unit = {
+      // body is a JSON object WITHOUT the outer braces' section tag; wrap it
+      val line = s"""{"section":"$name",${body.stripPrefix("{")}"""
+      sections(name) = line
+      println(line)
+      Console.out.flush()
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,6 +125,10 @@ object Bench {
     spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
     val nParts = spark.read.format("4mc").load(splitDir).rdd.getNumPartitions
     spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
+
+    val canaryPostGates = spinCanaryMs()
+    emitSection("gates",
+      f"""{"sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts,"canary_start_ms":$canaryStart%.0f,"canary_post_gates_ms":$canaryPostGates%.0f}""")
 
     // ---- stress: a single >=2 GiB container file ---------------------------
     // Exercises the split planner at realistic file size: partition count
@@ -164,6 +205,10 @@ object Bench {
         spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
         Some((seqBytes / 1e6, nP, expectP, math.max(seqSecs, oneSecs), parSecs, q1Secs))
       }
+    stress.foreach { case (smb, nP, expP, seqS, parS, q1S) =>
+      emitSection("stress",
+        f"""{"stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f,"stress_typed_q1_secs":$q1S%.2f}""")
+    }
 
     // ---- query wall clock: median of 3 after a warmup run -----------------
     // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
@@ -177,6 +222,7 @@ object Bench {
       sys.exit(2)
     }
     graft.sources.FourMcScanMetrics.reset()
+    val canaryPreQueries = spinCanaryMs()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -188,12 +234,15 @@ object Bench {
       val samples = Seq(run(), run(), run())
       name -> (if (warm < 0 || samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }
+    val canaryPostQueries = spinCanaryMs()
     // block-stats pruning effectiveness across the query set (4 runs each):
     // skipped = owned blocks never decompressed by the pruned csv scan path
     val prunedRead = graft.sources.FourMcScanMetrics.blocksRead.sum()
     val prunedSkipped = graft.sources.FourMcScanMetrics.blocksSkipped.sum()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    emitSection("queries",
+      f"""{"sf":"$sfDir","total_secs":$total%.3f,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"canary_pre_ms":$canaryPreQueries%.0f,"canary_post_ms":$canaryPostQueries%.0f,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped,"queries":$qs}""")
 
     // ---- sf1 relational section: 10x facts, same dims ---------------------
     // The 22 TPC-H rows + the lineitem/orders container twins at 10x the
@@ -201,9 +250,9 @@ object Bench {
     // block-stats pruning only show their scale behavior here. Gate: every
     // container twin < 2x its parquet twin at the SAME scale.
     // SPARK_GRAFT_SF1=0 skips; any other int overrides the factor.
-    val sf1Json: String =
-      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) ""
-      else {
+    // digest for the summary line: (n measured, total secs over measured)
+    var sf1Digest: Option[(Int, Double)] = None
+    if (!sys.env.get("SPARK_GRAFT_SF1").contains("0")) {
         val factor = sys.env.get("SPARK_GRAFT_SF1")
           .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
         val budget = sys.env.get("SPARK_GRAFT_SF1_BUDGET")
@@ -251,11 +300,13 @@ object Bench {
             }
           }
           val qjson = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-          f""","sf1":{"factor":$factor,"gen_secs":$genSecs%.1f,"queries":$qjson}"""
+          val measured = rows.filter(_._2 >= 0)
+          sf1Digest = Some((measured.size, measured.map(_._2).sum))
+          emitSection("sf1",
+            f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson}""")
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
-            ""
         }
       }
 
@@ -282,21 +333,41 @@ object Bench {
         }
       }
 
-    val stressJson = stress match {
-      case Some((smb, nP, expP, seqS, parS, q1S)) =>
-        f""","stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f,"stress_typed_q1_secs":$q1S%.2f"""
-      case None => ""
+    stressPipe.foreach { r =>
+      emitSection("stress_pipeline", tools.StressPipeline.toJson(r))
     }
-    val stressPipeJson = stressPipe match {
-      case Some(r) => s""","stress_pipeline":${tools.StressPipeline.toJson(r)}"""
-      case None => ""
+
+    // ---- final summary line + full-artifact file ---------------------------
+    // The summary is the LAST stdout line and stays well under the driver's
+    // 2000-char archive tail, so it ALWAYS survives whole and parses: total,
+    // per-section digests, the four canary times, and the 8 slowest queries.
+    // The complete sections live in the repo file named below.
+    val canaryEnd = spinCanaryMs()
+    val sfName = new java.io.File(sfDir).getName
+    val fullPath = s"/root/repo/bench/BENCH_full_$sfName.json"
+    locally {
+      val dir = Paths.get("/root/repo/bench")
+      if (!Files.exists(dir)) Files.createDirectories(dir)
+      val body = sections.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
+        "{\"generated_by\":\"graft.Bench\",\"sf\":\"" + sfDir + "\",",
+        ",",
+        f""","canary_ms":{"start":$canaryStart%.0f,"post_gates":$canaryPostGates%.0f,"pre_queries":$canaryPreQueries%.0f,"post_queries":$canaryPostQueries%.0f,"end":$canaryEnd%.0f}}""")
+      Files.write(Paths.get(fullPath), body.getBytes("UTF-8"))
     }
-    // "queries" is the LAST key on the line: the driver archives a bounded
-    // TAIL of the bench output, and r6 lost the early-alphabet per-query
-    // times to head truncation — everything the grader reads per-query now
-    // survives any head cut that keeps the final bytes.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val stressDigest = stress.map { case (_, _, _, seqS, parS, q1S) =>
+      f""","stress_speedup":${seqS / math.max(0.001, parS)}%.1f,"stress_typed_q1_secs":$q1S%.2f"""
+    }.getOrElse("")
+    val sf1D = sf1Digest.map { case (n, t) =>
+      f""","sf1_n":$n,"sf1_total_secs":$t%.1f"""
+    }.getOrElse("")
+    val pipeDigest = stressPipe.map { r =>
+      val ok = r.ops.filter(_.secs >= 0)
+      f""","stress_pipeline_ops":${ok.size},"stress_pipeline_total_secs":${ok.map(_.secs).sum}%.1f,"stress_pipeline_shuffle_mb":${ok.map(_.shuffleWriteMb).sum}%.0f"""
+    }.getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","corpus_mb":$mb%.1f,"lz4_write_mbps":$lz4W%.0f,"lz4_read_mbps":$lz4R%.0f,"lz4_ratio":$lz4Ratio%.3f,"zstd_write_mbps":$zstdW%.0f,"zstd_read_mbps":$zstdR%.0f,"zstd_ratio":$zstdRatio%.3f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressJson$sf1Json$stressPipeJson,"queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"canary_ms":{"start":$canaryStart%.0f,"post_gates":$canaryPostGates%.0f,"pre_queries":$canaryPreQueries%.0f,"post_queries":$canaryPostQueries%.0f,"end":$canaryEnd%.0f},"lz4_read_mbps":$lz4R%.0f,"zstd_read_mbps":$zstdR%.0f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressDigest$sf1D$pipeDigest,"sections":[${sections.keys.map("\"" + _ + "\"").mkString(",")}],"slowest":$slowest,"full":"bench/BENCH_full_$sfName.json"}"""
     )
     spark.stop()
   }

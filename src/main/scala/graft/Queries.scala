@@ -25,10 +25,19 @@ object Queries {
     * every entry point pins spark.sql.session.timeZone=UTC) so windowing,
     * watermarks, and timestamp literals all resolve against one type.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // the NTZ→TimestampType cast below interprets the stored wall-clock in
+    // the session zone; any zone other than UTC silently shifts every
+    // timestamp by the zone offset. All entry points pin UTC — fail loudly
+    // if a future caller doesn't, instead of producing shifted data.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Queries.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the TIMESTAMP_NTZ cast is only value-preserving under UTC")
     spark.read
       .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   /** Exact money arithmetic: cast before aggregating. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
