@@ -187,6 +187,19 @@ object PipelineQueries {
   val spanDupCoverageSql: String =
     Spans.dupSpanCoverageSql(8) + "\nORDER BY dup_tokens DESC, doc LIMIT 50"
 
+  /** Exact-substring dedup rewrite: remove cross-document duplicated runs of
+    * >= 12 tokens (8-token spans, contiguous coverage merged) and emit the
+    * rewritten docs with an md5 of the cleaned text — the output a corpus
+    * materialization would write. See [[Spans.removeDupSpans]].
+    */
+  def spanDedupRewrite(spark: SparkSession, sfDir: String): DataFrame =
+    Spans.removeDupSpans(docs(spark, sfDir), "doc_id", "text", k = 8, minRunTokens = 12)
+      .orderBy(col("removed_tokens").desc, col("doc"))
+      .limit(50)
+
+  val spanDedupRewriteSql: String =
+    Spans.removeDupSpansSql(8, 12) + "\nORDER BY removed_tokens DESC, doc LIMIT 50"
+
   /** Incremental ingest admission: docs with `doc_id % 5 = 4` play the
     * "new crawl batch", the rest the existing corpus; each batch doc is
     * classified exact_dup / near_dup (MinHash tau=0.5) / novel and counted

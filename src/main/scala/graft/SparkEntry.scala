@@ -80,6 +80,7 @@ object SparkEntry {
     "sample_token_budget" -> (PipelineQueries.sampleTokenBudget _),
     "mixture_weights" -> (PipelineQueries.mixtureWeights _),
     "span_dup_coverage" -> (PipelineQueries.spanDupCoverage _),
+    "span_dedup_rewrite" -> (PipelineQueries.spanDedupRewrite _),
     "incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "quality_curriculum" -> (PipelineQueries.qualityCurriculum _),
     "domain_cap_sample" -> (PipelineQueries.domainCapSample _),
@@ -200,6 +201,7 @@ object SparkEntry {
     "sample_token_budget" -> PipelineQueries.sampleTokenBudgetSql,
     "mixture_weights" -> PipelineQueries.mixtureWeightsSql,
     "span_dup_coverage" -> PipelineQueries.spanDupCoverageSql,
+    "span_dedup_rewrite" -> PipelineQueries.spanDedupRewriteSql,
     "incremental_dedup" -> PipelineQueries.incrementalDedupSql,
     "quality_curriculum" -> PipelineQueries.qualityCurriculumSql,
     "domain_cap_sample" -> PipelineQueries.domainCapSampleSql,

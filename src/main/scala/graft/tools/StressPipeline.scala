@@ -248,6 +248,15 @@ object StressPipeline {
       guarded("span_dup_coverage") {
         graft.PipelineQueries.spanDupCoverage(spark, dir).count()
       },
+      // the rewrite half of exact-substring dedup: same linear span
+      // machinery plus the interval union and the doc↔runs equality join —
+      // time should track span_dup_coverage plus one corpus-text join, never
+      // anything quadratic (on the replicated corpus every span is hot, so
+      // runs merge to ~1 interval/doc — the rebuild lambda's dense-dup
+      // best case)
+      guarded("span_dedup_rewrite") {
+        graft.PipelineQueries.spanDedupRewrite(spark, dir).count()
+      },
       // batch-vs-corpus admission: minhash signatures on both splits plus
       // the cross-set band join — the shape whose incremental cost must stay
       // batch-bounded, measured here with a 20% batch against an 80% corpus

@@ -53,6 +53,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Spans.dupSpanCoverage(one, "doc_id", "text", k = 8).count() == 0)
   }
 
+  test("removeDupSpans: splices the shared run out, keeps unique text, honors minRunTokens") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val aText = (1 to 10).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+      (1 to 10).map(i => s"b$i").mkString(" ")
+    val bText = (1 to 5).map(i => s"c$i").mkString(" ") + " " + shared + " " +
+      (1 to 5).map(i => s"d$i").mkString(" ")
+    val two = Seq((1L, aText), (2L, bText)).toDF("doc_id", "text")
+    val out = Spans.removeDupSpans(two, "doc_id", "text", k = 8, minRunTokens = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 40L && out(1L)._2 == 20L, s"doc 1: ${out(1L)}")
+    assert(out(2L)._1 == 30L && out(2L)._2 == 20L, s"doc 2: ${out(2L)}")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cleanA = (1 to 10).map(i => s"a$i").mkString(" ") + " " +
+      (1 to 10).map(i => s"b$i").mkString(" ")
+    val cleanB = (1 to 5).map(i => s"c$i").mkString(" ") + " " +
+      (1 to 5).map(i => s"d$i").mkString(" ")
+    assert(out(1L)._3 == md5hex(cleanA), "doc 1 cleaned text mismatch")
+    assert(out(2L)._3 == md5hex(cleanB), "doc 2 cleaned text mismatch")
+    // a 10-token shared run is found but its merged interval (10 tokens)
+    // stays below minRunTokens=12 -> nothing is rewritten
+    val short = (1 to 10).map(i => s"t$i").mkString(" ")
+    val twoShort = Seq(
+      (1L, "e1 e2 e3 e4 e5 e6 e7 e8 " + short),
+      (2L, "f1 f2 f3 f4 f5 f6 f7 f8 " + short)).toDF("doc_id", "text")
+    assert(Spans.removeDupSpans(twoShort, "doc_id", "text", k = 8, minRunTokens = 12).count() == 0)
+    // ... and the same corpus with minRunTokens=10 rewrites both docs
+    val loose = Spans.removeDupSpans(twoShort, "doc_id", "text", k = 8, minRunTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose == Map(1L -> 10L, 2L -> 10L), s"$loose")
+  }
+
+  test("removeDupSpans: a full copy rewrites to the empty string") {
+    import spark.implicits._
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val pair = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Spans.removeDupSpans(pair, "doc_id", "text", k = 8, minRunTokens = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // md5("") — both docs fully removed
+    assert(out == Map(
+      1L -> ((30L, "d41d8cd98f00b204e9800998ecf8427e")),
+      2L -> ((30L, "d41d8cd98f00b204e9800998ecf8427e"))))
+  }
+
   test("crossNearDupPairs finds planted batch-vs-corpus near-dups and nothing within a set") {
     import spark.implicits._
     val corpus = docs.filter(size(split($"text", " ")) >= 20)
