@@ -220,6 +220,29 @@ object PipelineQueries {
   val incrementalDedupSql: String =
     Incremental.batchStatusCountsSql(0.5, "doc_id % 5 = 4")
 
+  /** Steady-state variant of [[incrementalDedup]]: the corpus signatures
+    * come from a PERSISTED parquet index (built once per sf dir, cached in
+    * /tmp, parquet-round-tripped), so per-batch work never touches corpus
+    * text. Value-identical to the recompute path — same oracle SQL.
+    */
+  def incrementalDedupSteady(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val isBatch = col("doc_id") % 5 === 4
+    val newDocs = d.filter(isBatch)
+    val sigPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sigtable_v1_${java.lang.Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    val corpSigs = Incremental.ensureSignatureTable(
+      spark, d.filter(!isBatch), "doc_id", "text", sigPath)
+    Incremental.batchStatusSteady(newDocs, corpSigs, "doc_id", "text", 0.5)
+      .join(newDocs.select(col("doc_id").as("doc"), col("lang")), "doc")
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("status"))
+  }
+
+  val incrementalDedupSteadySql: String = incrementalDedupSql
+
   /** Curriculum tiers: 10 equal-population quality bins (0 = best) with
     * doc/token mass and the exact quality range per bin. Global rank via
     * the distributed prefix sum ([[Packing.qualityCurriculum]]).

@@ -82,6 +82,7 @@ object SparkEntry {
     "span_dup_coverage" -> (PipelineQueries.spanDupCoverage _),
     "span_dedup_rewrite" -> (PipelineQueries.spanDedupRewrite _),
     "incremental_dedup" -> (PipelineQueries.incrementalDedup _),
+    "incremental_dedup_steady" -> (PipelineQueries.incrementalDedupSteady _),
     "quality_curriculum" -> (PipelineQueries.qualityCurriculum _),
     "domain_cap_sample" -> (PipelineQueries.domainCapSample _),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
@@ -203,6 +204,7 @@ object SparkEntry {
     "span_dup_coverage" -> PipelineQueries.spanDupCoverageSql,
     "span_dedup_rewrite" -> PipelineQueries.spanDedupRewriteSql,
     "incremental_dedup" -> PipelineQueries.incrementalDedupSql,
+    "incremental_dedup_steady" -> PipelineQueries.incrementalDedupSteadySql,
     "quality_curriculum" -> PipelineQueries.qualityCurriculumSql,
     "domain_cap_sample" -> PipelineQueries.domainCapSampleSql,
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,

@@ -48,6 +48,90 @@ object Incremental {
     Dedup.verifiedJaccard(withSets, threshold).select("d_new", "d_corp", "jaccard")
   }
 
+  /** The persisted corpus-side index for STEADY-STATE admission:
+    * (doc, digest, sig, shingles) — the md5 text digest (exact path), the
+    * MinHash signature (banding), and the xxhash64 shingle-key set
+    * (verification). Once this table is written, a batch admission never
+    * reads, tokenizes, or hashes the corpus text again — the 100 TB side
+    * shrinks to a columnar scan of ~0.6 KB/doc of index.
+    *
+    * Build cost: two corpus scans (signatures + digest) and one id-keyed
+    * shuffle to zip them — offline, amortized across every future batch.
+    * (A production build would fuse the digest into the signature scan; the
+    * join keeps [[Dedup.minHashSignatures]] the single signature
+    * definition, which is what keeps steady-state value-identical to the
+    * self-join family.)
+    */
+  def signatureTable(corpus: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64): DataFrame =
+    Dedup.minHashSignatures(corpus, idCol, textCol, numHashes)
+      .join(
+        corpus.select(col(idCol).as("doc"), md5(col(textCol).cast(BinaryType)).as("digest")),
+        Seq("doc"))
+      .select("doc", "digest", "sig", "shingles")
+
+  /** Write [[signatureTable]] to `path` if absent or stale (row count must
+    * match the corpus — a half-written or out-of-date table is rebuilt, not
+    * silently measured), then read it back. The parquet round-trip is the
+    * point: the steady-state path must work from the STORED index, not a
+    * lineage cache.
+    */
+  def ensureSignatureTable(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                           idCol: String, textCol: String, path: String,
+                           numHashes: Int = 64): DataFrame = {
+    val success = new java.io.File(path, "_SUCCESS")
+    val stale = success.exists() &&
+      spark.read.parquet(path).count() != corpus.count()
+    if (!success.exists() || stale) {
+      signatureTable(corpus, idCol, textCol, numHashes)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Steady-state batch admission against a PRECOMPUTED corpus signature
+    * table — value-identical to [[batchStatus]] (same signature family,
+    * banding, verification — all shared definitions), but the per-batch
+    * cost profile is what a daily 100 TB admission needs:
+    *
+    *  - the corpus text is never touched: every corpus-side input is a
+    *    columnar scan of the stored index;
+    *  - every shuffle is candidate- or batch-bounded (batch signatures,
+    *    band-key join, verification rejoins); the corpus index is scanned
+    *    once per path but re-derived never. Catalyst's runtime bloom filter
+    *    (on by default in Spark 4) prunes the corpus band scan against the
+    *    batch's band keys when the batch side is small.
+    */
+  def batchStatusSteady(newDocs: DataFrame, corpusSigs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val newSigsPlan = Dedup.minHashSignatures(newDocs, idCol, textCol, numHashes)
+    val newSigs = newSigsPlan.localCheckpoint(true, Dedup.ckptLevel(newSigsPlan))
+    val exact = newDocs
+      .select(md5(col(textCol).cast(BinaryType)).as("digest"), col(idCol).as("doc"))
+      .join(corpusSigs.select("digest"), Seq("digest"), "left_semi")
+      .select(col("doc"), lit(true).as("_is_exact"))
+    val cands = Dedup.bandKeys(newSigs, numHashes, rowsPerBand).as("x")
+      .join(Dedup.bandKeys(corpusSigs.select("doc", "sig"), numHashes, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .select(col("x.doc").as("d_new"), col("y.doc").as("d_corp"))
+      .distinct()
+    val withSets = cands
+      .join(newSigs.select(col("doc").as("d_new"), col("shingles").as("sh1")), "d_new")
+      .join(corpusSigs.select(col("doc").as("d_corp"), col("shingles").as("sh2")), "d_corp")
+    val near = Dedup.verifiedJaccard(withSets, threshold)
+      .select(col("d_new").as("doc")).distinct()
+      .select(col("doc"), lit(true).as("_is_near"))
+    newDocs
+      .select(col(idCol).as("doc"))
+      .join(exact, Seq("doc"), "left")
+      .join(near, Seq("doc"), "left")
+      .withColumn("status",
+        when(col("_is_exact"), "exact_dup")
+          .when(col("_is_near"), "near_dup")
+          .otherwise("novel"))
+      .select("doc", "status")
+  }
+
   /** Batch admission statuses: (doc, status) for every document of
     * `newDocs`, with `exact_dup` taking precedence over `near_dup`.
     */

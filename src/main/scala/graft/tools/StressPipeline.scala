@@ -263,6 +263,26 @@ object StressPipeline {
       guarded("incremental_dedup") {
         graft.PipelineQueries.incrementalDedup(spark, dir).count()
       },
+      // steady state: corpus signatures precomputed into a parquet index
+      // (built+cached under the stress dir — the build is timed as its own
+      // op so the report separates offline index cost from per-batch cost).
+      // The delta vs incremental_dedup IS the measurement: per-batch time
+      // must scale with the 20% batch, not the 80% corpus.
+      guarded("incremental_sig_table_build") {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/sigtable")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Incremental.ensureSignatureTable(
+          spark, d.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", s"$dir/sigtable").count()
+      },
+      guarded("incremental_dedup_steady") {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val isBatch = col("doc_id") % 5 === 4
+        val corpSigs = graft.ops.Incremental.ensureSignatureTable(
+          spark, d.filter(!isBatch), "doc_id", "text", s"$dir/sigtable")
+        graft.ops.Incremental.batchStatusSteady(
+          d.filter(isBatch), corpSigs, "doc_id", "text", 0.5).count()
+      },
       // per-domain cap: one checkpointed scoring pass, then a plain agg +
       // a WindowGroupLimit-capped rank — the window shuffle carries at most
       // cap rows per (map partition, domain), so corpus growth should cost

@@ -116,6 +116,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(found >= n * 0.8, s"found $found of $n planted cross near-dups")
   }
 
+  test("steady-state admission equals the recompute path through a parquet signature round-trip") {
+    import spark.implicits._
+    val isBatch = $"doc_id" % 5 === 4
+    val corp = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val dir = java.nio.file.Files.createTempDirectory("sigtable").toString + "/sigs"
+    val sigs = Incremental.ensureSignatureTable(spark, corp, "doc_id", "text", dir)
+    // the index really round-tripped through parquet
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    assert(sigs.columns.toSet == Set("doc", "digest", "sig", "shingles"))
+    assert(sigs.count() == corp.count())
+    val steady = Incremental.batchStatusSteady(batch, sigs, "doc_id", "text", 0.5)
+    val full = Incremental.batchStatus(batch, corp, "doc_id", "text", 0.5)
+    assert(steady.except(full).count() == 0 && full.except(steady).count() == 0,
+      "steady-state statuses must be value-identical to the recompute path")
+    // stale-table guard: a table whose row count disagrees with the corpus
+    // is rebuilt, not silently reused
+    val smaller = Incremental.ensureSignatureTable(spark, corp.limit(10), "doc_id", "text", dir)
+    assert(smaller.count() == 10)
+  }
+
   test("batchStatus: exact beats near, unrelated text is novel") {
     import spark.implicits._
     val corpus = docs.filter(size(split($"text", " ")) >= 20).limit(50)
