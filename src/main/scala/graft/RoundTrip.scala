@@ -124,14 +124,15 @@ object RoundTrip {
       tableName: String,
       codec: String,
       sortCol: String,
-      timestampFormat: String = tsFmt
+      timestampFormat: String = tsFmt,
+      blockBytes: Int = SortedBlockBytes
   ): (String, StructType) = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
     // the block size is a write-layout knob, so it is part of the cache key
     // (same rule as timestampFormat): a dir written at another block size
     // must not be silently reused as evidence for this one
-    val dir = rtDir(sfDir, s"$tableName-by-$sortCol-b${SortedBlockBytes >> 10}k", codec, timestampFormat)
+    val dir = rtDir(sfDir, s"$tableName-by-$sortCol-b${blockBytes >> 10}k", codec, timestampFormat)
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {
       // Fewer, bigger files than the unsorted round-trip (~32 MiB of source
@@ -149,10 +150,11 @@ object RoundTrip {
         .option("payload", "csv")
         .option("timestampFormat", timestampFormat)
         .option("codec", codec)
-        // 1 MiB blocks (vs the 4 MiB max): zone-map pruning works at block
-        // granularity, so the sorted layout skips ~4x closer to the true
-        // predicate range — worth the small ratio cost on a sorted file
-        .option("blockBytes", SortedBlockBytes.toString)
+        // small blocks (default 1 MiB vs the 4 MiB max): zone-map pruning
+        // works at block granularity, so the sorted layout skips ~4x closer
+        // to the true predicate range — worth the small ratio cost on a
+        // sorted file
+        .option("blockBytes", blockBytes.toString)
         .save(dir.getAbsolutePath)
     }
     (dir.getAbsolutePath, schema)
@@ -223,6 +225,42 @@ object RoundTrip {
       )
       .orderBy($"hour", $"event_type")
   }
+
+  /** The classic log-retention scan: events CLUSTERED on `ts` inside the 4mz
+    * container (128 KiB blocks — fine pruning granularity for a time-series
+    * log), then a 1.5-day window out of the 30-day range aggregated hourly.
+    * The pushed ts-range predicate refutes every block whose [min_ts,
+    * max_ts] zone lies outside the window BEFORE decompression — ~95% of
+    * the file is never inflated (skip ratio pinned in BlockStatsSpec). At
+    * 100 TB this is the access path for "last-N-days" queries over an
+    * append-ordered event log: sorted container files + block zone maps do
+    * what partition-by-date does, at sub-file granularity and without the
+    * small-partition explosion.
+    */
+  def eventsWindowSkipped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = ensureRoundTripSorted(
+      spark, sfDir, "events", "zstd-1", "ts", micro, blockBytes = 128 * 1024)
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", micro).schema(schema).load(dir)
+    back
+      .filter($"ts" >= lit("2024-01-10 00:00:00").cast(TimestampType) &&
+        $"ts" < lit("2024-01-11 12:00:00").cast(TimestampType))
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
+      )
+      .orderBy($"hour", $"event_type")
+  }
+
+  val eventsWindowSkippedSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 12:00:00'
+      |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).

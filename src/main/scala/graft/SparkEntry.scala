@@ -65,6 +65,7 @@ object SparkEntry {
     "fourmz_lineitem_q1" -> (RoundTrip.q1OverFourMz _),
     "fourmz_document_stats" -> (RoundTrip.documentStats _),
     "fourmz_events_hourly" -> (RoundTrip.eventsHourlyOverFourMz _),
+    "fourmz_events_window_skipped" -> (RoundTrip.eventsWindowSkipped _),
     "fourmc_orders_selfjoin" -> (RoundTrip.ordersSelfJoinCheck _),
     "fourmc_partition_pruned" -> (RoundTrip.docsPartitionPruned _),
     "fourmc_q6_selective" -> (RoundTrip.q6OverFourMc _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "fourmz_lineitem_q1" -> Queries.q1Sql,
     "fourmz_document_stats" -> RoundTrip.documentStatsSql,
     "fourmz_events_hourly" -> Queries.qEventsHourlySql,
+    "fourmz_events_window_skipped" -> RoundTrip.eventsWindowSkippedSql,
     "fourmc_orders_selfjoin" -> RoundTrip.ordersSelfJoinSql,
     "fourmc_partition_pruned" -> RoundTrip.docsPartitionPrunedSql,
     "fourmc_q6_selective" -> Queries.q6Sql,

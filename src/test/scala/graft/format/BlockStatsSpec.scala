@@ -185,6 +185,26 @@ class BlockStatsSpec extends AnyFunSuite {
     assert(read.filter($"v" === Double.NaN).count() === 0L)
   }
 
+  test("events time-range scan (fourmz_events_window_skipped) skips > 50% of blocks") {
+    val sf = "/root/testdata/sf0.01"
+    // build the ts-clustered layout once, warm (metrics off), then measure
+    graft.RoundTrip.eventsWindowSkipped(spark, sf).count()
+    FourMcScanMetrics.reset()
+    val got = graft.RoundTrip.eventsWindowSkipped(spark, sf).count()
+    assert(got > 0)
+    val read = FourMcScanMetrics.blocksRead.sum()
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    assert(skipped > read,
+      s"1.5-day window over 30 days of ts-sorted events must refute most blocks (read=$read skipped=$skipped)")
+    // oracle parity of the window itself: unpruned scan agrees
+    val unpruned = graft.Queries.events(spark, sf)
+      .filter("ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 12:00:00'")
+      .count()
+    val windowRows = graft.RoundTrip.eventsWindowSkipped(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(windowRows == unpruned)
+  }
+
   test("zstd (4mz) files prune identically") {
     val dir = tmpDir()
     writeClustered(dir, codec = "zstd-1")
