@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpr, DotProductExpr, FrequencySketch, ProtoStructExpr}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, FrequencySketch, MediaHeaderExpr, ProtoStructExpr}
 
 /** Cluster-wide registration of graft's native functions:
   *
@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                   s"proto_struct field spec must be a string literal, got $other")
             }
           )
+      )
+    )
+    // media_header(binary) — byte-level JPEG/PNG/WAV header parse
+    ext.injectFunction(
+      (
+        FunctionIdentifier("media_header"),
+        new ExpressionInfo(classOf[MediaHeaderExpr].getName, "media_header"),
+        (exprs: Seq[Expression]) => MediaHeaderExpr(exprs.head)
       )
     )
     // topk_freq(col, k, capacity) — mergeable Misra-Gries heavy hitters;

@@ -588,6 +588,18 @@ object PipelineQueries {
 
   val multimodalSql: String = Multimodal.pipelineMetricsSql(2000)
 
+  /** Real-format header parse: genuine JPEG/WAV bytes through the 4mc
+    * binary sink + splittable scan, dims/duration parsed byte-level by
+    * [[graft.functions.MediaHeaderExpr]], aggregates checked against pure
+    * id arithmetic. See [[Multimodal.mediaHeaderPipeline]].
+    */
+  def mediaHeaderParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    Multimodal.mediaHeaderPipeline(spark, 2000, s"/tmp/graft-rt/$key/media-real-4mc")
+  }
+
+  val mediaHeaderParseSql: String = Multimodal.mediaHeaderSql(2000)
+
   // --------------------------------------------------------- sketch surface
 
   /** D8: heavy hitters via the mergeable Misra-Gries aggregate

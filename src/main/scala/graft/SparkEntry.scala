@@ -98,6 +98,7 @@ object SparkEntry {
     "vocab_stats" -> (PipelineQueries.vocabStats _),
     "token_counts_subword" -> (PipelineQueries.tokenCountsSubword _),
     "multimodal_pipeline" -> (PipelineQueries.multimodalPipeline _),
+    "media_header_parse" -> (PipelineQueries.mediaHeaderParse _),
     "protobuf_tag_counts" -> (PipelineQueries.protobufTagCounts _),
     "topk_event_types" -> (PipelineQueries.topkEventTypes _),
     "skew_salted_join" -> (PipelineQueries.skewSaltedJoin _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "vocab_stats" -> PipelineQueries.vocabStatsSql,
     "token_counts_subword" -> PipelineQueries.tokenCountsSubwordSql,
     "multimodal_pipeline" -> PipelineQueries.multimodalSql,
+    "media_header_parse" -> PipelineQueries.mediaHeaderParseSql,
     "protobuf_tag_counts" -> PipelineQueries.protobufTagCountsSql,
     "topk_event_types" -> PipelineQueries.topkEventTypesSql,
     "skew_salted_join" -> PipelineQueries.skewSaltedJoinSql,

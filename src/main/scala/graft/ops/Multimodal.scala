@@ -189,6 +189,123 @@ object Multimodal {
       .orderBy($"kind")
   }
 
+  // ---- real-format fixtures: genuine JPEG / WAV byte structures ----------
+  // (round-8: the simulated FIMG/FAUD decode above keeps the plumbing story;
+  // these are REAL container headers parsed by the byte-level
+  // [[graft.functions.MediaHeaderExpr]] — no decode library, just the spec.)
+
+  /** A minimal but structurally valid JPEG: SOI, JFIF APP0, a quantization
+    * table stub (exercises the marker walk past non-SOF segments), SOF0
+    * with the given dims, EOI.
+    */
+  def realJpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0, 0x00, 0x10) // APP0 len 16
+    out.write("JFIF".getBytes("US-ASCII")); b(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    b(0xff, 0xdb, 0x00, 0x43, 0x00) // DQT len 67: precision/id + 64 entries
+    for (i <- 0 until 64) b(16 + (i % 8))
+    b(0xff, 0xc0, 0x00, 0x11, 0x08) // SOF0 len 17, precision 8
+    b((h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff)
+    b(0x03) // 3 components
+    b(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** A minimal valid PCM WAV: RIFF/WAVE, fmt chunk (16-bit PCM), data chunk
+    * whose DECLARED size is `dataSize` with a truncated body (header-only
+    * read of a big file — the parser derives duration from the declared
+    * size, the realistic cheap path at 100 TB).
+    */
+  def realWavBytes(channels: Int, sampleRate: Int, dataSize: Int): Array[Byte] = {
+    val body = math.min(dataSize, 64)
+    val out = java.nio.ByteBuffer.allocate(44 + body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * 2).toShort).putShort(16.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < body) { out.put((i * 31 + channels).toByte); i += 1 }
+    out.array()
+  }
+
+  /** Deterministic real-format blob per id — all parameters are pure id
+    * arithmetic, so a SQL oracle re-derives every parsed field from
+    * generate_series without touching bytes.
+    */
+  def realMediaBlob(id: Long): MediaRecord =
+    if (id % 2 == 0) {
+      val w = (id % 500 + 16).toInt
+      val h = (id % 300 + 16).toInt
+      MediaRecord(id, "jpeg", realJpegBytes(w, h))
+    } else {
+      val channels = if (id % 4 == 3) 2 else 1
+      val rate = (8000 * (1 + id % 3)).toInt
+      val dataSize = (1000 + id % 5000).toInt
+      MediaRecord(id, "wav", realWavBytes(channels, rate, dataSize))
+    }
+
+  /** Real-header pipeline: synth real JPEG/WAV blobs → 4mc binary sink →
+    * splittable scan → [[graft.functions.MediaHeaderExpr]] byte parse →
+    * per-format aggregate of the PARSED fields. The oracle recomputes the
+    * same sums from id arithmetic — any drift in the writer, the scan, or
+    * the parser breaks the hash.
+    */
+  def mediaHeaderPipeline(spark: SparkSession, n: Long, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaHeaderExpr.media_header
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      toWire(spark.range(n).map(r => realMediaBlob(r))).repartition(4)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "binary").option("codec", "zstd-1").save(dir)
+    }
+    val back = fromWire(spark.read.format("4mc").option("payload", "binary").load(dir))
+    back.toDF()
+      .withColumn("hdr", media_header(col("payload")))
+      .select(col("hdr.format").as("format"),
+        col("hdr.width"), col("hdr.height"), col("hdr.channels"),
+        col("hdr.sample_rate"), col("hdr.duration_ms"))
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(coalesce(col("width"), lit(0))).as("sum_w"),
+        sum(coalesce(col("height"), lit(0))).as("sum_h"),
+        sum(coalesce(col("channels"), lit(0))).as("sum_channels"),
+        sum(coalesce(col("sample_rate"), lit(0))).as("sum_rate_hz"),
+        sum(coalesce(col("duration_ms"), lit(0))).as("sum_duration_ms"))
+      .orderBy(col("format"))
+  }
+
+  /** DuckDB mirror of [[mediaHeaderPipeline]]: every parsed field is pure
+    * id arithmetic (dims, channels, rate, declared data size → floor-div
+    * duration), so the oracle needs only generate_series.
+    */
+  def mediaHeaderSql(n: Long): String =
+    s"""WITH ids AS (
+       |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+       |), m AS (
+       |  SELECT id,
+       |    CASE WHEN id % 2 = 0 THEN 'jpeg' ELSE 'wav' END AS format,
+       |    CASE WHEN id % 2 = 0 THEN id % 500 + 16 ELSE 0 END AS w,
+       |    CASE WHEN id % 2 = 0 THEN id % 300 + 16 ELSE 0 END AS h,
+       |    CASE WHEN id % 2 = 0 THEN 0 WHEN id % 4 = 3 THEN 2 ELSE 1 END AS channels,
+       |    CASE WHEN id % 2 = 0 THEN 0 ELSE 8000 * (1 + id % 3) END AS rate,
+       |    CASE WHEN id % 2 = 0 THEN 0 ELSE 1000 + id % 5000 END AS data_size
+       |  FROM ids
+       |)
+       |SELECT format, COUNT(*) AS n_media,
+       |  CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h,
+       |  CAST(SUM(channels) AS BIGINT) AS sum_channels,
+       |  CAST(SUM(rate) AS BIGINT) AS sum_rate_hz,
+       |  CAST(SUM(CASE WHEN format = 'wav'
+       |    THEN (data_size * 1000) // (rate * channels * 2) ELSE 0 END) AS BIGINT) AS sum_duration_ms
+       |FROM m GROUP BY format ORDER BY format""".stripMargin
+
   /** DuckDB mirror of [[pipelineMetrics]] minus the rolling checksum (a
     * per-byte fold — left to the sbt determinism test): the blob generator is
     * pure id arithmetic, so counts, sizes, post-resize dims, and the
