@@ -12,14 +12,41 @@ import org.apache.spark.sql.functions._
   * by cross-document spans is boilerplate or a partial copy even when its
   * full-document Jaccard stays below the near-dup threshold.
   *
-  * Scale shape (100 TB): span explosion is O(corpus tokens); the
-  * document-frequency aggregate is a two-level hash aggregate on an 8-byte
-  * span key; marking duplicated positions is a semi join postings→hot-spans
-  * (each posting matches at most one span row — no O(df²) pair fanout, so
-  * unlike the Jaccard self-join this needs no df cap); coverage is a
-  * per-document window. Nothing quadratic anywhere.
+  * Scale shape (100 TB): span explosion is O(corpus tokens); hot-span
+  * detection is a plain min/max aggregate on an 8-byte span key (map-side
+  * partial combine, no distinct expansion); marking duplicated positions is
+  * a broadcast semi join of the small hot-key set back against a map-only
+  * postings pass (each posting matches at most one key — no O(df²) pair
+  * fanout, so unlike the Jaccard self-join this needs no df cap); coverage
+  * is a per-document window over the duplicated minority. Nothing quadratic
+  * anywhere — see [[dupStartPositions]] for the measured shuffle story
+  * (r7 8.5 GB → r8 3.5 GB at 700×, −59%).
+  *
+  * n_tokens is functionally determined by doc, so it rides no corpus-sized
+  * exchange: it is re-attached at PER-DOC granularity (coverage: tiny
+  * doc-count join after the aggregate; rewrite: recomputed from the tokens
+  * the rebuild join materializes anyway).
   */
 object Spans {
+
+  /** (doc, pos) packed into one 64-bit corpus position — doc id in the high
+    * 39 bits, token position in the low 25 — the same layout suffix-array
+    * dedup tools use for corpus offsets. UnsafeRow pads every shuffle field
+    * to 8 bytes, so one packed field instead of (doc, pos) halves the
+    * window exchange's row. Sorting by `dp` within a doc is sorting by pos;
+    * differences within a doc are position differences. Out-of-range ids
+    * (doc ≥ 2^38 or ≥ 33M tokens in one doc) raise rather than corrupt.
+    */
+  private[ops] val PosBits = 25
+  private[ops] val PosMask: Long = (1L << PosBits) - 1
+  private def packDp(doc: Column, pos: Column): Column =
+    when(doc.between(0, (1L << (63 - PosBits)) - 1) && pos.between(1, PosMask),
+      shiftleft(doc, PosBits) + pos)
+      .otherwise(raise_error(concat(
+        lit("span corpus-position overflow: doc="), doc.cast("string"),
+        lit(" pos="), pos.cast("string"))))
+  private def dpDoc(dp: Column): Column = shiftright(dp, PosBits)
+  private def dpPos(dp: Column): Column = dp.bitwiseAND(lit(PosMask))
 
   /** (doc, pos, w) for every k-token span start position; `w` is the
     * xxhash64 of the span string — spans are only ever compared for
@@ -28,6 +55,9 @@ object Spans {
     * [[Dedup.shinglePostings]]: ~n²/2⁶⁵, vanishing; the DuckDB oracle keeps
     * string spans and stays value-identical at oracle SFs). Documents
     * shorter than `k` tokens contribute one whole-text span at pos 1.
+    * Fields stay SEPARATE here on purpose: postings shuffle in doc-major
+    * map order, so the repeated doc column lz4-compresses to near nothing —
+    * packing doc+pos into one key measurably INFLATED this exchange.
     */
   def spanPostings(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, "span length must be at least 2 tokens")
@@ -41,32 +71,77 @@ object Spans {
       .filter(col("_toks").isNotNull)
       .select(
         col("doc"),
-        size(col("_toks")).cast("long").as("n_tokens"),
         posexplode(
           when(size(col("_toks")) < k, array(xxhash64(concat_ws(" ", col("_toks")))))
             .otherwise(transform(
               sequence(lit(1), size(col("_toks")) - (k - 1)),
               i => xxhash64(concat_ws(" ", slice(col("_toks"), i, lit(k))))))
         ).as(Seq("off", "w")))
-      .select(col("doc"), col("n_tokens"), (col("off") + 1).cast("long").as("pos"), col("w"))
+      .select(col("doc"), (col("off") + 1).cast("long").as("pos"), col("w"))
   }
 
-  /** Start positions of spans shared with ANOTHER document: (doc, n_tokens,
-    * pos). The shared front half of [[dupSpanCoverage]] and
-    * [[removeDupSpans]]: postings once (checkpointed — tokenization +
-    * hashing is the expensive part), document-frequency aggregate on the
-    * 8-byte span key, semi join back (each posting matches at most one span
-    * row — no pair fanout).
+  /** (doc, n_tokens) — one cheap scan (tokenize + size, no per-position
+    * hashing); joined back at per-doc granularity only.
+    */
+  private def docTokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull)
+      .select(col("doc"), size(col("_toks")).cast("long").as("n_tokens"))
+
+  /** Broadcast the hot-span key set when it has at most this many keys
+    * (8 B/key → ≲300 MB hashed relation at the cap; the driver and every
+    * executor hold one copy — sized for mainstream 8-16 GB executors).
+    * Above it, fall back to the shuffled semi join.
+    */
+  private val HotBroadcastMaxKeys = 12000000L
+
+  /** Start positions of spans shared with ANOTHER document, packed as `dp`
+    * corpus positions. The shared front half of [[dupSpanCoverage]] and
+    * [[removeDupSpans]].
+    *
+    * Shuffle shape (the r8 rework — r7 shipped the corpus THREE times:
+    * (w, doc) pairs into the df aggregate, the full postings into the semi
+    * join, and the survivors into the window):
+    *
+    *  1. "span is in ≥ 2 distinct docs" is exactly `min(doc) != max(doc)`
+    *     — a PLAIN min/max aggregate, not a distinct-aggregate, so it
+    *     partial-combines map-side and never plans the two-exchange
+    *     distinct expansion.
+    *  2. The surviving hot-key set is tiny on real corpora (duplicated
+    *     spans are the minority); when it fits [[HotBroadcastMaxKeys]] it
+    *     BROADCASTS back against a second map-only postings pass — the
+    *     corpus then crosses NO corpus-sized exchange at all: one
+    *     partially-combined aggregate up, one broadcast down.
+    *     Tokenization runs twice (once per pass) — CPU for shuffle, the
+    *     right trade at 100 TB where the exchange is the bottleneck.
+    *  3. A boilerplate-heavy corpus whose hot set outgrows the broadcast
+    *     bound falls back to the shuffled semi join (posts ⋈ hot on w),
+    *     logged, correctness identical.
+    *
+    * Output is the PACKED corpus position: the survivors head into a
+    * per-doc window exchange, where one 8-byte field beats two (postings'
+    * doc-major compressibility is gone after any w-shuffle).
     */
   private def dupStartPositions(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val postsPlan = spanPostings(docs, idCol, textCol, k)
-    val posts = postsPlan.localCheckpoint(true, Dedup.ckptLevel(postsPlan))
-    val hot = posts
+    val posts = spanPostings(docs, idCol, textCol, k)
+    val hotPlan = posts
       .groupBy(col("w"))
-      .agg(count_distinct(col("doc")).as("df"))
-      .filter(col("df") >= 2)
+      .agg(min(col("doc")).as("_mn"), max(col("doc")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
       .select("w")
-    posts.join(hot, Seq("w"), "left_semi")
+    val hot = hotPlan.localCheckpoint(true, Dedup.ckptLevel(hotPlan))
+    val nHot = hot.count()
+    if (nHot <= HotBroadcastMaxKeys) {
+      System.err.println(s"[spans] hot-span set: $nHot keys -> broadcast semi join")
+      posts.join(broadcast(hot), Seq("w"), "left_semi")
+        .select(packDp(col("doc"), col("pos")).as("dp"))
+    } else {
+      System.err.println(
+        s"[spans] hot-span set has $nHot keys (> $HotBroadcastMaxKeys): shuffled semi join fallback")
+      posts.join(hot, Seq("w"), "left_semi")
+        .select(packDp(col("doc"), col("pos")).as("dp"))
+    }
   }
 
   /** Per-document duplicated-token coverage: (doc, n_tokens, dup_tokens,
@@ -77,17 +152,24 @@ object Spans {
     */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val dupPos = dupStartPositions(docs, idCol, textCol, k)
-    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    // partition by the doc bits, order by dp (≡ pos within a doc): the
+    // window exchange carries ONE 8-byte field per duplicated position
+    val win = Window.partitionBy(dpDoc(col("dp"))).orderBy(col("dp"))
     dupPos
-      .withColumn("nxt", lead(col("pos"), 1).over(win))
-      // a span covers k tokens, clipped by the doc end (whole-short-doc
-      // spans) and by the next duplicated span's start (interval union)
-      .withColumn("cov",
-        least(
-          least(lit(k.toLong), col("n_tokens") - col("pos") + 1L),
-          coalesce(col("nxt") - col("pos"), lit(k.toLong))))
-      .groupBy(col("doc"), col("n_tokens"))
-      .agg(sum(col("cov")).as("dup_tokens"))
+      .withColumn("nxt", lead(col("dp"), 1).over(win))
+      // a span covers k tokens, clipped by the next duplicated span's start
+      // (interval union; nxt - dp is a position difference — same doc by
+      // construction of the window). The doc-END clip needs n_tokens, which
+      // never rides the postings: only the LAST span of a doc can overrun
+      // the end (interior spans satisfy pos <= n-k+1 by construction), so
+      // the overrun is subtracted once per doc after the aggregate, where
+      // the tiny (doc, n_tokens) table joins at doc-count granularity.
+      .withColumn("cov", least(lit(k.toLong), coalesce(col("nxt") - col("dp"), lit(k.toLong))))
+      .groupBy(dpDoc(col("dp")).as("doc"))
+      .agg(sum(col("cov")).as("_raw"), max(dpPos(col("dp"))).as("_last_pos"))
+      .join(docTokenCounts(docs, idCol, textCol), Seq("doc"))
+      .withColumn("dup_tokens",
+        col("_raw") - greatest(lit(0L), col("_last_pos") + (k - 1) - col("n_tokens")))
       .withColumn("dup_ratio_milli",
         round(lit(1000.0) * col("dup_tokens") / col("n_tokens")).cast("long"))
       .select(col("doc"), col("n_tokens"), col("dup_tokens"), col("dup_ratio_milli"))
@@ -115,33 +197,51 @@ object Spans {
     * nested spans can't split a run); runs per doc ≤ n/(k+1) DISJOINT
     * intervals; the rebuild is one equality join docs↔runs (inner — only
     * rewritten docs) plus a per-row lambda that is O(tokens × runs) worst
-    * case and O(tokens) when duplication is dense (merged runs). Nothing
-    * quadratic in the corpus anywhere; a rewrite op must touch every byte
-    * of the affected docs by definition.
+    * case and O(tokens) when duplication is dense (merged runs). The
+    * doc-end clip and the minRunTokens filter both apply inside the rebuild
+    * join, where size(tokens) is already materialized — n_tokens never
+    * rides a corpus-sized shuffle. Nothing quadratic in the corpus
+    * anywhere; a rewrite op must touch every byte of the affected docs by
+    * definition.
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minRunTokens: Int = 12): DataFrame = {
     val dupPos = dupStartPositions(docs, idCol, textCol, k)
-      .withColumn("e", least(col("pos") + (k - 1), col("n_tokens")))
-    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val win = Window.partitionBy(dpDoc(col("dp"))).orderBy(col("dp"))
+    // interval ends are the monotone transform e = pos + (k-1): the running
+    // max over e equals (running max over pos) + (k-1), and within a doc
+    // the packed dp orders exactly like pos — so the window input stays the
+    // bare 8-byte dp, no derived column rides the exchange. Unclipped ends
+    // are safe here: only a doc's FINAL span can overrun the doc end and no
+    // later start exists to be affected, so run structure is identical; the
+    // clip itself happens per run inside the rebuild join.
     val runs = dupPos
       // running max of interval ends over all PRIOR starts: a new run begins
       // when this start leaves a gap of >= 1 uncovered token (merge
       // overlapping AND contiguous coverage)
-      .withColumn("prev_e", max(col("e")).over(win.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk", when(col("prev_e").isNull || col("pos") > col("prev_e") + 1, 1L).otherwise(0L))
+      .withColumn("prev_max", max(col("dp")).over(win.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("dp") > col("prev_max") + k, 1L).otherwise(0L))
       .withColumn("run_id", sum(col("brk")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc"), col("n_tokens"), col("run_id"))
-      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
-      .filter(col("e") - col("s") + 1 >= minRunTokens)
+      .groupBy(dpDoc(col("dp")).as("doc"), col("run_id"))
+      .agg(dpPos(min(col("dp"))).as("s"), (dpPos(max(col("dp"))) + (k - 1)).as("e"))
     val ivs = runs
-      .groupBy(col("doc"), col("n_tokens"))
-      .agg(
-        sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
-        sum(col("e") - col("s") + 1).as("removed_tokens"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs_raw"))
     docs
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .join(ivs, Seq("doc")) // inner: only rewritten docs carry runs
+      .join(ivs, Seq("doc")) // inner: only docs with candidate runs
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      // clip each run at the doc end, then drop runs below minRunTokens —
+      // value-identical to clipping per position (see above)
+      .withColumn("ivs",
+        filter(
+          transform(col("_ivs_raw"),
+            iv => struct(iv.getField("s").as("s"), least(iv.getField("e"), col("n_tokens")).as("e"))),
+          iv => iv.getField("e") - iv.getField("s") + 1 >= minRunTokens))
+      .filter(size(col("ivs")) > 0)
+      .withColumn("removed_tokens",
+        aggregate(col("ivs"), lit(0L), (acc, iv) => acc + iv.getField("e") - iv.getField("s") + 1L))
       .withColumn("_kept",
         filter(
           zip_with(col("_toks"), sequence(lit(1L), size(col("_toks")).cast("long")),

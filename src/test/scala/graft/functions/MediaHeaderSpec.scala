@@ -64,19 +64,29 @@ class MediaHeaderSpec extends AnyFunSuite {
   }
 
   test("media_header is registered as a SQL function via GraftExtensions") {
-    val session = SparkSession.builder()
-      .master("local[2]")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
-      .newSession()
-    import session.implicits._
-    session.createDataset(Seq(0L, 1L, 7L)).map(Multimodal.realMediaBlob(_).payload)
-      .toDF("b").createOrReplaceTempView("blobs")
-    val rows = session.sql(
-      "SELECT media_header(b).format AS fmt, media_header(b).width AS w FROM blobs ORDER BY fmt NULLS LAST"
-    ).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("jpeg", "wav", "wav"))
-    assert(rows.head.getInt(1) == 16) // id 0: width = 0 % 500 + 16
+    // fresh session over the (possibly shared) context so withExtensions
+    // actually applies — same pattern as BinaryRecordsSpec/FrequencySketchSpec
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val session = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      import session.implicits._
+      session.createDataset(Seq(0L, 1L, 7L)).map(Multimodal.realMediaBlob(_).payload)
+        .toDF("b").createOrReplaceTempView("blobs")
+      val rows = session.sql(
+        "SELECT media_header(b).format AS fmt, media_header(b).width AS w FROM blobs ORDER BY fmt NULLS LAST"
+      ).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("jpeg", "wav", "wav"))
+      assert(rows.head.getInt(1) == 16) // id 0: width = 0 % 500 + 16
+      session.catalog.dropTempView("blobs")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
   }
 
   test("parsed fields equal the id arithmetic across a blob sweep") {
