@@ -50,7 +50,12 @@ object Packing {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val local = localPlan.localCheckpoint(true, Dedup.ckptLevel(localPlan))
     // numParts rows: absolute start offset of each partition via an exclusive
-    // running sum (the single-partition window is over numParts rows only)
+    // running sum. This Window.orderBy without partitionBy is what emits
+    // Spark's "WindowExec: No Partition Defined ... can cause serious
+    // performance degradation" warning on every run — audited benign: the
+    // single-partition window sees exactly numParts rows (one per range
+    // partition), never data rows. Don't re-audit; don't "fix" it by
+    // partitioning, which would break the global offset scan.
     val offsets = local
       .groupBy(col("pid")).agg(sum(col(valueCol)).as("tot"))
       .withColumn(
