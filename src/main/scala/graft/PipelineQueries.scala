@@ -200,6 +200,61 @@ object PipelineQueries {
   val spanDedupRewriteSql: String =
     Spans.removeDupSpansSql(8, 12) + "\nORDER BY removed_tokens DESC, doc LIMIT 50"
 
+  /** The nightly-corpus-build composition, end to end in one plan: quality
+    * gate → exact dedup (min-id survivor) → exact-substring span removal
+    * over the surviving set, reported per language (docs kept, docs
+    * rewritten, tokens removed, clean token mass). Each stage is the SAME
+    * shared operator the standalone rows prove ([[TextAnalysis]] quality
+    * gate, [[Dedup.exactDedup]], [[Spans.removeDupSpans]]), so the
+    * composition's oracle reuses their SQL mirrors verbatim — this row
+    * exists to prove the stages COMPOSE, the thing a real pipeline does
+    * every run. Scale shape is the union of the parts: one quality scan,
+    * one text-keyed dedup shuffle, the span machinery's aggregate-up/
+    * broadcast-down, and a final per-doc left join at survivor granularity.
+    */
+  def corpusMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, sfDir)
+      .withColumn("_toks", TextAnalysis.tokens($"text"))
+      .filter(
+        TextAnalysis.qualityScoreFromTokens($"text", $"_toks") >= 40 &&
+          size($"_toks") >= 10 &&
+          TextAnalysis.punctPerMille($"text") <= 100)
+      .drop("_toks")
+    val surv = Dedup.exactDedup(base, Seq("text"), "doc_id")
+    val rewrites = Spans.removeDupSpans(surv, "doc_id", "text", k = 8, minRunTokens = 12)
+      .select(col("doc"), col("removed_tokens"))
+    surv
+      .select($"doc_id".as("doc"), $"lang", TextAnalysis.tokenCount($"text").cast("long").as("_n"))
+      .join(rewrites, Seq("doc"), "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"removed_tokens".isNotNull, 1L).otherwise(0L)).as("n_rewritten"),
+        sum(coalesce($"removed_tokens", lit(0L))).as("removed_tokens"),
+        sum($"_n" - coalesce($"removed_tokens", lit(0L))).as("clean_tokens"))
+      .orderBy($"lang")
+  }
+
+  val corpusMaterializeSql: String = {
+    import TextAnalysis._
+    s"""WITH filtered AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE ${qualityScoreSql("text")} >= 40 AND ${tokenCountSql("text")} >= 10
+       |    AND ${punctPerMilleSql("text")} <= 100
+       |), srcdocs AS (
+       |  SELECT doc_id, lang, text FROM filtered d
+       |  WHERE doc_id = (SELECT MIN(doc_id) FROM filtered d2 WHERE d2.text = d.text)
+       |),
+       |${Spans.dupRunRemovedCtes(8, 12)}
+       |SELECT s.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN r.removed_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten,
+       |  CAST(SUM(COALESCE(r.removed_tokens, 0)) AS BIGINT) AS removed_tokens,
+       |  CAST(SUM(${tokenCountSql("s.text")} - COALESCE(r.removed_tokens, 0)) AS BIGINT) AS clean_tokens
+       |FROM srcdocs s LEFT JOIN removed r ON s.doc_id = r.doc
+       |GROUP BY s.lang ORDER BY s.lang""".stripMargin
+  }
+
   /** Incremental ingest admission: docs with `doc_id % 5 = 4` play the
     * "new crawl batch", the rest the existing corpus; each batch doc is
     * classified exact_dup / near_dup (MinHash tau=0.5) / novel and counted

@@ -82,6 +82,7 @@ object SparkEntry {
     "mixture_weights" -> (PipelineQueries.mixtureWeights _),
     "span_dup_coverage" -> (PipelineQueries.spanDupCoverage _),
     "span_dedup_rewrite" -> (PipelineQueries.spanDedupRewrite _),
+    "corpus_materialize" -> (PipelineQueries.corpusMaterialize _),
     "incremental_dedup" -> (PipelineQueries.incrementalDedup _),
     "incremental_dedup_steady" -> (PipelineQueries.incrementalDedupSteady _),
     "quality_curriculum" -> (PipelineQueries.qualityCurriculum _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "mixture_weights" -> PipelineQueries.mixtureWeightsSql,
     "span_dup_coverage" -> PipelineQueries.spanDupCoverageSql,
     "span_dedup_rewrite" -> PipelineQueries.spanDedupRewriteSql,
+    "corpus_materialize" -> PipelineQueries.corpusMaterializeSql,
     "incremental_dedup" -> PipelineQueries.incrementalDedupSql,
     "incremental_dedup_steady" -> PipelineQueries.incrementalDedupSteadySql,
     "quality_curriculum" -> PipelineQueries.qualityCurriculumSql,

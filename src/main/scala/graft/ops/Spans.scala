@@ -253,10 +253,15 @@ object Spans {
         md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
   }
 
-  /** DuckDB mirror of [[removeDupSpans]] (string spans, global windows). */
-  def removeDupSpansSql(k: Int = 8, minRunTokens: Int = 12): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+  /** CTE chain from a `srcdocs(doc_id, text, …)` relation to
+    * `removed(doc, n_tokens, removed_tokens)` — the SQL mirror of the
+    * interval-union half of [[removeDupSpans]], shared by the standalone
+    * rewrite oracle and composed-pipeline oracles (corpus_materialize) so
+    * the two can never drift.
+    */
+  def dupRunRemovedCtes(k: Int, minRunTokens: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM srcdocs
        |), spans AS (
        |  SELECT doc_id AS doc, CAST(len(l) AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS pos,
        |    CASE WHEN len(l) < $k THEN array_to_string(l, ' ')
@@ -285,7 +290,15 @@ object Spans {
        |), removed AS (
        |  SELECT doc, n_tokens, CAST(SUM(e - s + 1) AS BIGINT) AS removed_tokens
        |  FROM runs GROUP BY doc, n_tokens
-       |), positions AS (
+       |)""".stripMargin
+
+  /** DuckDB mirror of [[removeDupSpans]] (string spans, global windows). */
+  def removeDupSpansSql(k: Int = 8, minRunTokens: Int = 12): String =
+    s"""WITH srcdocs AS (
+       |  SELECT doc_id, text FROM documents
+       |),
+       |${dupRunRemovedCtes(k, minRunTokens)},
+       |positions AS (
        |  SELECT t.doc_id AS doc, CAST(i AS BIGINT) AS p, l[i] AS tok
        |  FROM toks t, unnest(range(1, len(l) + 1)) AS u(i)
        |  WHERE t.doc_id IN (SELECT doc FROM removed)

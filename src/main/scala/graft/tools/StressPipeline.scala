@@ -290,6 +290,13 @@ object StressPipeline {
       guarded("domain_cap_sample") {
         graft.PipelineQueries.domainCapSample(spark, dir).count()
       },
+      // the composed nightly-build row: quality gate -> exact dedup -> span
+      // removal -> per-lang stats. Cost should track its parts (one quality
+      // scan + one text-keyed dedup shuffle + the span machinery) — a
+      // super-linear surprise here means the stages interfere
+      guarded("corpus_materialize") {
+        graft.PipelineQueries.corpusMaterialize(spark, dir).count()
+      },
       // same CC computation as dedup_clusters, reliable (FS-backed)
       // checkpoints: the fault-tolerant mode a 100 TB many-iteration run
       // would use. The delta vs dedup_clusters IS the measurement —
