@@ -378,6 +378,24 @@ object PipelineQueries {
   def dedupEmbeddingPairsTightSql: String =
     Similarity.plantedDupPairsSql(0.8) + "\nORDER BY d1, d2"
 
+  /** D2 embedding flavor, cluster-then-prune (SemDeDup): same planted corpus
+    * and τ=0.8 as the `_tight` row, but candidates come from a k=16 Voronoi
+    * partition of the embedding space instead of SRP buckets — map-only
+    * centroid assignment, then an equality self-join on the cluster id.
+    * `iters=0` seed-medoid centroids keep the row exactly SQL-replayable;
+    * the Lloyd path (`iters>0`) is the corpus-scale configuration and shares
+    * every plan property (see [[Similarity.semanticDedup]]).
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.semanticDedup(
+        Similarity.withPlantedDups(e, Similarity.plantedOffset(e)),
+        k = 16, tau = 0.8)
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupSql: String = Similarity.semanticDedupSql(16, 0.8)
+
   /** D3 approximate: SRP-LSH bucketed ANN over the same queries. At
     * (bits=2, tables=24) the bucket union covers every true top-5 neighbor
     * on this corpus (measured at all SFs; deterministic hyperplanes), so the

@@ -89,6 +89,7 @@ object SparkEntry {
     "domain_cap_sample" -> (PipelineQueries.domainCapSample _),
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
+    "semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
     "ann_ivf" -> (PipelineQueries.annIvf _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "domain_cap_sample" -> PipelineQueries.domainCapSampleSql,
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
+    "semantic_dedup" -> PipelineQueries.semanticDedupSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "ann_lsh" -> PipelineQueries.annLshSql,
     "ann_ivf" -> PipelineQueries.annIvfSql,

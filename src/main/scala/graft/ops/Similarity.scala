@@ -151,13 +151,21 @@ object Similarity {
     emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
 
   def withPlantedDups(emb: DataFrame, idOffset: Long): DataFrame = {
-    val perturbed = emb.select(
-      (col("vec_id") + lit(idOffset)).as("vec_id"),
+    // Bind the noise pattern to the ORIGINAL vec_id under a distinct name:
+    // with `(vec_id + offset).as("vec_id")` in the same select, Spark's
+    // lateral-column-alias resolution silently rebinds col("vec_id") inside
+    // the transform to the NEW offset id, desyncing the noise from the SQL
+    // mirror (which perturbs by the original id). Twin-pair cosines hid the
+    // desync below the 5-dp rounding; argmax-shaped consumers (SemDeDup
+    // cluster assignment) exposed it.
+    val src = emb.select(col("vec_id").as("src_id"), col("embedding"))
+    val perturbed = src.select(
+      (col("src_id") + lit(idOffset)).as("vec_id"),
       transform(
         col("embedding"),
         (x, j) =>
           (x.cast(DoubleType) *
-            (lit(1.0) + ((col("vec_id") * 31 + j) % 7 - 3).cast(DoubleType) * lit(0.001)))
+            (lit(1.0) + ((col("src_id") * 31 + j) % 7 - 3).cast(DoubleType) * lit(0.001)))
             .cast(FloatType)
       ).as("embedding"))
     emb.select(col("vec_id"), col("embedding")).unionByName(perturbed)
@@ -455,4 +463,117 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
+
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic dedup (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then look for
+    * near-duplicate pairs ONLY within a cluster and drop the higher-id
+    * member of every qualifying pair. This is the published cluster-then-
+    * prune recipe used on web-scale corpora (LAION / CommonCrawl): with k
+    * clusters the pairwise work drops from N²/2 to Σᵢ|cᵢ|²/2 ≈ N²/2k, and at
+    * production scale k is chosen so clusters hold ~10³ docs, making the
+    * within-cluster stage linear-ish in N.
+    *
+    * Plan shape (the part that must survive 100 TB): centroid assignment is
+    * MAP-ONLY — the k×dim centroid table rides into [[graft.functions.NearestCentroidExpr]]
+    * as a codegen reference object, exactly the IVF layout; no join, no
+    * shuffle. The within-cluster pair stage is an EQUALITY self-join on the
+    * cluster id (shuffle-partitionable, AQE-skew-splittable), with norms
+    * precomputed once per row so each candidate pair costs one dot product.
+    *
+    * `iters = 0` pins centroids to the k lowest-vec_id seed vectors —
+    * deterministic and exactly replayable in SQL, which is what the oracle
+    * row uses. At corpus scale pass `iters > 0` for true Lloyd centroids
+    * ([[trainCentroids]] — deterministic partial-agg k-means, one shuffle-free
+    * fused pass per iteration); the operator's semantics and plan shape are
+    * identical, only the centroid table changes.
+    *
+    * Output: one row per corpus vector — (vec_id, cid, removed) where
+    * `removed` marks the vectors SemDeDup would delete.
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, tau: Double, iters: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroid
+    val (cids, m, dim) = trainCentroids(corpus, k, iters)
+    val assigned = corpus.select(
+      col("vec_id"),
+      col("embedding"),
+      nearest_centroid(col("embedding"), cids, m, dim).as("cid"))
+    val normed = assigned.select(
+      col("cid"), col("vec_id"), col("embedding"),
+      sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))
+    val lo = normed.select(col("cid"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val hi = normed.select(col("cid"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val removed = lo.join(hi, Seq("cid"))
+      .filter(col("d1") < col("d2"))
+      .filter(
+        round(
+          when(col("n1") === 0.0 || col("n2") === 0.0, 0.0)
+            .otherwise(vec_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))),
+          5) >= tau)
+      .select(col("d2").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(removed.withColumn("removed", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), coalesce(col("removed"), lit(false)).as("removed"))
+  }
+
+  /** DuckDB mirror of [[withPlantedDups]] + [[semanticDedup]] with
+    * `iters = 0`: seed centroids are the k lowest vec_ids (cell id = seed
+    * rank, matching [[trainCentroids]]'s Array.range cell ids), assignment is
+    * argmax cosine with ties to the lower cell id (ROW_NUMBER ORDER BY sim
+    * DESC, cid ASC = the expression's strict `>` scan in ascending cid
+    * order), and a vector is removed when some same-cluster vector with a
+    * lower id sits at round(cosine, 5) ≥ τ.
+    */
+  def semanticDedupSql(k: Int, tau: Double): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), pert AS (
+       |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+       |         CAST(CAST(v * (1 + ((vec_id * 31 + (i - 1)) % 7 - 3) * 0.001) AS FLOAT) AS DOUBLE) AS v,
+       |         i
+       |  FROM base
+       |), e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |seeds AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM e) t ORDER BY vec_id LIMIT $k
+       |),
+       |cent AS (SELECT s.cid, e.v, e.i FROM e JOIN seeds s ON e.vec_id = s.vec_id),
+       |n AS (SELECT vec_id, SUM(v*v) AS nn FROM e GROUP BY 1),
+       |cn AS (SELECT cid, SUM(v*v) AS cnn FROM cent GROUP BY 1),
+       |cd AS (
+       |  SELECT x.vec_id, c.cid, SUM(x.v * c.v) AS dot
+       |  FROM e x JOIN cent c ON x.i = c.i GROUP BY 1, 2
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT cd.vec_id, cd.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+       |        CASE WHEN n.nn = 0 OR cn.cnn = 0 THEN 0.0
+       |             ELSE cd.dot / (sqrt(n.nn) * sqrt(cn.cnn)) END DESC,
+       |        cd.cid ASC) AS rn
+       |    FROM cd JOIN n ON cd.vec_id = n.vec_id JOIN cn ON cd.cid = cn.cid) t
+       |  WHERE rn = 1
+       |),
+       |pd AS (
+       |  SELECT aa.vec_id AS d1, bb.vec_id AS d2, SUM(aa.v * bb.v) AS dot
+       |  FROM e aa JOIN e bb ON aa.i = bb.i AND aa.vec_id < bb.vec_id
+       |  JOIN asg a1 ON a1.vec_id = aa.vec_id
+       |  JOIN asg a2 ON a2.vec_id = bb.vec_id AND a2.cid = a1.cid
+       |  GROUP BY 1, 2
+       |),
+       |rm AS (
+       |  SELECT DISTINCT d2 FROM pd
+       |  JOIN n n1 ON d1 = n1.vec_id JOIN n n2 ON d2 = n2.vec_id
+       |  WHERE round(CASE WHEN n1.nn = 0 OR n2.nn = 0 THEN 0.0
+       |                   ELSE dot / (sqrt(n1.nn) * sqrt(n2.nn)) END, 5) >= $tau
+       |)
+       |SELECT a.vec_id, a.cid, (rm.d2 IS NOT NULL) AS removed
+       |FROM asg a LEFT JOIN rm ON a.vec_id = rm.d2
+       |ORDER BY a.vec_id""".stripMargin
 }

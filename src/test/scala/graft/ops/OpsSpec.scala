@@ -298,6 +298,35 @@ class OpsSpec extends AnyFunSuite {
     assert(planted == emb.count(), s"found $planted of ${emb.count()} planted pairs")
   }
 
+  test("semanticDedup: map-only assignment, planted twins removed, partition-invariant") {
+    val offset = Similarity.plantedOffset(emb)
+    val corpus = Similarity.withPlantedDups(emb, offset)
+    val out = Similarity.semanticDedup(corpus, k = 16, tau = 0.8)
+    val plan = out.queryExecution.executedPlan.toString
+    // cluster-then-prune must never plan a cartesian: assignment is a codegen
+    // reference-object expression (no join), candidates come from an EQUALITY
+    // self-join on the cluster id
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"cartesian in plan:\n${plan.take(800)}")
+    assert(plan.contains("nearest_centroid"), "assignment must be the codegen expression")
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.length == corpus.count().toInt)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // a twin that lands in its original's cluster MUST be removed (cosine
+    // ~0.99998 >= tau); originals are never removed by their own twin (lower
+    // id wins). Twins on a Voronoi boundary may legitimately split clusters.
+    val n = emb.count()
+    val sameCell = (0L until n).filter(i => byId(i)._2 == byId(i + offset)._2)
+    assert(sameCell.nonEmpty, "no twin shares its original's cluster — vacuous test")
+    assert(sameCell.forall(i => byId(i + offset)._3), "co-clustered twin not removed")
+    // the lowest id of every cluster can never be removed (no lower-id pair)
+    val minPerCluster = rows.groupBy(_._2).map { case (_, rs) => rs.minBy(_._1) }
+    assert(minPerCluster.forall(!_._3), "cluster-minimum id marked removed")
+    // partition invariance: the same result from a different input layout
+    val rows2 = Similarity.semanticDedup(corpus.repartition(7), k = 16, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(rows2 == rows.toSet, "semanticDedup must be partition-invariant")
+  }
+
   test("one-pass minhash_signatures equals the 64x transform+array_min formulation") {
     val fused = Dedup.minHashSignatures(docs, "doc_id", "text")
       .select("doc", "sig").collect()
