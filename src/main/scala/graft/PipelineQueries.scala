@@ -396,6 +396,18 @@ object PipelineQueries {
 
   def semanticDedupSql: String = Similarity.semanticDedupSql(16, 0.8)
 
+  /** D6 quality flavor: CCNet-style unigram-LM perplexity-proxy scoring.
+    * vocabCap=16 deliberately cuts inside this corpus's vocabulary so BOTH
+    * paths are exercised: in-vocab tokens score ln(cnt/total), the rest take
+    * the OOV floor ln(1/total). See [[TextAnalysis.unigramLogProb]].
+    */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(spark, sfDir), "doc_id", "text", vocabCap = 16)
+      .orderBy(col("doc"))
+
+  def unigramLogProbSql: String =
+    TextAnalysis.unigramLogProbSql(16) + "\nORDER BY doc"
+
   /** D3 approximate: SRP-LSH bucketed ANN over the same queries. At
     * (bits=2, tables=24) the bucket union covers every true top-5 neighbor
     * on this corpus (measured at all SFs; deterministic hyperplanes), so the

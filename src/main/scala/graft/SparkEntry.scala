@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_embedding_pairs_exact_baseline" -> (PipelineQueries.dedupEmbeddingPairsExactBaseline _),
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "semantic_dedup" -> (PipelineQueries.semanticDedup _),
+    "unigram_logprob" -> (PipelineQueries.unigramLogProb _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
     "ann_ivf" -> (PipelineQueries.annIvf _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "dedup_embedding_pairs_exact_baseline" -> PipelineQueries.dedupEmbeddingPairsExactBaselineSql,
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "semantic_dedup" -> PipelineQueries.semanticDedupSql,
+    "unigram_logprob" -> PipelineQueries.unigramLogProbSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "ann_lsh" -> PipelineQueries.annLshSql,
     "ann_ivf" -> PipelineQueries.annIvfSql,

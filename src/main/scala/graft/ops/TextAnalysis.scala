@@ -279,4 +279,85 @@ object TextAnalysis {
        |       ELSE list_transform(range(1, len($toks) - 1), i -> array_to_string($toks[i:i+2], ' '))
        |  END, g -> md5(g)))""".stripMargin
   }
+
+  // --------------------------------------------- unigram LM quality scoring
+
+  /** CCNet-style perplexity-proxy quality scoring: score every document by
+    * its mean per-token unigram log-probability under the corpus's own
+    * unigram LM. The published recipe (CCNet, Wenzek et al. 2020) buckets
+    * CommonCrawl by KenLM perplexity; the unigram LM is the shuffle-friendly
+    * first-order version of that signal, and the integer quantization makes
+    * it exactly replayable: each token's log-prob is rounded to MICRO-nats
+    * (a BIGINT) BEFORE the per-doc sum, so the aggregate is an integer sum —
+    * deterministic under any partitioning/merge order, unlike a double sum.
+    *
+    * Plan shape at 100 TB: one O(tokens) explode, one shuffle on the token
+    * for the count aggregate (map-side combined), a TakeOrdered top-`vocabCap`
+    * (per-partition partial top-V, driver merges V rows — never the full
+    * vocabulary), then the scored vocabulary and the 1-row total BROADCAST
+    * back onto the token stream (map-side hash join + the allowlisted
+    * scalar-agg cross join), and one final shuffle on doc_id. Tokens outside
+    * the top-`vocabCap` take the OOV floor log(1/total) — the "rare means
+    * improbable" clamp that also caps the broadcast at V rows regardless of
+    * corpus vocabulary size.
+    *
+    * Output per document: token count, summed and mean micro-nat log-prob,
+    * and `nat_bin` = floor(-mean) in whole nats — the perplexity-tier bucket
+    * (higher bin = less probable = lower quality).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     vocabCap: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabCap)
+      .crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(lit(1e6) * log(col("cnt").cast(DoubleType) / col("total")))
+          .cast("long").as("score"))
+    val scored = toks
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc"),
+        coalesce(col("score"),
+          round(lit(1e6) * log(lit(1.0) / col("total"))).cast("long")).as("score"))
+    scored.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("score")).as("lp_sum_micro"))
+      .select(col("doc"), col("n_tokens"), col("lp_sum_micro"),
+        round(col("lp_sum_micro").cast(DoubleType) / col("n_tokens"))
+          .cast("long").as("lp_mean_micro"))
+      .withColumn("nat_bin",
+        floor(-col("lp_mean_micro").cast(DoubleType) / lit(1e6)).cast("long"))
+  }
+
+  /** DuckDB mirror of [[unigramLogProb]]: same tokenizer, same top-V
+    * (count DESC, token ASC) vocabulary cut, same micro-nat rounding before
+    * the integer per-doc sum.
+    */
+  def unigramLogProbSql(vocabCap: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS doc, unnest(${sqlToks("text")}) AS tok FROM documents
+       |), counts AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+       |vocab AS (
+       |  SELECT tok,
+       |    CAST(round(1e6 * ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot))) AS BIGINT) AS score
+       |  FROM counts ORDER BY cnt DESC, tok ASC LIMIT $vocabCap
+       |), scored AS (
+       |  SELECT t.doc,
+       |    COALESCE(v.score,
+       |      CAST(round(1e6 * ln(1.0 / (SELECT total FROM tot))) AS BIGINT)) AS score
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |), perdoc AS (
+       |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(score) AS BIGINT) AS lp_sum_micro
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc, n_tokens, lp_sum_micro,
+       |  CAST(round(CAST(lp_sum_micro AS DOUBLE) / n_tokens) AS BIGINT) AS lp_mean_micro,
+       |  CAST(floor(-CAST(round(CAST(lp_sum_micro AS DOUBLE) / n_tokens) AS BIGINT) / 1e6) AS BIGINT) AS nat_bin
+       |FROM perdoc""".stripMargin
 }

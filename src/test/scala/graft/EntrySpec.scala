@@ -41,6 +41,7 @@ class EntrySpec extends AnyFunSuite {
       "bm25_top_docs" -> scalarAgg,
       "mixture_weights" -> scalarAgg,
       "quality_curriculum" -> scalarAgg,
+      "unigram_logprob" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus
       "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),
       // the disclosed exact-baseline cartesian: sample cap pushed to BOTH scans

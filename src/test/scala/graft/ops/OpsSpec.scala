@@ -327,6 +327,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rows2 == rows.toSet, "semanticDedup must be partition-invariant")
   }
 
+  test("unigramLogProb: OOV floor, integer-exact means, bounded vocab broadcast") {
+    import spark.implicits._
+    // tiny corpus with a known LM: "a" x6, "b" x3, "rare" x1 -> total 10
+    val d = Seq((1L, "a a a b"), (2L, "a a a b b rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, "doc_id", "text", vocabCap = 2)
+      .orderBy("doc").collect()
+    def micro(p: Double): Long = math.round(1e6 * math.log(p))
+    val sa = micro(6.0 / 10); val sb = micro(3.0 / 10); val oov = micro(1.0 / 10)
+    // doc 1: 3a+1b; doc 2: 3a+2b+1 OOV ("rare" is outside the top-2 vocab)
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 3 * sa + sb)
+    assert(out(1).getLong(1) == 6 && out(1).getLong(2) == 3 * sa + 2 * sb + oov)
+    // mean is rounded from the exact integer sum
+    assert(out(0).getLong(3) == math.round((3 * sa + sb) / 4.0))
+    // nat_bin tiers by whole nats of mean improbability
+    assert(out(0).getLong(4) == math.floor(-out(0).getLong(3) / 1e6).toLong)
+    // plan: vocabulary cut is a TakeOrdered partial top-V (never a full sort),
+    // and the vocabulary + corpus total ride broadcasts onto the token stream
+    val plan = TextAnalysis.unigramLogProb(docs, "doc_id", "text", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"vocab cut not partial top-V:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"), "vocabulary must broadcast onto tokens")
+  }
+
   test("one-pass minhash_signatures equals the 64x transform+array_min formulation") {
     val fused = Dedup.minHashSignatures(docs, "doc_id", "text")
       .select("doc", "sig").collect()
