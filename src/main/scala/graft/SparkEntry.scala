@@ -123,7 +123,8 @@ object SparkEntry {
     // D7: Structured Streaming over a 4mz dir, drained to a batch result
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _),
-    "streaming_sessions_stateful" -> (graft.streaming.StreamingQueries.streamingSessionsStateful _)
+    "streaming_sessions_stateful" -> (graft.streaming.StreamingQueries.streamingSessionsStateful _),
+    "streaming_dedup_ingest" -> (graft.streaming.StreamingQueries.streamingDedupIngest _)
   )
 
   /** Resolve the SPARK_GRAFT_ONLY filter (comma-separated names; blank or
@@ -249,6 +250,7 @@ object SparkEntry {
     "streaming_ingest_partitioned" -> graft.streaming.StreamingQueries.streamingIngestPartitionedSql,
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,
-    "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql
+    "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql,
+    "streaming_dedup_ingest" -> graft.streaming.StreamingQueries.streamingDedupIngestSql
   )
 }

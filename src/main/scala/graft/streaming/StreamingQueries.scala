@@ -173,6 +173,55 @@ object StreamingQueries {
     * aligned files, and downstream batch jobs split them independently of
     * the micro-batch boundaries.
     */
+  /** At-least-once ingest dedup — the streaming dedup every production
+    * pipeline runs in front of its corpus: redelivered events (same
+    * event_id) are dropped by `dropDuplicatesWithinWatermark`, whose state
+    * store holds only the ids inside the watermark horizon — at 100 TB/day
+    * the dedup state tracks the lateness window (minutes of ids), not the
+    * stream's history, which is what makes exactly-once-by-key ingest
+    * feasible on an unbounded stream. A deterministic redelivery is planted
+    * map-side (every 5th event_id arrives twice, identical payload), so the
+    * oracle over the clean table proves the duplicates were dropped: if
+    * dedup failed, every planted event_type count would inflate.
+    */
+  def streamingDedupIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    val stream = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .schema(schema)
+      .load(dir)
+    val redelivered = stream
+      .withColumn("_copy",
+        explode(when(col("event_id") % 5 === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
+      .drop("_copy")
+    val deduped = redelivered
+      .withWatermark("ts", "17 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    // dedup is pass-through stateful: rows emit immediately, the watermark
+    // only drives state eviction — so the drained append stream carries every
+    // unique event exactly once; aggregate batch-side for a compact oracle row
+    drain(session, deduped, OutputMode.Append())
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  /** Redeliveries carry identical payloads, so the deduped stream must equal
+    * the clean source table under any aggregate.
+    */
+  val streamingDedupIngestSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def streamingIngestFourMc(spark: SparkSession, sfDir: String): DataFrame = {
     val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val (srcDir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)

@@ -163,6 +163,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.catalog.listTables().filter(_.name.startsWith("graft_stream")).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark ingest drops planted redeliveries exactly") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    val out = StreamingQueries.streamingDedupIngest(spark, "/root/testdata/sf0.001")
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    // every unique event exactly once: planted redeliveries (every 5th id,
+    // +20% volume) must disappear; a pass-through would yield base * 1.2
+    assert(total == base, s"deduped stream carried $total events, expected $base")
+  }
+
   test("stateful flatMapGroupsWithState: per-user event counting") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream4mc2").toString + "/events"
