@@ -290,6 +290,25 @@ object StressPipeline {
       guarded("domain_cap_sample") {
         graft.PipelineQueries.domainCapSample(spark, dir).count()
       },
+      // SemDeDup at stress scale: k = 2048 seed-medoid cells sits near the
+      // k ≈ √N balance point — the map-only assignment (N·k dot products,
+      // embarrassingly parallel, zero shuffle) and the within-cell pair
+      // stage (~N²/2k candidates through an equality join on cid) cost the
+      // same order. The rotation-replicated stress embeddings plant true
+      // near-twins (reps 64 apart share a rotation), so the removed set is
+      // real, while cross-rotation replicas stay decorrelated
+      guarded("semantic_dedup_k2048") {
+        Similarity.semanticDedup(emb, k = 2048, tau = 0.8)
+          .filter(col("removed")).count()
+      },
+      // unigram-LM quality scoring: O(tokens) explode, one token-count
+      // shuffle, broadcast vocabulary back — should track tfidf's linear
+      // profile (same skeleton, one fewer per-doc stage)
+      guarded("unigram_logprob") {
+        graft.ops.TextAnalysis.unigramLogProb(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          vocabCap = 4096).count()
+      },
       // the composed nightly-build row: quality gate -> exact dedup -> span
       // removal -> per-lang stats. Cost should track its parts (one quality
       // scan + one text-keyed dedup shuffle + the span machinery) — a
