@@ -344,15 +344,21 @@ object Bench {
     // The complete sections live in the repo file named below.
     val canaryEnd = spinCanaryMs()
     val sfName = new java.io.File(sfDir).getName
-    val fullPath = s"/root/repo/bench/BENCH_full_$sfName.json"
-    locally {
-      val dir = Paths.get("/root/repo/bench")
+    // relative to the working directory (the repo root under sbt) — a
+    // hardcoded absolute path would kill the run after all measurements on
+    // any other checkout; a write failure must also never cost the summary
+    val fullPath = s"bench/BENCH_full_$sfName.json"
+    try {
+      val dir = Paths.get("bench")
       if (!Files.exists(dir)) Files.createDirectories(dir)
       val body = sections.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
         "{\"generated_by\":\"graft.Bench\",\"sf\":\"" + sfDir + "\",",
         ",",
         f""","canary_ms":{"start":$canaryStart%.0f,"post_gates":$canaryPostGates%.0f,"pre_queries":$canaryPreQueries%.0f,"post_queries":$canaryPostQueries%.0f,"end":$canaryEnd%.0f}}""")
       Files.write(Paths.get(fullPath), body.getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] WARNING: could not write $fullPath: ${e.getMessage}")
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")

@@ -139,25 +139,31 @@ object MediaHeaderExpr {
     * the declared size still yields the duration.
     */
   private def parseWav(b: Array[Byte]): InternalRow = {
-    var i = 12
+    // the cursor is a LONG: a declared chunk size is u32 (le32 returns
+    // 0..2^32-1), so Int arithmetic would wrap on a garbage size field
+    // >= 2^31 — stalling the walk (i += 0: infinite loop on one row) or
+    // driving the index negative (throw). Long strides keep the cursor
+    // monotonic (+>=8 per chunk), so the walk always runs off the end of a
+    // malformed buffer and degrades to null
+    var i = 12L
     var channels = -1
     var rate = -1
     var byteRate = -1L
     var dataSize = -1L
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
-      val sz = le32(b, i + 4)
-      if (sz < 0) return null
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+      val o = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val sz = le32(b, o + 4)
+      if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' ') {
         if (sz < 16 || i + 8 + 16 > b.length) return null
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
-      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        channels = le16(b, o + 10)
+        rate = le32(b, o + 12).toInt
+        byteRate = le32(b, o + 16)
+      } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a') {
         dataSize = sz
       }
       // chunks are word-aligned; the body may be truncated in-buffer, the
       // walk just runs off the end and stops
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      i += 8L + sz + (sz & 1L)
     }
     if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0) return null
     row("wav", -1, -1, channels, rate, dataSize * 1000L / byteRate)

@@ -70,21 +70,50 @@ object Incremental {
         Seq("doc"))
       .select("doc", "digest", "sig", "shingles")
 
-  /** Write [[signatureTable]] to `path` if absent or stale (row count must
-    * match the corpus — a half-written or out-of-date table is rebuilt, not
-    * silently measured), then read it back. The parquet round-trip is the
-    * point: the steady-state path must work from the STORED index, not a
-    * lineage cache.
+  /** Metadata fingerprint of the corpus: the canonicalized logical plan
+    * (captures the source, projection, and any filter) plus
+    * (path, length, modificationTime) of every input file. Computed WITHOUT
+    * reading any data — the steady-state path stays corpus-free — yet a
+    * regenerated corpus (new file sizes/mtimes) or a different corpus
+    * expression changes the fingerprint and forces a rebuild. Out of scope
+    * by design: a byte-level edit that preserves every file's size AND
+    * mtime (not something a parquet writer produces).
+    */
+  private def corpusFingerprint(spark: org.apache.spark.sql.SparkSession,
+                                corpus: DataFrame): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = corpus.inputFiles.sorted.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val st = path.getFileSystem(conf).getFileStatus(path)
+      s"$p:${st.getLen}:${st.getModificationTime}"
+    }
+    val key = corpus.queryExecution.analyzed.canonicalized.toString + files.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Write [[signatureTable]] to `path` if absent or stale, then read it
+    * back. Staleness is judged by a sidecar [[corpusFingerprint]] written
+    * with the table: a half-written table (no sidecar), a regenerated
+    * corpus, or a different corpus expression all rebuild rather than being
+    * silently measured — and the freshness check itself reads only file
+    * METADATA, so a steady-state caller never pays a corpus scan. The
+    * parquet round-trip is the point: the steady-state path must work from
+    * the STORED index, not a lineage cache.
     */
   def ensureSignatureTable(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                            idCol: String, textCol: String, path: String,
                            numHashes: Int = 64): DataFrame = {
     val success = new java.io.File(path, "_SUCCESS")
-    val stale = success.exists() &&
-      spark.read.parquet(path).count() != corpus.count()
-    if (!success.exists() || stale) {
+    val fpFile = new java.io.File(path, "_GRAFT_CORPUS_FP")
+    val fp = corpusFingerprint(spark, corpus)
+    val fresh = success.exists() && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    if (!fresh) {
       signatureTable(corpus, idCol, textCol, numHashes)
         .write.mode("overwrite").parquet(path)
+      // after the table write: overwrite mode clears the directory first
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
     }
     spark.read.parquet(path)
   }

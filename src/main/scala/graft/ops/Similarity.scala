@@ -492,13 +492,27 @@ object Similarity {
     * Output: one row per corpus vector — (vec_id, cid, removed) where
     * `removed` marks the vectors SemDeDup would delete.
     */
-  def semanticDedup(corpus: DataFrame, k: Int, tau: Double, iters: Int = 0): DataFrame = {
+  /** The assignment stage of [[semanticDedup]], exposed pre-checkpoint so
+    * specs can pin its map-only shape (a `nearest_centroid` Project straight
+    * over the scan — no join, no shuffle).
+    */
+  def semanticAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     import graft.functions.VectorFunctions.nearest_centroid
     val (cids, m, dim) = trainCentroids(corpus, k, iters)
-    val assigned = corpus.select(
+    corpus.select(
       col("vec_id"),
       col("embedding"),
       nearest_centroid(col("embedding"), cids, m, dim).as("cid"))
+  }
+
+  def semanticDedup(corpus: DataFrame, k: Int, tau: Double, iters: Int = 0): DataFrame = {
+    // localCheckpoint the assignment: it feeds BOTH sides of the cid
+    // self-join AND the final survivor join, and Catalyst plans the three
+    // consumers as three independent N·k assignment scans (no exchange to
+    // reuse — the assignment is map-only by design). At stress scale the
+    // assignment dominates, so recomputing it 3x triples the op.
+    val assignPlan = semanticAssign(corpus, k, iters)
+    val assigned = assignPlan.localCheckpoint(true, Dedup.ckptLevel(assignPlan))
     val normed = assigned.select(
       col("cid"), col("vec_id"), col("embedding"),
       sqrt(vec_dot(col("embedding"), col("embedding"))).as("nrm"))

@@ -160,19 +160,6 @@ object StreamingQueries {
       |  (SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) - INTERVAL 17 MINUTE FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** Streaming ingest INTO the container — the reference format's primary
-    * production pattern (logs stream in, land as splittable compressed
-    * files): readStream over the 4mz dir in bounded micro-batches
-    * (maxFilesPerTrigger + AvailableNow), each batch APPENDED to a fresh
-    * 4mc/lz4 directory via foreachBatch, then the sink dir is read back
-    * through the splittable batch reader and aggregated hourly.
-    *
-    * At 100 TB this is the durable-sink shape (no driver materialization at
-    * all — the memory-sink queries exist for the oracle gate): state is
-    * zero (no agg inside the stream), each executor writes its own block-
-    * aligned files, and downstream batch jobs split them independently of
-    * the micro-batch boundaries.
-    */
   /** At-least-once ingest dedup — the streaming dedup every production
     * pipeline runs in front of its corpus: redelivered events (same
     * event_id) are dropped by `dropDuplicatesWithinWatermark`, whose state
@@ -222,6 +209,19 @@ object StreamingQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Streaming ingest INTO the container — the reference format's primary
+    * production pattern (logs stream in, land as splittable compressed
+    * files): readStream over the 4mz dir in bounded micro-batches
+    * (maxFilesPerTrigger + AvailableNow), each batch APPENDED to a fresh
+    * 4mc/lz4 directory via foreachBatch, then the sink dir is read back
+    * through the splittable batch reader and aggregated hourly.
+    *
+    * At 100 TB this is the durable-sink shape (no driver materialization at
+    * all — the memory-sink queries exist for the oracle gate): state is
+    * zero (no agg inside the stream), each executor writes its own block-
+    * aligned files, and downstream batch jobs split them independently of
+    * the micro-batch boundaries.
+    */
   def streamingIngestFourMc(spark: SparkSession, sfDir: String): DataFrame = {
     val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val (srcDir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)

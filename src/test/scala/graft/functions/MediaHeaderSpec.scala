@@ -63,6 +63,19 @@ class MediaHeaderSpec extends AnyFunSuite {
     assert(MediaHeaderExpr.parse(wav.take(20)) == null)
   }
 
+  test("WAV junk chunk with u32 size >= 2^31 terminates and returns null") {
+    // a garbage chunk whose size field reads as 0xFFFFFFF8 used to wrap to
+    // Int -8 and stall the walk (i += 0: infinite loop on one row); sizes
+    // around 2^31 drove the cursor negative and threw. Both must degrade to
+    // null via the Long-cursor walk running off the end of the buffer.
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0x7FFFFFFFL)) {
+      val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(24).put("WAVE".getBytes("US-ASCII"))
+      b.put("junk".getBytes("US-ASCII")).putInt(sz.toInt) // u32 size field
+      assert(MediaHeaderExpr.parse(b.array()) == null, f"size 0x$sz%x must not hang or throw")
+    }
+  }
+
   test("media_header is registered as a SQL function via GraftExtensions") {
     // fresh session over the (possibly shared) context so withExtensions
     // actually applies — same pattern as BinaryRecordsSpec/FrequencySketchSpec

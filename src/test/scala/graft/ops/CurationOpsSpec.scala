@@ -131,10 +131,46 @@ class CurationOpsSpec extends AnyFunSuite {
     val full = Incremental.batchStatus(batch, corp, "doc_id", "text", 0.5)
     assert(steady.except(full).count() == 0 && full.except(steady).count() == 0,
       "steady-state statuses must be value-identical to the recompute path")
-    // stale-table guard: a table whose row count disagrees with the corpus
-    // is rebuilt, not silently reused
+    // stale-table guard: a different corpus EXPRESSION (fingerprint covers
+    // the canonicalized plan) is rebuilt, not silently reused
     val smaller = Incremental.ensureSignatureTable(spark, corp.limit(10), "doc_id", "text", dir)
     assert(smaller.count() == 10)
+  }
+
+  test("signature table freshness is metadata-judged: reuse is corpus-scan-free, regeneration rebuilds") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sigfp").toString
+    val corpusPath = s"$base/corpus.parquet"
+    val sigPath = s"$base/sigs"
+    docs.limit(40).write.parquet(corpusPath)
+    def corpus = spark.read.parquet(corpusPath)
+    Incremental.ensureSignatureTable(spark, corpus, "doc_id", "text", sigPath)
+    def tableStamp() = new java.io.File(sigPath).listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    val stamp1 = tableStamp()
+    // unchanged corpus: the SAME stored table is reused (no rewrite) and the
+    // freshness probe never scans corpus DATA — schema-inference footer jobs
+    // are fine, row reads are not
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Incremental.ensureSignatureTable(spark, corpus, "doc_id", "text", sigPath)
+      Thread.sleep(500) // async listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tableStamp() == stamp1, "unchanged corpus must reuse the stored table")
+    assert(recordsRead.get() == 0,
+      s"freshness probe read ${recordsRead.get()} records; must be metadata-only")
+    // REGENERATED corpus (same row count, different bytes/mtime): rebuilt
+    Thread.sleep(1100) // mtime granularity
+    docs.limit(40).withColumn("text", concat($"text", lit(" regen")))
+      .write.mode("overwrite").parquet(corpusPath)
+    Incremental.ensureSignatureTable(spark, corpus, "doc_id", "text", sigPath)
+    assert(tableStamp() != stamp1, "regenerated corpus must rebuild the signature table")
   }
 
   test("batchStatus: exact beats near, unrelated text is novel") {

@@ -303,11 +303,15 @@ class OpsSpec extends AnyFunSuite {
     val corpus = Similarity.withPlantedDups(emb, offset)
     val out = Similarity.semanticDedup(corpus, k = 16, tau = 0.8)
     val plan = out.queryExecution.executedPlan.toString
-    // cluster-then-prune must never plan a cartesian: assignment is a codegen
-    // reference-object expression (no join), candidates come from an EQUALITY
-    // self-join on the cluster id
+    // cluster-then-prune must never plan a cartesian: candidates come from an
+    // EQUALITY self-join on the cluster id
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"cartesian in plan:\n${plan.take(800)}")
-    assert(plan.contains("nearest_centroid"), "assignment must be the codegen expression")
+    // the assignment stage (checkpointed once inside semanticDedup) is the
+    // codegen expression in a map-only Project — no join, no exchange
+    val assignPlan = Similarity.semanticAssign(corpus, k = 16, iters = 0)
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.contains("nearest_centroid"), "assignment must be the codegen expression")
+    assert(!assignPlan.contains("Exchange"), "assignment must be map-only")
     val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     assert(rows.length == corpus.count().toInt)
     val byId = rows.map(r => r._1 -> r).toMap
