@@ -301,6 +301,15 @@ object StressPipeline {
         Similarity.semanticDedup(emb, k = 2048, tau = 0.8)
           .filter(col("removed")).count()
       },
+      // the corpus-scale SemDeDup configuration: 2 Lloyd iterations of
+      // deterministic partial-agg k-means before assignment. Each iteration
+      // is one fused N·k mapPartitions pass (k×dim partials per partition,
+      // merged on the driver) — the training cost should be ~2 assignment
+      // scans on top of semantic_dedup_k2048, never super-linear
+      guarded("semantic_dedup_lloyd2") {
+        Similarity.semanticDedup(emb, k = 2048, tau = 0.8, iters = 2)
+          .filter(col("removed")).count()
+      },
       // unigram-LM quality scoring: O(tokens) explode, one token-count
       // shuffle, broadcast vocabulary back — should track tfidf's linear
       // profile (same skeleton, one fewer per-doc stage)
