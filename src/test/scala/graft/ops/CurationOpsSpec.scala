@@ -160,7 +160,16 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       Incremental.ensureSignatureTable(spark, corpus, "doc_id", "text", sigPath)
-      Thread.sleep(500) // async listener bus drain
+      // bounded poll for the async listener bus: a fixed short sleep is
+      // load-sensitive (the r7 contention lesson) — wait until the counter
+      // is stable across two polls, up to 10 s
+      var last = -1L
+      var waited = 0
+      while (waited < 10000 && recordsRead.get() != last) {
+        last = recordsRead.get()
+        Thread.sleep(250)
+        waited += 250
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(tableStamp() == stamp1, "unchanged corpus must reuse the stored table")
     assert(recordsRead.get() == 0,
