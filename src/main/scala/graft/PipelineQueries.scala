@@ -174,6 +174,16 @@ object PipelineQueries {
        |  CAST(ROUND(1000.0 * total / (k * tokens)) AS BIGINT) AS weight_milli
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** D+ mixture flavor: materialize the reweighted corpus that
+    * `mixture_weights` only reports — deterministic md5-bucket stochastic
+    * rounding of per-doc copy counts toward equal per-source token mass.
+    * See [[Sampling.mixtureResample]].
+    */
+  def mixtureResample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.mixtureResample(docs(spark, sfDir), "doc_id", "text", "source")
+
+  def mixtureResampleSql: String = Sampling.mixtureResampleSql
+
   /** Exact-substring duplication report: the 50 documents most covered by
     * 8-token spans that appear verbatim in other documents (the
     * suffix-array-dedup signal at fixed span length). See [[Spans]] for the

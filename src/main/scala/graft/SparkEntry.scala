@@ -80,6 +80,7 @@ object SparkEntry {
     "pack_training_sequences" -> (PipelineQueries.packTrainingSequences _),
     "sample_token_budget" -> (PipelineQueries.sampleTokenBudget _),
     "mixture_weights" -> (PipelineQueries.mixtureWeights _),
+    "mixture_resample" -> (PipelineQueries.mixtureResample _),
     "span_dup_coverage" -> (PipelineQueries.spanDupCoverage _),
     "span_dedup_rewrite" -> (PipelineQueries.spanDedupRewrite _),
     "corpus_materialize" -> (PipelineQueries.corpusMaterialize _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "pack_training_sequences" -> PipelineQueries.packTrainingSequencesSql,
     "sample_token_budget" -> PipelineQueries.sampleTokenBudgetSql,
     "mixture_weights" -> PipelineQueries.mixtureWeightsSql,
+    "mixture_resample" -> PipelineQueries.mixtureResampleSql,
     "span_dup_coverage" -> PipelineQueries.spanDupCoverageSql,
     "span_dedup_rewrite" -> PipelineQueries.spanDedupRewriteSql,
     "corpus_materialize" -> PipelineQueries.corpusMaterializeSql,

@@ -109,4 +109,89 @@ object Sampling {
        |  k.n_kept, CAST(k.kept_tokens AS BIGINT) AS kept_tokens, k.q_floor
        |FROM tot t JOIN keptagg k USING (source)
        |ORDER BY t.source""".stripMargin
+
+  // ------------------------------------------------------- mixture resample
+
+  /** MATERIALIZE the domain-mixture reweighting whose weights
+    * `mixture_weights` only reports: every source is deterministically
+    * resampled toward the equal-token-mass target total/k. The per-doc
+    * expected copy count is weight_milli/1000; each doc receives
+    * floor(w/1000) whole copies plus one more iff its md5 bucket (mod 1000)
+    * falls below the fractional remainder — integer arithmetic end to end
+    * (the engine and the oracle agree exactly), stochastic-rounding-shaped
+    * so every source's expected output token mass equals the target, and
+    * keyed like [[md5Bucket]] so a re-run, a backfill, or an audit months
+    * later reproduces the same corpus.
+    *
+    * Shape at 100 TB: per-source totals are a partial agg over a handful of
+    * groups; the weight row rides a broadcast hash join back onto the doc
+    * stream; the copy fan-out is MAP-SIDE with per-row multiplicity bounded
+    * by ceil(max weight); the closing per-source aggregate is the only
+    * data-sized shuffle. (A real materialization would write the exploded
+    * docs; the registered row aggregates them so the oracle stays compact.)
+    */
+  def mixtureResample(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String): DataFrame = {
+    val scored = docs.select(
+      col(srcCol).as("source"), col(idCol).as("doc"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val per = scored.groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    val w = per.join(broadcast(tot))
+      .select(
+        col("source"),
+        round(lit(1000.0) * col("total") / (col("k") * col("tokens")))
+          .cast("long").as("wm"),
+        // floor, not cast: DuckDB CAST(DOUBLE AS BIGINT) rounds half-even
+        // while Spark's cast truncates — floor() agrees in both engines
+        floor(col("total").cast("double") / col("k")).cast("long").as("target_tokens"))
+    val expanded = scored
+      .join(broadcast(w), Seq("source"))
+      .withColumn("copies",
+        floor(col("wm").cast("double") / 1000.0).cast("long") +
+          when(md5Bucket(col("doc"), 1000) < col("wm") % 1000, 1L).otherwise(0L))
+      .withColumn("_c",
+        explode(when(col("copies") > 0, sequence(lit(0L), col("copies") - 1))
+          .otherwise(array().cast("array<long>"))))
+    expanded.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs_out"),
+        sum(col("n_tokens")).as("tokens_out"),
+        max(col("target_tokens")).as("target_tokens"))
+      .withColumn("achieved_ppm",
+        round(lit(1e6) * col("tokens_out") / col("target_tokens")).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB mirror of [[mixtureResample]]: same weight formula as
+    * `mixture_weights`, same md5-bucket stochastic rounding, `unnest(range)`
+    * as the copy explode (an empty range drops the row, like Spark's
+    * explode of an empty array).
+    */
+  def mixtureResampleSql: String =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id AS doc,
+       |    CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens FROM scored GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per
+       |), w AS (
+       |  SELECT source, CAST(ROUND(1000.0 * total / (k * tokens)) AS BIGINT) AS wm,
+       |    CAST(FLOOR(1.0 * total / k) AS BIGINT) AS target_tokens
+       |  FROM per, tot
+       |), expanded AS (
+       |  SELECT s.source, s.n_tokens, w.target_tokens,
+       |    (w.wm // 1000) +
+       |      CASE WHEN ${md5BucketSql("s.doc", 1000)} < (w.wm % 1000) THEN 1 ELSE 0 END AS copies
+       |  FROM scored s JOIN w USING (source)
+       |), blown AS (
+       |  SELECT source, n_tokens, target_tokens, unnest(range(copies)) AS c FROM expanded
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_out,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_out,
+       |  MAX(target_tokens) AS target_tokens,
+       |  CAST(ROUND(1e6 * CAST(SUM(n_tokens) AS BIGINT) / MAX(target_tokens)) AS BIGINT) AS achieved_ppm
+       |FROM blown GROUP BY source ORDER BY source""".stripMargin
 }

@@ -40,6 +40,7 @@ class EntrySpec extends AnyFunSuite {
       "tfidf_top_terms" -> scalarAgg,
       "bm25_top_docs" -> scalarAgg,
       "mixture_weights" -> scalarAgg,
+      "mixture_resample" -> scalarAgg,
       "quality_curriculum" -> scalarAgg,
       "unigram_logprob" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus

@@ -20,6 +20,42 @@ class CurationOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
 
+  test("mixtureResample: copy counts follow the weight arithmetic; explode is map-side") {
+    import spark.implicits._
+    // two sources, 4:1 token imbalance -> weights 625/2500 milli against a
+    // target of (40+10)/2 = 25 tokens per source
+    val d = Seq(
+      (1L, "a", ("t " * 20).trim), (2L, "a", ("t " * 20).trim),
+      (3L, "b", ("t " * 5).trim), (4L, "b", ("t " * 5).trim)
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.mixtureResample(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // replicate the engine's bucket to derive expected copies exactly
+    val b = d.select($"doc_id", Sampling.md5Bucket($"doc_id", 1000).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // source a: wm = round(1000*50/(2*40)) = 625 -> copies = (b<625)
+    val aCopies = Seq(1L, 2L).map(id => if (b(id) < 625) 1L else 0L).sum
+    // source b: wm = round(1000*50/(2*10)) = 2500 -> 2 + (b<500)
+    val bCopies = Seq(3L, 4L).map(id => 2L + (if (b(id) < 500) 1L else 0L)).sum
+    if (aCopies > 0) {
+      assert(out("a").getLong(1) == aCopies)
+      assert(out("a").getLong(2) == aCopies * 20)
+    } else assert(!out.contains("a"))
+    assert(out("b").getLong(1) == bCopies && out("b").getLong(2) == bCopies * 5)
+    assert(out("b").getLong(3) == 25L, "target = floor(total/k)")
+    // partition invariance (the determinism a backfill depends on)
+    val again = Sampling.mixtureResample(d.repartition(3), "doc_id", "text", "source")
+      .collect().map(_.toString).toSet
+    assert(again == Sampling.mixtureResample(d, "doc_id", "text", "source")
+      .collect().map(_.toString).toSet)
+    // plan: the doc-stream join must be a broadcast hash join on source and
+    // the fan-out a Generate (map-side explode) — no sort-merge of the docs
+    val plan = Sampling.mixtureResample(docs, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), "copy fan-out must be a map-side explode")
+    assert(plan.contains("BroadcastHashJoin"), "weights must broadcast onto the doc stream")
+  }
+
   test("dupSpanCoverage: a full copy is 100% covered, a planted 8-token splice is found") {
     import spark.implicits._
     val base = docs.filter(size(split($"text", " ")) >= 30)
