@@ -418,6 +418,20 @@ object PipelineQueries {
   def unigramLogProbSql: String =
     TextAnalysis.unigramLogProbSql(16) + "\nORDER BY doc"
 
+  /** D+ data-selection flavor: DSIR importance resampling toward the
+    * English-labeled slice of the corpus — hashed-bigram importance weights,
+    * Gumbel top-k selection, everything md5-keyed and micro-nat-quantized so
+    * the resample is exactly replayable. m=1024 buckets comfortably exceeds
+    * this fixture's bigram mass while staying the corpus-size-independent
+    * broadcast the paper's 10^4-bucket production setting would be.
+    * See [[Dsir.dsirSelect]].
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    Dsir.dsirSelect(docs(spark, sfDir), "doc_id", "text",
+      targetPred = col("lang") === "en", m = 1024, k = 100)
+
+  def dsirSelectSql: String = Dsir.dsirSelectSql(1024, 100)
+
   /** D3 approximate: SRP-LSH bucketed ANN over the same queries. At
     * (bits=2, tables=24) the bucket union covers every true top-5 neighbor
     * on this corpus (measured at all SFs; deterministic hyperplanes), so the

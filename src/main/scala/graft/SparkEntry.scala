@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_embedding_pairs_tight" -> (PipelineQueries.dedupEmbeddingPairsTight _),
     "semantic_dedup" -> (PipelineQueries.semanticDedup _),
     "unigram_logprob" -> (PipelineQueries.unigramLogProb _),
+    "dsir_select" -> (PipelineQueries.dsirSelect _),
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
     "ann_ivf" -> (PipelineQueries.annIvf _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "dedup_embedding_pairs_tight" -> PipelineQueries.dedupEmbeddingPairsTightSql,
     "semantic_dedup" -> PipelineQueries.semanticDedupSql,
     "unigram_logprob" -> PipelineQueries.unigramLogProbSql,
+    "dsir_select" -> PipelineQueries.dsirSelectSql,
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "ann_lsh" -> PipelineQueries.annLshSql,
     "ann_ivf" -> PipelineQueries.annIvfSql,

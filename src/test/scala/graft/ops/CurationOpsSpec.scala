@@ -56,6 +56,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "weights must broadcast onto the doc stream")
   }
 
+  test("dsirSelect: weights match an independent re-derivation, target-like docs rank first") {
+    import spark.implicits._
+    // target docs speak pure "alpha"; raw background speaks pure "beta";
+    // one probe doc of each dialect is NOT in the target set — the alpha
+    // probe must out-weight the beta probe.
+    val d = (
+      (1L to 4L).map(i => (i, "en", "alpha bravo alpha bravo alpha")) ++
+      (5L to 8L).map(i => (i, "de", "omega zulu omega zulu omega")) ++
+      Seq((9L, "de", "alpha bravo alpha bravo alpha"),
+          (10L, "de", "omega zulu omega zulu omega"))
+    ).toDF("doc_id", "lang", "text")
+    val m = 64
+    val out = Dsir.dsirSelect(d, "doc_id", "text", $"lang" === "en", m, 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent weight re-derivation: same formula, computed from scratch
+    // in Scala over collected feature buckets
+    val feats = d.select($"doc_id", ($"lang" === "en").as("t"),
+        explode(Dsir.features($"text")).as("f"))
+      .select($"doc_id", $"t", Sampling.md5Bucket($"f", m).as("b"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val cRaw = feats.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cTgt = feats.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nRaw, nTgt) = (feats.size.toLong, feats.count(_._2).toLong)
+    def delta(b: Long): Long =
+      math.round(1e6 * (math.log((cTgt.getOrElse(b, 0L) + 1.0) / (nTgt + m))
+                      - math.log((cRaw(b) + 1.0) / (nRaw + m))))
+    val expect = feats.groupBy(_._1).view.mapValues(fs => fs.map(f => delta(f._3)).sum).toMap
+    for ((id, row) <- out) assert(row.getLong(2) == expect(id), s"lw_sum for doc $id")
+    // the alpha-dialect probe must carry a strictly higher weight than beta's
+    assert(expect(9L) > expect(10L), "target-like doc must out-weight background doc")
+    // partition invariance: identical selection under a different layout
+    val again = Dsir.dsirSelect(d.repartition(3), "doc_id", "text", $"lang" === "en", m, 10)
+      .collect().map(_.toString).toList
+    assert(again == Dsir.dsirSelect(d, "doc_id", "text", $"lang" === "en", m, 10)
+      .collect().map(_.toString).toList)
+    // plan: the m-row delta table broadcasts onto the feature stream and the
+    // final top-k is a TakeOrdered, never a global sort
+    val plan = Dsir.dsirSelect(docs, "doc_id", "text", col("lang") === "en", 1024, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "delta table must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be a TakeOrdered")
+  }
+
   test("dupSpanCoverage: a full copy is 100% covered, a planted 8-token splice is found") {
     import spark.implicits._
     val base = docs.filter(size(split($"text", " ")) >= 30)
