@@ -462,6 +462,24 @@ object PipelineQueries {
 
   val annIvfSql: String = Similarity.bruteForceSql(10, 5)
 
+  /** D3 compressed-domain: product-quantization ADC (mSub=32 2-dim
+    * subspaces × ks=16 spherical sub-centroids = 2 bits/dim) generates
+    * nCand=128 candidates per query from the 16×-smaller code scan, then
+    * exact re-rank makes the emitted top-5 equal brute force (recall swept
+    * at 500- and 2000-vector corpora: zero misses at nCand=100, 128 adds
+    * margin; OpsSpec asserts the fixture recall), so the brute-force SQL is
+    * its oracle. See [[Similarity.pqTopK]].
+    */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64,
+        mSub = 32, ks = 16, nCand = 128)
+      .select(col("qid"), col("rn"), round(col("sim"), 5).as("simr"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val annPqSql: String = Similarity.bruteForceSql(10, 5)
+
   // ------------------------------------------------------------------- text
 
   /** D4: per-language token/quality statistics. */

@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_brute_force" -> (PipelineQueries.annBruteForce _),
     "ann_lsh" -> (PipelineQueries.annLsh _),
     "ann_ivf" -> (PipelineQueries.annIvf _),
+    "ann_pq" -> (PipelineQueries.annPq _),
     "text_stats" -> (PipelineQueries.textStats _),
     "lang_id_confusion" -> (PipelineQueries.langIdConfusion _),
     "doc_fingerprints" -> (PipelineQueries.docFingerprints _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "ann_brute_force" -> PipelineQueries.annBruteForceSql,
     "ann_lsh" -> PipelineQueries.annLshSql,
     "ann_ivf" -> PipelineQueries.annIvfSql,
+    "ann_pq" -> PipelineQueries.annPqSql,
     "text_stats" -> PipelineQueries.textStatsSql,
     "lang_id_confusion" -> PipelineQueries.langIdConfusionSql,
     "doc_fingerprints" -> PipelineQueries.docFingerprintsSql,

@@ -370,6 +370,175 @@ case class TopCentroidsExpr(
   * so Java % equals Spark's Remainder here. Empty input yields null minima,
   * matching `array_min` of an empty array.
   */
+/** Product-quantization encoder in ONE fused pass: assign every contiguous
+  * `dsub`-dim sub-vector to its nearest sub-centroid (argmax cosine — the
+  * same spherical assignment as [[NearestCentroidExpr]], bit-identical
+  * accumulation order, zero-norm → 0.0, ties to the first row) and emit the
+  * GLOBAL code index. `codebooks` is the flat concatenation of all subspace
+  * centroid rows (`row g` = doubles `[g*dsub, (g+1)*dsub)`); `offsets(s)` is
+  * the first row of subspace `s`, `offsets.last` the total row count K.
+  * Returns array<int> of length `offsets.length - 1` (= mSub).
+  *
+  * A per-subspace [[NearestCentroidExpr]] over `slice()` would be mSub
+  * separate expressions — past ~16 subspaces the generated method exceeds
+  * the JVM's 64 KB limit and whole-stage codegen falls back to interpreted
+  * (measured). This fused loop is O(K·dsub) per row in one small method.
+  */
+case class PqEncodeExpr(
+    child: Expression,
+    codebooks: Array[Double],
+    offsets: Array[Int],
+    dsub: Int
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val mSub = offsets.length - 1
+    val out = new Array[Int](mSub)
+    var s = 0
+    while (s < mSub) {
+      val lo = offsets(s); val hi = offsets(s + 1)
+      var best = Double.NegativeInfinity
+      var bestG = lo
+      var g = lo
+      while (g < hi) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = a.getFloat(s * dsub + j).toDouble
+          val y = codebooks(g * dsub + j)
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (sim > best) { best = sim; bestG = g }
+        g += 1
+      }
+      out(s) = bestG
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    val offRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val g = ctx.freshName("g"); val j = ctx.freshName("j")
+      s"""
+         |int[] $out = new int[$offRef.length - 1];
+         |for (int $s = 0; $s < $out.length; $s++) {
+         |  int lo = $offRef[$s], hi = $offRef[$s + 1];
+         |  double best = Double.NEGATIVE_INFINITY;
+         |  int bestG = lo;
+         |  for (int $g = lo; $g < hi; $g++) {
+         |    double dot = 0.0, na = 0.0, nb = 0.0;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      double x = (double)$a.getFloat($s * $dsub + $j);
+         |      double y = $cbRef[$g * $dsub + $j];
+         |      dot += x * y; na += x * x; nb += y * y;
+         |    }
+         |    double sim = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |    if (sim > best) { best = sim; bestG = $g; }
+         |  }
+         |  $out[$s] = bestG;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The ADC lookup table for one query vector, in ONE fused pass:
+  * lut[g] = dot(query sub-vector of g's subspace, codebook row g), for every
+  * global code row g < offsets.last. Same flat layout as [[PqEncodeExpr]].
+  * Runs once per QUERY row and is broadcast against the corpus codes, so
+  * candidate scoring is `mSub` array lookups per pair instead of `dim`
+  * multiplies. Returns array<double> of length K.
+  */
+case class PqLutExpr(
+    child: Expression,
+    codebooks: Array[Double],
+    offsets: Array[Int],
+    dsub: Int
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val mSub = offsets.length - 1
+    val out = new Array[Double](offsets(mSub))
+    var s = 0
+    while (s < mSub) {
+      var g = offsets(s)
+      while (g < offsets(s + 1)) {
+        var dot = 0.0
+        var j = 0
+        while (j < dsub) {
+          dot += a.getFloat(s * dsub + j).toDouble * codebooks(g * dsub + j)
+          j += 1
+        }
+        out(g) = dot
+        g += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    val offRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val g = ctx.freshName("g"); val j = ctx.freshName("j")
+      val mSub = ctx.freshName("mSub")
+      s"""
+         |int $mSub = $offRef.length - 1;
+         |double[] $out = new double[$offRef[$mSub]];
+         |for (int $s = 0; $s < $mSub; $s++) {
+         |  for (int $g = $offRef[$s]; $g < $offRef[$s + 1]; $g++) {
+         |    double dot = 0.0;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      dot += (double)$a.getFloat($s * $dsub + $j) * $cbRef[$g * $dsub + $j];
+         |    }
+         |    $out[$g] = dot;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSignaturesExpr(
     child: Expression,
     coefA: Array[Long],
@@ -461,6 +630,14 @@ object VectorFunctions {
   /** Column API: the `nprobe` closest cell ids, similarity-descending. */
   def top_centroids(emb: Column, cids: Array[Int], matrix: Array[Double], dim: Int, nprobe: Int): Column =
     column(TopCentroidsExpr(expression(emb), cids, matrix, dim, nprobe))
+
+  /** Column API: PQ global code array for an embedding. */
+  def pq_encode(emb: Column, codebooks: Array[Double], offsets: Array[Int], dsub: Int): Column =
+    column(PqEncodeExpr(expression(emb), codebooks, offsets, dsub))
+
+  /** Column API: per-query ADC lookup table (array<double> of K rows). */
+  def pq_lut(emb: Column, codebooks: Array[Double], offsets: Array[Int], dsub: Int): Column =
+    column(PqLutExpr(expression(emb), codebooks, offsets, dsub))
 
   /** SQL registration: SELECT vec_cosine(a.embedding, b.embedding) ... */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
