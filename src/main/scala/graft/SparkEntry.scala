@@ -127,7 +127,8 @@ object SparkEntry {
     "streaming_events_hourly" -> (graft.streaming.StreamingQueries.streamingEventsHourly _),
     "streaming_events_watermarked" -> (graft.streaming.StreamingQueries.streamingEventsWatermarked _),
     "streaming_sessions_stateful" -> (graft.streaming.StreamingQueries.streamingSessionsStateful _),
-    "streaming_dedup_ingest" -> (graft.streaming.StreamingQueries.streamingDedupIngest _)
+    "streaming_dedup_ingest" -> (graft.streaming.StreamingQueries.streamingDedupIngest _),
+    "streaming_interval_join" -> (graft.streaming.StreamingQueries.streamingIntervalJoin _)
   )
 
   /** Resolve the SPARK_GRAFT_ONLY filter (comma-separated names; blank or
@@ -257,6 +258,7 @@ object SparkEntry {
     "streaming_events_hourly" -> graft.streaming.StreamingQueries.streamingEventsHourlySql,
     "streaming_events_watermarked" -> graft.streaming.StreamingQueries.streamingEventsWatermarkedSql,
     "streaming_sessions_stateful" -> graft.streaming.StreamingQueries.streamingSessionsStatefulSql,
-    "streaming_dedup_ingest" -> graft.streaming.StreamingQueries.streamingDedupIngestSql
+    "streaming_dedup_ingest" -> graft.streaming.StreamingQueries.streamingDedupIngestSql,
+    "streaming_interval_join" -> graft.streaming.StreamingQueries.streamingIntervalJoinSql
   )
 }

@@ -209,6 +209,54 @@ object StreamingQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Stream-stream INTERVAL join: view→click conversions within 5 minutes
+    * per user, joined while BOTH sides are unbounded streams — the streaming
+    * twin of the batch `range_join_view_click` row (same semantics, same
+    * oracle SQL). Both sides carry a watermark and the join condition bounds
+    * the event-time distance, which is exactly what lets Spark evict join
+    * state: a buffered view row can only ever match clicks inside
+    * `(v_ts, v_ts + 5 min]`, so once the click-side watermark passes
+    * `v_ts + 5 min` the row is dropped. At 100 TB the state store therefore
+    * holds only the lateness horizon + 5 minutes of each stream — not
+    * history — while an unwatermarked stream-stream join would buffer
+    * forever.
+    *
+    * Inner joins emit each match as it is found (the watermark is needed for
+    * state EVICTION, not emission), so draining the bounded directory yields
+    * every qualifying pair; the per-user count happens batch-side on the
+    * drained result, keeping the stream itself single-stateful-operator.
+    */
+  def streamingIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    def src() = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .schema(schema)
+      .load(dir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
+    drain(session, joined, OutputMode.Append())
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Identical semantics to the batch bounded range join, so it shares that
+    * row's oracle formulation.
+    */
+  val streamingIntervalJoinSql: String = graft.ops.TemporalJoins.rangeViewClickSql
+
   /** Streaming ingest INTO the container — the reference format's primary
     * production pattern (logs stream in, land as splittable compressed
     * files): readStream over the 4mz dir in bounded micro-batches

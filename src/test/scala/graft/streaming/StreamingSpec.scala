@@ -172,6 +172,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == base, s"deduped stream carried $total events, expected $base")
   }
 
+  test("stream-stream interval join equals the batch bounded range join") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.streamingIntervalJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.ops.TemporalJoins.rangeViewClick(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch,
+      s"stream-stream join diverged from batch range join: $streamed vs $batch")
+    assert(streamed.nonEmpty, "fixture must produce at least one conversion pair")
+  }
+
   test("stateful flatMapGroupsWithState: per-user event counting") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream4mc2").toString + "/events"
