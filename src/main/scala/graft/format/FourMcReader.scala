@@ -194,7 +194,8 @@ final class FourMcLineIterator(
     index: FourMcIndex,
     splitStart: Long,
     splitEnd: Long,
-    maxLineLen: Int = 64 * 1024 * 1024
+    maxLineLen: Int = 64 * 1024 * 1024,
+    permissive: Boolean = false
 ) extends Iterator[(Long, Array[Byte])] {
 
   private val alignedStart = index.nextBlockAt(math.max(splitStart, FourMc.HeaderLen.toLong))
@@ -209,19 +210,74 @@ final class FourMcLineIterator(
   private var finished = alignedStart >= index.eosPos && index.numBlocks == 0
   private var nextLine: (Long, Array[Byte]) = _
 
+  /** Corrupt blocks skipped under `permissive` (checksum/structure/codec
+    * failures; 0 in strict mode, where the first failure throws).
+    */
+  var corruptSkipped: Long = 0L
+  // a resync happened and the partial line touching the corrupt block (plus
+  // the tail of it in the next good block) must be discarded
+  private var resynced = false
+
   if (splitStart != 0 && !finished) skipLine()
 
   private def fetchBlock(): Boolean = {
-    if (nextHeaderPos >= index.eosPos) { block = null; return false }
-    val off = nextHeaderPos
-    val (data, nxt) = FourMcReader.readBlock(in, index.zstd, off)
-    if (data == null) { block = null; return false }
-    block = data
-    blockPos = 0
-    blockFileOff = off
-    nextHeaderPos = nxt
-    consumedPos = if (nxt >= index.eosPos) index.eosPos else nxt
-    true
+    while (true) {
+      if (nextHeaderPos >= index.eosPos) { block = null; return false }
+      val off = nextHeaderPos
+      val fetched =
+        try {
+          val (data, nxt) = FourMcReader.readBlock(in, index.zstd, off)
+          // a decoded EOS before the footer's eosPos contradicts the index:
+          // in strict mode it (conservatively) ends the stream, under
+          // permissive it is corruption to resync past
+          if (data == null && permissive) None
+          else {
+            if (data == null) { block = null; return false }
+            block = data
+            blockPos = 0
+            blockFileOff = off
+            nextHeaderPos = nxt
+            consumedPos = if (nxt >= index.eosPos) index.eosPos else nxt
+            Some(true)
+          }
+        } catch {
+          case _: IOException if permissive => None
+        }
+      fetched match {
+        case Some(r) => return r
+        case None =>
+          // resync to the FOOTER INDEX's next block boundary — header fields
+          // of a corrupt block cannot be trusted to locate its successor.
+          // Lines touching the skipped block are dropped by the caller.
+          corruptSkipped += 1
+          resynced = true
+          val nextOrd = index.ordAt(off + 1)
+          nextHeaderPos = if (nextOrd < index.numBlocks) index.blockOffsets(nextOrd) else index.eosPos
+          consumedPos = if (nextHeaderPos >= index.eosPos) index.eosPos else nextHeaderPos
+      }
+    }
+    false // unreachable
+  }
+
+  /** Discard bytes up to and including the next newline — the recovery step
+    * after a permissive resync: every byte between the corrupt block and the
+    * following newline belongs to a line that touched the corruption.
+    * Returns false when the stream ends while dropping, OR when the newline
+    * lands in a block this split does not own: the upcoming line's owner (the
+    * block holding the byte before its start) is past alignedEnd, so emitting
+    * it here would duplicate the owning split's copy — exactly-once must
+    * survive corruption under ANY split layout.
+    */
+  private def dropToNewline(): Boolean = {
+    resynced = false
+    while (true) {
+      var i = blockPos
+      while (i < block.length && block(i) != '\n') i += 1
+      if (i < block.length) { blockPos = i + 1; return blockFileOff < alignedEnd }
+      if (!fetchBlock()) return false
+      resynced = false // further resyncs while dropping collapse into this drop
+    }
+    false // unreachable
   }
 
   /** Read one line (terminated by \n, trailing \r stripped); null at EOF.
@@ -232,7 +288,8 @@ final class FourMcLineIterator(
       if (block != null && blockPos >= block.length) block = null
       if (block == null && !fetchBlock()) return null
     }
-    val startOff = blockFileOff
+    if (resynced && !dropToNewline()) return null
+    var startOff = blockFileOff
     var out: java.io.ByteArrayOutputStream = null
     while (true) {
       var i = blockPos
@@ -258,6 +315,9 @@ final class FourMcLineIterator(
         if (out.size() > maxLineLen) throw new IOException("4mc line exceeds max length")
         blockPos = block.length
         if (!fetchBlock()) {
+          // a resync that ran off the end of the stream killed the partial
+          // line being assembled — it must not surface as a bogus EOF tail
+          if (resynced) return null
           val a = out.toByteArray
           return if (a.isEmpty) null
           else {
@@ -265,6 +325,13 @@ final class FourMcLineIterator(
               if (a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1) else a
             (startOff, r)
           }
+        }
+        if (resynced) {
+          // the line being assembled touched a corrupt block — discard it
+          // and start over at the next clean line boundary
+          if (!dropToNewline()) return null
+          out = null
+          startOff = blockFileOff
         }
       }
     }

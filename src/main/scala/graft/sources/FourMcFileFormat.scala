@@ -86,6 +86,16 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         p.endsWith(".4mc") || p.endsWith(".4mz")
       }
     }
+    // option("ignoreCorruptBlocks", true): the block-granular analog of
+    // spark.sql.files.ignoreCorruptFiles. A failed block (checksum,
+    // structure, codec) is skipped by resyncing to the FOOTER INDEX's next
+    // boundary — the self-describing index is what makes recovery precise —
+    // and only the lines touching the corruption are lost (never
+    // duplicated: ownership semantics are unchanged, so other splits still
+    // skip their first partial line). At 100 TB a single flipped bit must
+    // cost one block's lines, not the job. Text/csv payloads only; counted
+    // in FourMcScanMetrics.corruptSkipped.
+    val permissive = options.get("ignoreCorruptBlocks").exists(_.toBoolean)
 
     if (payload == "csv") {
       // typed delimited parse INSIDE the reader: only the required columns
@@ -135,7 +145,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
           .withZone(java.time.ZoneOffset.UTC)
         val keepOpt: Option[Array[Boolean]] =
-          if (statsEnabled && filters.nonEmpty)
+          if (statsEnabled && !permissive && filters.nonEmpty)
             index.stats.flatMap(st => McStatsPruning.keepBlocks(filters, dataSchema, st))
               .filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
           else None
@@ -147,7 +157,13 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
               FourMcScanMetrics.blocksSkipped.add(it.blocksSkipped)
             })
             it
-          case None => new FourMcLineIterator(in, index, file.start, file.start + file.length)
+          case None =>
+            val it = new FourMcLineIterator(in, index, file.start, file.start + file.length,
+              permissive = permissive)
+            if (permissive) Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              FourMcScanMetrics.corruptSkipped.add(it.corruptSkipped)
+            })
+            it
         }
         val starts = new Array[Int](totalFields + 1)
         // One UnsafeRowWriter reused for every line (the same pattern as
@@ -278,7 +294,14 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         val raw: Iterator[(Long, Array[Byte])] =
           if (ebProto) new graft.format.FourMcEbBlockIterator(in, index, file.start, file.start + file.length, ebMarker)
           else if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
-          else new FourMcLineIterator(in, index, file.start, file.start + file.length)
+          else {
+            val it = new FourMcLineIterator(in, index, file.start, file.start + file.length,
+              permissive = permissive)
+            if (permissive) Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              FourMcScanMetrics.corruptSkipped.add(it.corruptSkipped)
+            })
+            it
+          }
         // reused writer, as in the csv branch: value bytes are copied into
         // the row buffer once (UTF8String and BinaryType share the byte[]
         // representation inside UnsafeRow)
@@ -356,7 +379,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
 object FourMcScanMetrics {
   val blocksRead = new java.util.concurrent.atomic.LongAdder
   val blocksSkipped = new java.util.concurrent.atomic.LongAdder
-  def reset(): Unit = { blocksRead.reset(); blocksSkipped.reset() }
+  /** Corrupt blocks skipped by permissive scans (ignoreCorruptBlocks). */
+  val corruptSkipped = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset() }
 }
 
 object FourMcFileFormat {

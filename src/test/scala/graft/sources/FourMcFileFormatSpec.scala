@@ -279,6 +279,78 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
   }
 
+  test("ignoreCorruptBlocks: a flipped bit costs one block's lines, not the job") {
+    import spark.implicits._
+    val rows = (0 until 50000).map(i => (i.toLong, "p" * 20))
+    val lines = rows.map { case (i, p) => s"$i|$p" }
+    val dir = tmpDir()
+    rows.toDF("id", "pad").coalesce(1).write.format("4mc")
+      .option("codec", "lz4-fast").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).save(dir)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+    val in = graft.format.McInput.local(f.toPath)
+    val index = try graft.format.FourMcReader.readIndex(in) finally in.close()
+    assert(index.numBlocks > 10, s"need a multi-block fixture, got ${index.numBlocks}")
+    // flip a payload byte in a middle block -> checksum mismatch
+    val victim = index.numBlocks / 2
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.seek(index.blockOffsets(victim) + 12 + 5)
+      val b = raf.read()
+      raf.seek(index.blockOffsets(victim) + 12 + 5)
+      raf.write(b ^ 0x40)
+    } finally raf.close()
+
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pad", org.apache.spark.sql.types.StringType)))
+    def readBack(permissiveOpt: Boolean) = spark.read.format("4mc")
+      .option("payload", "csv")
+      .option("ignoreCorruptBlocks", permissiveOpt.toString)
+      .schema(sch).load(dir)
+
+    // strict read: loud failure (the reference's integrity contract)
+    val strictErr = intercept[org.apache.spark.SparkException] { readBack(false).count() }
+    assert(strictErr.getMessage != null)
+
+    // permissive read: only the victim block's lines (plus at most the two
+    // boundary-spanning lines) are lost, nothing duplicates
+    FourMcScanMetrics.reset()
+    val got = readBack(true).collect().map(r => s"${r.getLong(0)}|${r.getString(1)}")
+    assert(FourMcScanMetrics.corruptSkipped.sum() == 1L,
+      s"expected exactly one skipped block, got ${FourMcScanMetrics.corruptSkipped.sum()}")
+    val orig = lines.toSet
+    assert(got.forall(orig.contains), "permissive read must never fabricate lines")
+    assert(got.length == got.toSet.size, "permissive read must never duplicate lines")
+    val lineBytes = lines.map(_.length).min + 1
+    val maxLost = 16 * 1024 / lineBytes + 2
+    assert(got.length < lines.length, "the corrupt block's lines must be lost")
+    assert(lines.length - got.length <= maxLost,
+      s"lost ${lines.length - got.length} lines, bound was $maxLost")
+
+    // split invariance holds in permissive mode too
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val split = readBack(true).collect().map(r => s"${r.getLong(0)}|${r.getString(1)}")
+      assert(split.sorted.toSeq == got.sorted.toSeq,
+        "permissive result must be identical under any split layout")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    // garbage block-header sizes (not just payload bits) also recover
+    val raf2 = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf2.seek(index.blockOffsets(victim + 2))
+      raf2.write(Array[Byte](0x7f, -1, -1, -1)) // absurd uncompressed size
+    } finally raf2.close()
+    FourMcScanMetrics.reset()
+    val got2 = readBack(true).collect().map(r => s"${r.getLong(0)}|${r.getString(1)}")
+    assert(FourMcScanMetrics.corruptSkipped.sum() == 2L)
+    assert(got2.forall(orig.contains) && got2.length == got2.toSet.size)
+    assert(lines.length - got2.length <= 2 * maxLost)
+  }
+
   test("csv narrow projections: capped boundary scan matches full reads") {
     import spark.implicits._
     import org.apache.spark.sql.types._
