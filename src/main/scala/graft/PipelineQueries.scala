@@ -32,6 +32,40 @@ object PipelineQueries {
       |WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE d2.text = d.text)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** D1 normalized flavor: normalize-then-hash exact dedup (the Dolma/C4
+    * recipe). The fixture corpus is already clean lowercase, so the query
+    * PLANTS the variation the normalizer exists for: every doc_id ≡ 3
+    * (mod 7) re-enters as an uppercased copy with trailing punctuation —
+    * byte-distinct, normalization-equal. Distinct counts run over md5
+    * digests (16-byte shuffle rows at corpus scale, engine-portable), and
+    * the row proves n_distinct_norm < n_distinct_raw per language.
+    */
+  def dedupExactNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select($"doc_id", $"lang", $"text")
+    val planted = d.union(
+      d.filter($"doc_id" % 7 === 3)
+        .select($"doc_id" + lit(1000000L), $"lang", concat(upper($"text"), lit(" !!"))))
+    planted.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(md5($"text")).as("n_distinct_raw"),
+        countDistinct(md5(Dedup.normalizedText($"text"))).as("n_distinct_norm"))
+      .orderBy($"lang")
+  }
+
+  val dedupExactNormalizedSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, upper(text) || ' !!' FROM documents
+       |  WHERE doc_id % 7 = 3
+       |)
+       |SELECT lang, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT md5(text)) AS n_distinct_raw,
+       |  COUNT(DISTINCT md5(${Dedup.normalizedTextSql("text")})) AS n_distinct_norm
+       |FROM planted GROUP BY lang ORDER BY lang""".stripMargin
+
   /** D2 exact flavor: high-overlap pairs by 3-gram-shingle Jaccard.
     * maxDocFreq=256 is the corpus-scale boilerplate guard: it never engages
     * on the test SFs (max shingle df at sf0.1 is 25 — measured, so the
@@ -417,6 +451,21 @@ object PipelineQueries {
 
   def unigramLogProbSql: String =
     TextAnalysis.unigramLogProbSql(16) + "\nORDER BY doc"
+
+  /** D6 bigram flavor: interpolated-absolute-discount bigram LM scoring —
+    * one order closer to CCNet's KenLM than the unigram row. vocabCap=16 /
+    * bigramCap=48 cut inside this corpus's vocabulary and bigram table so
+    * all three scoring paths run: discounted in-table bigrams, λ-backoff
+    * for out-of-table bigrams over known histories, and pure unigram for
+    * OOV histories. See [[TextAnalysis.bigramLogProb]].
+    */
+  def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(spark, sfDir), "doc_id", "text",
+        vocabCap = 16, bigramCap = 48)
+      .orderBy(col("doc"))
+
+  def bigramLogProbSql: String =
+    TextAnalysis.bigramLogProbSql(16, 48) + "\nORDER BY doc"
 
   /** D+ data-selection flavor: DSIR importance resampling toward the
     * English-labeled slice of the corpus — hashed-bigram importance weights,

@@ -47,6 +47,18 @@ object Dedup {
       .select("_r.*")
   }
 
+  /** Text normalization for "fuzzy-exact" dedup — the Dolma/C4-style
+    * normalize-then-hash recipe: lowercase, non-alphanumeric runs to a
+    * single space, trimmed. Catches re-crawls that differ only in case,
+    * punctuation, or whitespace, which byte-exact dedup misses; map-only,
+    * so the only cost over byte-exact dedup is the regex pass.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  def normalizedTextSql(t: String): String =
+    s"trim(regexp_replace(lower($t), '[^a-z0-9]+', ' ', 'g'))"
+
   /** Distinct (doc, 3-gram shingle) postings. Shingles — not unigrams — are
     * the unit: natural-language vocabularies are small and every word is hot
     * (a token present in 1M docs creates 10^12 join pairs), while shingle

@@ -332,6 +332,119 @@ object TextAnalysis {
         floor(-col("lp_mean_micro").cast(DoubleType) / lit(1e6)).cast("long"))
   }
 
+  /** Bigram LM quality scoring with interpolated absolute discounting — one
+    * order closer to CCNet's KenLM recipe than [[unigramLogProb]]:
+    *
+    *   p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1)·p_uni(w2)
+    *   λ(w1)    = D · |{w : c(w1,w) > 0}| / c(w1),   D = 0.75
+    *
+    * with two corpus-size-independent caps that make the model broadcastable:
+    * histories outside the top-`vocabCap` unigrams back off to pure
+    * p_uni(w2) (OOV-floored, as in the unigram op), and bigrams outside the
+    * top-`bigramCap` keep only the λ-weighted continuation mass. Per-token
+    * log-probs are quantized to integer micro-nats BEFORE the per-doc sum —
+    * deterministic under any partitioning.
+    *
+    * Plan shape at 100 TB: the bigram count aggregate is THE shuffle (as in
+    * any n-gram LM training — KenLM pays the same); it is map-side combined
+    * and its two downstream reductions (per-history continuation types,
+    * top-B TakeOrdered) are bounded by vocabulary, not corpus. Scoring joins
+    * are all broadcasts (V + V + B rows + the 1-row total); the only
+    * data-sized shuffles are the bigram counts and the final per-doc sum.
+    *
+    * Output per document: bigram count, summed and mean micro-nat log-prob,
+    * and the whole-nat perplexity bin.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    vocabCap: Int, bigramCap: Int): DataFrame = {
+    val D = 0.75
+    val pairs = docs
+      .select(col(idCol).as("doc"), explode(bigrams(tokens(col(textCol)))).as("f"))
+      .select(col("doc"),
+        element_at(split(col("f"), " "), 1).as("w1"),
+        element_at(split(col("f"), " "), 2).as("w2"))
+    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok").asc).limit(vocabCap)
+    val bigc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val types = bigc.groupBy(col("w1")).agg(count(lit(1)).as("n_types"))
+    val topB = bigc.orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(bigramCap)
+    val hist = vocab.select(col("tok").as("w1"), col("cnt").as("c1"))
+      .join(types, Seq("w1"), "left_outer")
+      .select(col("w1"), col("c1"), coalesce(col("n_types"), lit(0L)).as("n_types"))
+    val nextW = vocab.select(col("tok").as("w2"), col("cnt").as("cnt2"))
+    val scored = pairs
+      .join(broadcast(topB), Seq("w1", "w2"), "left_outer")
+      .join(broadcast(hist), Seq("w1"), "left_outer")
+      .join(broadcast(nextW), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc"), {
+        val pu2 = coalesce(col("cnt2").cast(DoubleType), lit(1.0)) / col("total")
+        val lam = lit(D) * col("n_types").cast(DoubleType) / col("c1")
+        val pDisc = (col("c12").cast(DoubleType) - lit(D)) / col("c1")
+        val p = when(col("c1").isNull, pu2)
+          .otherwise(coalesce(pDisc, lit(0.0)) + lam * pu2)
+        round(lit(1e6) * log(p)).cast("long").as("score")
+      })
+    scored.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score")).as("lp_sum_micro"))
+      .select(col("doc"), col("n_bigrams"), col("lp_sum_micro"),
+        round(col("lp_sum_micro").cast(DoubleType) / col("n_bigrams"))
+          .cast("long").as("lp_mean_micro"))
+      .withColumn("nat_bin",
+        floor(-col("lp_mean_micro").cast(DoubleType) / lit(1e6)).cast("long"))
+  }
+
+  /** DuckDB mirror of [[bigramLogProb]]: same caps, same discounting
+    * arithmetic in the same association order, same micro-nat rounding.
+    */
+  def bigramLogProbSql(vocabCap: Int, bigramCap: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS doc, unnest(${sqlToks("text")}) AS tok FROM documents
+       |), counts AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+       |vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT $vocabCap),
+       |tl AS (SELECT doc_id AS doc, ${sqlToks("text")} AS l FROM documents),
+       |pairs AS (
+       |  SELECT doc, f[1] AS w1, f[2] AS w2 FROM (
+       |    SELECT doc, string_split(unnest(
+       |      CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+       |      ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+       |      END), ' ') AS f
+       |    FROM tl)
+       |), bigc AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+       |), types AS (
+       |  SELECT w1, COUNT(*) AS n_types FROM bigc GROUP BY 1
+       |), topb AS (
+       |  SELECT w1, w2, c12 FROM bigc ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT $bigramCap
+       |), hist AS (
+       |  SELECT v.tok AS w1, v.cnt AS c1, COALESCE(t.n_types, 0) AS n_types
+       |  FROM vocab v LEFT JOIN types t ON v.tok = t.w1
+       |), scored AS (
+       |  SELECT p.doc,
+       |    CAST(round(1e6 * ln(
+       |      CASE WHEN h.c1 IS NULL THEN COALESCE(v2.cnt, 1) * 1.0 / tot.total
+       |      ELSE COALESCE((b.c12 - 0.75) / h.c1, 0.0)
+       |         + 0.75 * h.n_types / h.c1 * (COALESCE(v2.cnt, 1) * 1.0 / tot.total)
+       |      END)) AS BIGINT) AS score
+       |  FROM pairs p
+       |  LEFT JOIN topb b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  LEFT JOIN hist h ON p.w1 = h.w1
+       |  LEFT JOIN vocab v2 ON p.w2 = v2.tok
+       |  CROSS JOIN tot
+       |), perdoc AS (
+       |  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(score) AS BIGINT) AS lp_sum_micro
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc, n_bigrams, lp_sum_micro,
+       |  CAST(round(CAST(lp_sum_micro AS DOUBLE) / n_bigrams) AS BIGINT) AS lp_mean_micro,
+       |  CAST(floor(-CAST(round(CAST(lp_sum_micro AS DOUBLE) / n_bigrams) AS BIGINT) / 1e6) AS BIGINT) AS nat_bin
+       |FROM perdoc""".stripMargin
+
   /** DuckDB mirror of [[unigramLogProb]]: same tokenizer, same top-V
     * (count DESC, token ASC) vocabulary cut, same micro-nat rounding before
     * the integer per-doc sum.

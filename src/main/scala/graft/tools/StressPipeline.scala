@@ -318,6 +318,25 @@ object StressPipeline {
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           vocabCap = 4096).count()
       },
+      // DSIR importance resampling: two O(features) explodes, a groupBy
+      // bounded by m=1024 buckets, one ≤m-row broadcast back, TakeOrdered
+      // top-k — every shuffle except the per-doc sum is constant-size, so
+      // time should be ~2 tokenize scans regardless of corpus size
+      guarded("dsir_select") {
+        graft.ops.Dsir.dsirSelect(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          targetPred = col("lang") === "en", m = 1024, k = 100).count()
+      },
+      // PQ-ADC at corpus scale: codebook training (iters=1 — production
+      // trains on a sample; the full-corpus pass here upper-bounds it) +
+      // fused map-only encode + the LUT-broadcast candidate scan. The scan
+      // reads 32 small ints + a norm per row instead of 64 floats; scoring
+      // is 32 lookups/pair — time should scale with N at a lower constant
+      // than ann brute force would
+      guarded("ann_pq_adc") {
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
+          mSub = 32, ks = 16, nCand = 128, iters = 1).count()
+      },
       // the composed nightly-build row: quality gate -> exact dedup -> span
       // removal -> per-lang stats. Cost should track its parts (one quality
       // scan + one text-keyed dedup shuffle + the span machinery) — a

@@ -43,6 +43,7 @@ class EntrySpec extends AnyFunSuite {
       "mixture_resample" -> scalarAgg,
       "quality_curriculum" -> scalarAgg,
       "unigram_logprob" -> scalarAgg,
+      "bigram_logprob" -> scalarAgg,
       "dsir_select" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus
       "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),

@@ -354,6 +354,43 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "vocabulary must broadcast onto tokens")
   }
 
+  test("bigramLogProb: all three scoring paths hand-verified on a known LM") {
+    import spark.implicits._
+    // corpus: doc1 = "a a b", doc2 = "a b c a"
+    //   unigrams a:4 b:2 c:1 (total 7); vocabCap=2 -> {a,b}, c is OOV
+    //   bigrams (a,b):2 (a,a):1 (b,c):1 (c,a):1; bigramCap=2 -> {(a,b),(a,a)}
+    val d = Seq((1L, "a a b"), (2L, "a b c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "doc_id", "text", vocabCap = 2, bigramCap = 2)
+      .orderBy("doc").collect()
+    // HALF-AWAY-FROM-ZERO, matching Spark's round() AND DuckDB's round() on
+    // negative values (math.round is half-toward-+inf and differs on -x.5 —
+    // doc1's mean lands EXACTLY on -1076431.5 and caught this)
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    def micro(p: Double): Long = rnd(1e6 * math.log(p))
+    val total = 7.0
+    def pu(cnt: Double) = cnt / total
+    // in-table bigram over known history: discounted + continuation mass
+    def inTable(c12: Double, c1: Double, types: Double, puW2: Double) =
+      (c12 - 0.75) / c1 + 0.75 * types / c1 * puW2
+    // out-of-table bigram over known history: continuation mass only
+    def backoff(c1: Double, types: Double, puW2: Double) =
+      0.0 + 0.75 * types / c1 * puW2
+    val sAA = micro(inTable(1, 4, 2, pu(4)))
+    val sAB = micro(inTable(2, 4, 2, pu(2)))
+    val sBC = micro(backoff(2, 1, 1.0 / total)) // c is OOV -> floor prob
+    val sCA = micro(pu(4)) // OOV history -> pure unigram
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == sAA + sAB)
+    assert(out(1).getLong(1) == 3 && out(1).getLong(2) == sAB + sBC + sCA)
+    assert(out(0).getLong(3) == rnd((sAA + sAB) / 2.0))
+    // plan: history/bigram/unigram tables all broadcast; bigram-table cut is
+    // a TakeOrdered partial top-B
+    val plan = TextAnalysis.bigramLogProb(docs, "doc_id", "text", 16, 48)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("one-pass minhash_signatures equals the 64x transform+array_min formulation") {
     val fused = Dedup.minHashSignatures(docs, "doc_id", "text")
       .select("doc", "sig").collect()
