@@ -38,13 +38,16 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Dsir {
 
-  /** Unigrams + adjacent bigrams, with multiplicity — the paper's hashed
-    * n-gram featurization (n ≤ 2). Pure array expression; stays map-side.
+  /** Unigrams + adjacent bigrams, with multiplicity, from a MATERIALIZED
+    * token-array column — the paper's hashed n-gram featurization (n ≤ 2).
+    * Two-phase on purpose (same trap as `Dedup.shinglePostings`): a lambda
+    * referencing `tokens(text)` directly re-runs the regex split PER ARRAY
+    * ELEMENT (no CSE through higher-order functions), turning featurization
+    * O(tokens²) per document — measured as ~5× the whole operator's cost at
+    * 3.5 M docs before the split was materialized.
     */
-  def features(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def features(toks: Column): Column =
     concat(toks, TextAnalysis.bigrams(toks))
-  }
 
   /** Per-document DSIR importance weights and the Gumbel-resampled top-`k`
     * selection: (doc, n_feats, lw_sum_micro, key_micro), ordered by the
@@ -54,13 +57,25 @@ object Dsir {
     * flag for a second scan + union when the target lives elsewhere).
     */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
-                 targetPred: Column, m: Int, k: Int): DataFrame = {
+                 targetPred: Column, m: Int, k: Int,
+                 fastHash: Boolean = false): DataFrame = {
     require(m > 0 && k > 0, s"m and k must be positive, got m=$m k=$k")
-    val feats = docs.select(
-      col(idCol).as("doc"),
-      targetPred.as("is_target"),
-      explode(features(col(textCol))).as("f"))
-      .select(col("doc"), col("is_target"), Sampling.md5Bucket(col("f"), m).as("b"))
+    // Feature bucketing is the hot loop: O(features) hash calls, twice.
+    // md5 keeps the DuckDB oracle exact at fixture scale; at corpus scale
+    // `fastHash` switches the bucket to codegen'd xxhash64 (measured: the
+    // md5 path spent 700 s at 3.5 M docs on ~1 B md5+hex-parse calls where
+    // the model arithmetic itself is ~100 s) — the same md5-for-oracle /
+    // xxhash-for-scale dispatch the MinHash ops use. Both hashes are
+    // uniform, so model quality is unchanged; only bucket assignment
+    // differs. The Gumbel tie-break stays md5-keyed (one call per DOC).
+    val bucket =
+      if (fastHash) pmod(xxhash64(col("f")), lit(m.toLong))
+      else Sampling.md5Bucket(col("f"), m)
+    val feats = docs
+      .select(col(idCol).as("doc"), targetPred.as("is_target"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), col("is_target"), explode(features(col("toks"))).as("f"))
+      .select(col("doc"), col("is_target"), bucket.as("b"))
     val counts = feats.groupBy(col("b")).agg(
       count(lit(1)).as("c_raw"),
       count(when(col("is_target"), lit(1))).as("c_tgt"))

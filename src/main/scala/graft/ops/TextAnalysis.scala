@@ -358,8 +358,12 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     vocabCap: Int, bigramCap: Int): DataFrame = {
     val D = 0.75
+    // two-phase tokenize (materialize the array, THEN build bigrams): a
+    // lambda referencing tokens(text) re-splits the text per element —
+    // O(tokens²) per doc (see [[Dsir.features]], measured)
     val pairs = docs
-      .select(col(idCol).as("doc"), explode(bigrams(tokens(col(textCol)))).as("f"))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(bigrams(col("toks"))).as("f"))
       .select(col("doc"),
         element_at(split(col("f"), " "), 1).as("w1"),
         element_at(split(col("f"), " "), 2).as("w2"))

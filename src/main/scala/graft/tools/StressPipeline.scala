@@ -325,7 +325,17 @@ object StressPipeline {
       guarded("dsir_select") {
         graft.ops.Dsir.dsirSelect(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          targetPred = col("lang") === "en", m = 1024, k = 100).count()
+          targetPred = col("lang") === "en", m = 1024, k = 100,
+          fastHash = true).count()
+      },
+      // bigram LM: the bigram count aggregate is THE shuffle (any n-gram LM
+      // training pays it — KenLM included); both reductions after it are
+      // vocabulary-bounded and the scoring joins broadcast, so time should
+      // track ~2 tokenize scans + one bigram-count shuffle, linear in corpus
+      guarded("bigram_logprob") {
+        graft.ops.TextAnalysis.bigramLogProb(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          vocabCap = 4096, bigramCap = 65536).count()
       },
       // PQ-ADC at corpus scale: codebook training (iters=1 — production
       // trains on a sample; the full-corpus pass here upper-bounds it) +

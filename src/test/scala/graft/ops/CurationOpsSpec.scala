@@ -73,7 +73,8 @@ class CurationOpsSpec extends AnyFunSuite {
     // independent weight re-derivation: same formula, computed from scratch
     // in Scala over collected feature buckets
     val feats = d.select($"doc_id", ($"lang" === "en").as("t"),
-        explode(Dsir.features($"text")).as("f"))
+        TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", $"t", explode(Dsir.features($"toks")).as("f"))
       .select($"doc_id", $"t", Sampling.md5Bucket($"f", m).as("b"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
     val cRaw = feats.groupBy(_._3).view.mapValues(_.size.toLong).toMap
@@ -97,6 +98,15 @@ class CurationOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "delta table must broadcast")
     assert(plan.contains("TakeOrderedAndProject"), "top-k must be a TakeOrdered")
+    // the corpus-scale fastHash path (xxhash64 buckets): same arithmetic,
+    // same determinism guarantees; only bucket assignment differs
+    val fast = Dsir.dsirSelect(d, "doc_id", "text", $"lang" === "en", m, 10, fastHash = true)
+      .collect().map(_.toString).toList
+    val fastAgain = Dsir.dsirSelect(d.repartition(5), "doc_id", "text", $"lang" === "en", m, 10,
+        fastHash = true)
+      .collect().map(_.toString).toList
+    assert(fast == fastAgain, "fastHash selection must be layout-invariant")
+    assert(fast.size == 10)
   }
 
   test("dupSpanCoverage: a full copy is 100% covered, a planted 8-token splice is found") {
