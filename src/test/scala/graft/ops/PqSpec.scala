@@ -21,6 +21,17 @@ class PqSpec extends AnyFunSuite {
 
   private val (dim, mSub, ks, dsub) = (64, 32, 16, 2)
 
+  test("fused codebook training equals the per-subspace sliced formulation exactly") {
+    val fused = Similarity.pqCodebooks(emb, dim, mSub, ks, iters = 3)
+    for (s <- 0 until mSub) {
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
+      val (_, m, _) = Similarity.trainCentroids(sub, ks, iters = 3)
+      assert(java.util.Arrays.equals(fused(s)._2, m),
+        s"fused codebook for subspace $s diverged from the sliced trainCentroids run")
+    }
+  }
+
   test("pq_encode matches an independent argmax-cosine re-derivation; nrm2_hat is additive") {
     val books = Similarity.pqCodebooks(emb, dim, mSub, ks, iters = 3)
     val offsets = books.map(_._1.length).scanLeft(0)(_ + _).toArray
