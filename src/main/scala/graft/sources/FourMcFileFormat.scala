@@ -293,7 +293,14 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         val index = FourMcFileFormat.cachedIndex(file, in)
         val raw: Iterator[(Long, Array[Byte])] =
           if (ebProto) new graft.format.FourMcEbBlockIterator(in, index, file.start, file.start + file.length, ebMarker)
-          else if (binary) new FourMcRecordIterator(in, index, file.start, file.start + file.length)
+          else if (binary) {
+            val it = new FourMcRecordIterator(in, index, file.start, file.start + file.length,
+              permissive = permissive)
+            if (permissive) Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              FourMcScanMetrics.corruptSkipped.add(it.corruptSkipped)
+            })
+            it
+          }
           else {
             val it = new FourMcLineIterator(in, index, file.start, file.start + file.length,
               permissive = permissive)
@@ -433,7 +440,8 @@ final class FourMcRecordIterator(
     in: McInput,
     index: FourMcIndex,
     splitStart: Long,
-    splitEnd: Long
+    splitEnd: Long,
+    permissive: Boolean = false
 ) extends Iterator[(Long, Array[Byte])] {
   private val alignedStart = index.nextBlockAt(math.max(splitStart, FourMc.HeaderLen.toLong))
   private val alignedEnd =
@@ -443,30 +451,79 @@ final class FourMcRecordIterator(
   private var blockOff = 0
   private var blockFileOff = alignedStart
 
+  /** Corrupt blocks skipped under `permissive` — simpler than the line
+    * iterator's recovery because binary records never span blocks: dropping
+    * a whole block (bad checksum, or in-block record framing that no longer
+    * parses) can never desync any OTHER block, and block ownership already
+    * partitions records exactly across splits.
+    */
+  var corruptSkipped: Long = 0L
+
+  private def skipToNextBlock(from: Long): Unit = {
+    corruptSkipped += 1
+    val o = index.ordAt(from + 1)
+    pos = if (o < index.numBlocks) index.blockOffsets(o) else index.eosPos
+    block = null
+  }
+
   private def ensureBlock(): Boolean = {
     while (block == null || blockOff >= block.length) {
       if (pos >= alignedEnd) return false
-      val (data, nxt) = FourMcReader.readBlock(in, index.zstd, pos)
-      if (data == null) return false
-      block = data; blockOff = 0; blockFileOff = pos; pos = nxt
+      val cur = pos
+      try {
+        val (data, nxt) = FourMcReader.readBlock(in, index.zstd, cur)
+        if (data == null) {
+          // a decoded EOS below the footer's eosPos contradicts the index
+          if (permissive && cur < index.eosPos) skipToNextBlock(cur)
+          else return false
+        } else {
+          block = data; blockOff = 0; blockFileOff = cur; pos = nxt
+        }
+      } catch {
+        case _: java.io.IOException if permissive => skipToNextBlock(cur)
+      }
     }
     true
   }
 
-  override def hasNext: Boolean = ensureBlock()
+  private var nextRec: (Long, Array[Byte]) = _
+  private var primed = false
+
+  private def advance(): Unit = {
+    nextRec = null
+    while (nextRec == null) {
+      if (!ensureBlock()) return
+      if (blockOff + 4 > block.length) {
+        if (permissive) { corruptSkipped += 1; blockOff = block.length }
+        else throw new java.io.IOException(
+          s"truncated 4mc binary record header at $blockFileOff+$blockOff")
+      } else {
+        val len = ((block(blockOff) & 0xff) << 24) | ((block(blockOff + 1) & 0xff) << 16) |
+          ((block(blockOff + 2) & 0xff) << 8) | (block(blockOff + 3) & 0xff)
+        if (len < 0 || blockOff + 4 + len > block.length) {
+          // framing desync: the rest of THIS block is unparseable, later
+          // blocks are independent — drop the remainder, keep going
+          if (permissive) { corruptSkipped += 1; blockOff = block.length }
+          else throw new java.io.IOException(
+            s"corrupt 4mc binary record length $len at $blockFileOff")
+        } else {
+          blockOff += 4
+          nextRec = (blockFileOff, java.util.Arrays.copyOfRange(block, blockOff, blockOff + len))
+          blockOff += len
+        }
+      }
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (!primed) { advance(); primed = true }
+    nextRec != null
+  }
 
   override def next(): (Long, Array[Byte]) = {
     if (!hasNext) throw new NoSuchElementException
-    if (blockOff + 4 > block.length)
-      throw new java.io.IOException(s"truncated 4mc binary record header at $blockFileOff+$blockOff")
-    val len = ((block(blockOff) & 0xff) << 24) | ((block(blockOff + 1) & 0xff) << 16) |
-      ((block(blockOff + 2) & 0xff) << 8) | (block(blockOff + 3) & 0xff)
-    blockOff += 4
-    if (len < 0 || blockOff + len > block.length)
-      throw new java.io.IOException(s"corrupt 4mc binary record length $len at $blockFileOff")
-    val rec = java.util.Arrays.copyOfRange(block, blockOff, blockOff + len)
-    blockOff += len
-    (blockFileOff, rec)
+    primed = false
+    nextRec
   }
 }
 

@@ -351,6 +351,57 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(lines.length - got2.length <= 2 * maxLost)
   }
 
+  test("ignoreCorruptBlocks: binary payload drops whole corrupt blocks, framing intact") {
+    import spark.implicits._
+    // records carry their id in the first 4 bytes so survivors are provable
+    val recs = (0 until 60000).map { i =>
+      val a = new Array[Byte](250)
+      a(0) = (i >> 24).toByte; a(1) = (i >> 16).toByte; a(2) = (i >> 8).toByte; a(3) = i.toByte
+      a
+    }
+    val dir = tmpDir()
+    recs.toDF("value").coalesce(1).write.format("4mc")
+      .option("payload", "binary").option("codec", "lz4-fast").save(dir)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+    val in = graft.format.McInput.local(f.toPath)
+    val index = try graft.format.FourMcReader.readIndex(in) finally in.close()
+    assert(index.numBlocks >= 3, s"need a multi-block fixture, got ${index.numBlocks}")
+    val victim = index.numBlocks / 2
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.seek(index.blockOffsets(victim) + 12 + 9)
+      val b = raf.read()
+      raf.seek(index.blockOffsets(victim) + 12 + 9)
+      raf.write(b ^ 0x01)
+    } finally raf.close()
+
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("4mc").option("payload", "binary").load(dir).count()
+    }
+    FourMcScanMetrics.reset()
+    def readIds(df: org.apache.spark.sql.DataFrame): Array[Int] =
+      df.as[Array[Byte]].collect().map(a =>
+        ((a(0) & 0xff) << 24) | ((a(1) & 0xff) << 16) | ((a(2) & 0xff) << 8) | (a(3) & 0xff))
+    val got = readIds(spark.read.format("4mc").option("payload", "binary")
+      .option("ignoreCorruptBlocks", "true").load(dir))
+    assert(FourMcScanMetrics.corruptSkipped.sum() == 1L)
+    assert(got.forall(i => i >= 0 && i < 60000))
+    assert(got.length == got.distinct.length, "no record may duplicate")
+    val lost = 60000 - got.length
+    // records never span blocks: the loss is exactly one block's records
+    val perBlockBound = (4 * 1024 * 1024) / 254 + 1
+    assert(lost > 0 && lost <= perBlockBound, s"lost $lost records, bound $perBlockBound")
+    // split invariance in permissive mode
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val split = readIds(spark.read.format("4mc").option("payload", "binary")
+        .option("ignoreCorruptBlocks", "true").load(dir))
+      assert(split.sorted.toSeq == got.sorted.toSeq)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("csv narrow projections: capped boundary scan matches full reads") {
     import spark.implicits._
     import org.apache.spark.sql.types._
