@@ -529,6 +529,22 @@ object PipelineQueries {
 
   val annPqSql: String = Similarity.bruteForceSql(10, 5)
 
+  /** D3 production shape: IVF + PQ (FAISS IVFPQ) — probe-bounded candidate
+    * cells joined by EQUALITY on the cell id (no nested-loop join), each
+    * candidate ADC-scored over its 16-byte code, exact re-rank keeps the
+    * top-5 brute-force-exact (recall asserted at both fixture corpus sizes
+    * in PqSpec). See [[Similarity.ivfPqTopK]].
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5, dim = 64,
+        nCells = 16, nprobe = 14, mSub = 32, ks = 16, nCand = 128)
+      .select(col("qid"), col("rn"), round(col("sim"), 5).as("simr"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val annIvfPqSql: String = Similarity.bruteForceSql(10, 5)
+
   // ------------------------------------------------------------------- text
 
   /** D4: per-language token/quality statistics. */

@@ -592,6 +592,70 @@ object Similarity {
     rescored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** IVF + PQ — the FAISS-style production ANN shape (IVFPQ, Jégou et al.
+    * 2011 §V): the inverted file bounds WHICH corpus rows each query
+    * touches (nprobe cells out of nCells), and product quantization bounds
+    * WHAT each touched row costs (an `mSub`-lookup ADC score over a 16-byte
+    * packed code instead of a `dim`-float dot product). Candidate
+    * generation is a broadcast EQUALITY join on the cell id — unlike the
+    * flat-PQ scan there is no nested-loop join anywhere, so at corpus scale
+    * the probed fraction (~nprobe/nCells) of the code table is all that is
+    * ever read per query batch. Exact re-rank of the top `nCand` keeps the
+    * emitted top-k brute-force-exact at tuned fixture parameters (same
+    * oracle contract as IVF / LSH / PQ).
+    *
+    * The corpus side (cid, code, nrm2_hat) is the persistable compressed
+    * index: one map-only pass built from two broadcast codebook tables,
+    * re-usable across query batches.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nCells: Int, nprobe: Int, mSub: Int, ks: Int, nCand: Int,
+                iters: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{top_centroids, nearest_centroid, pq_encode, pq_lut}
+    val dsub = dim / mSub
+    val (cellIds, cellM, _) = trainCentroids(corpus, nCells, iters)
+    val books = pqCodebooks(corpus, dim, mSub, ks, iters)
+    val offsets = books.map(_._1.length).scanLeft(0)(_ + _).toArray
+    val flat = new Array[Double](offsets.last * dsub)
+    books.zipWithIndex.foreach { case ((_, m), s) =>
+      System.arraycopy(m, 0, flat, offsets(s) * dsub, m.length)
+    }
+    val normsSq: Seq[Double] = (0 until offsets.last).map { g =>
+      var nn = 0.0
+      var j = 0
+      while (j < dsub) { val v = flat(g * dsub + j); nn += v * v; j += 1 }
+      nn
+    }
+    val cells = corpus.select(
+      col("vec_id").as("nid"),
+      nearest_centroid(col("embedding"), cellIds, cellM, dim).as("cid"),
+      pq_encode(col("embedding"), flat, offsets, dsub).as("code"))
+      .withColumn("nrm2_hat",
+        aggregate(col("code"), lit(0.0), (acc, g) => acc + element_at(typedlit(normsSq), g + 1)))
+    val probes = queries.select(
+      col("vec_id").as("qid"),
+      pq_lut(col("embedding"), flat, offsets, dsub).as("lut"),
+      explode(top_centroids(col("embedding"), cellIds, cellM, dim, nprobe)).as("cid"))
+    // every corpus vector lives in exactly ONE cell and probe cells are
+    // distinct per query -> (qid, nid) already unique, no distinct needed
+    val scored = broadcast(probes)
+      .join(cells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (aggregate(col("code"), lit(0.0), (acc, g) => acc + element_at(col("lut"), g + 1)) /
+          when(col("nrm2_hat") > 0, sqrt(col("nrm2_hat"))).otherwise(lit(1.0))).as("approx"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("nid").asc)
+    val cands = scored.withColumn("cr", row_number().over(wc)).filter(col("cr") <= nCand)
+      .select(col("qid"), col("nid"))
+    val qemb = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val rescored = broadcast(cands)
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb")), Seq("nid"))
+      .join(broadcast(qemb), Seq("qid"))
+      .select(col("qid"), col("nid"), vec_cosine(col("qemb"), col("nemb")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    rescored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
   // ----------------------------------------------------------------- SRP-LSH
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): derived

@@ -347,6 +347,16 @@ object StressPipeline {
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
           mSub = 32, ks = 16, nCand = 128, iters = 1).count()
       },
+      // IVFPQ at corpus scale (nCells ~ sqrt(N), nprobe 1/16 of cells): the
+      // candidate join touches ~nprobe/nCells of the code table per query —
+      // against flat PQ's full-scan this is the sublinear production shape;
+      // time should be dominated by index construction (two training passes
+      // + one map-only encode), with the probe join itself near-free
+      guarded("ann_ivfpq") {
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
+          nCells = 1024, nprobe = 64, mSub = 32, ks = 16, nCand = 128,
+          iters = 1).count()
+      },
       // the composed nightly-build row: quality gate -> exact dedup -> span
       // removal -> per-lang stats. Cost should track its parts (one quality
       // scan + one text-keyed dedup shuffle + the span machinery) — a

@@ -83,6 +83,30 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: probe-bounded + compressed candidates still recall the exact top-5") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.ivfPqTopK(e, q, 5, dim, nCells = 16, nprobe = 14,
+          mSub, ks, nCand = 128)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth, s"IVFPQ top-5 diverged from brute force on $dir")
+    }
+    // candidate generation must be an equality join on the cell id — the
+    // whole point over flat PQ: no nested-loop join anywhere in the plan
+    val e = emb
+    val plan = Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 5, dim,
+        16, 14, mSub, ks, 128).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "IVFPQ candidate generation must not plan a nested-loop join")
+    assert(plan.contains("pq_encode") && plan.contains("pq_lut") &&
+      plan.contains("nearest_centroid"))
+  }
+
   test("pqTopK is partition-invariant and its encode stage plans map-only") {
     val e = emb
     val q = e.filter(col("vec_id") < 10)
