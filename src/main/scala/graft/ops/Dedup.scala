@@ -205,7 +205,9 @@ object Dedup {
         array_sort(col("ordered")).as("set"),
         col("sz"))
       .localCheckpoint(true, ckptLevel(posts))
-    val prefix = perDoc.select(col("doc"), col("sz"), explode(col("prefix")).as("w"))
+    // posexplode: each prefix token carries its 0-based rank in the doc's
+    // rarity-ordered shingle list — the PPJoin positional filter's input
+    val prefix = perDoc.select(col("doc"), col("sz"), posexplode(col("prefix")).as(Seq("p", "w")))
     val cands = prefix
       .as("a")
       .join(prefix.as("b"),
@@ -214,7 +216,15 @@ object Dedup {
           // must survive double rounding of τ·max; the exact Jaccard filter
           // downstream decides for real
           greatest(col("a.sz"), col("b.sz")) * threshold <=
-            least(col("a.sz"), col("b.sz")) + lit(1e-9))
+            least(col("a.sz"), col("b.sz")) + lit(1e-9) &&
+          // PPJoin positional filter (Xiao et al. 2008): a token matched at
+          // 0-based ranks (pa, pb) caps the overlap at min(sza−pa, szb−pb)
+          // (only suffixes from the match onward can still intersect), and
+          // Jaccard ≥ τ needs overlap ≥ τ·(sza+szb)/(1+τ). Pairs survive on
+          // ANY qualifying match — weaker than PPJoin's first-match bound,
+          // so strictly exact; the distinct() below dedupes as before.
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) + lit(1e-9) >=
+            lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
     cands
