@@ -467,6 +467,19 @@ object PipelineQueries {
   def bigramLogProbSql: String =
     TextAnalysis.bigramLogProbSql(16, 48) + "\nORDER BY doc"
 
+  /** D4+ trained-subword segmentation: real BPE (Sennrich et al. 2016)
+    * applied per token by the codegen [[graft.functions.BpeEncodeExpr]].
+    * The registered row uses [[Bpe.DisjointMerges]] — a merge table whose
+    * pairwise-disjoint alphabets make greedy min-rank BPE provably equal an
+    * arithmetic identity DuckDB can state; the trained path (distributed
+    * word counts + driver merge loop) and interacting-merge behavior are
+    * exercised in BpeSpec.
+    */
+  def bpeSegmentStats(spark: SparkSession, sfDir: String): DataFrame =
+    Bpe.bpeSegmentStats(docs(spark, sfDir), "lang", "text")
+
+  val bpeSegmentStatsSql: String = Bpe.bpeSegmentStatsSql
+
   /** D+ data-selection flavor: DSIR importance resampling toward the
     * English-labeled slice of the corpus — hashed-bigram importance weights,
     * Gumbel top-k selection, everything md5-keyed and micro-nat-quantized so
