@@ -347,6 +347,12 @@ object StressPipeline {
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
           mSub = 32, ks = 16, nCand = 128, iters = 1).count()
       },
+      // BPE segmentation: encode is a map-only per-token loop against the
+      // broadcast merge ranks — time should be ~1 tokenize scan + the
+      // string work, with only the per-lang aggregate shuffling
+      guarded("bpe_segment_stats") {
+        graft.PipelineQueries.bpeSegmentStats(spark, dir).count()
+      },
       // IVFPQ at corpus scale (nCells ~ sqrt(N), nprobe 1/16 of cells): the
       // candidate join touches ~nprobe/nCells of the code table per query —
       // against flat PQ's full-scan this is the sublinear production shape;
