@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.format.{FourMc, FourMcReader, McInput}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distributed integrity sweep over a directory of 4mc/4mz files — the
+  * periodic fsck a 100 TB archive runs between the writer's checksums and
+  * the reader's `ignoreCorruptBlocks` recovery.
+  *
+  * Per file: verify the header, the footer (magic/size/version/checksum,
+  * via the normal index read), and EVERY block's xxhash32 over its
+  * compressed payload — WITHOUT decompressing anything, so the sweep is
+  * pure sequential I/O (~the file's on-disk size), not codec CPU. Block
+  * structure errors (sizes out of range, premature EOS vs the index) count
+  * as corrupt too.
+  *
+  * Shape at scale: one task per FILE (files are the natural unit — each
+  * needs its own footer), listed driver-side (names only) and fanned out
+  * with `spark.sparkContext.parallelize`; no shuffle, output one row per
+  * file. Unreadable files (bad header/footer) surface as rows with
+  * `footer_ok = false` rather than failing the sweep.
+  */
+object Fsck {
+
+  final case class FileReport(
+      file: String,
+      bytes: Long,
+      footer_ok: Boolean,
+      n_blocks: Int,
+      n_corrupt_blocks: Int,
+      error: String)
+
+  def fsck(spark: SparkSession, dir: String, parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if ((n.endsWith(".4mc") || n.endsWith(".4mz")) && !n.startsWith("_") && !n.startsWith("."))
+          b += ((st.getPath.toString, st.getLen))
+      }
+      b.result()
+    }
+    val par = if (parallelism > 0) parallelism
+      else math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext
+      .parallelize(files, math.max(par, 1))
+      .map { case (path, len) => checkFile(path, len, confB.value.value) }
+      .toDF()
+      .orderBy($"file")
+  }
+
+  private[graft] def checkFile(path: String,
+                               len: Long,
+                               conf: org.apache.hadoop.conf.Configuration): FileReport = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val stream = fs.open(p)
+    val in: McInput = new McInput {
+      def length: Long = len
+      def readFully(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
+        stream.readFully(pos, buf, off, n)
+      def close(): Unit = stream.close()
+    }
+    try {
+      val index =
+        try FourMcReader.readIndex(in)
+        catch {
+          case e: Exception =>
+            return FileReport(path, len, footer_ok = false, 0, 0,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        }
+      var corrupt = 0
+      var firstErr: String = ""
+      val hdr = new Array[Byte](FourMc.BlockHeaderLen)
+      var ord = 0
+      while (ord < index.numBlocks) {
+        val off = index.blockOffsets(ord)
+        val blockEnd =
+          if (ord + 1 < index.numBlocks) index.blockOffsets(ord + 1) else index.eosPos
+        try {
+          in.readFully(off, hdr, 0, FourMc.BlockHeaderLen)
+          def be(o: Int): Int =
+            ((hdr(o) & 0xff) << 24) | ((hdr(o + 1) & 0xff) << 16) |
+              ((hdr(o + 2) & 0xff) << 8) | (hdr(o + 3) & 0xff)
+          val uncomp = be(0); val comp = be(4); val sum = be(8)
+          if (uncomp == 0 && comp == 0 && sum == 0)
+            throw new java.io.IOException(s"premature EOS at $off (index expects a block)")
+          if (uncomp <= 0 || uncomp > FourMc.MaxBlockSize)
+            throw new java.io.IOException(s"uncompressed size $uncomp out of range at $off")
+          if (comp <= 0 || comp > uncomp)
+            throw new java.io.IOException(s"compressed size $comp out of range at $off")
+          if (off + FourMc.BlockHeaderLen + comp > blockEnd)
+            throw new java.io.IOException(s"block at $off overruns the next index offset")
+          val payload = new Array[Byte](comp)
+          in.readFully(off + FourMc.BlockHeaderLen, payload, 0, comp)
+          if (FourMc.xxhash32(payload, 0, comp) != sum)
+            throw new java.io.IOException(s"block checksum mismatch at $off")
+        } catch {
+          case e: Exception =>
+            corrupt += 1
+            if (firstErr.isEmpty)
+              firstErr = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        }
+        ord += 1
+      }
+      FileReport(path, len, footer_ok = true, index.numBlocks, corrupt, firstErr)
+    } finally in.close()
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Distributed fsck: clean dirs report clean, payload corruption is
+  * localized to the right file and counted per block, footer damage is a
+  * file-level report rather than a sweep failure.
+  */
+class FsckSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("fsck-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("fsck").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("clean, payload-corrupt, and footer-corrupt files each report correctly") {
+    import spark.implicits._
+    val dir = freshDir()
+    val lines = (0 until 40000).map(i => f"line-$i%06d|${"q" * 30}")
+    lines.toDF("value").repartition(3).write.format("4mc")
+      .option("codec", "lz4-fast").save(dir)
+
+    val clean = Fsck.fsck(spark, dir).collect()
+    assert(clean.length == 3)
+    assert(clean.forall(r => r.getBoolean(2) && r.getInt(4) == 0),
+      s"clean dir must fsck clean: ${clean.mkString("; ")}")
+    val totalBlocks = clean.map(_.getInt(3)).sum
+    assert(totalBlocks >= 3)
+
+    // corrupt one payload byte in file 0, and the footer magic in file 1
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".4mc")).sortBy(_.getName)
+    val in0 = graft.format.McInput.local(files(0).toPath)
+    val idx0 = try graft.format.FourMcReader.readIndex(in0) finally in0.close()
+    val raf0 = new java.io.RandomAccessFile(files(0), "rw")
+    try {
+      raf0.seek(idx0.blockOffsets(0) + 12 + 3)
+      val b = raf0.read(); raf0.seek(idx0.blockOffsets(0) + 12 + 3); raf0.write(b ^ 0x10)
+    } finally raf0.close()
+    val raf1 = new java.io.RandomAccessFile(files(1), "rw")
+    try {
+      raf1.seek(files(1).length() - 6) // inside the footer magic/checksum tail
+      val b = raf1.read(); raf1.seek(files(1).length() - 6); raf1.write(b ^ 0x10)
+    } finally raf1.close()
+
+    val swept = Fsck.fsck(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r0 = swept.keys.find(_.endsWith(files(0).getName)).map(swept).get
+    val r1 = swept.keys.find(_.endsWith(files(1).getName)).map(swept).get
+    val r2 = swept.keys.find(_.endsWith(files(2).getName)).map(swept).get
+    assert(r0.getBoolean(2) && r0.getInt(4) == 1, s"file0: $r0")
+    // on local fs Hadoop's own CRC layer may flag the damage before our
+    // xxhash does ("Checksum error"); both are checksum-class reports
+    assert(r0.getString(5).toLowerCase.contains("checksum"), s"file0 error: ${r0.getString(5)}")
+    assert(!r1.getBoolean(2), s"file1 must report a bad footer: $r1")
+    assert(r2.getBoolean(2) && r2.getInt(4) == 0, s"file2 must stay clean: $r2")
+  }
+}
