@@ -257,6 +257,89 @@ object StreamingQueries {
     */
   val streamingIntervalJoinSql: String = graft.ops.TemporalJoins.rangeViewClickSql
 
+  /** LEFT OUTER stream-stream interval join — the semantics the inner row
+    * cannot show: a view with NO click inside (v_ts, v_ts+5min] emits with
+    * nulls only once the GLOBAL watermark (min across both streams, each
+    * max-event-time − 10 min) passes v_ts + 5 min — before that, a matching
+    * click could still arrive, so the row must wait in state. Matched pairs
+    * still emit immediately. Draining a bounded directory therefore yields
+    * every matched pair plus exactly the unmatched views whose match window
+    * closed under the final watermark — views near the stream's end stay
+    * unreported, and the oracle states that cutoff explicitly.
+    *
+    * This is the 100 TB "conversion funnel with explicit non-conversions"
+    * shape: state is bounded by the lateness horizon + the join window, and
+    * non-converting impressions surface as soon as their window closes
+    * instead of at end-of-day batch.
+    */
+  def streamingIntervalJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = RoundTrip.ensureRoundTrip(spark, sfDir, "events", "zstd-1", micro)
+    val session = spark.newSession()
+    def src() = session.readStream
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", micro)
+      .schema(schema)
+      .load(dir)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
+      "leftOuter")
+    drain(session, joined, OutputMode.Append())
+      .groupBy(col("v_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_ts")).as("n_matched"),
+        sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Matched pairs are the plain interval join; unmatched views appear iff
+    * the final global watermark = min(max view ts, max click ts) − 10 min
+    * (floored to millis, as Spark tracks event time) has passed
+    * v_ts + 5 min.
+    */
+  val streamingIntervalJoinOuterSql: String =
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) FROM v),
+      |               (SELECT to_timestamp(epoch_ms(max(ts)) / 1000.0) FROM c))
+      |         - INTERVAL 10 MINUTE AS w
+      |),
+      |matched AS (
+      |  SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts
+      |  FROM v JOIN c ON v.user_id = c.user_id
+      |    AND epoch_us(c.ts) > epoch_us(v.ts)
+      |    AND epoch_us(c.ts) <= epoch_us(v.ts) + 300000000
+      |),
+      |unmatched AS (
+      |  SELECT vv.user_id
+      |  FROM v vv
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM c WHERE c.user_id = vv.user_id
+      |        AND epoch_us(c.ts) > epoch_us(vv.ts)
+      |        AND epoch_us(c.ts) <= epoch_us(vv.ts) + 300000000)
+      |    AND vv.ts + INTERVAL 5 MINUTE < (SELECT w FROM wm)
+      |),
+      |unioned AS (
+      |  SELECT user_id, 1 AS m FROM matched
+      |  UNION ALL
+      |  SELECT user_id, 0 AS m FROM unmatched
+      |)
+      |SELECT user_id, COUNT(*) AS n_rows,
+      |  CAST(SUM(m) AS BIGINT) AS n_matched,
+      |  CAST(SUM(1 - m) AS BIGINT) AS n_unmatched
+      |FROM unioned GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Streaming ingest INTO the container — the reference format's primary
     * production pattern (logs stream in, land as splittable compressed
     * files): readStream over the 4mz dir in bounded micro-batches
