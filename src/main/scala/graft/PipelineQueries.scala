@@ -558,6 +558,27 @@ object PipelineQueries {
 
   val annIvfPqSql: String = Similarity.bruteForceSql(10, 5)
 
+  /** D3+ corpus analysis: per-cluster profile over k=16 seed-medoid cells —
+    * the report a curation run reads before choosing semantic-dedup
+    * parameters. See [[Similarity.clusterProfile]].
+    */
+  def clusterProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.clusterProfile(emb(spark, sfDir), k = 16)
+
+  val clusterProfileSql: String = Similarity.clusterProfileSql(16)
+
+  /** D3+ contrastive-training prep: top-5 most-similar DIFFERENT-label
+    * neighbors per probe vector. See [[Similarity.hardNegatives]].
+    */
+  def annHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), 5)
+      .select(col("qid"), col("rn"), round(col("sim"), 5).as("simr"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val annHardNegativesSql: String = Similarity.hardNegativesSql(10, 5)
+
   // ------------------------------------------------------------------- text
 
   /** D4: per-language token/quality statistics. */

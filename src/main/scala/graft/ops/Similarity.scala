@@ -414,6 +414,114 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
   }
 
+  /** Per-cluster corpus profile over seed-medoid cells (the `iters=0`
+    * exactly-SQL-replayable regime shared with [[semanticDedup]]): assign
+    * every vector map-only, then report (cid, n_vecs, Σ sim-to-centroid,
+    * mean) with each similarity quantized to integer micro-units BEFORE the
+    * sum — the established determinism pattern. The unsupervised
+    * cluster-quality report a corpus curation run reads before deciding k /
+    * τ for semantic dedup. Map-only assignment + one k-row aggregate.
+    */
+  def clusterProfile(corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cids, m, dim) = trainCentroids(corpus, k, iters = 0)
+    val cents = cids.indices.map { i =>
+      (cids(i), (0 until dim).map(j => m(i * dim + j).toFloat))
+    }.toDF("cid", "cvec")
+    corpus
+      .select(col("vec_id"),
+        col("embedding"),
+        graft.functions.VectorFunctions.nearest_centroid(col("embedding"), cids, m, dim).as("cid"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("cid"),
+        round(lit(1e6) * vec_cosine(col("embedding"), col("cvec"))).cast("long").as("sim_micro"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sim_micro")).as("sum_sim_micro"))
+      .select(col("cid"), col("n_vecs"), col("sum_sim_micro"),
+        round(col("sum_sim_micro").cast(DoubleType) / col("n_vecs")).cast("long").as("mean_sim_micro"))
+      .orderBy(col("cid"))
+  }
+
+  /** DuckDB mirror of [[clusterProfile]] (k seed-medoid cells over the raw
+    * embeddings table).
+    */
+  def clusterProfileSql(k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM e) t ORDER BY vec_id LIMIT $k
+       |),
+       |cent AS (SELECT s.cid, e.v, e.i FROM e JOIN seeds s ON e.vec_id = s.vec_id),
+       |n AS (SELECT vec_id, SUM(v*v) AS nn FROM e GROUP BY 1),
+       |cn AS (SELECT cid, SUM(v*v) AS cnn FROM cent GROUP BY 1),
+       |cd AS (
+       |  SELECT x.vec_id, c.cid, SUM(x.v * c.v) AS dot
+       |  FROM e x JOIN cent c ON x.i = c.i GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT cd.vec_id, cd.cid,
+       |    CASE WHEN n.nn = 0 OR cn.cnn = 0 THEN 0.0
+       |         ELSE cd.dot / (sqrt(n.nn) * sqrt(cn.cnn)) END AS sim
+       |  FROM cd JOIN n ON cd.vec_id = n.vec_id JOIN cn ON cd.cid = cn.cid
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid, sim FROM (
+       |    SELECT vec_id, cid, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1
+       |)
+       |SELECT cid, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CAST(round(1e6 * sim) AS BIGINT)) AS BIGINT) AS sum_sim_micro,
+       |  CAST(round(CAST(SUM(CAST(round(1e6 * sim) AS BIGINT)) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_sim_micro
+       |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-but-wrong examples an embedding model trains against. Same
+    * broadcast-probe scan as brute force plus the label guard; at corpus
+    * scale route candidate generation through [[annTopK]]'s buckets or the
+    * PQ scan and post-filter labels — semantics identical.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"), col("label").as("qlabel")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        vec_cosine(col("qemb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+  }
+
+  def hardNegativesSql(maxQid: Long, k: Int): String =
+    s"""WITH exploded AS (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), norms AS (
+       |  SELECT vec_id, SUM(e * e) AS nn FROM exploded GROUP BY vec_id
+       |), dots AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS nid, SUM(q.e * d.e) AS dot
+       |  FROM exploded q JOIN exploded d
+       |    ON q.i = d.i AND q.vec_id < $maxQid AND d.vec_id <> q.vec_id
+       |    AND d.label <> q.label
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT qid, nid,
+       |    CASE WHEN nq.nn = 0 OR nd.nn = 0 THEN 0.0
+       |         ELSE dot / (sqrt(nq.nn) * sqrt(nd.nn)) END AS sim
+       |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nd ON nid = nd.vec_id
+       |)
+       |SELECT qid, rn, round(sim, 5) AS simr FROM (
+       |  SELECT qid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
   // ------------------------------------------------------------------ PQ-ADC
 
   /** Per-subspace product-quantization codebooks: split the `dim`-dim space

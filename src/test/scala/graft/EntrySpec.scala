@@ -47,6 +47,7 @@ class EntrySpec extends AnyFunSuite {
       "dsir_select" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus
       "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),
+      "ann_hard_negatives" -> (_.contains("LessThan(vec_id,10)")),
       // 10 probe LUTs broadcast against the corpus CODES (mSub-byte rows)
       "ann_pq" -> (_.contains("LessThan(vec_id,10)")),
       // the disclosed exact-baseline cartesian: sample cap pushed to BOTH scans
