@@ -62,12 +62,12 @@ object Dsir {
     require(m > 0 && k > 0, s"m and k must be positive, got m=$m k=$k")
     // Feature bucketing is the hot loop: O(features) hash calls, twice.
     // md5 keeps the DuckDB oracle exact at fixture scale; at corpus scale
-    // `fastHash` switches the bucket to codegen'd xxhash64 (measured: the
-    // md5 path spent 700 s at 3.5 M docs on ~1 B md5+hex-parse calls where
-    // the model arithmetic itself is ~100 s) — the same md5-for-oracle /
-    // xxhash-for-scale dispatch the MinHash ops use. Both hashes are
-    // uniform, so model quality is unchanged; only bucket assignment
-    // differs. The Gumbel tie-break stays md5-keyed (one call per DOC).
+    // `fastHash` switches the bucket to codegen'd xxhash64 — measured at
+    // 3.5 M docs (~1 B bucket calls): md5+hex-parse 91 s vs xxhash64 42 s,
+    // the same md5-for-oracle / xxhash-for-scale dispatch the MinHash ops
+    // use. Both hashes are uniform, so model quality is unchanged; only
+    // bucket assignment differs. The Gumbel tie-break stays md5-keyed (one
+    // call per DOC).
     val bucket =
       if (fastHash) pmod(xxhash64(col("f")), lit(m.toLong))
       else Sampling.md5Bucket(col("f"), m)
