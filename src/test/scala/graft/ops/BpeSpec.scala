@@ -72,6 +72,22 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: subwords always concatenate back to the word, under arbitrary merges") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val alpha = Gen.alphaLowerChar.map(_.toString)
+    val sym = Gen.oneOf(alpha, Gen.listOfN(2, alpha).map(_.mkString)) // 1- or 2-char symbols
+    val mergesGen = Gen.listOfN(12, Gen.zip(sym, sym))
+    val wordGen = Gen.listOfN(14, Gen.alphaLowerChar).map(_.mkString)
+    val prop = Prop.forAll(wordGen, mergesGen) { (w, ms) =>
+      val ranks = ms.zipWithIndex.map { case (p, i) => p -> i }.toMap
+      val sub = Bpe.encodeWord(w, ranks)
+      // lossless segmentation + no empty units + termination reached
+      sub.mkString == w && sub.forall(_.nonEmpty)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("disjoint merge table: greedy BPE equals the oracle's arithmetic identity") {
     import spark.implicits._
     val ranks = Bpe.DisjointMerges.zipWithIndex.map { case (p, i) => p -> i }.toMap
