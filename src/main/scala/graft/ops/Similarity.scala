@@ -740,14 +740,23 @@ object Similarity {
       pq_encode(col("embedding"), flat, offsets, dsub).as("code"))
       .withColumn("nrm2_hat",
         aggregate(col("code"), lit(0.0), (acc, g) => acc + element_at(typedlit(normsSq), g + 1)))
-    val probes = queries.select(
+    // probe cells and the per-query LUT broadcast SEPARATELY: exploding the
+    // LUT into the (qid, cid) rows would replicate the K-double table
+    // nprobe× per query in the broadcast — at a production batch of 10^6
+    // queries × 64 probes that is the difference between a 4 GB and a
+    // 256 GB build side. The LUT re-attaches per candidate via a second
+    // broadcast hash join on qid and is projected away before any exchange.
+    val probeCells = queries.select(
       col("vec_id").as("qid"),
-      pq_lut(col("embedding"), flat, offsets, dsub).as("lut"),
       explode(top_centroids(col("embedding"), cellIds, cellM, dim, nprobe)).as("cid"))
+    val luts = queries.select(
+      col("vec_id").as("qid"),
+      pq_lut(col("embedding"), flat, offsets, dsub).as("lut"))
     // every corpus vector lives in exactly ONE cell and probe cells are
     // distinct per query -> (qid, nid) already unique, no distinct needed
-    val scored = broadcast(probes)
+    val scored = broadcast(probeCells)
       .join(cells, Seq("cid"))
+      .join(broadcast(luts), Seq("qid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (aggregate(col("code"), lit(0.0), (acc, g) => acc + element_at(col("lut"), g + 1)) /
