@@ -58,6 +58,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => MediaHeaderExpr(exprs.head)
       )
     )
+    // bpe_encode(tok, 'x y,er s') — greedy min-rank BPE segmentation; the
+    // merge table is a string literal of comma-separated space-split pairs
+    // in rank order (the serialization bpeTrain's output maps onto 1:1)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bpe_encode"),
+        new ExpressionInfo(classOf[graft.functions.BpeEncodeExpr].getName, "bpe_encode"),
+        (exprs: Seq[Expression]) => {
+          val spec = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+            case other =>
+              throw new IllegalArgumentException(
+                s"bpe_encode merge table must be a string literal, got $other")
+          }
+          val pairs = spec.split(',').filter(_.nonEmpty).map { p =>
+            p.split(' ') match {
+              case Array(a, b) => (a, b)
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"bpe_encode merge '$p' must be two space-separated symbols")
+            }
+          }
+          graft.functions.BpeEncodeExpr(
+            exprs.head, pairs.map(_._1), pairs.map(_._2), endMarker = false)
+        }
+      )
+    )
     // topk_freq(col, k, capacity) — mergeable Misra-Gries heavy hitters;
     // k/capacity must be integer literals
     ext.injectFunction(

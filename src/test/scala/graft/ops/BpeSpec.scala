@@ -88,6 +88,29 @@ class BpeSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("bpe_encode is registered as a SQL function via GraftExtensions") {
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val session = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val rows = session
+        .sql("SELECT bpe_encode('ers', 'e r,er s') AS sub")
+        .collect()
+      assert(rows.head.getSeq[String](0) == Seq("ers"))
+      val bad = intercept[Exception] {
+        session.sql("SELECT bpe_encode('x', 'malformed')").collect()
+      }
+      assert(bad.getMessage.toLowerCase.contains("space-separated"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("disjoint merge table: greedy BPE equals the oracle's arithmetic identity") {
     import spark.implicits._
     val ranks = Bpe.DisjointMerges.zipWithIndex.map { case (p, i) => p -> i }.toMap
