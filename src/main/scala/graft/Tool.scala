@@ -35,9 +35,10 @@ object Tool {
 
   private val Version = "4mc-graft 1.0 (pure-JVM 4mc/4mz container tool)"
   private val Usage =
-    """usage: 4mc [-z] [-s] [-1|-2|-3|-4] [-d] [-t] [-f] [-c] [-v|-q] input [output]
+    """usage: 4mc [-z] [-s] [-1|-2|-3|-4] [-d] [-t] [-i] [-f] [-c] [-v|-q] input [output]
       |  -z zstd container (.4mz)   -s zstd full-frame stream (.zst)
-      |  -1..-4 compression level   -d decompress   -t test integrity
+      |  -1..-4 compression level   -d decompress   -t test integrity (full decode)
+      |  -i integrity scan only (checksum walk, no decompression)
       |  -f force overwrite         -c force stdout
       |  -v verbose                 -q quiet        -V version   -h help""".stripMargin
 
@@ -49,6 +50,7 @@ object Tool {
   def run(args: Array[String]): Int = {
     var zstd = false; var level = 1; var decode = false; var testOnly = false
     var zstStream = false; var force = false; var toStdout = false; var quiet = false
+    var integrityOnly = false
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       // Char-walk parser mirroring the reference CLI (`4mccli.c:206-255`):
@@ -75,6 +77,7 @@ object Tool {
               case 's' => zstStream = true
               case 'd' => decode = true
               case 't' => testOnly = true
+              case 'i' => integrityOnly = true
               case 'f' => force = true
               case 'c' => toStdout = true
               case 'v' => quiet = false
@@ -111,6 +114,18 @@ object Tool {
       val in = Paths.get(paths.head)
       if (!Files.exists(in)) fail(s"input not found: $in")
 
+      if (integrityOnly) {
+        // checksum-only walk (no decompression) — the single-file twin of
+        // the distributed graft.ops.Fsck sweep; corrupt => exit 1
+        val rep = graft.ops.Fsck.checkFile(
+          in.toAbsolutePath.toString, Files.size(in),
+          new org.apache.hadoop.conf.Configuration())
+        if (!quiet)
+          System.err.println(
+            s"4mc: ${in.getFileName}: footer_ok=${rep.footer_ok} blocks=${rep.n_blocks} " +
+              s"corrupt=${rep.n_corrupt_blocks}${if (rep.error.nonEmpty) s" (${rep.error})" else ""}")
+        return if (rep.footer_ok && rep.n_corrupt_blocks == 0) 0 else 1
+      }
       if (decode || testOnly) decompress(in, outArg.map(Paths.get(_)), testOnly, force, quiet)
       else compress(in, outArg.map(Paths.get(_)), zstd, level, force, quiet)
       0

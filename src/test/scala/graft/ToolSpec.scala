@@ -82,6 +82,23 @@ class ToolSpec extends AnyFunSuite {
     } finally mc.close()
   }
 
+  test("-i integrity scan: clean file exits 0, corrupt payload exits 1, no decode needed") {
+    val in = tmpInput()
+    val out = in.resolveSibling("data.txt.4mc")
+    assert(Tool.run(Array("-q", "-f", in.toString)) == 0)
+    // clean scan passes and reports block counts
+    val (rc0, _, err0) = capturingStd(Tool.run(Array("-i", out.toString)))
+    assert(rc0 == 0 && err0.contains("footer_ok=true"), err0)
+    // flip a payload byte -> checksum-walk fails WITHOUT needing a decode
+    val raf = new java.io.RandomAccessFile(out.toFile, "rw")
+    try {
+      raf.seek(20)
+      val b = raf.read(); raf.seek(20); raf.write(b ^ 0x08)
+    } finally raf.close()
+    val (rc1, _, err1) = capturingStd(Tool.run(Array("-i", out.toString)))
+    assert(rc1 == 1 && err1.contains("corrupt=1"), err1)
+  }
+
   test("-V and -h exit 0 and print; unknown flag exits 1") {
     val (rcV, outV, _) = capturingStd(Tool.run(Array("-V")))
     assert(rcV == 0 && new String(outV).contains("4mc"))
