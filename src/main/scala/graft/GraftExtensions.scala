@@ -66,11 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("bpe_encode"),
         new ExpressionInfo(classOf[graft.functions.BpeEncodeExpr].getName, "bpe_encode"),
         (exprs: Seq[Expression]) => {
+          if (exprs.length != 2)
+            throw new IllegalArgumentException(
+              s"bpe_encode(tok, merges) takes 2 arguments, got ${exprs.length}")
           val spec = exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+              s.toString
             case other =>
               throw new IllegalArgumentException(
-                s"bpe_encode merge table must be a string literal, got $other")
+                s"bpe_encode merge table must be a non-null string literal, got $other")
           }
           val pairs = spec.split(',').filter(_.nonEmpty).map { p =>
             p.split(' ') match {

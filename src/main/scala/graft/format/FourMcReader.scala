@@ -217,6 +217,8 @@ final class FourMcLineIterator(
   // a resync happened and the partial line touching the corrupt block (plus
   // the tail of it in the next good block) must be discarded
   private var resynced = false
+  // recovery line salvaged by skipLine() after a resync — emitted first
+  private var pendingFirst: (Long, Array[Byte]) = _
 
   if (splitStart != 0 && !finished) skipLine()
 
@@ -340,11 +342,20 @@ final class FourMcLineIterator(
 
   private def skipLine(): Unit = {
     if (alignedStart >= index.eosPos) { finished = true; return }
-    readLine()
+    val before = corruptSkipped
+    val line = readLine()
+    // If a resync happened during the skip read, `line` is the first clean
+    // RECOVERY line after the corruption, not the spanning line the previous
+    // split compensates for: that split's own compensating read dies at the
+    // same corrupt block (its dropToNewline lands in a block past its
+    // alignedEnd), so discarding here would lose the line under exactly this
+    // split layout. Keep it as the first emitted line instead.
+    if (corruptSkipped > before && line != null) pendingFirst = line
   }
 
   private def advance(): Unit = {
     if (finished) return
+    if (pendingFirst != null) { nextLine = pendingFirst; pendingFirst = null; return }
     if (consumedPos > alignedEnd) { finished = true; nextLine = null; return }
     nextLine = readLine()
     if (nextLine == null) finished = true

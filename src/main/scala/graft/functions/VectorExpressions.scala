@@ -406,6 +406,11 @@ case class PqEncodeExpr(
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val mSub = offsets.length - 1
+    // UnsafeArrayData.getFloat is unchecked: a short embedding would silently
+    // read garbage and emit wrong codes — fail like the codebook trainer does
+    if (a.numElements() != mSub * dsub)
+      throw new IllegalArgumentException(
+        s"embedding length ${a.numElements()} != ${mSub * dsub}: ragged embeddings are not supported")
     val out = new Array[Int](mSub)
     var s = 0
     while (s < mSub) {
@@ -439,6 +444,10 @@ case class PqEncodeExpr(
       val out = ctx.freshName("out")
       val s = ctx.freshName("s"); val g = ctx.freshName("g"); val j = ctx.freshName("j")
       s"""
+         |if ($a.numElements() != ($offRef.length - 1) * $dsub) {
+         |  throw new IllegalArgumentException("embedding length " + $a.numElements() +
+         |    " != " + (($offRef.length - 1) * $dsub) + ": ragged embeddings are not supported");
+         |}
          |int[] $out = new int[$offRef.length - 1];
          |for (int $s = 0; $s < $out.length; $s++) {
          |  int lo = $offRef[$s], hi = $offRef[$s + 1];
@@ -493,6 +502,9 @@ case class PqLutExpr(
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val mSub = offsets.length - 1
+    if (a.numElements() != mSub * dsub)
+      throw new IllegalArgumentException(
+        s"embedding length ${a.numElements()} != ${mSub * dsub}: ragged embeddings are not supported")
     val out = new Array[Double](offsets(mSub))
     var s = 0
     while (s < mSub) {
@@ -521,6 +533,10 @@ case class PqLutExpr(
       val mSub = ctx.freshName("mSub")
       s"""
          |int $mSub = $offRef.length - 1;
+         |if ($a.numElements() != $mSub * $dsub) {
+         |  throw new IllegalArgumentException("embedding length " + $a.numElements() +
+         |    " != " + ($mSub * $dsub) + ": ragged embeddings are not supported");
+         |}
          |double[] $out = new double[$offRef[$mSub]];
          |for (int $s = 0; $s < $mSub; $s++) {
          |  for (int $g = $offRef[$s]; $g < $offRef[$s + 1]; $g++) {

@@ -97,8 +97,13 @@ object Fsck {
             throw new java.io.IOException(s"uncompressed size $uncomp out of range at $off")
           if (comp <= 0 || comp > uncomp)
             throw new java.io.IOException(s"compressed size $comp out of range at $off")
-          if (off + FourMc.BlockHeaderLen + comp > blockEnd)
-            throw new java.io.IOException(s"block at $off overruns the next index offset")
+          // 4mc blocks are contiguous: the payload must end EXACTLY at the
+          // next index offset. A corrupted comp smaller than the index gap
+          // (with zero-padding or a colliding checksum) is as wrong as an
+          // overrun, so enforce equality rather than just no-overrun.
+          if (off + FourMc.BlockHeaderLen + comp != blockEnd)
+            throw new java.io.IOException(
+              s"block at $off ends at ${off + FourMc.BlockHeaderLen + comp}, index expects $blockEnd")
           val payload = new Array[Byte](comp)
           in.readFully(off + FourMc.BlockHeaderLen, payload, 0, comp)
           if (FourMc.xxhash32(payload, 0, comp) != sum)

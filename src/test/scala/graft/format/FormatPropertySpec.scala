@@ -83,4 +83,62 @@ class FormatPropertySpec extends AnyFunSuite {
       }
     } finally { in.close(); Files.delete(p) }
   }
+
+  test("property: permissive corrupt-block reads are split-invariant, " +
+       "including a split starting exactly at the corrupt block") {
+    val rnd = new scala.util.Random(11)
+    val lines = (0 until 8000).map(i => s"c$i-${rnd.alphanumeric.take(rnd.nextInt(40)).mkString}")
+    val data = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    val p = Files.createTempFile("propcorrupt", ".4mc")
+    val w = new FourMcWriter(Files.newOutputStream(p), McCodec.Lz4Fast)
+    var off = 0
+    while (off < data.length) { // ~16 KiB blocks for many boundaries
+      val n = math.min(16 * 1024, data.length - off)
+      w.write(data, off, n); w.flushBlock(); off += n
+    }
+    w.close()
+    val bytes = Files.readAllBytes(p)
+    val cleanIdx = { val in0 = McInput.local(p); try FourMcReader.readIndex(in0) finally in0.close() }
+    assert(cleanIdx.numBlocks >= 8, "need several blocks for the layouts below")
+    // Victim block in the middle: flip a payload byte so the checksum fails.
+    val victims = Seq(cleanIdx.numBlocks / 2, 1, cleanIdx.numBlocks - 2)
+    try {
+      victims.foreach { v =>
+        val mutated = bytes.clone()
+        val payloadOff = cleanIdx.blockOffsets(v).toInt + FourMc.BlockHeaderLen
+        mutated(payloadOff) = (mutated(payloadOff) ^ 0x5a).toByte
+        Files.write(p, mutated)
+        val in = McInput.local(p)
+        try {
+          val idx = FourMcReader.readIndex(in)
+          val fileLen = mutated.length.toLong
+          // Ground truth: one permissive reader over the whole file.
+          val whole = new FourMcLineIterator(in, idx, 0L, fileLen, permissive = true)
+            .map(t => new String(t._2, "UTF-8")).toList
+          assert(whole.size < lines.size, "corruption must drop some lines")
+          // Split layouts that stress the resync paths: a split starting
+          // EXACTLY at the corrupt block (the round-8 lost-line bug), at the
+          // blocks around it, mid-payload inside it, plus random cuts.
+          val targeted = Seq(
+            idx.blockOffsets(v),
+            idx.blockOffsets(v - 1),
+            if (v + 1 < idx.numBlocks) idx.blockOffsets(v + 1) else idx.eosPos,
+            idx.blockOffsets(v) + FourMc.BlockHeaderLen + 5
+          ).map(c => List(c))
+          val randomCuts = samples(
+            Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, Gen.choose(0L, fileLen))), 10)
+          (targeted ++ randomCuts).foreach { cuts =>
+            val bounds = (0L :: fileLen :: cuts).distinct.sorted
+            val got = bounds.sliding(2).flatMap { case List(s, e) =>
+              new FourMcLineIterator(in, idx, s, e, permissive = true)
+                .map(t => new String(t._2, "UTF-8"))
+            }.toList
+            assert(got.sorted == whole.sorted,
+              s"victim=$v bounds=$bounds: permissive split layout changed the line multiset " +
+                s"(${got.size} vs ${whole.size} lines)")
+          }
+        } finally in.close()
+      }
+    } finally Files.delete(p)
+  }
 }

@@ -105,6 +105,16 @@ class BpeSpec extends AnyFunSuite {
         session.sql("SELECT bpe_encode('x', 'malformed')").collect()
       }
       assert(bad.getMessage.toLowerCase.contains("space-separated"))
+      // arity and null-literal misuse must raise the clear builder error,
+      // not NPE / IndexOutOfBounds from inside the builder
+      val oneArg = intercept[Exception] {
+        session.sql("SELECT bpe_encode('x')").collect()
+      }
+      assert(oneArg.getMessage.contains("takes 2 arguments"), oneArg.getMessage)
+      val nullLit = intercept[Exception] {
+        session.sql("SELECT bpe_encode('x', CAST(NULL AS STRING))").collect()
+      }
+      assert(nullLit.getMessage.contains("non-null string literal"), nullLit.getMessage)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -63,4 +63,48 @@ class FsckSpec extends AnyFunSuite {
     assert(!r1.getBoolean(2), s"file1 must report a bad footer: $r1")
     assert(r2.getBoolean(2) && r2.getInt(4) == 0, s"file2 must stay clean: $r2")
   }
+
+  test("shrunken comp field with a recomputed checksum is caught by exact contiguity") {
+    import graft.format.{FourMc, FourMcReader, FourMcWriter, McCodec, McInput}
+    val dir = freshDir()
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(dir, "part-contig.4mc")
+    // Write directly (no Hadoop .crc sidecar) so fsck's own walk does the
+    // detecting, not the local filesystem's CRC layer.
+    val w = new FourMcWriter(Files.newOutputStream(f.toPath), McCodec.Lz4Fast)
+    val data = (0 until 20000).map(i => s"row-$i").mkString("\n").getBytes("UTF-8")
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(32 * 1024, data.length - off)
+      w.write(data, off, n); w.flushBlock(); off += n
+    }
+    w.close()
+    val in = McInput.local(f.toPath)
+    val idx = try FourMcReader.readIndex(in) finally in.close()
+    assert(idx.numBlocks >= 2)
+    // Shrink block 0's comp by 4 bytes and RECOMPUTE its checksum over the
+    // truncated payload: every per-field sanity check passes, only the
+    // footer-index contiguity equation can catch it.
+    val bytes = Files.readAllBytes(f.toPath)
+    val h = idx.blockOffsets(0).toInt
+    def be(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    def putBE(o: Int, v: Int): Unit = {
+      bytes(o) = (v >>> 24).toByte; bytes(o + 1) = (v >>> 16).toByte
+      bytes(o + 2) = (v >>> 8).toByte; bytes(o + 3) = v.toByte
+    }
+    val comp = be(h + 4)
+    assert(comp > 8)
+    putBE(h + 4, comp - 4)
+    putBE(h + 8, FourMc.xxhash32(bytes, h + FourMc.BlockHeaderLen, comp - 4))
+    Files.write(f.toPath, bytes)
+
+    val swept = Fsck.fsck(spark, dir).collect()
+    assert(swept.length == 1)
+    val r = swept.head
+    assert(r.getBoolean(2), s"footer must still parse: $r")
+    assert(r.getInt(4) == 1, s"exactly the shrunken block must be flagged: $r")
+    assert(r.getString(5).contains("index expects"), s"error should cite contiguity: ${r.getString(5)}")
+  }
 }

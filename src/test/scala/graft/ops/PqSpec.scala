@@ -66,6 +66,27 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged embeddings fail loudly in pq_encode and pq_lut instead of reading garbage") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(emb, dim, mSub, ks, iters = 1)
+    val offsets = books.map(_._1.length).scanLeft(0)(_ + _).toArray
+    val flat = new Array[Double](offsets.last * dsub)
+    books.zipWithIndex.foreach { case ((_, m), s) =>
+      System.arraycopy(m, 0, flat, offsets(s) * dsub, m.length)
+    }
+    val short = Seq(Array.fill(dim - 3)(0.5f)).toDF("embedding")
+    val encErr = intercept[Exception] {
+      short.select(
+        graft.functions.VectorFunctions.pq_encode(col("embedding"), flat, offsets, dsub)).collect()
+    }
+    assert(encErr.getMessage.contains("ragged embeddings"), encErr.getMessage)
+    val lutErr = intercept[Exception] {
+      short.select(
+        graft.functions.VectorFunctions.pq_lut(col("embedding"), flat, offsets, dsub)).collect()
+    }
+    assert(lutErr.getMessage.contains("ragged embeddings"), lutErr.getMessage)
+  }
+
   test("ADC candidates at nCand=128 recall the exact top-5 on every fixture corpus") {
     // sweep both fixture corpus sizes the driver/bench will run (500 / 2000
     // vectors); the emitted top-k must EQUAL brute force — that is the
