@@ -314,4 +314,41 @@ object RoundTrip {
     """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE lang IN ('en', 'zh')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** SQL-DDL surface of the 4mc datasource (`DataSourceRegister` shortName
+    * "4mc", `FourMcFileFormat.scala:40`): `CREATE TABLE … USING 4mc`, two
+    * disjoint `INSERT INTO` appends (which must compose, not overwrite), and
+    * a catalog-table `SELECT` joining back to a dimension — the first
+    * commands a SQL-first user runs against the format. `DROP TABLE IF
+    * EXISTS` up front makes the row idempotent across invocations; the
+    * managed-table files live under the session's warehouse dir and go away
+    * with the DROP.
+    */
+  def sqlDdlSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    Queries.table(spark, sfDir, "supplier").createOrReplaceTempView("ddl_src_supplier")
+    Queries.table(spark, sfDir, "nation").createOrReplaceTempView("ddl_src_nation")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_supplier")
+    spark.sql(
+      """CREATE TABLE graft_ddl_supplier (
+        |  s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE)
+        |USING 4mc OPTIONS (payload 'csv', codec 'zstd-3')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_ddl_supplier SELECT * FROM ddl_src_supplier WHERE s_suppkey % 2 = 0")
+    spark.sql(
+      "INSERT INTO graft_ddl_supplier SELECT * FROM ddl_src_supplier WHERE s_suppkey % 2 = 1")
+    spark.sql(
+      """SELECT n.n_name,
+        |  COUNT(*) AS suppliers,
+        |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM graft_ddl_supplier s JOIN ddl_src_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_acctbal > 0
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
+  val sqlDdlSupplierSql: String =
+    """SELECT n_name, COUNT(*) AS suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 0
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

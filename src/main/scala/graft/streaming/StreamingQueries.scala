@@ -378,14 +378,11 @@ object StreamingQueries {
       .schema(schema)
       .load(srcDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write
-          .mode("append")
-          .format("4mc")
-          .option("payload", "csv")
-          .option("timestampFormat", micro)
-          .option("codec", "lz4-medium")
-          .save(out.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // batch-id commit protocol: a replayed micro-batch (crash between
+        // the sink write and the checkpoint commit) publishes zero new files
+        FourMcBatchCommit.writeBatch(batch, batchId, out.getAbsolutePath,
+          Map("payload" -> "csv", "timestampFormat" -> micro, "codec" -> "lz4-medium"))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -438,15 +435,10 @@ object StreamingQueries {
       .schema(schema)
       .load(srcDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write
-          .mode("append")
-          .format("4mc")
-          .option("payload", "csv")
-          .option("timestampFormat", micro)
-          .option("codec", "lz4-medium")
-          .partitionBy("event_type")
-          .save(out.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        FourMcBatchCommit.writeBatch(batch, batchId, out.getAbsolutePath,
+          Map("payload" -> "csv", "timestampFormat" -> micro, "codec" -> "lz4-medium"),
+          partitionBy = Seq("event_type"))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -543,4 +543,33 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       want.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
+
+  test("SQL DDL: CREATE TABLE USING 4mc, INSERT INTO appends, SHOW TABLES, DROP + re-create") {
+    val tbl = "ddl_spec_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (k BIGINT, s STRING, v DOUBLE)
+         |USING 4mc OPTIONS (payload 'csv', codec 'lz4-fast')""".stripMargin)
+    assert(spark.sql("SHOW TABLES").collect().exists(_.getString(1) == tbl),
+      "catalog must list the 4mc table")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'a|b', 1.5), (2, 'c', 2.5)")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, NULL, 3.5)") // append, not overwrite
+    val rows = spark.sql(s"SELECT k, s, v FROM $tbl ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a|b", 1.5), (2L, "c", 2.5), (3L, null, 3.5)))
+    // managed-table location holds real 4mc files
+    val loc = new java.io.File(new java.net.URI(
+      spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+        .find(_.getString(0) == "Location").get.getString(1)))
+    assert(loc.listFiles.exists(_.getName.endsWith(".4mc")), s"no .4mc files under $loc")
+    // DROP removes data and catalog entry; re-create starts empty
+    spark.sql(s"DROP TABLE $tbl")
+    assert(!spark.sql("SHOW TABLES").collect().exists(_.getString(1) == tbl))
+    assert(!loc.exists(), "DROP TABLE must delete managed-table files")
+    spark.sql(
+      s"""CREATE TABLE $tbl (k BIGINT, s STRING, v DOUBLE)
+         |USING 4mc OPTIONS (payload 'csv', codec 'lz4-fast')""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $tbl").collect().head.getLong(0) == 0L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }

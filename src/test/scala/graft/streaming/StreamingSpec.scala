@@ -250,4 +250,73 @@ class StreamingSpec extends AnyFunSuite {
     // session hygiene: caller conf untouched
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
+
+  test("batch-commit protocol: replay and crash-between-publish-and-marker cause no duplicates") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("commit4mc").toString + "/sink"
+    val opts = Map("payload" -> "csv")
+    def sinkRows(): Seq[Long] = {
+      val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+      spark.read.format("4mc").option("payload", "csv").schema(schema).load(out)
+        .select($"k").as[Long].collect().toSeq.sorted
+    }
+    val b0 = (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s")
+    val b1 = (100L until 180L).map(k => (k, s"v$k")).toDF("k", "s")
+    FourMcBatchCommit.writeBatch(b0, 0L, out, opts)
+    FourMcBatchCommit.writeBatch(b1, 1L, out, opts)
+    assert(sinkRows() == (0L until 180L))
+    // replay after crash-after-commit: marker present → publish nothing
+    FourMcBatchCommit.writeBatch(b1, 1L, out, opts)
+    assert(sinkRows() == (0L until 180L))
+    // crash BETWEEN publish and marker: files are live, marker missing —
+    // the retry must supersede them without duplicating
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_commits/1"), false)
+    FourMcBatchCommit.writeBatch(b1, 1L, out, opts)
+    assert(sinkRows() == (0L until 180L), "retry after torn publish must not duplicate")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, "_commits/1")))
+  }
+
+  test("streaming restart after a crash between sink write and checkpoint commit: exactly-once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("restart4mc").toString
+    val srcDir = s"$base/src"
+    eventsAsFourMc(srcDir)
+    val nSrc = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    val out = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(StructField("value", StringType)))
+    // First run: crash AFTER the sink committed batch 1 but BEFORE the
+    // checkpoint recorded it — the exact at-least-once window the protocol
+    // exists for. The thrown error fails the query like a killed executor.
+    def run(crashAfterBatch: Long): Option[Throwable] = {
+      val q = spark.readStream.format("4mc").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          FourMcBatchCommit.writeBatch(b, id, out, Map.empty)
+          if (id == crashAfterBatch)
+            throw new RuntimeException("injected crash after sink commit")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+      finally q.stop()
+    }
+    val crash = run(crashAfterBatch = 1L)
+    assert(crash.exists(_.getMessage.contains("injected crash")), s"crash must surface: $crash")
+    // Restart with the same checkpoint: batch 1 replays (its offsets were
+    // never committed), the marker skips its publish, remaining batches run.
+    assert(run(crashAfterBatch = -1L).isEmpty)
+    val got = spark.read.format("4mc").load(out).count()
+    assert(got == nSrc, s"sink rows $got != source rows $nSrc after crash+restart")
+    // every source file landed through >= 3 distinct committed batches
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(out, "_commits")).length
+    assert(commits >= 3, s"expected >=3 commit markers, got $commits")
+  }
 }
