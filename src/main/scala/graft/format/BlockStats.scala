@@ -508,4 +508,58 @@ object McStatsPruning {
     }
     Some(keep)
   }
+
+  /** Join-driven pruning: keep(b) iff some key in `sortedKeys` falls inside
+    * block b's [min, max] zone for `attr` — the zone-map probe for a
+    * RUNTIME key set collected from a join's small (broadcast) side.
+    *
+    * A sorted key array is strictly stronger than a bloom filter here: zone
+    * maps answer range questions, and "does any member key lie in [mn, mx]"
+    * is one binary search (O(log |keys|) per block), which a bloom cannot
+    * answer without enumerating the range. On a fact table SORT-CLUSTERED by
+    * the join key each key's rows are contiguous, so the skip fraction
+    * approaches 1 − |dim keys| / |fact keys| no matter how the dim keys are
+    * spread — the layout, not key locality, does the work.
+    *
+    * Contract: callers assert downstream keeps only rows whose `attr` ∈ keys
+    * (inner/semi equi-join). Under that contract all-null blocks are
+    * refutable (a null never equi-joins), and pruning is a pure optimization
+    * — kept blocks still emit every line, and the join re-checks each row.
+    *
+    * Returns None (scan unpruned) when the column is missing or not an
+    * integer type — never wrong, only less effective.
+    */
+  def keepBlocksForKeys(
+      attr: String,
+      sortedKeys: Array[Long],
+      dataSchema: StructType,
+      stats: McBlockStats
+  ): Option[Array[Boolean]] = {
+    if (stats.nCols != dataSchema.length) return None
+    val c = dataSchema.fields.indexWhere(_.name == attr)
+    if (c < 0) return None
+    if (stats.tags(c) != CsvPayload.TagLong && stats.tags(c) != CsvPayload.TagInt) return None
+    if (sortedKeys.isEmpty) return Some(new Array[Boolean](stats.nBlocks)) // ∅ keys: drop all
+    def anyKeyIn(mn: Long, mx: Long): Boolean = {
+      // smallest key >= mn, then check <= mx
+      var lo = 0
+      var hi = sortedKeys.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sortedKeys(mid) >= mn) hi = mid else lo = mid + 1
+      }
+      lo < sortedKeys.length && sortedKeys(lo) <= mx
+    }
+    val keep = new Array[Boolean](stats.nBlocks)
+    var b = 0
+    while (b < stats.nBlocks) {
+      val k = b * stats.nCols + c
+      keep(b) =
+        if (stats.lineCount(b) - stats.nullCount(k) <= 0) false
+        else if (!stats.hasBounds(k)) true
+        else anyKeyIn(stats.minLong(k), stats.maxLong(k))
+      b += 1
+    }
+    Some(keep)
+  }
 }

@@ -135,6 +135,15 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // pushed filters refute whole blocks, skip their I/O + decompression
       // entirely (the container analog of parquet row-group pruning).
       val statsEnabled = options.getOrElse("blockStats", "true").toBoolean
+      // Join-driven pruning: a runtime key set from a join's broadcast side
+      // ([[RuntimeKeyFilter]]) refutes blocks by zone map with NO static
+      // filter on this scan. Broadcast (not closure-captured): the decoded
+      // array can reach ~1M longs and is shared by every task.
+      val rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] =
+        options.get(RuntimeKeyFilter.OptionKey).map { spec =>
+          val (c, keys) = RuntimeKeyFilter.decode(spec)
+          (c, sparkSession.sparkContext.broadcast(keys))
+        }
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
@@ -145,9 +154,19 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
           .withZone(java.time.ZoneOffset.UTC)
         val keepOpt: Option[Array[Boolean]] =
-          if (statsEnabled && !permissive && filters.nonEmpty)
-            index.stats.flatMap(st => McStatsPruning.keepBlocks(filters, dataSchema, st))
-              .filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
+          if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
+            index.stats.flatMap { st =>
+              val fromFilters =
+                if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st)
+                else None
+              val fromKeys = rkfOpt.flatMap { case (c, bKeys) =>
+                McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st)
+              }
+              (fromFilters, fromKeys) match {
+                case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
+                case (a, b)             => a.orElse(b)
+              }
+            }.filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
           else None
         val lines = keepOpt match {
           case Some(keepArr) =>
