@@ -244,6 +244,21 @@ object PipelineQueries {
   val spanDedupRewriteSql: String =
     Spans.removeDupSpansSql(8, 12) + "\nORDER BY removed_tokens DESC, doc LIMIT 50"
 
+  /** Variable-length span rewrite: 8-token islands removed only when backed
+    * by a 24-token shared span — the two-level precision/recall refinement
+    * of [[spanDedupRewrite]], computed map-side against broadcast hot-key
+    * sets (no per-position window exchange). See
+    * [[Spans.removeDupSpansVarK]].
+    */
+  def spanDedupRewriteVarK(spark: SparkSession, sfDir: String): DataFrame =
+    Spans.removeDupSpansVarK(docs(spark, sfDir), "doc_id", "text",
+        kSeed = 24, kExt = 8, minRunTokens = 12)
+      .orderBy(col("removed_tokens").desc, col("doc"))
+      .limit(50)
+
+  val spanDedupRewriteVarKSql: String =
+    Spans.removeDupSpansVarKSql(24, 8, 12) + "\nORDER BY removed_tokens DESC, doc LIMIT 50"
+
   /** The nightly-corpus-build composition, end to end in one plan: quality
     * gate → exact dedup (min-id survivor) → exact-substring span removal
     * over the surviving set, reported per language (docs kept, docs

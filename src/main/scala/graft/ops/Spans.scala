@@ -253,6 +253,164 @@ object Spans {
         md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
   }
 
+  /** Per-doc k-span hash array as a COLUMN (the array twin of
+    * [[spanPostings]]'s exploded rows — same short-doc whole-text
+    * convention, same hash).
+    */
+  private def spanHashes(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+
+  /** Driver-collected sorted hot-span keys for one k (spans in ≥ 2 distinct
+    * docs). Bounded by the same premise as the broadcast semi join:
+    * duplicated spans are the minority; the cap matches
+    * [[HotBroadcastMaxKeys]] (8 B/key ≲ 100 MB at the cap).
+    */
+  private def hotSpanKeys(docs: DataFrame, idCol: String, textCol: String, k: Int): Array[Long] = {
+    val hotPlan = spanPostings(docs, idCol, textCol, k)
+      .groupBy(col("w"))
+      .agg(min(col("doc")).as("_mn"), max(col("doc")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select("w")
+    val keys = hotPlan.collect().map(_.getLong(0))
+    require(keys.length <= HotBroadcastMaxKeys,
+      s"hot-span set for k=$k has ${keys.length} keys (> $HotBroadcastMaxKeys): " +
+        "this corpus is boilerplate-dominated; use removeDupSpans (shuffled path)")
+    java.util.Arrays.sort(keys)
+    keys
+  }
+
+  /** VARIABLE-LENGTH exact-substring dedup rewrite — the two-level
+    * refinement of [[removeDupSpans]]:
+    *
+    *   - islands are discovered at the FINE length `kExt` (precise
+    *     boundaries, catches the full extent of a quote);
+    *   - an island is removed only when it contains a shared span of the
+    *     COARSE length `kSeed` — strong evidence of a real verbatim match.
+    *     A fixed-`kExt` island stitched from short coincidental overlaps
+    *     (different partner docs contributing different 8-token windows,
+    *     no one doc sharing a long run) carries no `kSeed` witness and is
+    *     kept, which single-k cannot express.
+    *
+    * Soundness of the seed test: a shared `kSeed` window starting at p
+    * forces shared `kExt` windows at p..p+kSeed−kExt (each is a substring
+    * of the same window in the same partner doc), which are contiguous and
+    * therefore all inside ONE `kExt` island covering [p, p+kSeed−1] — so
+    * "island contains a seed START" is exactly interval overlap, and no
+    * seed can straddle two islands.
+    *
+    * Shuffle shape (the r8-verdict ask — long runs must not ride exchanges
+    * as per-position rows): islands are computed INSIDE the row by
+    * [[graft.functions.SpanRunsExpr]] against broadcast hot-key sets, so a
+    * 300-token quote is one (s, e) struct from the moment it is discovered.
+    * The op's only exchanges are the two hot-key aggregates (plain min/max,
+    * map-side combined); the explode → semi join → per-doc window pipeline
+    * of the fixed-k path — 5.5 GB at 700× — is gone entirely, and adding
+    * the second k costs one more partial-combined aggregate, not another
+    * corpus-sized exchange (measured in the stress pipeline: var-k total
+    * shuffle < single-k).
+    */
+  def removeDupSpansVarK(docs: DataFrame, idCol: String, textCol: String,
+                         kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12): DataFrame = {
+    require(kSeed > kExt, s"seed length $kSeed must exceed extension length $kExt")
+    val sc = docs.sparkSession.sparkContext
+    val hotExt = sc.broadcast(hotSpanKeys(docs, idCol, textCol, kExt))
+    val hotSeed = sc.broadcast(hotSpanKeys(docs, idCol, textCol, kSeed))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def runsOf(toksCol: Column, hot: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int) =
+      column(graft.functions.SpanRunsExpr(expression(spanHashes(toksCol, k)), hot, k))
+    docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull)
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_runs", runsOf(col("_toks"), hotExt, kExt))
+      .withColumn("_seeds", runsOf(col("_toks"), hotSeed, kSeed))
+      // seed-backed islands only; clip at the doc end; drop short runs
+      .withColumn("ivs",
+        filter(
+          transform(
+            filter(col("_runs"), r => exists(col("_seeds"),
+              sd => sd.getField("s") >= r.getField("s") && sd.getField("s") <= r.getField("e"))),
+            r => struct(r.getField("s").as("s"),
+              least(r.getField("e"), col("n_tokens")).as("e"))),
+          r => r.getField("e") - r.getField("s") + 1 >= minRunTokens))
+      .filter(size(col("ivs")) > 0)
+      .withColumn("removed_tokens",
+        aggregate(col("ivs"), lit(0L), (acc, iv) => acc + iv.getField("e") - iv.getField("s") + 1L))
+      .withColumn("_kept",
+        filter(
+          zip_with(col("_toks"), sequence(lit(1L), size(col("_toks")).cast("long")),
+            (t, p) => struct(p.as("p"), t.as("t"))),
+          x => !exists(col("ivs"), iv =>
+            x.getField("p") >= iv.getField("s") && x.getField("p") <= iv.getField("e"))))
+      .select(
+        col("doc"), col("n_tokens"), col("removed_tokens"),
+        md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
+  }
+
+  /** DuckDB mirror of [[removeDupSpansVarK]] (string spans). */
+  def removeDupSpansVarKSql(kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+       |), spans_e AS (
+       |  SELECT doc_id AS doc, CAST(len(l) AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS pos,
+       |    CASE WHEN len(l) < $kExt THEN array_to_string(l, ' ')
+       |         ELSE array_to_string(l[i:i+${kExt - 1}], ' ') END AS s
+       |  FROM toks, unnest(CASE WHEN len(l) < $kExt THEN [1]
+       |                         ELSE range(1, len(l) - ${kExt - 2}) END) AS u(i)
+       |), hot_e AS (
+       |  SELECT s FROM spans_e GROUP BY s HAVING COUNT(DISTINCT doc) >= 2
+       |), dpos_e AS (
+       |  SELECT doc, n_tokens, pos FROM spans_e JOIN hot_e USING (s)
+       |), marked AS (
+       |  SELECT doc, n_tokens, pos,
+       |    CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ${-kExt}) + $kExt
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM dpos_e
+       |), isl AS (
+       |  SELECT doc, n_tokens, pos,
+       |    SUM(brk) OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM marked
+       |), runs AS (
+       |  SELECT doc, n_tokens, run_id, MIN(pos) AS s,
+       |    LEAST(MAX(pos) + ${kExt - 1}, n_tokens) AS e
+       |  FROM isl GROUP BY doc, n_tokens, run_id
+       |), spans_s AS (
+       |  SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos,
+       |    CASE WHEN len(l) < $kSeed THEN array_to_string(l, ' ')
+       |         ELSE array_to_string(l[i:i+${kSeed - 1}], ' ') END AS s
+       |  FROM toks, unnest(CASE WHEN len(l) < $kSeed THEN [1]
+       |                         ELSE range(1, len(l) - ${kSeed - 2}) END) AS u(i)
+       |), hot_s AS (
+       |  SELECT s FROM spans_s GROUP BY s HAVING COUNT(DISTINCT doc) >= 2
+       |), seed AS (
+       |  SELECT doc, pos FROM spans_s JOIN hot_s USING (s)
+       |), kept_runs AS (
+       |  SELECT r.doc, r.n_tokens, r.s, r.e FROM runs r
+       |  WHERE r.e - r.s + 1 >= $minRunTokens
+       |    AND EXISTS (SELECT 1 FROM seed d WHERE d.doc = r.doc AND d.pos BETWEEN r.s AND r.e)
+       |), removed AS (
+       |  SELECT doc, n_tokens, CAST(SUM(e - s + 1) AS BIGINT) AS removed_tokens
+       |  FROM kept_runs GROUP BY doc, n_tokens
+       |), positions AS (
+       |  SELECT t.doc_id AS doc, CAST(i AS BIGINT) AS p, l[i] AS tok
+       |  FROM toks t, unnest(range(1, len(l) + 1)) AS u(i)
+       |  WHERE t.doc_id IN (SELECT doc FROM removed)
+       |), kept AS (
+       |  SELECT p.doc, p.p, p.tok FROM positions p
+       |  WHERE NOT EXISTS (SELECT 1 FROM kept_runs r
+       |                    WHERE r.doc = p.doc AND p.p BETWEEN r.s AND r.e)
+       |), clean AS (
+       |  SELECT r.doc, r.n_tokens, r.removed_tokens,
+       |    md5(COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS clean_md5
+       |  FROM removed r LEFT JOIN kept k ON r.doc = k.doc
+       |  GROUP BY r.doc, r.n_tokens, r.removed_tokens
+       |)
+       |SELECT doc, n_tokens, removed_tokens, clean_md5 FROM clean""".stripMargin
+
   /** CTE chain from a `srcdocs(doc_id, text, …)` relation to
     * `removed(doc, n_tokens, removed_tokens)` — the SQL mirror of the
     * interval-union half of [[removeDupSpans]], shared by the standalone

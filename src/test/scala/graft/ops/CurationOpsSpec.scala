@@ -189,6 +189,52 @@ class CurationOpsSpec extends AnyFunSuite {
       2L -> ((30L, "d41d8cd98f00b204e9800998ecf8427e"))))
   }
 
+  test("removeDupSpansVarK: long quote is one seed-backed island; stitched islands are kept") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // (a) a 40-token verbatim quote shared between two docs: seed-backed at
+    // kSeed=24, spliced out with exact boundaries from the kExt=8 islands
+    val quote = (1 to 40).map(i => s"q$i").mkString(" ")
+    val a = (1 to 10).map(i => s"a$i").mkString(" ") + " " + quote + " " +
+      (1 to 10).map(i => s"b$i").mkString(" ")
+    val b = (1 to 6).map(i => s"c$i").mkString(" ") + " " + quote
+    val pair = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Spans.removeDupSpansVarK(pair, "doc_id", "text", kSeed = 24, kExt = 8,
+        minRunTokens = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((60L, 40L, md5hex(
+      (1 to 10).map(i => s"a$i").mkString(" ") + " " + (1 to 10).map(i => s"b$i").mkString(" ")))))
+    assert(out(2L) == ((46L, 40L, md5hex((1 to 6).map(i => s"c$i").mkString(" ")))))
+    // (b) a STITCHED island: doc 10 shares DIFFERENT disjoint 10-token runs
+    // with two different partners, run-length merged into one >=20-token
+    // island at kExt=8 — but no 24-token window is shared with any single
+    // doc, so var-k keeps the doc while fixed-k would rewrite it
+    val r1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val r2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val stitched = Seq(
+      (10L, r1 + " " + r2), // r1 and r2 adjacent: islands merge at k=8
+      (11L, (1 to 8).map(i => s"p$i").mkString(" ") + " " + r1),
+      (12L, r2 + " " + (1 to 8).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fixed = Spans.removeDupSpans(stitched, "doc_id", "text", k = 8, minRunTokens = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(fixed.contains(10L), "fixed-k rewrites the stitched doc (the false merge)")
+    val varK = Spans.removeDupSpansVarK(stitched, "doc_id", "text", kSeed = 24, kExt = 8,
+        minRunTokens = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(!varK.contains(10L), "var-k must keep the stitched doc: no 24-token witness")
+    // (c) full copy still rewrites to empty under var-k (whole-doc seed)
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val copy = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val co = Spans.removeDupSpansVarK(copy, "doc_id", "text", 24, 8, 12)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(co == Map(1L -> "d41d8cd98f00b204e9800998ecf8427e",
+      2L -> "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
   test("crossNearDupPairs finds planted batch-vs-corpus near-dups and nothing within a set") {
     import spark.implicits._
     val corpus = docs.filter(size(split($"text", " ")) >= 20)
