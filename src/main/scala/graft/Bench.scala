@@ -210,6 +210,72 @@ object Bench {
         f"""{"stress_uncompressed_mb":$smb%.0f,"stress_partitions":$nP,"stress_expected_partitions":$expP,"stress_seq_read_secs":$seqS%.2f,"stress_parallel_scan_secs":$parS%.2f,"stress_speedup":${seqS / math.max(0.001, parS)}%.1f,"stress_typed_q1_secs":$q1S%.2f}""")
     }
 
+    // ---- many-file planning + compaction gate ------------------------------
+    // 10k tiny container files: the standing failure mode of streaming
+    // ingest at 100 TB. Driver cost must be LISTING, not footer I/O —
+    // footer-index reads are counted (FourMcScanMetrics.footerReads) and
+    // asserted ZERO during planning; they happen inside tasks. Compact then
+    // closes the loop: re-filed at 64 MiB targets, planning AND scanning are
+    // re-measured on the same rows. Input dir cached in /tmp;
+    // SPARK_GRAFT_SMALLFILES=0 skips.
+    val smallFiles: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_SMALLFILES").contains("0")) None
+      else try {
+        val nFiles = 10000
+        val root = new java.io.File("/tmp/graft-small-files")
+        val inDir = new java.io.File(root, "in")
+        def count4mc(d: java.io.File): Int = {
+          val k = d.listFiles()
+          if (k == null) 0 else k.count(f => f.getName.endsWith(".4mc"))
+        }
+        if (count4mc(inDir) != nFiles) {
+          spark.range(0, 2000000L)
+            .select(format_string("r%09d|%s", col("id"), lit("x" * 24)).as("value"))
+            .repartition(nFiles)
+            .write.mode("overwrite").format("4mc").save(inDir.getAbsolutePath)
+        }
+        val metrics = graft.sources.FourMcScanMetrics
+        val f0 = metrics.footerReads.sum()
+        val tP0 = System.nanoTime()
+        val df = spark.read.format("4mc").load(inDir.getAbsolutePath)
+        val planParts = df.queryExecution.toRdd.partitions.length
+        val planSecs = (System.nanoTime() - tP0) / 1e9
+        val footersDuringPlan = metrics.footerReads.sum() - f0
+        val tS0 = System.nanoTime()
+        val rows = df.count()
+        val scanSecs = (System.nanoTime() - tS0) / 1e9
+        val outDir = new java.io.File(root, "compacted")
+        val tC0 = System.nanoTime()
+        val (nIn, nOut, outRows) = graft.ops.Compact.compactText(
+          spark, inDir.getAbsolutePath, outDir.getAbsolutePath, "zstd-3", 64L * 1024 * 1024)
+        val compactSecs = (System.nanoTime() - tC0) / 1e9
+        val tP1 = System.nanoTime()
+        val dfC = spark.read.format("4mc").load(outDir.getAbsolutePath)
+        val planPartsC = dfC.queryExecution.toRdd.partitions.length
+        val planSecsC = (System.nanoTime() - tP1) / 1e9
+        val tS1 = System.nanoTime()
+        val rowsC = dfC.count()
+        val scanSecsC = (System.nanoTime() - tS1) / 1e9
+        // block-aligned splits give the big compacted file its parallelism
+        // back — the whole point of a splittable container: compaction
+        // removes per-file overhead WITHOUT serializing the scan
+        val prevMaxPB = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+        val dfC4 = spark.read.format("4mc").load(outDir.getAbsolutePath)
+        val planPartsC4 = dfC4.queryExecution.toRdd.partitions.length
+        val tS2 = System.nanoTime()
+        val rowsC4 = dfC4.count()
+        val scanSecsC4 = (System.nanoTime() - tS2) / 1e9
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPB)
+        Some(
+          f"""{"small_files":$nIn,"small_files_plan_secs":$planSecs%.2f,"small_files_plan_partitions":$planParts,"footer_reads_during_plan":$footersDuringPlan,"small_files_scan_secs":$scanSecs%.2f,"rows":$rows,"compact_secs":$compactSecs%.2f,"compacted_files":$nOut,"compacted_plan_secs":$planSecsC%.2f,"compacted_plan_partitions":$planPartsC,"compacted_scan_secs":$scanSecsC%.2f,"compacted_scan_4mib_partitions":$planPartsC4,"compacted_scan_4mib_secs":$scanSecsC4%.2f,"rows_preserved":${rows == outRows && rows == rowsC && rows == rowsC4}}""")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] small_files gate failed: ${e.getMessage}")
+          None
+      }
+    smallFiles.foreach(emitSection("small_files", _))
+
     // ---- query wall clock: median of 3 after a warmup run -----------------
     // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
     // absorb the ±10% scheduler noise local[32] shows at this scale)

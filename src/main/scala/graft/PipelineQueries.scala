@@ -75,8 +75,13 @@ object PipelineQueries {
     * (measured in the round-6 stress run: capped shuffle grows linearly
     * with corpus size where the uncapped join grew quadratically).
     */
+  /** Corpus-scale document-frequency cap for the ngram pair join (echoed
+    * into the stress artifact so a shuffle-volume delta is diagnosable).
+    */
+  val NgramMaxDocFreq = 256
+
   def dedupNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.6, maxDocFreq = 256)
+    Dedup.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", 0.6, maxDocFreq = NgramMaxDocFreq)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(100)
 

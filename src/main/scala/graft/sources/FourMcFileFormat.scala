@@ -407,7 +407,14 @@ object FourMcScanMetrics {
   val blocksSkipped = new java.util.concurrent.atomic.LongAdder
   /** Corrupt blocks skipped by permissive scans (ignoreCorruptBlocks). */
   val corruptSkipped = new java.util.concurrent.atomic.LongAdder
-  def reset(): Unit = { blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset() }
+  /** Cold footer-index reads (cache misses) — the many-small-files bench
+    * gate asserts this stays ZERO during driver-side planning: footers are
+    * task-side I/O, never on the planning critical path.
+    */
+  val footerReads = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = {
+    blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset(); footerReads.reset()
+  }
 }
 
 object FourMcFileFormat {
@@ -425,7 +432,7 @@ object FourMcFileFormat {
     if (indexCache.size > 4096) indexCache.clear()
     indexCache.computeIfAbsent(
       (file.urlEncodedPath, file.fileSize, file.modificationTime),
-      _ => FourMcReader.readIndex(in)
+      _ => { FourMcScanMetrics.footerReads.increment(); FourMcReader.readIndex(in) }
     )
   }
 

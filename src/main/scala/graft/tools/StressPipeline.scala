@@ -34,7 +34,39 @@ object StressPipeline {
 
   final case class OpResult(name: String, secs: Double, rows: Long, shuffleWriteMb: Double)
   final case class StressReport(repDocs: Int, repEmb: Int, nDocs: Long, nVecs: Long,
-                                textMb: Double, genSecs: Double, ops: Seq[OpResult])
+                                textMb: Double, genSecs: Double, budgetSecs: Long,
+                                conf: Seq[(String, String)], ops: Seq[OpResult])
+
+  /** Least-recently-measured rotation state: op name → epoch millis of its
+    * last completed in-artifact measurement. Persisted OUTSIDE the repo
+    * (beside the corpus cache) so consecutive rounds' budget-limited runs
+    * cover complementary subsets — every op lands in an archived artifact at
+    * least once every few rounds instead of the same tail being `secs: -2`
+    * forever (r8 verdict #2).
+    */
+  private val RotationStatePath = "/tmp/graft-stress-pipeline/rotation.tsv"
+
+  private def loadRotation(): Map[String, Long] =
+    try {
+      val f = new java.io.File(RotationStatePath)
+      if (!f.exists()) Map.empty
+      else
+        scala.io.Source.fromFile(f).getLines().flatMap { l =>
+          l.split("\t") match {
+            case Array(n, t) => t.toLongOption.map(n -> _)
+            case _           => None
+          }
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  private def saveRotation(state: Map[String, Long]): Unit =
+    try {
+      val f = new java.io.File(RotationStatePath)
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f)
+      try state.foreach { case (n, t) => w.println(s"$n\t$t") }
+      finally w.close()
+    } catch { case e: Exception => System.err.println(s"[stress] rotation save failed: $e") }
 
   /** ~60%-substituted words, keyed by (word, replica, tag): the same word is
     * rewritten identically within a replica (stable vocab shape) and
@@ -218,78 +250,81 @@ object StressPipeline {
         System.err.println(s"[stress] $name skipped: section budget (${budgetSecs}s) exhausted")
         OpResult(name, -2.0, -1L, 0.0)
       } else timed(spark, name)(action)
-    val ops = Seq(
-      guarded("dedup_ngram_pairs") {
-        graft.PipelineQueries.dedupNgramPairs(spark, dir).count()
-      },
-      guarded("dedup_minhash_pairs") {
-        graft.PipelineQueries.dedupMinhashPairs(spark, dir).count()
-      },
-      guarded("dedup_clusters") {
-        graft.PipelineQueries.dedupClusters(spark, dir).count()
-      },
-      guarded("ann_lsh_b12t8") {
+    // Op catalog in CANONICAL report order. Ops that must run together (the
+    // steady-state pair: build must precede and absorb the index cost) share
+    // a group; rotation reorders GROUPS by least-recently-measured so a
+    // budget-limited run measures the ops the previous runs skipped.
+    val groups: Seq[Seq[(String, () => Long)]] = Seq(
+      Seq("dedup_ngram_pairs" -> (() =>
+        graft.PipelineQueries.dedupNgramPairs(spark, dir).count())),
+      Seq("dedup_minhash_pairs" -> (() =>
+        graft.PipelineQueries.dedupMinhashPairs(spark, dir).count())),
+      Seq("dedup_clusters" -> (() =>
+        graft.PipelineQueries.dedupClusters(spark, dir).count())),
+      Seq("ann_lsh_b12t8" -> (() =>
         Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
-          bits = 12, tables = 8).count()
-      },
-      guarded("tfidf_top_terms") {
-        graft.PipelineQueries.tfidfTopTerms(spark, dir).count()
-      },
+          bits = 12, tables = 8).count())),
+      Seq("tfidf_top_terms" -> (() =>
+        graft.PipelineQueries.tfidfTopTerms(spark, dir).count())),
       // distributed-prefix-sum packing: one scan + range shuffle of
       // (doc, n_tokens) — should stay near-linear in corpus size
-      guarded("pack_training_sequences") {
-        graft.PipelineQueries.packTrainingSequences(spark, dir).count()
-      },
+      Seq("pack_training_sequences" -> (() =>
+        graft.PipelineQueries.packTrainingSequences(spark, dir).count())),
       // exact-substring coverage: O(corpus tokens) span postings, two-level
       // distinct aggregate, semi join back, per-doc window — every stage
       // linear in corpus size (the replicated corpus makes EVERY span
       // cross-replica-duplicated, so this measures the worst case where the
       // hot-span set is the whole vocabulary)
-      guarded("span_dup_coverage") {
-        graft.PipelineQueries.spanDupCoverage(spark, dir).count()
-      },
+      Seq("span_dup_coverage" -> (() =>
+        graft.PipelineQueries.spanDupCoverage(spark, dir).count())),
       // the rewrite half of exact-substring dedup: same linear span
       // machinery plus the interval union and the doc↔runs equality join —
       // time should track span_dup_coverage plus one corpus-text join, never
       // anything quadratic (on the replicated corpus every span is hot, so
       // runs merge to ~1 interval/doc — the rebuild lambda's dense-dup
       // best case)
-      guarded("span_dedup_rewrite") {
-        graft.PipelineQueries.spanDedupRewrite(spark, dir).count()
-      },
+      Seq("span_dedup_rewrite" -> (() =>
+        graft.PipelineQueries.spanDedupRewrite(spark, dir).count())),
+      // variable-length rewrite: SAME corpus, islands found map-side against
+      // broadcast hot sets + a 24-token seed pass — its shuffle must come in
+      // BELOW single-k's (the window exchange is gone; the second hot
+      // aggregate is the only added exchange). The stress pair
+      // (span_dedup_rewrite, span_dedup_rewrite_vark) is the r8-verdict
+      // "shuffle does not grow vs single-k" evidence.
+      Seq("span_dedup_rewrite_vark" -> (() =>
+        graft.PipelineQueries.spanDedupRewriteVarK(spark, dir).count())),
       // batch-vs-corpus admission: minhash signatures on both splits plus
       // the cross-set band join — the shape whose incremental cost must stay
       // batch-bounded, measured here with a 20% batch against an 80% corpus
-      guarded("incremental_dedup") {
-        graft.PipelineQueries.incrementalDedup(spark, dir).count()
-      },
+      Seq("incremental_dedup" -> (() =>
+        graft.PipelineQueries.incrementalDedup(spark, dir).count())),
       // steady state: corpus signatures precomputed into a parquet index
       // (built+cached under the stress dir — the build is timed as its own
       // op so the report separates offline index cost from per-batch cost).
       // The delta vs incremental_dedup IS the measurement: per-batch time
       // must scale with the 20% batch, not the 80% corpus.
-      guarded("incremental_sig_table_build") {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/sigtable")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        val d = spark.read.parquet(s"$dir/documents.parquet")
-        graft.ops.Incremental.ensureSignatureTable(
-          spark, d.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", s"$dir/sigtable").count()
-      },
-      guarded("incremental_dedup_steady") {
-        val d = spark.read.parquet(s"$dir/documents.parquet")
-        val isBatch = col("doc_id") % 5 === 4
-        val corpSigs = graft.ops.Incremental.ensureSignatureTable(
-          spark, d.filter(!isBatch), "doc_id", "text", s"$dir/sigtable")
-        graft.ops.Incremental.batchStatusSteady(
-          d.filter(isBatch), corpSigs, "doc_id", "text", 0.5).count()
-      },
+      Seq(
+        "incremental_sig_table_build" -> (() => {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/sigtable")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          val d = spark.read.parquet(s"$dir/documents.parquet")
+          graft.ops.Incremental.ensureSignatureTable(
+            spark, d.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", s"$dir/sigtable").count()
+        }),
+        "incremental_dedup_steady" -> (() => {
+          val d = spark.read.parquet(s"$dir/documents.parquet")
+          val isBatch = col("doc_id") % 5 === 4
+          val corpSigs = graft.ops.Incremental.ensureSignatureTable(
+            spark, d.filter(!isBatch), "doc_id", "text", s"$dir/sigtable")
+          graft.ops.Incremental.batchStatusSteady(
+            d.filter(isBatch), corpSigs, "doc_id", "text", 0.5).count()
+        })),
       // per-domain cap: one checkpointed scoring pass, then a plain agg +
       // a WindowGroupLimit-capped rank — the window shuffle carries at most
       // cap rows per (map partition, domain), so corpus growth should cost
       // only the linear scoring scan
-      guarded("domain_cap_sample") {
-        graft.PipelineQueries.domainCapSample(spark, dir).count()
-      },
+      Seq("domain_cap_sample" -> (() =>
+        graft.PipelineQueries.domainCapSample(spark, dir).count())),
       // SemDeDup at stress scale: k = 2048 seed-medoid cells sits near the
       // k ≈ √N balance point — the map-only assignment (N·k dot products,
       // embarrassingly parallel, zero shuffle) and the within-cell pair
@@ -297,86 +332,75 @@ object StressPipeline {
       // same order. The rotation-replicated stress embeddings plant true
       // near-twins (reps 64 apart share a rotation), so the removed set is
       // real, while cross-rotation replicas stay decorrelated
-      guarded("semantic_dedup_k2048") {
+      Seq("semantic_dedup_k2048" -> (() =>
         Similarity.semanticDedup(emb, k = 2048, tau = 0.8)
-          .filter(col("removed")).count()
-      },
+          .filter(col("removed")).count())),
       // the corpus-scale SemDeDup configuration: 2 Lloyd iterations of
       // deterministic partial-agg k-means before assignment. Each iteration
       // is one fused N·k mapPartitions pass (k×dim partials per partition,
       // merged on the driver) — the training cost should be ~2 assignment
       // scans on top of semantic_dedup_k2048, never super-linear
-      guarded("semantic_dedup_lloyd2") {
+      Seq("semantic_dedup_lloyd2" -> (() =>
         Similarity.semanticDedup(emb, k = 2048, tau = 0.8, iters = 2)
-          .filter(col("removed")).count()
-      },
+          .filter(col("removed")).count())),
       // unigram-LM quality scoring: O(tokens) explode, one token-count
       // shuffle, broadcast vocabulary back — should track tfidf's linear
       // profile (same skeleton, one fewer per-doc stage)
-      guarded("unigram_logprob") {
+      Seq("unigram_logprob" -> (() =>
         graft.ops.TextAnalysis.unigramLogProb(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          vocabCap = 4096).count()
-      },
+          vocabCap = 4096).count())),
       // DSIR importance resampling: two O(features) explodes, a groupBy
       // bounded by m=1024 buckets, one ≤m-row broadcast back, TakeOrdered
       // top-k — every shuffle except the per-doc sum is constant-size, so
       // time should be ~2 tokenize scans regardless of corpus size
-      guarded("dsir_select") {
+      Seq("dsir_select" -> (() =>
         graft.ops.Dsir.dsirSelect(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
           targetPred = col("lang") === "en", m = 1024, k = 100,
-          fastHash = true).count()
-      },
+          fastHash = true).count())),
       // bigram LM: the bigram count aggregate is THE shuffle (any n-gram LM
       // training pays it — KenLM included); both reductions after it are
       // vocabulary-bounded and the scoring joins broadcast, so time should
       // track ~2 tokenize scans + one bigram-count shuffle, linear in corpus
-      guarded("bigram_logprob") {
+      Seq("bigram_logprob" -> (() =>
         graft.ops.TextAnalysis.bigramLogProb(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          vocabCap = 4096, bigramCap = 65536).count()
-      },
+          vocabCap = 4096, bigramCap = 65536).count())),
       // PQ-ADC at corpus scale: codebook training (iters=1 — production
       // trains on a sample; the full-corpus pass here upper-bounds it) +
       // fused map-only encode + the LUT-broadcast candidate scan. The scan
       // reads 32 small ints + a norm per row instead of 64 floats; scoring
       // is 32 lookups/pair — time should scale with N at a lower constant
       // than ann brute force would
-      guarded("ann_pq_adc") {
+      Seq("ann_pq_adc" -> (() =>
         Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
-          mSub = 32, ks = 16, nCand = 128, iters = 1).count()
-      },
+          mSub = 32, ks = 16, nCand = 128, iters = 1).count())),
       // BPE segmentation: encode is a map-only per-token loop against the
       // broadcast merge ranks — time should be ~1 tokenize scan + the
       // string work, with only the per-lang aggregate shuffling
-      guarded("bpe_segment_stats") {
-        graft.PipelineQueries.bpeSegmentStats(spark, dir).count()
-      },
+      Seq("bpe_segment_stats" -> (() =>
+        graft.PipelineQueries.bpeSegmentStats(spark, dir).count())),
       // IVFPQ at corpus scale (nCells ~ sqrt(N), nprobe 1/16 of cells): the
       // candidate join touches ~nprobe/nCells of the code table per query —
       // against flat PQ's full-scan this is the sublinear production shape;
       // time should be dominated by index construction (two training passes
       // + one map-only encode), with the probe join itself near-free
-      guarded("ann_ivfpq") {
+      Seq("ann_ivfpq" -> (() =>
         Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5, dim = 64,
           nCells = 1024, nprobe = 64, mSub = 32, ks = 16, nCand = 128,
-          iters = 1).count()
-      },
+          iters = 1).count())),
       // the composed nightly-build row: quality gate -> exact dedup -> span
       // removal -> per-lang stats. Cost should track its parts (one quality
       // scan + one text-keyed dedup shuffle + the span machinery) — a
       // super-linear surprise here means the stages interfere
-      guarded("corpus_materialize") {
-        graft.PipelineQueries.corpusMaterialize(spark, dir).count()
-      },
+      Seq("corpus_materialize" -> (() =>
+        graft.PipelineQueries.corpusMaterialize(spark, dir).count())),
       // same CC computation as dedup_clusters, reliable (FS-backed)
       // checkpoints: the fault-tolerant mode a 100 TB many-iteration run
       // would use. The delta vs dedup_clusters IS the measurement —
       // write-through-FS cost per iteration vs executor block storage.
-      // Runs LAST so a budget exhaustion sacrifices this extra point, never
-      // a primary op's number.
-      guarded("dedup_clusters_reliable") {
+      Seq("dedup_clusters_reliable" -> (() => {
         val ckpt = s"$dir/ckpt"
         spark.sparkContext.setCheckpointDir(ckpt)
         try graft.PipelineQueries.dedupClusters(spark, dir, reliableCheckpoint = true).count()
@@ -384,15 +408,43 @@ object StressPipeline {
           val p = new org.apache.hadoop.fs.Path(ckpt)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
-      })
-    StressReport(repDocs, repEmb, nDocs, nVecs, textMb, genSecs, ops)
+      })))
+    val rotation = loadRotation()
+    val ordered = groups.zipWithIndex
+      .sortBy { case (g, idx) => (g.map(t => rotation.getOrElse(t._1, 0L)).min, idx) }
+      .map(_._1)
+    System.err.println("[stress] run order (least-recently-measured first): " +
+      ordered.flatMap(_.map(_._1)).mkString(", "))
+    var state = rotation
+    val measured = scala.collection.mutable.Map.empty[String, OpResult]
+    ordered.foreach(_.foreach { case (name, action) =>
+      val r = guarded(name)(action())
+      measured(name) = r
+      if (r.secs >= 0) state = state.updated(name, System.currentTimeMillis())
+    })
+    saveRotation(state)
+    val ops = groups.flatten.map(t => measured(t._1))
+    // the knobs a shuffle-volume delta would hinge on (r8 verdict #1: make
+    // the artifact self-diagnosing)
+    val confEcho = Seq(
+      "spark.sql.shuffle.partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "spark.sql.adaptive.enabled" ->
+        spark.conf.getOption("spark.sql.adaptive.enabled").getOrElse("default"),
+      "spark.graft.checkpoint.storage" ->
+        spark.conf.getOption("spark.graft.checkpoint.storage").getOrElse("unset"),
+      "ngram.maxDocFreq" -> graft.PipelineQueries.NgramMaxDocFreq.toString,
+      "minhash.threshold" -> "0.5",
+      "spans.kExt/kSeed/minRun" -> "8/24/12"
+    )
+    StressReport(repDocs, repEmb, nDocs, nVecs, textMb, genSecs, budgetSecs, confEcho, ops)
   }
 
   def toJson(r: StressReport): String = {
     val ops = r.ops.map(o =>
       f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f}""")
       .mkString("{", ",", "}")
-    f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"ops":$ops}"""
+    val conf = r.conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"budget_secs":${r.budgetSecs},"conf":$conf,"ops":$ops}"""
   }
 
   /** Local-iteration entry: `runMain graft.tools.StressPipeline [repDocs] [repEmb] [baseSf]`. */
