@@ -86,7 +86,10 @@ object SpanRunsExpr {
     false
   }
 
-  /** Merged islands of duplicated starts: array of struct(s, e) rows. */
+  /** Merged islands of duplicated starts: array of struct(s, e) rows.
+    * Null entries are positions excluded up front (anchor sampling) — never
+    * members, but they keep the index↔position alignment.
+    */
   def findRuns(ws: ArrayData, hot: Array[Long], k: Int): ArrayData = {
     val n = ws.numElements()
     var buf: java.util.ArrayList[InternalRow] = null
@@ -94,7 +97,7 @@ object SpanRunsExpr {
     var runMaxStart = -1L
     var i = 0
     while (i < n) {
-      if (contains(hot, ws.getLong(i))) {
+      if (!ws.isNullAt(i) && contains(hot, ws.getLong(i))) {
         val p = i + 1L
         if (runS < 0) { runS = p; runMaxStart = p }
         else if (p > runMaxStart + k) { // gap: close the island

@@ -263,24 +263,66 @@ object Spans {
         sequence(lit(1), size(toks) - (k - 1)),
         i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
 
-  /** Driver-collected sorted hot-span keys for one k (spans in ≥ 2 distinct
-    * docs). Bounded by the same premise as the broadcast semi join:
-    * duplicated spans are the minority; the cap matches
+  /** Content-defined anchor predicate over the kAnchor-token PREFIX of the
+    * window at position `i` (1-based): selected iff the first hex digit of
+    * the prefix's md5 is < `hexBelow`. md5-on-string is computable
+    * identically in DuckDB, so the oracle replays the exact selection —
+    * the same reason [[Dedup]]'s minhash permutations are md5-derived.
+    * Content-defined (not strided) selection survives cross-document
+    * alignment shifts: a shared window is selected in BOTH documents or in
+    * neither (winnowing's anchoring argument, Schleimer et al. 2003).
+    */
+  private val AnchorPrefixTokens = 8
+  private def anchorSelected(toks: Column, i: Column, hexBelow: Int): Column =
+    if (hexBelow >= 16) lit(true)
+    else substring(md5(concat_ws(" ", slice(toks, i, lit(AnchorPrefixTokens)))
+      .cast("binary")), 1, 1) < lit(java.lang.Integer.toHexString(hexBelow))
+
+  /** Seed-span hash array: position-aligned with the token array, null at
+    * positions the anchor predicate rejects (nulls keep alignment through
+    * [[graft.functions.SpanRunsExpr]] and never match the hot set).
+    */
+  private def seedHashes(toks: Column, kSeed: Int, hexBelow: Int): Column =
+    when(size(toks) < kSeed, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (kSeed - 1)),
+        i => when(anchorSelected(toks, i, hexBelow),
+          xxhash64(concat_ws(" ", slice(toks, i, lit(kSeed))))).otherwise(lit(null))))
+
+  /** Anchored seed postings: (doc, pos, w) for SELECTED kSeed-window starts
+    * only — the seed aggregate's exchange shrinks by the anchor fraction.
+    */
+  private def seedPostings(docs: DataFrame, idCol: String, textCol: String,
+                           kSeed: Int, hexBelow: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull)
+      .select(col("doc"),
+        posexplode(seedHashes(col("_toks"), kSeed, hexBelow)).as(Seq("off", "w")))
+      .filter(col("w").isNotNull)
+      .select(col("doc"), (col("off") + 1).cast("long").as("pos"), col("w"))
+
+  /** Driver-collected sorted hot keys (spans in ≥ 2 distinct docs) from a
+    * postings relation. Bounded by the same premise as the broadcast semi
+    * join: duplicated spans are the minority; the cap matches
     * [[HotBroadcastMaxKeys]] (8 B/key ≲ 100 MB at the cap).
     */
-  private def hotSpanKeys(docs: DataFrame, idCol: String, textCol: String, k: Int): Array[Long] = {
-    val hotPlan = spanPostings(docs, idCol, textCol, k)
+  private def hotKeysOf(posts: DataFrame, what: String): Array[Long] = {
+    val hotPlan = posts
       .groupBy(col("w"))
       .agg(min(col("doc")).as("_mn"), max(col("doc")).as("_mx"))
       .filter(col("_mn") =!= col("_mx"))
       .select("w")
     val keys = hotPlan.collect().map(_.getLong(0))
     require(keys.length <= HotBroadcastMaxKeys,
-      s"hot-span set for k=$k has ${keys.length} keys (> $HotBroadcastMaxKeys): " +
+      s"hot-span set for $what has ${keys.length} keys (> $HotBroadcastMaxKeys): " +
         "this corpus is boilerplate-dominated; use removeDupSpans (shuffled path)")
     java.util.Arrays.sort(keys)
     keys
   }
+
+  private def hotSpanKeys(docs: DataFrame, idCol: String, textCol: String, k: Int): Array[Long] =
+    hotKeysOf(spanPostings(docs, idCol, textCol, k), s"k=$k")
 
   /** VARIABLE-LENGTH exact-substring dedup rewrite — the two-level
     * refinement of [[removeDupSpans]]:
@@ -307,26 +349,37 @@ object Spans {
     * 300-token quote is one (s, e) struct from the moment it is discovered.
     * The op's only exchanges are the two hot-key aggregates (plain min/max,
     * map-side combined); the explode → semi join → per-doc window pipeline
-    * of the fixed-k path — 5.5 GB at 700× — is gone entirely, and adding
-    * the second k costs one more partial-combined aggregate, not another
-    * corpus-sized exchange (measured in the stress pipeline: var-k total
-    * shuffle < single-k).
+    * of the fixed-k path is gone entirely. The SEED aggregate is further
+    * shrunk by content-defined ANCHOR sampling ([[anchorSelected]],
+    * winnowing-style): only windows whose 8-token prefix md5 starts with a
+    * hex digit < `seedAnchorHexBelow` enter the exchange (default 8 = half).
+    * Selection is a pure function of the text, so a shared window is
+    * sampled in both documents or neither — no cross-document alignment
+    * loss — and the DuckDB oracle replays it exactly. The trade is
+    * recall-shaped and CONSERVATIVE: a shared run of length L ≥ kSeed has
+    * L−kSeed+1 aligned seed candidates and is missed only when every one
+    * is unsampled (2^−(L−kSeed+1) at the default — 0.8% for a 30-token
+    * run, vanishing beyond); a miss keeps the document, it never removes
+    * clean text. `seedAnchorHexBelow = 16` disables sampling.
     */
   def removeDupSpansVarK(docs: DataFrame, idCol: String, textCol: String,
-                         kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12): DataFrame = {
+                         kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12,
+                         seedAnchorHexBelow: Int = 8): DataFrame = {
     require(kSeed > kExt, s"seed length $kSeed must exceed extension length $kExt")
     val sc = docs.sparkSession.sparkContext
     val hotExt = sc.broadcast(hotSpanKeys(docs, idCol, textCol, kExt))
-    val hotSeed = sc.broadcast(hotSpanKeys(docs, idCol, textCol, kSeed))
+    val hotSeed = sc.broadcast(
+      hotKeysOf(seedPostings(docs, idCol, textCol, kSeed, seedAnchorHexBelow), s"seed k=$kSeed"))
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def runsOf(toksCol: Column, hot: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int) =
-      column(graft.functions.SpanRunsExpr(expression(spanHashes(toksCol, k)), hot, k))
+    def runsOf(hashes: Column, hot: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int) =
+      column(graft.functions.SpanRunsExpr(expression(hashes), hot, k))
     docs
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(col("_toks").isNotNull)
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      .withColumn("_runs", runsOf(col("_toks"), hotExt, kExt))
-      .withColumn("_seeds", runsOf(col("_toks"), hotSeed, kSeed))
+      .withColumn("_runs", runsOf(spanHashes(col("_toks"), kExt), hotExt, kExt))
+      .withColumn("_seeds",
+        runsOf(seedHashes(col("_toks"), kSeed, seedAnchorHexBelow), hotSeed, kSeed))
       // seed-backed islands only; clip at the doc end; drop short runs
       .withColumn("ivs",
         filter(
@@ -350,8 +403,11 @@ object Spans {
         md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
   }
 
-  /** DuckDB mirror of [[removeDupSpansVarK]] (string spans). */
-  def removeDupSpansVarKSql(kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12): String =
+  /** DuckDB mirror of [[removeDupSpansVarK]] (string spans; identical
+    * md5-anchor selection of seed windows).
+    */
+  def removeDupSpansVarKSql(kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12,
+                            seedAnchorHexBelow: Int = 8): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
        |), spans_e AS (
@@ -384,7 +440,14 @@ object Spans {
        |         ELSE array_to_string(l[i:i+${kSeed - 1}], ' ') END AS s
        |  FROM toks, unnest(CASE WHEN len(l) < $kSeed THEN [1]
        |                         ELSE range(1, len(l) - ${kSeed - 2}) END) AS u(i)
-       |), hot_s AS (
+       |${
+        if (seedAnchorHexBelow >= 16) ""
+        else
+          s"""  WHERE len(l) < $kSeed
+             |     OR substr(md5(array_to_string(l[i:i+${AnchorPrefixTokens - 1}], ' ')), 1, 1)
+             |        < '${java.lang.Integer.toHexString(seedAnchorHexBelow)}'
+             |""".stripMargin
+      }), hot_s AS (
        |  SELECT s FROM spans_s GROUP BY s HAVING COUNT(DISTINCT doc) >= 2
        |), seed AS (
        |  SELECT doc, pos FROM spans_s JOIN hot_s USING (s)
