@@ -289,19 +289,6 @@ object Spans {
         i => when(anchorSelected(toks, i, hexBelow),
           xxhash64(concat_ws(" ", slice(toks, i, lit(kSeed))))).otherwise(lit(null))))
 
-  /** Anchored seed postings: (doc, pos, w) for SELECTED kSeed-window starts
-    * only — the seed aggregate's exchange shrinks by the anchor fraction.
-    */
-  private def seedPostings(docs: DataFrame, idCol: String, textCol: String,
-                           kSeed: Int, hexBelow: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .filter(col("_toks").isNotNull)
-      .select(col("doc"),
-        posexplode(seedHashes(col("_toks"), kSeed, hexBelow)).as(Seq("off", "w")))
-      .filter(col("w").isNotNull)
-      .select(col("doc"), (col("off") + 1).cast("long").as("pos"), col("w"))
-
   /** Driver-collected sorted hot keys (spans in ≥ 2 distinct docs) from a
     * postings relation. Bounded by the same premise as the broadcast semi
     * join: duplicated spans are the minority; the cap matches
@@ -323,6 +310,24 @@ object Spans {
 
   private def hotSpanKeys(docs: DataFrame, idCol: String, textCol: String, k: Int): Array[Long] =
     hotKeysOf(spanPostings(docs, idCol, textCol, k), s"k=$k")
+
+  /** Anchored seed postings: (doc, pos, w) for SELECTED kSeed-window starts
+    * only — the seed aggregate's exchange shrinks by the anchor fraction.
+    * (A fused variant computing ext+seed hashes in one tagged scan was
+    * measured at 700× and REJECTED: the mixed-domain tagged exchange
+    * compressed worse — 4.72 GB vs 4.48 GB for two separate aggregates —
+    * with no wall-time gain; doc-major single-domain postings compress
+    * better than they cost in a second scan.)
+    */
+  private def seedPostings(docs: DataFrame, idCol: String, textCol: String,
+                           kSeed: Int, hexBelow: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull)
+      .select(col("doc"),
+        posexplode(seedHashes(col("_toks"), kSeed, hexBelow)).as(Seq("off", "w")))
+      .filter(col("w").isNotNull)
+      .select(col("doc"), (col("off") + 1).cast("long").as("pos"), col("w"))
 
   /** VARIABLE-LENGTH exact-substring dedup rewrite — the two-level
     * refinement of [[removeDupSpans]]:
