@@ -109,16 +109,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       val totalFields = dataSchema.length
       // Precompiled parse tags: the hot loop dispatches on an Int jump table
       // instead of re-matching DataType case objects per value.
-      val fieldTags: Array[Int] = fieldTypes.map {
-        case StringType                       => CsvPayload.TagString
-        case LongType                         => CsvPayload.TagLong
-        case IntegerType                      => CsvPayload.TagInt
-        case DoubleType                       => CsvPayload.TagDouble
-        case FloatType                        => CsvPayload.TagFloat
-        case BooleanType                      => CsvPayload.TagBoolean
-        case TimestampType | TimestampNTZType => CsvPayload.TagTimestamp
-        case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
-      }
+      val fieldTags: Array[Int] = fieldTypes.map(CsvPayload.tagOf)
       // Boundary scan can stop after the last REQUIRED field: a projection of
       // the first k columns never walks the tail of the line.
       val neededFields = if (fieldIdx.isEmpty) 0 else fieldIdx.max + 1
@@ -153,37 +144,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         // fast parser doesn't cover
         lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
           .withZone(java.time.ZoneOffset.UTC)
-        val keepOpt: Option[Array[Boolean]] =
-          if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
-            index.stats.flatMap { st =>
-              val fromFilters =
-                if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st)
-                else None
-              val fromKeys = rkfOpt.flatMap { case (c, bKeys) =>
-                McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st)
-              }
-              (fromFilters, fromKeys) match {
-                case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
-                case (a, b)             => a.orElse(b)
-              }
-            }.filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
-          else None
-        val lines = keepOpt match {
-          case Some(keepArr) =>
-            val it = new FourMcPrunedLineIterator(in, index, file.start, file.start + file.length, keepArr)
-            Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-              FourMcScanMetrics.blocksRead.add(it.blocksRead)
-              FourMcScanMetrics.blocksSkipped.add(it.blocksSkipped)
-            })
-            it
-          case None =>
-            val it = new FourMcLineIterator(in, index, file.start, file.start + file.length,
-              permissive = permissive)
-            if (permissive) Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-              FourMcScanMetrics.corruptSkipped.add(it.corruptSkipped)
-            })
-            it
-        }
+        val lines = FourMcFileFormat.csvLines(
+          in, index, file, dataSchema, filters, statsEnabled, permissive, rkfOpt)
         val starts = new Array[Int](totalFields + 1)
         // One UnsafeRowWriter reused for every line (the same pattern as
         // Spark's text source): primitives land in the row buffer unboxed,
@@ -390,6 +352,74 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     }
   }
 
+  /** Vectorized output: every scan whose output schema (required +
+    * partition columns) fits our vectors emits ColumnarBatch — the planner
+    * inserts ColumnarToRow and the parse runs column-major
+    * ([[FourMcVectorizedReader]]). `spark.graft.fourmc.vectorized=false`
+    * restores the row reader (both paths share the line iterators, so
+    * results are identical by construction).
+    */
+  override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
+    sparkSession.sessionState.conf
+      .getConfString("spark.graft.fourmc.vectorized", "true").toBoolean &&
+      FourMcVectorizedReader.vectorizable(schema)
+
+  override def vectorTypes(
+      requiredSchema: StructType,
+      partitionSchema: StructType,
+      sqlConf: org.apache.spark.sql.internal.SQLConf): Option[Seq[String]] =
+    Some(
+      Seq.fill(requiredSchema.length)(
+        classOf[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector].getName) ++
+      Seq.fill(partitionSchema.length)(
+        classOf[org.apache.spark.sql.execution.vectorized.ConstantColumnVector].getName))
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration
+  ): PartitionedFile => Iterator[InternalRow] = {
+    val outSchema = StructType(requiredSchema.fields ++ partitionSchema.fields)
+    if (!supportBatch(sparkSession, outSchema))
+      super.buildReaderWithPartitionValues(
+        sparkSession, dataSchema, partitionSchema, requiredSchema, filters, options, hadoopConf)
+    else {
+      val broadcastConf =
+        sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+      val payload = options.getOrElse("payload", "text")
+      val acceptAny = options.get("acceptAnyExtension").exists(_.toBoolean)
+      val extOk = (file: PartitionedFile) =>
+        acceptAny || { val p = file.toPath.getName; p.endsWith(".4mc") || p.endsWith(".4mz") }
+      val permissive = options.get("ignoreCorruptBlocks").exists(_.toBoolean)
+      if (payload == "csv") {
+        val rkfOpt = options.get(RuntimeKeyFilter.OptionKey).map { spec =>
+          val (c, keys) = RuntimeKeyFilter.decode(spec)
+          (c, sparkSession.sparkContext.broadcast(keys))
+        }
+        FourMcVectorizedReader.csvReader(
+          requiredSchema, partitionSchema, dataSchema, filters,
+          delim = options.getOrElse("delimiter", "|").charAt(0).toByte,
+          tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS"),
+          statsEnabled = options.getOrElse("blockStats", "true").toBoolean,
+          permissive = permissive,
+          rkfOpt = rkfOpt,
+          broadcastConf = broadcastConf,
+          extOk = extOk)
+      } else {
+        FourMcVectorizedReader.rawReader(
+          requiredSchema, partitionSchema, payload,
+          ebMarkerOpt = options.get("ebMarker"),
+          permissive = permissive,
+          broadcastConf = broadcastConf,
+          extOk = extOk)
+      }
+    }
+  }
+
   override def supportDataType(dataType: DataType): Boolean = dataType match {
     case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
         BooleanType | TimestampType | TimestampNTZType =>
@@ -427,6 +457,54 @@ object FourMcFileFormat {
   // full clear past the bound is harmless — mtime keying makes a reload
   // always correct, so a racing clear only costs a cache miss.
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FourMcIndex]()
+
+  /** The csv-payload line stream for one split: block pruning (static
+    * filters ∧ runtime key set) against the stats segment when available,
+    * scan metrics wired — SHARED by the row-based and vectorized readers so
+    * the two paths cannot drift in pruning or corruption semantics.
+    */
+  private[sources] def csvLines(
+      in: McInput,
+      index: FourMcIndex,
+      file: PartitionedFile,
+      dataSchema: StructType,
+      filters: Seq[Filter],
+      statsEnabled: Boolean,
+      permissive: Boolean,
+      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]
+  ): Iterator[(Long, Array[Byte])] = {
+    val keepOpt: Option[Array[Boolean]] =
+      if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
+        index.stats.flatMap { st =>
+          val fromFilters =
+            if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st)
+            else None
+          val fromKeys = rkfOpt.flatMap { case (c, bKeys) =>
+            McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st)
+          }
+          (fromFilters, fromKeys) match {
+            case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
+            case (a, b)             => a.orElse(b)
+          }
+        }.filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
+      else None
+    keepOpt match {
+      case Some(keepArr) =>
+        val it = new FourMcPrunedLineIterator(in, index, file.start, file.start + file.length, keepArr)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          FourMcScanMetrics.blocksRead.add(it.blocksRead)
+          FourMcScanMetrics.blocksSkipped.add(it.blocksSkipped)
+        })
+        it
+      case None =>
+        val it = new FourMcLineIterator(in, index, file.start, file.start + file.length,
+          permissive = permissive)
+        if (permissive) Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          FourMcScanMetrics.corruptSkipped.add(it.corruptSkipped)
+        })
+        it
+    }
+  }
 
   private[sources] def cachedIndex(file: PartitionedFile, in: McInput): FourMcIndex = {
     if (indexCache.size > 4096) indexCache.clear()
@@ -663,6 +741,20 @@ object CsvPayload {
   final val TagFloat = 4
   final val TagBoolean = 5
   final val TagTimestamp = 6
+
+  /** The parse tag for one csv-payload column type (shared by the row and
+    * vectorized readers — one dispatch table, two consumers).
+    */
+  def tagOf(dt: DataType): Int = dt match {
+    case StringType                       => TagString
+    case LongType                         => TagLong
+    case IntegerType                      => TagInt
+    case DoubleType                       => TagDouble
+    case FloatType                        => TagFloat
+    case BooleanType                      => TagBoolean
+    case TimestampType | TimestampNTZType => TagTimestamp
+    case other => throw new UnsupportedOperationException(s"csv payload type $other")
+  }
 
   /** Compile the pushable single-column conjuncts of `filters` into per-
     * required-field predicates over PARSED values (internal representations:
