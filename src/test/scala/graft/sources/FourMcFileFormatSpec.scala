@@ -544,6 +544,44 @@ class FourMcFileFormatSpec extends AnyFunSuite {
       want.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("vectorized scan: plans are Batched, results equal the row reader exactly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.write.format("4mc").option("payload", "csv").save(dir)
+    val schema = li.schema
+    def scan = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    // plan pinned: the scan node reports Batched: true and ColumnarToRow
+    val plan = scan.filter($"l_quantity" > 25).queryExecution.executedPlan.toString
+    assert(plan.contains("Batched: true"), s"scan must be columnar:\n${plan.take(800)}")
+    assert(plan.contains("ColumnarToRow"), s"planner must insert ColumnarToRow:\n${plan.take(800)}")
+    // row-path equivalence, including pushed filters and projections
+    val q = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter($"l_quantity" > 25 && $"l_returnflag" === "R")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_extendedprice".cast("decimal(18,2)")).as("s"))
+        .orderBy($"l_linestatus")
+    val vectorized = q(scan).collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.fourmc.vectorized", "false")
+    try {
+      val rowPlan = q(scan).queryExecution.executedPlan.toString
+      assert(!rowPlan.contains("Batched: true"), "conf off must restore the row reader")
+      assert(q(scan).collect().map(_.toString).toSeq == vectorized)
+    } finally spark.conf.set("spark.graft.fourmc.vectorized", "true")
+    // null handling: the \\N marker and empty trailing fields decode the same
+    val dir2 = tmpDir()
+    Seq((1L, Some("a"), Some(1.5)), (2L, None, None), (3L, Some(""), Some(0.0)))
+      .toDF("k", "s", "v").write.format("4mc").option("payload", "csv").save(dir2)
+    import org.apache.spark.sql.types._
+    val sch2 = StructType(Seq(StructField("k", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    def read2 = spark.read.format("4mc").option("payload", "csv").schema(sch2).load(dir2)
+      .orderBy("k").collect().map(_.toString).toSeq
+    val vec2 = read2
+    spark.conf.set("spark.graft.fourmc.vectorized", "false")
+    try assert(read2 == vec2) finally spark.conf.set("spark.graft.fourmc.vectorized", "true")
+  }
+
   test("SQL DDL: CREATE TABLE USING 4mc, INSERT INTO appends, SHOW TABLES, DROP + re-create") {
     val tbl = "ddl_spec_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
