@@ -258,15 +258,20 @@ object Bench {
         val scanSecsC = (System.nanoTime() - tS1) / 1e9
         // block-aligned splits give the big compacted file its parallelism
         // back — the whole point of a splittable container: compaction
-        // removes per-file overhead WITHOUT serializing the scan
+        // removes per-file overhead WITHOUT serializing the scan.
+        // finally-restored: an exception here is swallowed by the section's
+        // catch, and a leaked 4 MiB setting would distort every later
+        // section's timings
         val prevMaxPB = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
-        val dfC4 = spark.read.format("4mc").load(outDir.getAbsolutePath)
-        val planPartsC4 = dfC4.queryExecution.toRdd.partitions.length
-        val tS2 = System.nanoTime()
-        val rowsC4 = dfC4.count()
-        val scanSecsC4 = (System.nanoTime() - tS2) / 1e9
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPB)
+        val (planPartsC4, rowsC4, scanSecsC4) =
+          try {
+            spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+            val dfC4 = spark.read.format("4mc").load(outDir.getAbsolutePath)
+            val p = dfC4.queryExecution.toRdd.partitions.length
+            val tS2 = System.nanoTime()
+            val r = dfC4.count()
+            (p, r, (System.nanoTime() - tS2) / 1e9)
+          } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPB)
         Some(
           f"""{"small_files":$nIn,"small_files_plan_secs":$planSecs%.2f,"small_files_plan_partitions":$planParts,"footer_reads_during_plan":$footersDuringPlan,"small_files_scan_secs":$scanSecs%.2f,"rows":$rows,"compact_secs":$compactSecs%.2f,"compacted_files":$nOut,"compacted_plan_secs":$planSecsC%.2f,"compacted_plan_partitions":$planPartsC,"compacted_scan_secs":$scanSecsC%.2f,"compacted_scan_4mib_partitions":$planPartsC4,"compacted_scan_4mib_secs":$scanSecsC4%.2f,"rows_preserved":${rows == outRows && rows == rowsC && rows == rowsC4}}""")
       } catch {

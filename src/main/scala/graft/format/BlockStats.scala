@@ -82,16 +82,7 @@ final class McBlockStats(
 final class McStatsBuilder(schema: StructType) {
   import BlockStats._
 
-  val tags: Array[Int] = schema.fields.map(_.dataType match {
-    case StringType                       => CsvPayload.TagString
-    case LongType                         => CsvPayload.TagLong
-    case IntegerType                      => CsvPayload.TagInt
-    case DoubleType                       => CsvPayload.TagDouble
-    case FloatType                        => CsvPayload.TagFloat
-    case BooleanType                      => CsvPayload.TagBoolean
-    case TimestampType | TimestampNTZType => CsvPayload.TagTimestamp
-    case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
-  })
+  val tags: Array[Int] = schema.fields.map(f => CsvPayload.tagOf(f.dataType))
   private val nCols = tags.length
 
   private final class BlockAcc {

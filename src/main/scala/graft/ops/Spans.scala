@@ -295,15 +295,20 @@ object Spans {
     * [[HotBroadcastMaxKeys]] (8 B/key ≲ 100 MB at the cap).
     */
   private def hotKeysOf(posts: DataFrame, what: String): Array[Long] = {
-    val hotPlan = posts
+    val hotPlan0 = posts
       .groupBy(col("w"))
       .agg(min(col("doc")).as("_mn"), max(col("doc")).as("_mx"))
       .filter(col("_mn") =!= col("_mx"))
       .select("w")
-    val keys = hotPlan.collect().map(_.getLong(0))
-    require(keys.length <= HotBroadcastMaxKeys,
-      s"hot-span set for $what has ${keys.length} keys (> $HotBroadcastMaxKeys): " +
+    // COUNT before collecting (checkpoint so the agg runs once): a
+    // boilerplate-dominated corpus must hit the clean size guard, not OOM
+    // the driver materializing tens of millions of boxed rows first
+    val hotPlan = hotPlan0.localCheckpoint(true, Dedup.ckptLevel(hotPlan0))
+    val n = hotPlan.count()
+    require(n <= HotBroadcastMaxKeys,
+      s"hot-span set for $what has $n keys (> $HotBroadcastMaxKeys): " +
         "this corpus is boilerplate-dominated; use removeDupSpans (shuffled path)")
+    val keys = hotPlan.collect().map(_.getLong(0))
     java.util.Arrays.sort(keys)
     keys
   }

@@ -79,9 +79,14 @@ object FourMcBatchCommit {
     val conf = batch.sparkSession.sessionState.newHadoopConf()
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(conf)
-    if (alreadyCommitted(fs, outPath, batchId)) return
-    deletePublished(fs, outPath, batchId)
     val tmp = new Path(outPath, s"_tmp/batch-$batchId")
+    if (alreadyCommitted(fs, outPath, batchId)) {
+      // crash window: marker created but _tmp not yet dropped — clean it on
+      // the replay so a crash never leaks a full copy of the batch
+      fs.delete(tmp, true)
+      return
+    }
+    deletePublished(fs, outPath, batchId)
     var w = batch.write.mode("overwrite").format("4mc")
     writeOpts.foreach { case (k, v) => w = w.option(k, v) }
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)

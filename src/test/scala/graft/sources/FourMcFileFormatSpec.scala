@@ -582,6 +582,23 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     try assert(read2 == vec2) finally spark.conf.set("spark.graft.fourmc.vectorized", "true")
   }
 
+  test("driver-side planning reads zero footer indexes (footers are task-side I/O)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 5000).map(i => s"r$i").toDF("value")
+      .repartition(40).write.format("4mc").save(dir)
+    val before = graft.sources.FourMcScanMetrics.footerReads.sum()
+    val df = spark.read.format("4mc").load(dir)
+    val nParts = df.queryExecution.toRdd.partitions.length // listing + split planning, no job
+    assert(nParts > 0)
+    val during = graft.sources.FourMcScanMetrics.footerReads.sum() - before
+    assert(during == 0L,
+      s"planning a 40-file dir read $during footer indexes — footers must stay off the driver's critical path")
+    // executing the scan DOES read them (once per file per executor)
+    df.count()
+    assert(graft.sources.FourMcScanMetrics.footerReads.sum() - before > 0L)
+  }
+
   test("SQL DDL: CREATE TABLE USING 4mc, INSERT INTO appends, SHOW TABLES, DROP + re-create") {
     val tbl = "ddl_spec_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

@@ -276,6 +276,13 @@ class StreamingSpec extends AnyFunSuite {
     FourMcBatchCommit.writeBatch(b1, 1L, out, opts)
     assert(sinkRows() == (0L until 180L), "retry after torn publish must not duplicate")
     assert(fs.exists(new org.apache.hadoop.fs.Path(out, "_commits/1")))
+    // crash AFTER marker creation but BEFORE _tmp cleanup: the replay must
+    // drop the orphaned _tmp copy instead of leaking a whole batch on disk
+    val orphan = new org.apache.hadoop.fs.Path(out, "_tmp/batch-1")
+    fs.mkdirs(orphan)
+    FourMcBatchCommit.writeBatch(b1, 1L, out, opts)
+    assert(!fs.exists(orphan), "replay of a committed batch must clean its _tmp leftovers")
+    assert(sinkRows() == (0L until 180L))
   }
 
   test("streaming restart after a crash between sink write and checkpoint commit: exactly-once") {
