@@ -345,7 +345,7 @@ object Bench {
             // container twins over the same scaled tables (q1/q6 above are
             // their parquet twins)
             "fourmc_lineitem_q1", "fourmz_lineitem_q1", "fourmc_orders_selfjoin",
-            "fourmc_q6_selective", "fourmc_q6_skipped")
+            "fourmc_q6_selective", "fourmc_q6_skipped", "fourmc_count_star")
           val rows = sf1Names.flatMap { name =>
             SparkEntry.queries.get(name).map { fn =>
               def run(): Double =

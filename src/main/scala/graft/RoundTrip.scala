@@ -111,6 +111,20 @@ object RoundTrip {
   def q1OverFourMz(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "zstd-3"))
 
+  /** COUNT(*) over the container — the metadata-only fast path: an empty
+    * projection with no filters is answered from the stats segment's
+    * per-block owned-line counts, so the scan reads FOOTERS ONLY (zero
+    * blocks decompressed; `FourMcScanMetrics.metadataCountRows`, exactness
+    * under arbitrary splits pinned in FourMcFileFormatSpec). The parquet
+    * analog is row-group-metadata counting; at 100 TB this turns the most
+    * common sanity query into a footer sweep.
+    */
+  def fourMcCountStar(spark: SparkSession, sfDir: String): DataFrame =
+    roundTrip(spark, sfDir, "lineitem", "lz4-fast")
+      .agg(count(lit(1)).as("n"))
+
+  val fourMcCountStarSql: String = "SELECT COUNT(*) AS n FROM lineitem"
+
   /** Write (once) a SORT-CLUSTERED round-trip: rows range-partitioned and
     * sorted by `sortCol`, so the per-block min/max stats segment
     * ([[graft.format.BlockStats]]) actually separates blocks and a selective

@@ -140,6 +140,16 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         val in = FourMcFileFormat.openInput(file, conf)
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         val index = FourMcFileFormat.cachedIndex(file, in)
+        // metadata-only COUNT(*) — see FourMcVectorizedReader for the
+        // batch twin and the rationale; this is the row-reader fallback
+        if (nFields == 0 && filters.isEmpty && statsEnabled && !permissive &&
+            rkfOpt.isEmpty && index.stats.isDefined) {
+          val n = FourMcFileFormat.ownedLineCount(index, file)
+          FourMcScanMetrics.metadataCountRows.add(n)
+          val empty = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(0)
+          empty.pointTo(new Array[Byte](8), 8)
+          Iterator.fill(if (n > Int.MaxValue) Int.MaxValue else n.toInt)(empty: InternalRow)
+        } else {
         // formatter fallback only for timestamp patterns the fixed-layout
         // fast parser doesn't cover
         lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
@@ -257,6 +267,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           }
           (if (keep) writer.getRow else null): InternalRow
         }.filter(_ ne null)
+        }
       }
     } else {
       val wantOffset = requiredSchema.fieldNames.contains("offset")
@@ -442,8 +453,13 @@ object FourMcScanMetrics {
     * task-side I/O, never on the planning critical path.
     */
   val footerReads = new java.util.concurrent.atomic.LongAdder
+  /** Rows answered from stats metadata alone (COUNT(*) fast path — no
+    * block was read or decompressed for these).
+    */
+  val metadataCountRows = new java.util.concurrent.atomic.LongAdder
   def reset(): Unit = {
-    blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset(); footerReads.reset()
+    blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset()
+    footerReads.reset(); metadataCountRows.reset()
   }
 }
 
@@ -457,6 +473,24 @@ object FourMcFileFormat {
   // full clear past the bound is harmless — mtime keying makes a reload
   // always correct, so a racing clear only costs a cache miss.
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), FourMcIndex]()
+
+  /** Exact owned-line count of one split from the stats segment: the sum of
+    * per-block OWNED-line counts over the blocks whose headers start inside
+    * the split (the same alignment rule as every reader), so any partition
+    * of the byte range partitions the counts exactly. Caller must have
+    * checked `index.stats.isDefined`.
+    */
+  private[sources] def ownedLineCount(index: FourMcIndex, file: PartitionedFile): Long = {
+    val st = index.stats.get
+    val alignedStart = index.nextBlockAt(math.max(file.start, FourMc.HeaderLen.toLong))
+    val splitEnd = file.start + file.length
+    val alignedEnd = if (splitEnd >= index.eosPos) index.eosPos else index.nextBlockAt(splitEnd)
+    var ord = index.ordAt(alignedStart)
+    val endOrd = index.ordAt(alignedEnd)
+    var n = 0L
+    while (ord < endOrd) { n += st.lineCount(ord); ord += 1 }
+    n
+  }
 
   /** The csv-payload line stream for one split: block pruning (static
     * filters ∧ runtime key set) against the stats segment when available,

@@ -95,6 +95,30 @@ object FourMcVectorizedReader {
       val in = FourMcFileFormat.openInput(file, conf)
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       val index = FourMcFileFormat.cachedIndex(file, in)
+      // Metadata-only COUNT(*): an empty projection with no pushed filters
+      // is answerable from the stats segment's per-block OWNED-line counts
+      // — the footer is the only byte this split ever reads. At 100 TB a
+      // `SELECT COUNT(*)` becomes a footer sweep instead of a decompress-
+      // everything scan (parquet answers it from row-group metadata the
+      // same way). Ownership makes the split sum exact under ANY layout.
+      if (nFields == 0 && filters.isEmpty && statsEnabled && !permissive &&
+          rkfOpt.isEmpty && index.stats.isDefined) {
+        val n = FourMcFileFormat.ownedLineCount(index, file)
+        FourMcScanMetrics.metadataCountRows.add(n)
+        val partVecs = partitionVectors(partitionSchema, file.partitionValues)
+        val batch = new ColumnarBatch(partVecs)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => batch.close()))
+        var remaining = n
+        erase(new Iterator[ColumnarBatch] {
+          override def hasNext: Boolean = remaining > 0
+          override def next(): ColumnarBatch = {
+            val k = math.min(remaining, BatchSize.toLong).toInt
+            remaining -= k
+            batch.setNumRows(k)
+            batch
+          }
+        })
+      } else {
       lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
         .withZone(java.time.ZoneOffset.UTC)
       val lines = FourMcFileFormat.csvLines(
@@ -298,6 +322,7 @@ object FourMcVectorizedReader {
           batch
         }
       })
+      }
     }
   }
 

@@ -582,6 +582,56 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     try assert(read2 == vec2) finally spark.conf.set("spark.graft.fourmc.vectorized", "true")
   }
 
+  test("metadata-only COUNT(*): answered from stats, exact under any split layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val rows = 57123
+    (0 until rows).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("k", "s", "v")
+      .repartition(3).write.format("4mc").option("payload", "csv").save(dir)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType),
+      StructField("v", DoubleType)))
+    def scan = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val m = graft.sources.FourMcScanMetrics
+    m.reset()
+    assert(scan.count() == rows)
+    assert(m.metadataCountRows.sum() == rows,
+      s"count(*) must be metadata-answered: ${m.metadataCountRows.sum()}")
+    // tiny splits: the per-split owned sums must still partition exactly
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+    try {
+      m.reset()
+      assert(scan.count() == rows)
+      assert(m.metadataCountRows.sum() == rows)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
+    // row reader (vectorized off) shares the fast path
+    spark.conf.set("spark.graft.fourmc.vectorized", "false")
+    try {
+      m.reset()
+      assert(scan.count() == rows)
+      assert(m.metadataCountRows.sum() == rows)
+    } finally spark.conf.set("spark.graft.fourmc.vectorized", "true")
+    // a pushed filter disables it (rows must be parsed); count stays right
+    m.reset()
+    assert(scan.filter($"k" < 1000).count() == 1000)
+    assert(m.metadataCountRows.sum() == 0L)
+    // stats disabled -> fallback
+    m.reset()
+    assert(spark.read.format("4mc").option("payload", "csv").option("blockStats", "false")
+      .schema(schema).load(dir).count() == rows)
+    assert(m.metadataCountRows.sum() == 0L)
+    // hive-partitioned: per-partition counts ride constant vectors
+    val pdir = tmpDir()
+    (0 until 5000).map(i => (i.toLong, s"p${i % 3}")).toDF("k", "part")
+      .write.format("4mc").option("payload", "csv").partitionBy("part").save(pdir)
+    val pschema = StructType(Seq(StructField("k", LongType)))
+    m.reset()
+    val got = spark.read.format("4mc").option("payload", "csv").schema(pschema).load(pdir)
+      .groupBy("part").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("p0" -> 1667L, "p1" -> 1667L, "p2" -> 1666L), got.toString)
+    assert(m.metadataCountRows.sum() == 5000L)
+  }
+
   test("driver-side planning reads zero footer indexes (footers are task-side I/O)") {
     import spark.implicits._
     val dir = tmpDir()
