@@ -309,9 +309,17 @@ class FourMcFileFormatSpec extends AnyFunSuite {
       .option("ignoreCorruptBlocks", permissiveOpt.toString)
       .schema(sch).load(dir)
 
-    // strict read: loud failure (the reference's integrity contract)
-    val strictErr = intercept[org.apache.spark.SparkException] { readBack(false).count() }
+    // strict read: loud failure (the reference's integrity contract) for any
+    // DATA-reading query. A bare count() is now metadata-answered from the
+    // stats segment (blocks untouched — same semantics as parquet's
+    // row-group count, which doesn't verify data pages either), so the
+    // strict probe must materialize a column.
+    val strictErr = intercept[org.apache.spark.SparkException] {
+      readBack(false).agg(org.apache.spark.sql.functions.sum("id")).collect()
+    }
     assert(strictErr.getMessage != null)
+    // ... and the metadata count itself still answers (footers are intact)
+    assert(readBack(false).count() == lines.length)
 
     // permissive read: only the victim block's lines (plus at most the two
     // boundary-spanning lines) are lost, nothing duplicates
