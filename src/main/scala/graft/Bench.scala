@@ -364,7 +364,10 @@ object Bench {
               val t =
                 if (warm < 0) warm
                 else {
-                  val samples = Seq(run(), run()).filter(_ >= 0)
+                  // three timed samples: at these sub-0.5 s absolutes one
+                  // scheduler hiccup moves a twin RATIO by ~25 points
+                  // (measured r9), so the min needs depth to be meaningful
+                  val samples = Seq(run(), run(), run()).filter(_ >= 0)
                   if (samples.isEmpty) warm else samples.min
                 }
               name -> t
