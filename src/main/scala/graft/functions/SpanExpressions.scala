@@ -84,6 +84,8 @@ object SpanRunsExpr {
       math.max(4, keys.length * 2 - 1)) << 1
     private val mask = cap - 1
     private val slots = new Array[Long](cap) // 0 = empty
+    /** Dominant allocation of this table: the slot array. */
+    def sizeBytes: Long = cap.toLong * 8L
     private var hasZero = false
     locally {
       var i = 0
@@ -121,13 +123,29 @@ object SpanRunsExpr {
 
   /** Executor-side memoized hash sets, one per broadcast id: the broadcast
     * ships the compact sorted array; each executor builds the probe table
-    * once. Bounded: cleared when stale entries accumulate.
+    * once. Bounded by ESTIMATED BYTES, not entry count: one table at the
+    * 12M-key hot-set cap allocates a ~256 MB slot array, so a count bound
+    * of 8 could pin >2 GB per executor. The slot array is the dominant
+    * allocation (cap longs = 16 bytes/key at load 0.5), so `sizeBytes`
+    * tracks it exactly; the whole cache is cleared when a new entry would
+    * push the total past the budget — rebuild-on-miss is cheap (one linear
+    * insert pass over the broadcast array) relative to an executor OOM.
     */
   private val setCache = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, LongSet]()
+  private val setCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val SetCacheBudgetBytes = 512L << 20
 
   private def setFor(bc: Broadcast[Array[Long]]): LongSet = {
-    if (setCache.size > 8) setCache.clear()
-    setCache.computeIfAbsent(bc.id, _ => new LongSet(bc.value))
+    val cached = setCache.get(bc.id)
+    if (cached != null) return cached
+    val fresh = new LongSet(bc.value)
+    if (setCacheBytes.get() + fresh.sizeBytes > SetCacheBudgetBytes) {
+      setCache.clear()
+      setCacheBytes.set(0L)
+    }
+    val prev = setCache.putIfAbsent(bc.id, fresh)
+    if (prev != null) prev
+    else { setCacheBytes.addAndGet(fresh.sizeBytes); fresh }
   }
 
   /** Merged islands of duplicated starts: array of struct(s, e) rows.

@@ -207,15 +207,22 @@ object Spans {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minRunTokens: Int = 12): DataFrame = {
     val dupPos = dupStartPositions(docs, idCol, textCol, k)
+    rebuildFromRuns(docs, idCol, textCol, islandRuns(dupPos, k), minRunTokens)
+  }
+
+  /** Gaps-and-islands merge of duplicated start positions into per-doc runs
+    * (doc, s, e) with UNCLIPPED ends. Interval ends are the monotone
+    * transform e = pos + (k-1): the running max over e equals (running max
+    * over pos) + (k-1), and within a doc the packed dp orders exactly like
+    * pos — so the window input stays the bare 8-byte dp, no derived column
+    * rides the exchange. Unclipped ends are safe here: only a doc's FINAL
+    * span can overrun the doc end and no later start exists to be affected,
+    * so run structure is identical; the clip itself happens per run inside
+    * the rebuild join.
+    */
+  private def islandRuns(dupPos: DataFrame, k: Int): DataFrame = {
     val win = Window.partitionBy(dpDoc(col("dp"))).orderBy(col("dp"))
-    // interval ends are the monotone transform e = pos + (k-1): the running
-    // max over e equals (running max over pos) + (k-1), and within a doc
-    // the packed dp orders exactly like pos — so the window input stays the
-    // bare 8-byte dp, no derived column rides the exchange. Unclipped ends
-    // are safe here: only a doc's FINAL span can overrun the doc end and no
-    // later start exists to be affected, so run structure is identical; the
-    // clip itself happens per run inside the rebuild join.
-    val runs = dupPos
+    dupPos
       // running max of interval ends over all PRIOR starts: a new run begins
       // when this start leaves a gap of >= 1 uncovered token (merge
       // overlapping AND contiguous coverage)
@@ -225,6 +232,15 @@ object Spans {
       .withColumn("run_id", sum(col("brk")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(dpDoc(col("dp")).as("doc"), col("run_id"))
       .agg(dpPos(min(col("dp"))).as("s"), (dpPos(max(col("dp"))) + (k - 1)).as("e"))
+      .select(col("doc"), col("s"), col("e"))
+  }
+
+  /** Splice `runs` (doc, s, e — ends unclipped) out of the documents and
+    * emit (doc, n_tokens, removed_tokens, clean_md5) for rewritten docs:
+    * the shared rebuild tail of every span-rewrite variant.
+    */
+  private def rebuildFromRuns(docs: DataFrame, idCol: String, textCol: String,
+                              runs: DataFrame, minRunTokens: Int): DataFrame = {
     val ivs = runs
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs_raw"))
@@ -233,7 +249,7 @@ object Spans {
       .join(ivs, Seq("doc")) // inner: only docs with candidate runs
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
       // clip each run at the doc end, then drop runs below minRunTokens —
-      // value-identical to clipping per position (see above)
+      // value-identical to clipping per position (see islandRuns)
       .withColumn("ivs",
         filter(
           transform(col("_ivs_raw"),
@@ -289,32 +305,46 @@ object Spans {
         i => when(anchorSelected(toks, i, hexBelow),
           xxhash64(concat_ws(" ", slice(toks, i, lit(kSeed))))).otherwise(lit(null))))
 
-  /** Driver-collected sorted hot keys (spans in ≥ 2 distinct docs) from a
-    * postings relation. Bounded by the same premise as the broadcast semi
-    * join: duplicated spans are the minority; the cap matches
-    * [[HotBroadcastMaxKeys]] (8 B/key ≲ 100 MB at the cap).
+  /** The hot-key PLAN (spans in ≥ 2 distinct docs) of a postings relation:
+    * a plain min/max aggregate — partial-combines map-side, never plans the
+    * two-exchange distinct expansion.
     */
-  private def hotKeysOf(posts: DataFrame, what: String): Array[Long] = {
-    val hotPlan0 = posts
+  private def hotKeyPlan(posts: DataFrame): DataFrame =
+    posts
       .groupBy(col("w"))
       .agg(min(col("doc")).as("_mn"), max(col("doc")).as("_mx"))
       .filter(col("_mn") =!= col("_mx"))
       .select("w")
+
+  /** Driver-collected sorted hot keys (spans in ≥ 2 distinct docs) from a
+    * postings relation, or None when the set exceeds `maxKeys` — the same
+    * premise as the broadcast semi join: duplicated spans are the minority;
+    * the default cap matches [[HotBroadcastMaxKeys]] (8 B/key ≲ 100 MB at
+    * the cap). Returning None (instead of throwing) lets the caller fall
+    * back to the exchange plan, mirroring
+    * [[graft.sources.RuntimeKeyFilter.encode]]'s refusal of oversized dims:
+    * a boilerplate-dominated corpus whose hot set outgrows the driver
+    * degrades to the shuffled-join plan, it never OOMs and never errors.
+    */
+  private def hotKeysOf(posts: DataFrame, what: String,
+                        maxKeys: Long): Option[Array[Long]] = {
     // COUNT before collecting (checkpoint so the agg runs once): a
     // boilerplate-dominated corpus must hit the clean size guard, not OOM
     // the driver materializing tens of millions of boxed rows first
+    val hotPlan0 = hotKeyPlan(posts)
     val hotPlan = hotPlan0.localCheckpoint(true, Dedup.ckptLevel(hotPlan0))
     val n = hotPlan.count()
-    require(n <= HotBroadcastMaxKeys,
-      s"hot-span set for $what has $n keys (> $HotBroadcastMaxKeys): " +
-        "this corpus is boilerplate-dominated; use removeDupSpans (shuffled path)")
-    val keys = hotPlan.collect().map(_.getLong(0))
-    java.util.Arrays.sort(keys)
-    keys
+    if (n > maxKeys) {
+      System.err.println(
+        s"[spans] hot-span set for $what has $n keys (> $maxKeys): " +
+          "falling back to the exchange plan (shuffled semi join + window islands)")
+      None
+    } else {
+      val keys = hotPlan.collect().map(_.getLong(0))
+      java.util.Arrays.sort(keys)
+      Some(keys)
+    }
   }
-
-  private def hotSpanKeys(docs: DataFrame, idCol: String, textCol: String, k: Int): Array[Long] =
-    hotKeysOf(spanPostings(docs, idCol, textCol, k), s"k=$k")
 
   /** Anchored seed postings: (doc, pos, w) for SELECTED kSeed-window starts
     * only — the seed aggregate's exchange shrinks by the anchor fraction.
@@ -374,12 +404,35 @@ object Spans {
     */
   def removeDupSpansVarK(docs: DataFrame, idCol: String, textCol: String,
                          kSeed: Int = 24, kExt: Int = 8, minRunTokens: Int = 12,
-                         seedAnchorHexBelow: Int = 8): DataFrame = {
+                         seedAnchorHexBelow: Int = 8,
+                         hotBroadcastMaxKeys: Long = HotBroadcastMaxKeys): DataFrame = {
     require(kSeed > kExt, s"seed length $kSeed must exceed extension length $kExt")
     val sc = docs.sparkSession.sparkContext
-    val hotExt = sc.broadcast(hotSpanKeys(docs, idCol, textCol, kExt))
-    val hotSeed = sc.broadcast(
-      hotKeysOf(seedPostings(docs, idCol, textCol, kSeed, seedAnchorHexBelow), s"seed k=$kSeed"))
+    // Driver-collect guard ("What's wrong" r9 #3): BOTH hot sets must fit
+    // the cap, or the whole op degrades to the exchange plan — value-
+    // identical (the DuckDB oracle replays that plan shape), never a
+    // driver OOM. The seed set is only computed if the ext set fit.
+    val hotExtOpt =
+      hotKeysOf(spanPostings(docs, idCol, textCol, kExt), s"k=$kExt", hotBroadcastMaxKeys)
+    val hotSeedOpt =
+      if (hotExtOpt.isEmpty) None
+      else hotKeysOf(seedPostings(docs, idCol, textCol, kSeed, seedAnchorHexBelow),
+        s"seed k=$kSeed", hotBroadcastMaxKeys)
+    (hotExtOpt, hotSeedOpt) match {
+      case (Some(he), Some(hs)) =>
+        removeDupSpansVarKBroadcast(docs, idCol, textCol, kSeed, kExt, minRunTokens,
+          seedAnchorHexBelow, sc.broadcast(he), sc.broadcast(hs))
+      case _ =>
+        removeDupSpansVarKExchange(docs, idCol, textCol, kSeed, kExt, minRunTokens,
+          seedAnchorHexBelow)
+    }
+  }
+
+  private def removeDupSpansVarKBroadcast(
+      docs: DataFrame, idCol: String, textCol: String,
+      kSeed: Int, kExt: Int, minRunTokens: Int, seedAnchorHexBelow: Int,
+      hotExt: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      hotSeed: org.apache.spark.broadcast.Broadcast[Array[Long]]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     def runsOf(hashes: Column, hot: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int) =
       column(graft.functions.SpanRunsExpr(expression(hashes), hot, k))
@@ -411,6 +464,29 @@ object Spans {
       .select(
         col("doc"), col("n_tokens"), col("removed_tokens"),
         md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
+  }
+
+  /** Exchange-plan fallback of [[removeDupSpansVarK]] for corpora whose hot
+    * sets outgrow the driver-broadcast cap: the fixed-k pipeline (postings →
+    * semi join → per-doc window islands) at `kExt`, gated by a seed-witness
+    * LEFT SEMI join (run contains a duplicated anchored `kSeed` start) —
+    * the exact plan shape of the DuckDB oracle, so the result is
+    * value-identical to the broadcast path by the same soundness argument
+    * (a seed's island contains it; seed runs never straddle islands). The
+    * corpus pays the postings exchanges the broadcast path avoids, but
+    * nothing touches the driver beyond a count.
+    */
+  private def removeDupSpansVarKExchange(
+      docs: DataFrame, idCol: String, textCol: String,
+      kSeed: Int, kExt: Int, minRunTokens: Int, seedAnchorHexBelow: Int): DataFrame = {
+    val runs = islandRuns(dupStartPositions(docs, idCol, textCol, kExt), kExt)
+    val sposts = seedPostings(docs, idCol, textCol, kSeed, seedAnchorHexBelow)
+    val seeds = sposts.join(hotKeyPlan(sposts), Seq("w"), "left_semi")
+      .select(col("doc").as("_sdoc"), col("pos"))
+    val witnessed = runs.join(seeds,
+      col("doc") === col("_sdoc") && col("pos") >= col("s") && col("pos") <= col("e"),
+      "left_semi")
+    rebuildFromRuns(docs, idCol, textCol, witnessed, minRunTokens)
   }
 
   /** DuckDB mirror of [[removeDupSpansVarK]] (string spans; identical

@@ -131,10 +131,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // filter on this scan. Broadcast (not closure-captured): the decoded
       // array can reach ~1M longs and is shared by every task.
       val rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] =
-        options.get(RuntimeKeyFilter.OptionKey).map { spec =>
-          val (c, keys) = RuntimeKeyFilter.decode(spec)
-          (c, sparkSession.sparkContext.broadcast(keys))
-        }
+        options.get(RuntimeKeyFilter.OptionKey)
+          .map(FourMcFileFormat.rkfBroadcast(sparkSession, _))
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
         val conf = broadcastConf.value.value
         val in = FourMcFileFormat.openInput(file, conf)
@@ -146,9 +144,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             rkfOpt.isEmpty && index.stats.isDefined) {
           val n = FourMcFileFormat.ownedLineCount(index, file)
           FourMcScanMetrics.metadataCountRows.add(n)
-          val empty = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(0)
-          empty.pointTo(new Array[Byte](8), 8)
-          Iterator.fill(if (n > Int.MaxValue) Int.MaxValue else n.toInt)(empty: InternalRow)
+          FourMcFileFormat.emptyRows(n)
         } else {
         // formatter fallback only for timestamp patterns the fixed-layout
         // fast parser doesn't cover
@@ -407,10 +403,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         acceptAny || { val p = file.toPath.getName; p.endsWith(".4mc") || p.endsWith(".4mz") }
       val permissive = options.get("ignoreCorruptBlocks").exists(_.toBoolean)
       if (payload == "csv") {
-        val rkfOpt = options.get(RuntimeKeyFilter.OptionKey).map { spec =>
-          val (c, keys) = RuntimeKeyFilter.decode(spec)
-          (c, sparkSession.sparkContext.broadcast(keys))
-        }
+        val rkfOpt = options.get(RuntimeKeyFilter.OptionKey)
+          .map(FourMcFileFormat.rkfBroadcast(sparkSession, _))
         FourMcVectorizedReader.csvReader(
           requiredSchema, partitionSchema, dataSchema, filters,
           delim = options.getOrElse("delimiter", "|").charAt(0).toByte,
@@ -537,6 +531,44 @@ object FourMcFileFormat {
           FourMcScanMetrics.corruptSkipped.add(it.corruptSkipped)
         })
         it
+    }
+  }
+
+  // Driver-side broadcast cache for runtime key filters, keyed by the full
+  // option spec string: repeated buildReader calls with the same injected
+  // key set (re-planned queries, AQE re-optimization, the same dim reused
+  // across queries in a session) reuse ONE broadcast of the decoded array
+  // (~8 MB at the 1M-key cap) instead of minting a fresh one per call.
+  // Eviction clears the map WITHOUT destroy(): an in-flight query may still
+  // hold the evicted broadcast; dropping the driver reference lets Spark's
+  // ContextCleaner reclaim the blocks once every closure referencing it is
+  // collected.
+  private val rkfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.broadcast.Broadcast[Array[Long]]]()
+
+  private[sources] def rkfBroadcast(
+      spark: org.apache.spark.sql.SparkSession,
+      spec: String): (String, org.apache.spark.broadcast.Broadcast[Array[Long]]) = {
+    if (rkfCache.size > 64) rkfCache.clear()
+    val b = rkfCache.computeIfAbsent(
+      spec, s => spark.sparkContext.broadcast(RuntimeKeyFilter.decode(s)._2))
+    (spec.substring(0, spec.indexOf(':')), b)
+  }
+
+  /** Long-counted stream of `n` zero-column rows for the metadata COUNT(*)
+    * fast path. A split's owned-line count is a Long (a single split of a
+    * highly compressible file can own >2^31 lines under a pathological
+    * `maxPartitionBytes`), so the emitter must count in Long — an
+    * `Iterator.fill(n.toInt)` would silently under-count instead of
+    * failing.
+    */
+  private[sources] def emptyRows(n: Long): Iterator[InternalRow] = {
+    val empty = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(0)
+    empty.pointTo(new Array[Byte](8), 8)
+    new Iterator[InternalRow] {
+      private[this] var remaining: Long = n
+      override def hasNext: Boolean = remaining > 0L
+      override def next(): InternalRow = { remaining -= 1L; empty }
     }
   }
 

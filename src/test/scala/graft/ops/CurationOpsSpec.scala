@@ -235,6 +235,23 @@ class CurationOpsSpec extends AnyFunSuite {
       2L -> "d41d8cd98f00b204e9800998ecf8427e"))
   }
 
+  test("removeDupSpansVarK: exchange fallback past the hot-set cap is value-identical") {
+    // hotBroadcastMaxKeys = 0 forces the over-cap path (driver collect
+    // refused, exchange plan used) on the same corpus; results must match
+    // the broadcast plan row-for-row — the cap is a resource guard, not a
+    // semantics knob
+    val corpus = docs.limit(300)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val viaBroadcast = rows(
+      Spans.removeDupSpansVarK(corpus, "doc_id", "text", kSeed = 24, kExt = 8, minRunTokens = 12))
+    val viaExchange = rows(
+      Spans.removeDupSpansVarK(corpus, "doc_id", "text", kSeed = 24, kExt = 8, minRunTokens = 12,
+        hotBroadcastMaxKeys = 0L))
+    assert(viaBroadcast == viaExchange)
+    assert(viaBroadcast.nonEmpty, "corpus should contain at least one rewritten doc")
+  }
+
   test("crossNearDupPairs finds planted batch-vs-corpus near-dups and nothing within a set") {
     import spark.implicits._
     val corpus = docs.filter(size(split($"text", " ")) >= 20)

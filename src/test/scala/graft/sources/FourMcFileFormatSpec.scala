@@ -685,4 +685,16 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $tbl").collect().head.getLong(0) == 0L)
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("metadata COUNT(*) emitter counts in Long: no truncation past Int.MaxValue") {
+    // A single split of a highly compressible file can own >2^31 lines under
+    // a pathological maxPartitionBytes; the fast-path emitter must not clamp
+    // (Iterator.fill(Int) would return a silently wrong count).
+    val n = Int.MaxValue.toLong + 3L
+    val it = FourMcFileFormat.emptyRows(n)
+    var c = 0L
+    while (it.hasNext) { it.next(); c += 1L }
+    assert(c == n, s"emitted $c rows, expected $n")
+    assert(FourMcFileFormat.emptyRows(0L).isEmpty)
+  }
 }
