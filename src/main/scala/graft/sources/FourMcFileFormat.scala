@@ -168,25 +168,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           true
         }
         lines.map { case (_, bytes) =>
-          // locate field boundaries in one pass, stopping after the last
-          // required field; a '\' escapes the next byte, so escaped
-          // delimiters inside values don't split fields
-          var f = 1
-          starts(0) = 0
-          var i = 0
-          while (i < bytes.length && f < neededFields) {
-            val b = bytes(i)
-            if (b == CsvPayload.Esc) i += 2
-            else {
-              if (b == delim) { starts(f) = i + 1; f += 1 }
-              i += 1
-            }
-          }
-          // boundary of the field after the last delimiter found: end of line
-          // if the scan consumed it, else the next delimiter position found
-          // lazily — missing trailing fields read as empty
-          while (f <= math.min(neededFields, totalFields - 1)) { starts(f) = bytes.length + 1; f += 1 }
-          if (neededFields == totalFields) starts(totalFields) = bytes.length + 1
+          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields)
           writer.reset()
           writer.zeroOutNullBytes()
           var keep = true
@@ -195,20 +177,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val k = parseOrder(oi)
             val src = fieldIdx(k)
             val s = starts(src)
-            val e =
-              if (src + 1 >= neededFields && src + 1 < totalFields) {
-                // required field is the last scanned one but not the last in
-                // the schema: its value ends at the next delimiter, which the
-                // capped scan didn't index — find it forward from s
-                var j = s
-                var stop = -1
-                while (j < bytes.length && stop < 0) {
-                  if (bytes(j) == CsvPayload.Esc) j += 2
-                  else if (bytes(j) == delim) stop = j
-                  else j += 1
-                }
-                if (stop < 0) bytes.length else stop
-              } else math.min(starts(src + 1) - 1, bytes.length)
+            val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields)
             val ps = fieldPreds(k)
             val tag = fieldTags(k)
             if (CsvPayload.isNullMarker(bytes, s, e) ||
@@ -797,6 +766,52 @@ final class FourMcCsvOutputWriter(
   */
 object CsvPayload {
   val Esc: Byte = '\\'.toByte
+
+  /** One-pass field-boundary scan of one line, stopping after the last
+    * REQUIRED field: writes the start offset of field f (0-based) to
+    * `starts(base + f)` for f in [0, neededFields], with the convention
+    * that a missing trailing field starts at `bytes.length + 1` (so every
+    * field's slice is `[start, nextStart - 1)` clipped to the line — a
+    * missing field reads as empty). A '\' escapes the next byte, so
+    * escaped delimiters inside values don't split fields. SHARED by the
+    * row and vectorized readers (base = 0 resp. rowSlot * stride) — one
+    * boundary semantics, two consumers, no drift.
+    */
+  def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
+                     neededFields: Int, totalFields: Int): Unit = {
+    var f = 1
+    starts(base) = 0
+    var i = 0
+    while (i < bytes.length && f < neededFields) {
+      val b = bytes(i)
+      if (b == Esc) i += 2
+      else {
+        if (b == delim) { starts(base + f) = i + 1; f += 1 }
+        i += 1
+      }
+    }
+    while (f <= math.min(neededFields, totalFields - 1)) {
+      starts(base + f) = bytes.length + 1; f += 1
+    }
+    if (neededFields == totalFields) starts(base + totalFields) = bytes.length + 1
+  }
+
+  /** Exclusive end offset of field `src` (start offset `s`) under the
+    * [[scanBoundaries]] convention. The last SCANNED field that is not the
+    * last schema field has no indexed next boundary (the capped scan
+    * stopped at it) — its delimiter is found lazily, escape-aware.
+    */
+  def fieldEnd(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
+               src: Int, s: Int, neededFields: Int, totalFields: Int): Int =
+    if (src + 1 >= neededFields && src + 1 < totalFields) {
+      var j = s
+      while (j < bytes.length) {
+        if (bytes(j) == Esc) j += 2
+        else if (bytes(j) == delim) return j
+        else j += 1
+      }
+      bytes.length
+    } else math.min(starts(base + src + 1) - 1, bytes.length)
 
   // parse-dispatch tags (compile DataType to an Int once per reader; the
   // per-value hot loop then switches on a jump table)

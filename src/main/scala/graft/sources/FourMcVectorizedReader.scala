@@ -150,39 +150,18 @@ object FourMcVectorizedReader {
         true
       }
 
-      /** End offset of field `src` for buffered row `r` (exclusive). */
+      /** End offset of field `src` for buffered row `r` (exclusive) — the
+        * shared [[CsvPayload.fieldEnd]] semantics, flat-array base offset.
+        */
       def fieldEnd(bytes: Array[Byte], base: Int, src: Int, s: Int): Int =
-        if (src + 1 >= neededFields && src + 1 < totalFields) {
-          // last scanned field but not last in schema: find its delimiter
-          var j = s
-          while (j < bytes.length) {
-            if (bytes(j) == CsvPayload.Esc) j += 2
-            else if (bytes(j) == delim) return j
-            else j += 1
-          }
-          bytes.length
-        } else math.min(starts(base + src + 1) - 1, bytes.length)
+        CsvPayload.fieldEnd(bytes, delim, starts, base, src, s, neededFields, totalFields)
 
       /** Boundary-scan `bytes` into row slot `r`; evaluate the pushed
         * filters on their fields; true = the row enters the batch.
         */
       def bufferLine(bytes: Array[Byte], r: Int): Boolean = {
         val base = r * stride
-        var f = 1
-        starts(base) = 0
-        var i = 0
-        while (i < bytes.length && f < neededFields) {
-          val b = bytes(i)
-          if (b == CsvPayload.Esc) i += 2
-          else {
-            if (b == delim) { starts(base + f) = i + 1; f += 1 }
-            i += 1
-          }
-        }
-        while (f <= math.min(neededFields, totalFields - 1)) {
-          starts(base + f) = bytes.length + 1; f += 1
-        }
-        if (neededFields == totalFields) starts(base + totalFields) = bytes.length + 1
+        CsvPayload.scanBoundaries(bytes, delim, starts, base, neededFields, totalFields)
         var pi = 0
         while (pi < nPred) {
           val k = predFields(pi)

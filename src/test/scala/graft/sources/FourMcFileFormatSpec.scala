@@ -686,6 +686,69 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("property: row and vectorized readers agree over randomized escapes and missing fields") {
+    // The two readers share scanBoundaries/fieldEnd (CsvPayload), but the
+    // downstream parse paths are separate — pin equivalence over adversarial
+    // lines: escaped delimiters, escaped escapes, \N markers, empty fields,
+    // and MISSING trailing fields (written through the raw writer, which a
+    // DataFrame round-trip can never produce).
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(42)
+    def strField(): String = {
+      val n = rnd.nextInt(8)
+      (0 until n).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => "\\|"   // escaped delimiter
+          case 1 => "\\\\"  // escaped escape
+          case 2 => "\\x"   // escape before ordinary byte
+          case 3 => "x"
+          case 4 => "yz"
+          case _ => "q"
+        }
+      }.mkString
+    }
+    def numField(): String = rnd.nextInt(4) match {
+      case 0 => ""                          // empty numeric = null
+      case 1 => "\\N"                       // explicit null marker
+      case _ => String.valueOf(rnd.nextInt(2000) - 1000)
+    }
+    def dblField(): String = rnd.nextInt(4) match {
+      case 0 => ""
+      case 1 => "\\N"
+      case _ => String.valueOf((rnd.nextInt(2000) - 1000) / 8.0)
+    }
+    val lines = (0 until 500).map { _ =>
+      val full = Seq(strField(), numField(), strField(), dblField(), strField())
+      val m = 1 + rnd.nextInt(5) // keep a random prefix: missing trailing fields
+      full.take(m).mkString("|")
+    }
+    val dir = tmpDir()
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(dir, "part-0.4mc")
+    val w = new graft.format.FourMcWriter(
+      java.nio.file.Files.newOutputStream(f.toPath), graft.format.McCodec.Lz4Fast)
+    val payload = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+    w.write(payload, 0, payload.length)
+    w.close()
+    val sch = StructType(Seq(StructField("a", StringType), StructField("b", LongType),
+      StructField("c", StringType), StructField("d", DoubleType), StructField("e", StringType)))
+    def scan = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    val shapes: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      df => df,                                    // full schema
+      df => df.select("b"),                        // single interior numeric
+      df => df.select("a", "c"),                   // last scanned field != last schema field
+      df => df.filter(col("d") > 0).select("a"),   // pushed filter on unprojected col
+      df => df.filter(col("b").isNull).select("c", "e"))
+    for ((q, qi) <- shapes.zipWithIndex) {
+      val vec = q(scan).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.fourmc.vectorized", "false")
+      try {
+        val row = q(scan).collect().map(_.toString).sorted.toSeq
+        assert(row == vec, s"shape $qi: row/vectorized outputs differ")
+      } finally spark.conf.set("spark.graft.fourmc.vectorized", "true")
+    }
+  }
+
   test("metadata COUNT(*) emitter counts in Long: no truncation past Int.MaxValue") {
     // A single split of a highly compressible file can own >2^31 lines under
     // a pathological maxPartitionBytes; the fast-path emitter must not clamp
