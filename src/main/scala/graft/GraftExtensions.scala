@@ -19,6 +19,9 @@ import graft.functions.{CosineSimilarityExpr, DotProductExpr, FrequencySketch, M
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // MIN/MAX/COUNT(*) from 4mc footer zone maps (parquet-style aggregate
+    // pushdown); disable with spark.graft.fourmc.aggPushdown=false
+    ext.injectOptimizerRule(_ => graft.plans.McAggregatePushdown)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

@@ -125,6 +125,32 @@ object RoundTrip {
 
   val fourMcCountStarSql: String = "SELECT COUNT(*) AS n FROM lineitem"
 
+  /** Unfiltered MIN/MAX + COUNT(*) over the container — the aggregate-
+    * pushdown path ([[graft.plans.McAggregatePushdown]]): the plan's scan
+    * is the one-row-per-block stats relation, so numeric/timestamp bounds
+    * and the count come from footer zone maps with ZERO blocks decompressed
+    * (`FourMcScanMetrics.statsAggBlocks`); string bounds ride along and
+    * degrade per block to decode only where the 16-byte truncation makes
+    * them inexact. Parquet answers the same shapes from row-group metadata
+    * via its aggregate pushdown — at 100 TB this is the second-most-common
+    * lake sanity query (`MIN/MAX(event_time)` freshness probes) as a footer
+    * sweep. Requires the session to carry [[graft.GraftExtensions]].
+    */
+  def fourMcMinMaxMeta(spark: SparkSession, sfDir: String): DataFrame =
+    roundTrip(spark, sfDir, "lineitem", "lz4-fast")
+      .agg(
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_extendedprice")).as("max_price"),
+        min(col("l_returnflag")).as("min_rf"), max(col("l_linestatus")).as("max_ls"),
+        count(lit(1)).as("n"))
+
+  val fourMcMinMaxMetaSql: String =
+    """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |       min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price,
+      |       min(l_returnflag) AS min_rf, max(l_linestatus) AS max_ls,
+      |       COUNT(*) AS n
+      |FROM lineitem""".stripMargin
+
   /** Write (once) a SORT-CLUSTERED round-trip: rows range-partitioned and
     * sorted by `sortCol`, so the per-block min/max stats segment
     * ([[graft.format.BlockStats]]) actually separates blocks and a selective

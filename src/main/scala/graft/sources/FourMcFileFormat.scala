@@ -420,9 +420,14 @@ object FourMcScanMetrics {
     * block was read or decompressed for these).
     */
   val metadataCountRows = new java.util.concurrent.atomic.LongAdder
+  /** Blocks whose MIN/MAX/COUNT contribution was answered from the footer
+    * stats segment alone by the aggregate-pushdown relation
+    * ([[FourMcStatsFileFormat]]) — no read, no decompression.
+    */
+  val statsAggBlocks = new java.util.concurrent.atomic.LongAdder
   def reset(): Unit = {
     blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset()
-    footerReads.reset(); metadataCountRows.reset()
+    footerReads.reset(); metadataCountRows.reset(); statsAggBlocks.reset()
   }
 }
 

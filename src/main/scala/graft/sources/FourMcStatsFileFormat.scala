@@ -1,0 +1,260 @@
+package graft.sources
+
+import graft.format._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Internal scan relation for MIN/MAX/COUNT(*) aggregate pushdown over 4mc
+  * files — the zone-map twin of parquet's aggregate pushdown
+  * (reference zone maps: the stats segment, `graft/format/BlockStats.scala`).
+  *
+  * [[graft.plans.McAggregatePushdown]] rewrites an unfiltered global
+  * `Aggregate[min(a), max(b), count(*)]` over a 4mc csv scan into the same
+  * aggregate over THIS format, whose schema is one row per owned block:
+  * `_min_<i>` / `_max_<i>` (type of data column i) and `_cnt` (long). For a
+  * block whose footer stats can answer every requested bound exactly, the
+  * row is synthesized from the stats segment — the block is NEVER read or
+  * decompressed. Blocks that can't (NaN-poisoned double bounds, truncated
+  * string bounds, custom timestamp formats, stats-less files) are decoded
+  * and emit one `(v, v, …, 1)` row per owned line — `min(min)`/`max(max)`/
+  * `sum(cnt)` over the union is exact either way, so degradation is
+  * per-block and value-transparent.
+  *
+  * Split semantics are identical to the data scan: a block's stats row is
+  * emitted by the split that owns the block header, so any partition of the
+  * byte range partitions the aggregate inputs exactly (same ownership rule
+  * as [[FourMcFileFormat.ownedLineCount]]). Footer reads stay task-side —
+  * planning this relation lists files only.
+  */
+class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Serializable {
+
+  override def toString: String = "4MC-STATS"
+
+  override def inferSchema(
+      sparkSession: SparkSession,
+      options: Map[String, String],
+      files: Seq[org.apache.hadoop.fs.FileStatus]
+  ): Option[StructType] = None // constructed by the rule with an explicit schema
+
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: Job,
+      options: Map[String, String],
+      dataSchema: StructType
+  ): OutputWriterFactory =
+    throw new UnsupportedOperationException("4mc stats relation is read-only")
+
+  override def isSplitable(
+      sparkSession: SparkSession,
+      options: Map[String, String],
+      path: org.apache.hadoop.fs.Path
+  ): Boolean = true
+
+  override def buildReader(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration
+  ): PartitionedFile => Iterator[InternalRow] = {
+    val broadcastConf =
+      sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    val delim = options.getOrElse("delimiter", "|").charAt(0).toByte
+    val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
+    val acceptAny = options.get("acceptAnyExtension").exists(_.toBoolean)
+    val totalFields = origSchema.length
+    val origTags: Array[Int] = origSchema.fields.map(f => CsvPayload.tagOf(f.dataType))
+    val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
+
+    // decode the synthetic field names: _min_<i> / _max_<i> / _cnt
+    final case class FieldSpec(kind: Int, col: Int) // kind: 0=min, 1=max, 2=cnt
+    val specs: Array[FieldSpec] = requiredSchema.fields.map { f =>
+      f.name match {
+        case "_cnt"                           => FieldSpec(2, -1)
+        case n if n.startsWith("_min_")       => FieldSpec(0, n.stripPrefix("_min_").toInt)
+        case n if n.startsWith("_max_")       => FieldSpec(1, n.stripPrefix("_max_").toInt)
+        case other =>
+          throw new IllegalArgumentException(s"unexpected stats-relation field $other")
+      }
+    }
+    val needMin: Set[Int] = specs.filter(_.kind == 0).map(_.col).toSet
+    val needMax: Set[Int] = specs.filter(_.kind == 1).map(_.col).toSet
+    val neededCols: Array[Int] = (needMin ++ needMax).toArray.sorted
+    val neededFields = if (neededCols.isEmpty) 0 else neededCols.max + 1
+
+    (file: PartitionedFile) => {
+      val p = file.toPath.getName
+      if (!acceptAny && !p.endsWith(".4mc") && !p.endsWith(".4mz")) Iterator.empty
+      else {
+        val conf = broadcastConf.value.value
+        val in = FourMcFileFormat.openInput(file, conf)
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val index = FourMcFileFormat.cachedIndex(file, in)
+        val alignedStart = index.nextBlockAt(math.max(file.start, FourMc.HeaderLen.toLong))
+        val splitEnd = file.start + file.length
+        val alignedEnd =
+          if (splitEnd >= index.eosPos) index.eosPos else index.nextBlockAt(splitEnd)
+        val ordStart = index.ordAt(alignedStart)
+        val ordEnd = index.ordAt(alignedEnd) // exclusive
+
+        /** Can block `b`'s stats answer every requested bound EXACTLY? */
+        def statsUsable(st: McBlockStats, b: Int): Boolean = {
+          var ci = 0
+          while (ci < neededCols.length) {
+            val c = neededCols(ci)
+            val k = b * st.nCols + c
+            val nonNull = st.lineCount(b) - st.nullCount(k)
+            if (nonNull > 0) {
+              if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
+              if (origTags(c) == CsvPayload.TagString) {
+                if (needMin.contains(c) && !st.minExact(k)) return false
+                if (needMax.contains(c) && !st.maxExact(k)) return false
+              }
+            }
+            ci += 1
+          }
+          true
+        }
+
+        def statBound(st: McBlockStats, b: Int, c: Int, isMax: Boolean): Any = {
+          val k = b * st.nCols + c
+          if (st.lineCount(b) - st.nullCount(k) == 0 || !st.hasBounds(k)) null
+          else (origTags(c): @scala.annotation.switch) match {
+            case CsvPayload.TagString =>
+              UTF8String.fromBytes(if (isMax) st.maxBytes(k) else st.minBytes(k))
+            case CsvPayload.TagLong | CsvPayload.TagTimestamp =>
+              if (isMax) st.maxLong(k) else st.minLong(k)
+            case CsvPayload.TagInt =>
+              (if (isMax) st.maxLong(k) else st.minLong(k)).toInt
+            case CsvPayload.TagDouble =>
+              java.lang.Double.longBitsToDouble(if (isMax) st.maxLong(k) else st.minLong(k))
+            case CsvPayload.TagFloat =>
+              java.lang.Double.longBitsToDouble(if (isMax) st.maxLong(k) else st.minLong(k)).toFloat
+            case CsvPayload.TagBoolean =>
+              (if (isMax) st.maxLong(k) else st.minLong(k)) != 0L
+          }
+        }
+
+        def statsRow(st: McBlockStats, b: Int): InternalRow = {
+          val vals = new Array[Any](specs.length)
+          var i = 0
+          while (i < specs.length) {
+            val s = specs(i)
+            vals(i) =
+              if (s.kind == 2) st.lineCount(b).toLong
+              else statBound(st, b, s.col, isMax = s.kind == 1)
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        }
+
+        lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
+          .withZone(java.time.ZoneOffset.UTC)
+        val starts = new Array[Int](totalFields + 1)
+
+        /** Per-line fallback row: (v, v, …, 1) over the parsed needed cols. */
+        def lineRow(bytes: Array[Byte]): InternalRow = {
+          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields)
+          val parsed = new Array[Any](neededCols.length)
+          var ci = 0
+          while (ci < neededCols.length) {
+            val c = neededCols(ci)
+            val s = starts(c)
+            val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, c, s, neededFields, totalFields)
+            val tag = origTags(c)
+            parsed(ci) =
+              if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString))
+                null
+              else (tag: @scala.annotation.switch) match {
+                case CsvPayload.TagString =>
+                  if (s >= e) UTF8String.EMPTY_UTF8 else CsvPayload.unescape(bytes, s, e, delim)
+                case CsvPayload.TagLong    => CsvPayload.parseLong(bytes, s, e)
+                case CsvPayload.TagInt     => CsvPayload.parseInt(bytes, s, e)
+                case CsvPayload.TagDouble  => CsvPayload.parseDouble(bytes, s, e)
+                case CsvPayload.TagFloat   => CsvPayload.parseFloat(bytes, s, e)
+                case CsvPayload.TagBoolean => bytes(s) == 't' || bytes(s) == 'T'
+                case _ =>
+                  if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
+                    CsvPayload.parseTimestampMicros(bytes, s, e)
+                  else {
+                    val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
+                    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                  }
+              }
+            ci += 1
+          }
+          val colPos: Int => Int = c => java.util.Arrays.binarySearch(neededCols, c)
+          val vals = new Array[Any](specs.length)
+          var i = 0
+          while (i < specs.length) {
+            val sp = specs(i)
+            vals(i) = if (sp.kind == 2) 1L else parsed(colPos(sp.col))
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        }
+
+        index.stats match {
+          case Some(st) =>
+            // split blocks into stats-answered and decode-fallback sets
+            val keep = new Array[Boolean](index.numBlocks) // true = must decode
+            var statsBlocks = 0
+            var decodeBlocks = 0
+            var b = ordStart
+            while (b < ordEnd) {
+              if (statsUsable(st, b)) statsBlocks += 1
+              else { keep(b) = true; decodeBlocks += 1 }
+              b += 1
+            }
+            FourMcScanMetrics.statsAggBlocks.add(statsBlocks)
+            val synthesized: Iterator[InternalRow] =
+              (ordStart until ordEnd).iterator.filter(!keep(_)).map(statsRow(st, _))
+            val decoded: Iterator[InternalRow] =
+              if (decodeBlocks == 0) Iterator.empty
+              else {
+                val it = new FourMcPrunedLineIterator(in, index, file.start, splitEnd, keep)
+                Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+                  FourMcScanMetrics.blocksRead.add(it.blocksRead)
+                })
+                it.map { case (_, bytes) => lineRow(bytes) }
+              }
+            synthesized ++ decoded
+          case None =>
+            // stats-less file: decode every owned line
+            val it = new FourMcLineIterator(in, index, file.start, splitEnd, permissive = false)
+            Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+              FourMcScanMetrics.blocksRead.add(ordEnd - ordStart)
+            })
+            it.map { case (_, bytes) => lineRow(bytes) }
+        }
+      }
+    }
+  }
+}
+
+object FourMcStatsFileFormat {
+
+  /** Synthetic schema for the rule: bounds for each (colIdx, needMin,
+    * needMax) target plus the `_cnt` line-count column.
+    */
+  def statsSchema(origSchema: StructType, targets: Seq[(Int, Boolean, Boolean)]): StructType = {
+    val fields = targets.flatMap { case (i, wantMin, wantMax) =>
+      val dt = origSchema.fields(i).dataType
+      (if (wantMin) Seq(StructField(s"_min_$i", dt, nullable = true)) else Nil) ++
+        (if (wantMax) Seq(StructField(s"_max_$i", dt, nullable = true)) else Nil)
+    } :+ StructField("_cnt", LongType, nullable = false)
+    StructType(fields)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FourMcScanMetrics
+
+/** MIN/MAX/COUNT(*) aggregate pushdown from 4mc zone maps
+  * ([[McAggregatePushdown]] + [[graft.sources.FourMcStatsFileFormat]]).
+  */
+class McAggPushdownSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("mc-agg-pushdown-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .withExtensions(new graft.GraftExtensions)
+    .getOrCreate()
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("mcagg").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  import org.apache.spark.sql.types._
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType),
+    StructField("v", DoubleType), StructField("t", TimestampType)))
+
+  private def writeSample(dir: String, stats: Boolean = true): Unit = {
+    import spark.implicits._
+    val df = (1 to 5000).map { i =>
+      (i.toLong, s"str${i % 97}", i / 7.0,
+        java.sql.Timestamp.valueOf(s"2024-01-0${1 + i % 9} 10:0${i % 6}:00"))
+    }.toDF("k", "s", "v", "t")
+    df.write.format("4mc").option("payload", "csv")
+      .option("blockStats", stats.toString).mode("overwrite").save(dir)
+  }
+
+  private def scan(dir: String): DataFrame =
+    spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+
+  private def theAgg(df: DataFrame): DataFrame =
+    df.agg(min(col("k")).as("mn_k"), max(col("k")).as("mx_k"),
+      min(col("s")).as("mn_s"), max(col("s")).as("mx_s"),
+      min(col("v")).as("mn_v"), max(col("v")).as("mx_v"),
+      min(col("t")).as("mn_t"), max(col("t")).as("mx_t"),
+      count(lit(1)).as("n"))
+
+
+  test("unfiltered min/max/count rewrites to the stats relation: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeSample(dir)
+    val q = theAgg(scan(dir))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"expected stats relation in plan:\n${plan.take(1500)}")
+    // ground truth from the unrewritten plan
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val (expect, offPlan) =
+      try (theAgg(scan(dir)).collect().head, theAgg(scan(dir)).queryExecution.executedPlan.toString)
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(!offPlan.contains("4MC-STATS"), "conf off must keep the data scan")
+    FourMcScanMetrics.reset()
+    val got = q.collect().head
+    assert(got == expect, s"pushdown answer $got != scan answer $expect")
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      s"stats-only aggregate must decompress zero blocks, read ${FourMcScanMetrics.blocksRead.sum()}")
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L, "stats blocks must be counted")
+  }
+
+  test("filtered / grouped / expression aggregates keep the normal scan") {
+    val dir = tmpDir()
+    writeSample(dir)
+    val filtered = scan(dir).filter(col("k") > 100).agg(min(col("k")).as("mn")).queryExecution
+      .executedPlan.toString
+    assert(!filtered.contains("4MC-STATS"))
+    val grouped = scan(dir).groupBy(col("s")).agg(min(col("k")).as("mn")).queryExecution
+      .executedPlan.toString
+    assert(!grouped.contains("4MC-STATS"))
+    val exprAgg = scan(dir).agg((min(col("k")) + max(col("k"))).as("span")).queryExecution
+      .executedPlan.toString
+    assert(!exprAgg.contains("4MC-STATS"))
+    // avg is not answerable from zone maps
+    val avgAgg = scan(dir).agg(avg(col("v")).as("a"), min(col("k")).as("mn")).queryExecution
+      .executedPlan.toString
+    assert(!avgAgg.contains("4MC-STATS"))
+    // bare COUNT(*) keeps the metadata-count reader fast path
+    val cntOnly = scan(dir).agg(count(lit(1)).as("n")).queryExecution.executedPlan.toString
+    assert(!cntOnly.contains("4MC-STATS"))
+  }
+
+  test("stats-less files fall back to per-line decode with identical answers") {
+    val dir = tmpDir()
+    writeSample(dir, stats = false)
+    val q = theAgg(scan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      "rule still fires; the READER degrades per file")
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try theAgg(scan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L, "stats-less files must be decoded")
+  }
+
+  test("inexact string bounds (>16-byte values) fall back per block, stay exact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // every 'pad' value shares a long prefix longer than the 16-byte stats
+    // truncation, so min/max bytes are INEXACT for the string column
+    val df = (1 to 2000).map { i =>
+      (i.toLong, "a-very-long-shared-prefix-" + "%05d".format(i % 317))
+    }.toDF("k", "pad")
+    df.write.format("4mc").option("payload", "csv").mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("pad", StringType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    val q = sc.agg(min(col("pad")).as("mn"), max(col("pad")).as("mx"), count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try sc.agg(min(col("pad")).as("mn"), max(col("pad")).as("mx"), count(lit(1)).as("n")).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L,
+      "inexact string bounds must force block decode")
+    // mixing in the exact long column still answers k's bounds from stats
+    // for blocks only when ALL requested bounds are exact — so this query
+    // decodes, but a k-only aggregate reads nothing
+    FourMcScanMetrics.reset()
+    val kOnly = sc.agg(min(col("k")).as("mn"), max(col("k")).as("mx")).collect().head
+    assert(kOnly.getLong(0) == 1L && kOnly.getLong(1) == 2000L)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+  }
+
+  test("empty directory: count 0, null bounds") {
+    val dir = tmpDir()
+    new java.io.File(dir).mkdirs()
+    val q = scan(dir).agg(min(col("k")).as("mn"), count(lit(1)).as("n")).collect().head
+    assert(q.isNullAt(0) && q.getLong(1) == 0L)
+  }
+}
