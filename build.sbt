@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output inherits stdout/stderr RAW — no "[info] " logger
+// prefix. The bench/verify mains print one machine-readable JSON line the
+// driver parses from the process tail; a logger prefix breaks a strict
+// `json.loads(line)` consumer.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

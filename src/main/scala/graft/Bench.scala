@@ -374,16 +374,139 @@ object Bench {
               name -> t
             }
           }
-          val qjson = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-          val measured = rows.filter(_._2 >= 0)
+          // A/B-INTERLEAVED twin pairs (the r9 gate fix): each container
+          // query alternates with its parquet twin in one warm block, so
+          // both sides see identical JIT/codegen state. The r9 artifact's
+          // 2.03x q1 pair was a warmth artifact — parquet's q1 ranged
+          // 0.20-0.52 s depending on where in the run it was measured,
+          // while isolated runs of the same binary sat at 0.72-0.92x.
+          // Ratios for the <2x gate come from THESE pairs.
+          val twinPairs = Seq(
+            "fourmc_lineitem_q1" -> "q1_pricing_summary",
+            "fourmz_lineitem_q1" -> "q1_pricing_summary",
+            "fourmc_q6_selective" -> "q6_forecast",
+            "fourmc_q6_skipped" -> "q6_forecast")
+          val twins: Seq[(String, (Double, Double))] = twinPairs.flatMap { case (cn, pn) =>
+            for {
+              cf <- SparkEntry.queries.get(cn)
+              pf <- SparkEntry.queries.get(pn)
+            } yield {
+              def t(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                val t0 = System.nanoTime()
+                fn(spark, dir).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              if (System.nanoTime() > deadline) cn -> ((-2.0, -2.0))
+              else try {
+                t(cf); t(pf) // one warm round each, then 3 alternating samples
+                val samples = (1 to 3).map(_ => (t(cf), t(pf)))
+                cn -> ((samples.map(_._1).min, samples.map(_._2).min))
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] sf1 twin $cn: ${e.getMessage}")
+                  cn -> ((-1.0, -1.0))
+              }
+            }
+          }
+          // fold the interleaved container minima back into the per-query
+          // rows (more valid samples, same min-over-samples methodology)
+          val twinMin = twins.collect { case (n, (c, _)) if c >= 0 => n -> c }.toMap
+          val rowsMerged = rows.map { case (n, v) =>
+            twinMin.get(n) match {
+              case Some(c) if v >= 0 => n -> math.min(v, c)
+              case Some(c)           => n -> c
+              case None              => n -> v
+            }
+          }
+          val qjson = rowsMerged.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+          val twinJson = twins.map { case (n, (c, p)) =>
+            val ratio = if (c > 0 && p > 0) c / p else -1.0
+            "\"" + n + f"""\":{"c":$c%.3f,"p":$p%.3f,"ratio":$ratio%.2f}"""
+          }.mkString("{", ",", "}")
+          val measured = rowsMerged.filter(_._2 >= 0)
           sf1Digest = Some((measured.size, measured.map(_._2).sum))
           emitSection("sf1",
-            f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson}""")
+            f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson,"twins":$twinJson}""")
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
         }
       }
+
+    // ---- sf5-class relational scale: ~50x facts ---------------------------
+    // The r9 verdict's #6: sf1 (10x) was the largest measured relational
+    // scale; broadcast-vs-SMJ flips and AQE skew splits above it were
+    // argued, not measured. One 50x section (30M-row lineitem, join-heavy
+    // q18/q21 included) + the same A/B-interleaved container twins closes
+    // it. SPARK_GRAFT_SF5=0 skips; any other int overrides the factor.
+    var sf5Digest: Option[(Int, Double)] = None
+    if (!sys.env.get("SPARK_GRAFT_SF5").contains("0")) {
+      val factor = sys.env.get("SPARK_GRAFT_SF5")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(50)
+      val budget = sys.env.get("SPARK_GRAFT_SF5_BUDGET")
+        .flatMap(_.toLongOption).getOrElse(1200L)
+      try {
+        val tGen = System.nanoTime()
+        val dir = tools.RelationalScale.ensureScaled(spark, sfDir, factor)
+        val genSecs = (System.nanoTime() - tGen) / 1e9
+        val deadline = System.nanoTime() + budget * 1000000000L
+        def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sf5Names = Seq(
+          "q1_pricing_summary", "q6_forecast", "q18_large_orders", "q21_waiting_suppliers")
+        val rows = sf5Names.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val t =
+              if (System.nanoTime() > deadline) -2.0
+              else try {
+                timed(fn) // warm
+                Seq(timed(fn), timed(fn)).min
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] sf5 $name: ${e.getMessage}"); -1.0
+              }
+            name -> t
+          }
+        }
+        val twinPairs = Seq(
+          "fourmc_lineitem_q1" -> "q1_pricing_summary",
+          "fourmz_lineitem_q1" -> "q1_pricing_summary",
+          "fourmc_q6_selective" -> "q6_forecast",
+          "fourmc_q6_skipped" -> "q6_forecast")
+        val twins = twinPairs.flatMap { case (cn, pn) =>
+          for {
+            cf <- SparkEntry.queries.get(cn)
+            pf <- SparkEntry.queries.get(pn)
+          } yield {
+            if (System.nanoTime() > deadline) cn -> ((-2.0, -2.0))
+            else try {
+              timed(cf); timed(pf) // warm both, then alternate
+              val samples = (1 to 3).map(_ => (timed(cf), timed(pf)))
+              cn -> ((samples.map(_._1).min, samples.map(_._2).min))
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] sf5 twin $cn: ${e.getMessage}")
+                cn -> ((-1.0, -1.0))
+            }
+          }
+        }
+        val qjson = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+        val twinJson = twins.map { case (n, (c, p)) =>
+          val ratio = if (c > 0 && p > 0) c / p else -1.0
+          "\"" + n + f"""\":{"c":$c%.3f,"p":$p%.3f,"ratio":$ratio%.2f}"""
+        }.mkString("{", ",", "}")
+        val measured = rows.filter(_._2 >= 0) ++ twins.collect { case (n, (c, _)) if c >= 0 => n -> c }
+        sf5Digest = Some((measured.size, measured.map(_._2).sum))
+        emitSection("sf5",
+          f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson,"twins":$twinJson}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sf5 section failed: ${e.getMessage}")
+      }
+    }
 
     // ---- pipeline-operator stress: >=1 GB replicated corpus ----------------
     // The format stress above proves 2 GiB container reads; this proves the
@@ -443,12 +566,15 @@ object Bench {
     val sf1D = sf1Digest.map { case (n, t) =>
       f""","sf1_n":$n,"sf1_total_secs":$t%.1f"""
     }.getOrElse("")
+    val sf5D = sf5Digest.map { case (n, t) =>
+      f""","sf5_n":$n,"sf5_total_secs":$t%.1f"""
+    }.getOrElse("")
     val pipeDigest = stressPipe.map { r =>
       val ok = r.ops.filter(_.secs >= 0)
       f""","stress_pipeline_ops":${ok.size},"stress_pipeline_total_secs":${ok.map(_.secs).sum}%.1f,"stress_pipeline_shuffle_mb":${ok.map(_.shuffleWriteMb).sum}%.0f"""
     }.getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"canary_ms":{"start":$canaryStart%.0f,"post_gates":$canaryPostGates%.0f,"pre_queries":$canaryPreQueries%.0f,"post_queries":$canaryPostQueries%.0f,"end":$canaryEnd%.0f},"lz4_read_mbps":$lz4R%.0f,"zstd_read_mbps":$zstdR%.0f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressDigest$sf1D$pipeDigest,"sections":[${sections.keys.map("\"" + _ + "\"").mkString(",")}],"slowest":$slowest,"full":"bench/BENCH_full_$sfName.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"canary_ms":{"start":$canaryStart%.0f,"post_gates":$canaryPostGates%.0f,"pre_queries":$canaryPreQueries%.0f,"post_queries":$canaryPostQueries%.0f,"end":$canaryEnd%.0f},"lz4_read_mbps":$lz4R%.0f,"zstd_read_mbps":$zstdR%.0f,"split_partitions_4mib":$nParts,"pruned_blocks_read":$prunedRead,"pruned_blocks_skipped":$prunedSkipped$stressDigest$sf1D$sf5D$pipeDigest,"sections":[${sections.keys.map("\"" + _ + "\"").mkString(",")}],"slowest":$slowest,"full":"bench/BENCH_full_$sfName.json"}"""
     )
     spark.stop()
   }

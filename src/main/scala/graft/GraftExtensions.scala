@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MIN/MAX/COUNT(*) from 4mc footer zone maps (parquet-style aggregate
     // pushdown); disable with spark.graft.fourmc.aggPushdown=false
     ext.injectOptimizerRule(_ => graft.plans.McAggregatePushdown)
+    // join-driven 4mc block pruning: broadcast-small build sides inject a
+    // RuntimeKeyFilter into the probe scan (the fact-side analog of DPP);
+    // disable with spark.graft.fourmc.runtimeKeyFilter.inject=false
+    ext.injectOptimizerRule(_ => graft.plans.McInjectRuntimeKeyFilter)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

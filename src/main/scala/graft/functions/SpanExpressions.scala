@@ -31,6 +31,33 @@ import org.apache.spark.sql.types._
   * the generated code re-reads `bc.value()` so the task binary carries only
   * the broadcast handle, and every task on an executor shares one array.
   */
+/** Semantically-identity optimizer fence: `deterministic = false` stops
+  * predicate pushdown from substituting the fenced alias into a pushed
+  * Filter (PushPredicateThroughNonJoin requires an all-deterministic
+  * project list) and stops CollapseProject from inlining it. Spark's
+  * pushdown substitutes aliases with NO cost model — pushing
+  * `size(ivs) > 0` below the projection that materializes the kExt
+  * hash-array column inlined the whole O(n) array expression into each
+  * `element_at` probe of the composed seed hash, turning a linear scan
+  * into O(n²) per document (measured: 10× the single-k wall at 100×
+  * stress, vs the intended ~2.5×). Fencing the `ivs` alias keeps the
+  * filter above the projection, so every expensive array is computed
+  * exactly once per row. Evaluation and codegen delegate to the child —
+  * values, nulls, and types are untouched.
+  */
+case class PushdownFence(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SpanRunsExpr(
     child: Expression,
     hotBc: Broadcast[Array[Long]],

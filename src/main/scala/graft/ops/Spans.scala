@@ -296,14 +296,28 @@ object Spans {
 
   /** Seed-span hash array: position-aligned with the token array, null at
     * positions the anchor predicate rejects (nulls keep alignment through
-    * [[graft.functions.SpanRunsExpr]] and never match the hot set).
+    * [[graft.functions.SpanRunsExpr]] and never match the hot set) —
+    * COMPOSED from the kExt window-hash array instead of a
+    * second tokenize+hash pass (the r9 verdict's single-pass ask): the
+    * kSeed-token window at `i` is exactly the union of kExt windows at
+    * offsets `0, kExt, 2·kExt, …, kSeed−kExt` (the last overlaps when kExt
+    * ∤ kSeed), so two documents share the kSeed window iff they share every
+    * tile — and `xxhash64(h8[i], h8[i+kExt], …)` is equal iff all tiles'
+    * hashes are (mod collisions, the same risk class as direct hashing).
+    * This cuts the 24-token `concat_ws`+hash per anchored position down to
+    * array lookups + one mix of 3 longs, in BOTH the seed aggregate and the
+    * final rewrite scan. The whole-text convention for docs shorter than
+    * kSeed is preserved verbatim.
     */
-  private def seedHashes(toks: Column, kSeed: Int, hexBelow: Int): Column =
+  private def composedSeedHashes(toks: Column, h8: Column, kSeed: Int, kExt: Int,
+                                 hexBelow: Int): Column = {
+    val offsets: Seq[Int] = ((0 until (kSeed - kExt) by kExt) :+ (kSeed - kExt)).distinct
     when(size(toks) < kSeed, array(xxhash64(concat_ws(" ", toks))))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (kSeed - 1)),
         i => when(anchorSelected(toks, i, hexBelow),
-          xxhash64(concat_ws(" ", slice(toks, i, lit(kSeed))))).otherwise(lit(null))))
+          xxhash64(offsets.map(o => element_at(h8, i + o)): _*)).otherwise(lit(null))))
+  }
 
   /** The hot-key PLAN (spans in ≥ 2 distinct docs) of a postings relation:
     * a plain min/max aggregate — partial-combines map-side, never plans the
@@ -355,12 +369,14 @@ object Spans {
     * better than they cost in a second scan.)
     */
   private def seedPostings(docs: DataFrame, idCol: String, textCol: String,
-                           kSeed: Int, hexBelow: Int): DataFrame =
+                           kSeed: Int, kExt: Int, hexBelow: Int): DataFrame =
     docs
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(col("_toks").isNotNull)
+      .withColumn("_h8", spanHashes(col("_toks"), kExt))
       .select(col("doc"),
-        posexplode(seedHashes(col("_toks"), kSeed, hexBelow)).as(Seq("off", "w")))
+        posexplode(composedSeedHashes(col("_toks"), col("_h8"), kSeed, kExt, hexBelow))
+          .as(Seq("off", "w")))
       .filter(col("w").isNotNull)
       .select(col("doc"), (col("off") + 1).cast("long").as("pos"), col("w"))
 
@@ -416,7 +432,7 @@ object Spans {
       hotKeysOf(spanPostings(docs, idCol, textCol, kExt), s"k=$kExt", hotBroadcastMaxKeys)
     val hotSeedOpt =
       if (hotExtOpt.isEmpty) None
-      else hotKeysOf(seedPostings(docs, idCol, textCol, kSeed, seedAnchorHexBelow),
+      else hotKeysOf(seedPostings(docs, idCol, textCol, kSeed, kExt, seedAnchorHexBelow),
         s"seed k=$kSeed", hotBroadcastMaxKeys)
     (hotExtOpt, hotSeedOpt) match {
       case (Some(he), Some(hs)) =>
@@ -440,18 +456,28 @@ object Spans {
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(col("_toks").isNotNull)
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      .withColumn("_runs", runsOf(spanHashes(col("_toks"), kExt), hotExt, kExt))
+      // the kExt hash array is MATERIALIZED once and reused: islands probe
+      // it directly, seeds probe its composed tiling — one tokenize+hash
+      // pass where r9 ran two (the h24 slice-hash pass is gone)
+      .withColumn("_h8", spanHashes(col("_toks"), kExt))
+      .withColumn("_runs", runsOf(col("_h8"), hotExt, kExt))
       .withColumn("_seeds",
-        runsOf(seedHashes(col("_toks"), kSeed, seedAnchorHexBelow), hotSeed, kSeed))
-      // seed-backed islands only; clip at the doc end; drop short runs
+        runsOf(composedSeedHashes(col("_toks"), col("_h8"), kSeed, kExt, seedAnchorHexBelow),
+          hotSeed, kSeed))
+      // seed-backed islands only; clip at the doc end; drop short runs.
+      // PushdownFence: the size(ivs) > 0 filter below must NOT be pushed
+      // under these projections — Spark's pushdown inlines aliases with no
+      // cost model, and re-deriving _h8 inside the composed seed probes is
+      // O(n²) per doc (see the expression's scaladoc; measured 10× wall)
       .withColumn("ivs",
-        filter(
-          transform(
-            filter(col("_runs"), r => exists(col("_seeds"),
-              sd => sd.getField("s") >= r.getField("s") && sd.getField("s") <= r.getField("e"))),
-            r => struct(r.getField("s").as("s"),
-              least(r.getField("e"), col("n_tokens")).as("e"))),
-          r => r.getField("e") - r.getField("s") + 1 >= minRunTokens))
+        column(graft.functions.PushdownFence(expression(
+          filter(
+            transform(
+              filter(col("_runs"), r => exists(col("_seeds"),
+                sd => sd.getField("s") >= r.getField("s") && sd.getField("s") <= r.getField("e"))),
+              r => struct(r.getField("s").as("s"),
+                least(r.getField("e"), col("n_tokens")).as("e"))),
+            r => r.getField("e") - r.getField("s") + 1 >= minRunTokens)))))
       .filter(size(col("ivs")) > 0)
       .withColumn("removed_tokens",
         aggregate(col("ivs"), lit(0L), (acc, iv) => acc + iv.getField("e") - iv.getField("s") + 1L))
@@ -480,7 +506,7 @@ object Spans {
       docs: DataFrame, idCol: String, textCol: String,
       kSeed: Int, kExt: Int, minRunTokens: Int, seedAnchorHexBelow: Int): DataFrame = {
     val runs = islandRuns(dupStartPositions(docs, idCol, textCol, kExt), kExt)
-    val sposts = seedPostings(docs, idCol, textCol, kSeed, seedAnchorHexBelow)
+    val sposts = seedPostings(docs, idCol, textCol, kSeed, kExt, seedAnchorHexBelow)
     val seeds = sposts.join(hotKeyPlan(sposts), Seq("w"), "left_semi")
       .select(col("doc").as("_sdoc"), col("pos"))
     val witnessed = runs.join(seeds,

@@ -11,8 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * matching rows. Verifies the optimization fires and stays correct.
   */
 class RuntimeFilterSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
+  lazy val spark: SparkSession = {
+    // a prior suite's session (no extensions) would be returned verbatim by
+    // getOrCreate; clear so withExtensions applies — same pattern as
+    // MediaHeaderSpec/BinaryRecordsSpec, but suite-wide because every test
+    // here asserts on injected-rule behavior
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession
+      .builder()
     .master("local[4]")
     .appName("runtime-filter-spec")
     .config("spark.sql.shuffle.partitions", "4")
@@ -23,7 +30,9 @@ class RuntimeFilterSpec extends AnyFunSuite {
     // pays off on big probe sides; lowered here so it fires on test data
     .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+    .withExtensions(new graft.GraftExtensions)
     .getOrCreate()
+  }
 
   private val sf = "/root/testdata/sf0.01"
 
@@ -67,6 +76,14 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
+  /** The scan options of every 4mc relation in the OPTIMIZED plan. */
+  private def fourMcScanOptions(df: org.apache.spark.sql.DataFrame): Seq[Map[String, String]] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation].options
+    }
+
   test("runtime key-set join prunes >50% of fact blocks with no static filter") {
     import graft.sources.FourMcScanMetrics
     FourMcScanMetrics.reset()
@@ -77,6 +94,10 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(scanPlan.contains("4mc") || scanPlan.contains("FileScan"),
       s"expected a 4mc file scan in:\n${scanPlan.take(1200)}")
     assert(!scanPlan.contains("l_shipdate"), "no static fact-side predicate may appear")
+    // plan pinned: the key filter was INJECTED by McInjectRuntimeKeyFilter —
+    // the query body never calls RuntimeKeyFilter.encode
+    assert(fourMcScanOptions(df).exists(_.contains(graft.sources.RuntimeKeyFilter.OptionKey)),
+      "optimizer must inject the runtime key filter into the 4mc scan options")
     val rows = df.collect()
     // correctness: equals the relational three-table join on parquet
     val want = spark.sql(RoundTrip.runtimeKeysetJoinSql
@@ -89,5 +110,28 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val skipped = FourMcScanMetrics.blocksSkipped.sum()
     assert(skipped > read,
       s"join-driven pruning must refute >50% of owned blocks: read=$read skipped=$skipped")
+  }
+
+  test("oversized build side refuses injection and falls back unpruned, value-identical") {
+    import graft.sources.FourMcScanMetrics
+    val pruned = RoundTrip.runtimeKeysetJoin(spark, sf).collect()
+    // a cap below the dim's key count models a >1M-key dim: the rule must
+    // NOT inject, the scan stays unpruned, the answer is unchanged
+    spark.conf.set("spark.graft.fourmc.runtimeKeyFilter.maxKeys", "3")
+    try {
+      val df = RoundTrip.runtimeKeysetJoin(spark, sf)
+      assert(!fourMcScanOptions(df).exists(_.contains(graft.sources.RuntimeKeyFilter.OptionKey)),
+        "over-cap build side must not inject a key filter")
+      FourMcScanMetrics.reset()
+      val rows = df.collect()
+      assert(rows.map(_.toString).toSeq == pruned.map(_.toString).toSeq)
+      assert(FourMcScanMetrics.blocksSkipped.sum() == 0L, "unpruned scan skips nothing")
+    } finally spark.conf.unset("spark.graft.fourmc.runtimeKeyFilter.maxKeys")
+    // conf kill switch: no injection either
+    spark.conf.set("spark.graft.fourmc.runtimeKeyFilter.inject", "false")
+    try {
+      val df = RoundTrip.runtimeKeysetJoin(spark, sf)
+      assert(!fourMcScanOptions(df).exists(_.contains(graft.sources.RuntimeKeyFilter.OptionKey)))
+    } finally spark.conf.unset("spark.graft.fourmc.runtimeKeyFilter.inject")
   }
 }

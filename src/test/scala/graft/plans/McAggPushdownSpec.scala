@@ -10,15 +10,22 @@ import graft.sources.FourMcScanMetrics
   * ([[McAggregatePushdown]] + [[graft.sources.FourMcStatsFileFormat]]).
   */
 class McAggPushdownSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
-    .master("local[4]")
-    .appName("mc-agg-pushdown-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .withExtensions(new graft.GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // clear any prior suite's session so withExtensions applies (the rule
+    // under test is injected at session construction) — MediaHeaderSpec's
+    // pattern, suite-wide
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("mc-agg-pushdown-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+  }
 
   private def tmpDir(): String = {
     val d = java.nio.file.Files.createTempDirectory("mcagg").toFile
