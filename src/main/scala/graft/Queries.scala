@@ -367,11 +367,22 @@ object Queries {
     val supp = table(spark, sfDir, "supplier")
     val n1 = table(spark, sfDir, "nation").select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
     val n2 = table(spark, sfDir, "nation").select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(cust, $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(n1), $"s_nationkey" === $"sk")
-      .join(broadcast(n2), $"c_nationkey" === $"ck")
+    // Push the nation MEMBERSHIP bound to both dimension sides before any
+    // fact shuffle: the pair disjunction spans both sides (so no optimizer
+    // can push it whole), but nation ∈ {3,7} is a necessary condition on
+    // EACH side. Filtering supplier/customer first shrinks the broadcast
+    // dims ~12×, and the broadcast lineitem⋈supplier join then drops ~92%
+    // of lineitem BEFORE the only big shuffle (l⋈o on orderkey) — at 100 TB
+    // that shuffle is the whole query. The exact pair filter still runs
+    // once both nation names are attached.
+    val nations = Seq("NATION_3", "NATION_7")
+    val supF = supp.join(broadcast(n1.filter($"supp_nation".isin(nations: _*))),
+      $"s_nationkey" === $"sk").select($"s_suppkey", $"supp_nation")
+    val custF = cust.join(broadcast(n2.filter($"cust_nation".isin(nations: _*))),
+      $"c_nationkey" === $"ck").select($"c_custkey", $"cust_nation")
+    li.join(broadcast(supF), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custF), $"o_custkey" === $"c_custkey")
       .filter(
         ($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
           ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3")

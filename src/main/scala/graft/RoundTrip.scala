@@ -328,7 +328,10 @@ object RoundTrip {
     * standard 100-TB layout for a corpus keyed by source/language/date. The
     * oracle applies the same predicate relationally.
     */
-  def docsPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The documents table written once as a lang-partitioned 4mc dir, read
+    * back with the partition column discovered from the directory layout.
+    */
+  private def docsByLang(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val dir = rtDir(sfDir, "documents-bylang", "lz4-fast", tsFmt)
@@ -344,6 +347,11 @@ object RoundTrip {
     spark.read
       .format("4mc").option("payload", "csv").schema(schema)
       .load(dir.getAbsolutePath)
+  }
+
+  def docsPartitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsByLang(spark, sfDir)
       .filter($"lang" === "en" || $"lang" === "zh")
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
@@ -354,6 +362,33 @@ object RoundTrip {
     """SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE lang IN ('en', 'zh')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Grouped/filtered zone-map aggregate pushdown
+    * ([[graft.plans.McAggregatePushdown]]): per-partition MIN/MAX/COUNT and
+    * the non-null COUNT(col) answered entirely from footer stats — the
+    * partition filter prunes directories first, then each surviving block
+    * contributes one stats row; zero blocks are decompressed
+    * (McAggPushdownSpec pins the metric). At 100 TB this is the
+    * per-partition freshness/completeness dashboard — cost scales with
+    * block count in the matching partitions, not bytes.
+    */
+  def fourMcMinMaxGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsByLang(spark, sfDir)
+      .filter($"lang" =!= "zh")
+      .groupBy($"lang")
+      .agg(
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+        max($"n_chars").as("max_chars"), count($"source").as("n_src"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  val fourMcMinMaxGroupedSql: String =
+    """SELECT lang, min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       max(n_chars) AS max_chars, COUNT(source) AS n_src, COUNT(*) AS n_docs
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** SQL-DDL surface of the 4mc datasource (`DataSourceRegister` shortName
     * "4mc", `FourMcFileFormat.scala:40`): `CREATE TABLE … USING 4mc`, two

@@ -8,59 +8,85 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min, Sum
 }
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.LongType
 
-/** MIN/MAX/COUNT(*) aggregate pushdown from 4mc zone maps — the planner
+/** MIN/MAX/COUNT aggregate pushdown from 4mc zone maps — the planner
   * rule that makes `SELECT min(ts), max(ts), count(*) FROM fourmc_table`
   * a footer sweep instead of a full scan (parquet answers the same shapes
   * from row-group metadata via its aggregate pushdown; the 4mc analog is
   * the per-block stats segment, `graft/format/BlockStats.scala`).
   *
-  * Matches a GLOBAL aggregate (no grouping, no Filter below) whose every
-  * output is `min(col)`, `max(col)`, or `count(*)` over data columns of an
-  * unfiltered 4mc csv scan, with at least one min/max (a bare COUNT(*)
+  * Matches an aggregate whose every output is `min(col)`, `max(col)`,
+  * `count(*)`, `count(col)` (non-null count, from the stats segment's exact
+  * per-block null counts), or a grouping-column passthrough, over a 4mc csv
+  * scan, with at least one non-`count(*)` aggregate (a bare COUNT(*)
   * already has the metadata-count fast path in the row/vectorized readers).
-  * Rewrites the child to a [[FourMcStatsFileFormat]] relation that emits
-  * one `(min…, max…, cnt)` row per owned BLOCK from the footer stats —
-  * falling back to per-line decode only for blocks whose stats cannot
-  * answer exactly (NaN-poisoned doubles, truncated string bounds,
-  * stats-off files) — and the aggregate to `min(min)`/`max(max)`/
-  * `coalesce(sum(cnt), 0)`, preserving the original output names and
-  * exprIds so the query's schema is untouched.
+  * Grouping is allowed on bare PARTITION columns (each block belongs to
+  * exactly one partition directory, so per-block stats rows group exactly);
+  * a Filter below the aggregate is allowed when it touches only partition
+  * columns (partition pruning commutes with the stats relation — both scan
+  * the same pruned file set). Rewrites the child to a
+  * [[FourMcStatsFileFormat]] relation that emits one `(min…, max…, nn…,
+  * cnt)` row per owned BLOCK from the footer stats — falling back to
+  * per-line decode only for blocks whose stats cannot answer exactly
+  * (NaN-poisoned doubles, truncated string bounds, stats-off files) — and
+  * the aggregate to `min(min)`/`max(max)`/`coalesce(sum(nn|cnt), 0)`,
+  * preserving the original output names and exprIds so the query's schema
+  * is untouched.
   *
-  * Refuses: grouped/filtered/distinct aggregates, partition columns,
-  * permissive scans (corrupt-block skipping changes counts), scans with a
-  * runtime key filter (its semi-join semantics don't commute with a global
-  * aggregate), non-csv payloads. Disable with
-  * `spark.graft.fourmc.aggPushdown=false`.
+  * Refuses: data-column grouping, non-partition filters, distinct/
+  * agg-filtered aggregates, min/max over partition columns, permissive
+  * scans (corrupt-block skipping changes counts), scans with a runtime key
+  * filter (its semi-join semantics don't commute with an aggregate),
+  * non-csv payloads. Disable with `spark.graft.fourmc.aggPushdown=false`.
   */
 object McAggregatePushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if enabled =>
-      val relOpt = child match {
-        case lr: LogicalRelation => Some(lr)
-        case Project(ps, lr: LogicalRelation) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-          Some(lr)
-        case _ => None
-      }
-      relOpt.flatMap(tryRewrite(aggExprs, _)).getOrElse(agg)
+    case agg @ Aggregate(groups, aggExprs, child, _)
+        if enabled && groups.forall(_.isInstanceOf[AttributeReference]) =>
+      destructure(child)
+        .flatMap { case (lr, filterCond) =>
+          tryRewrite(groups.map(_.asInstanceOf[AttributeReference]), aggExprs, lr, filterCond)
+        }
+        .getOrElse(agg)
   }
 
   private def enabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.fourmc.aggPushdown", "true").toBoolean
 
-  /** One requested aggregate: Min(col) / Max(col) / Count(*). */
+  /** Strip attr-only Projects and deterministic Filters off the scan;
+    * collects at most the conjunction of the filters seen (all must later
+    * prove partition-only).
+    */
+  private def destructure(p: LogicalPlan): Option[(LogicalRelation, Option[Expression])] =
+    p match {
+      case lr: LogicalRelation => Some((lr, None))
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        destructure(c)
+      case Filter(cond, c) if cond.deterministic =>
+        destructure(c).map { case (lr, f) =>
+          (lr, Some(f.map(org.apache.spark.sql.catalyst.expressions.And(_, cond)).getOrElse(cond)))
+        }
+      case _ => None
+    }
+
+  /** One requested aggregate: Min(col) / Max(col) / Count(*) / Count(col). */
   private sealed trait Req
   private case class ReqMin(col: Int) extends Req
   private case class ReqMax(col: Int) extends Req
+  private case class ReqNn(col: Int) extends Req
   private case object ReqCnt extends Req
 
-  private def tryRewrite(aggExprs: Seq[NamedExpression], lr: LogicalRelation): Option[LogicalPlan] = {
+  private def tryRewrite(
+      groups: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression],
+      lr: LogicalRelation,
+      filterCond: Option[Expression]): Option[LogicalPlan] = {
     val fsRel = lr.relation match {
       case r: HadoopFsRelation if r.fileFormat.isInstanceOf[FourMcFileFormat] => r
       case _ => return None
@@ -73,6 +99,17 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
 
     val dataSchema = fsRel.dataSchema
     val partNames = fsRel.partitionSchema.fieldNames.toSet
+    // the ORIGINAL relation's partition attributes, exprIds intact: group
+    // exprs, partition filters, and group-column passthroughs keep
+    // resolving against the rewritten relation
+    val origPartAttrs: Seq[AttributeReference] =
+      lr.output.collect { case a: AttributeReference if partNames.contains(a.name) => a }
+    val partAttrSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(origPartAttrs)
+
+    // grouping only by partition columns; filters only over them
+    if (!groups.forall(partAttrSet.contains)) return None
+    if (filterCond.exists(c => !c.references.subsetOf(partAttrSet))) return None
+    val groupSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(groups)
 
     def colOf(e: Expression): Option[Int] = e match {
       case a: AttributeReference if !partNames.contains(a.name) =>
@@ -83,54 +120,73 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       case _ => None
     }
 
-    // every output must be Alias(AggregateExpression(min/max/count)) — any
-    // other shape (expressions over aggregates, distinct, agg filters,
-    // other functions) keeps the normal scan
-    val reqs: Seq[(Alias, Req)] = aggExprs.map {
+    // every output must be a grouping-column passthrough or an
+    // Alias(AggregateExpression(min/max/count)) — any other shape
+    // (expressions over aggregates, distinct, agg filters, other
+    // functions) keeps the normal scan
+    sealed trait Out
+    case class Pass(ne: NamedExpression) extends Out
+    case class Agg(al: Alias, req: Req) extends Out
+    val outs: Seq[Out] = aggExprs.map {
+      case a: AttributeReference if groupSet.contains(a) => Pass(a)
+      case al @ Alias(a: AttributeReference, _) if groupSet.contains(a) => Pass(al)
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Min(c)                  => colOf(c).map(i => (al, ReqMin(i): Req)).getOrElse(return None)
-          case Max(c)                  => colOf(c).map(i => (al, ReqMax(i): Req)).getOrElse(return None)
-          case Count(Seq(Literal(_, _))) => (al, ReqCnt)
-          case _                       => return None
+          case Min(c)                    => colOf(c).map(i => Agg(al, ReqMin(i))).getOrElse(return None)
+          case Max(c)                    => colOf(c).map(i => Agg(al, ReqMax(i))).getOrElse(return None)
+          case Count(Seq(Literal(_, _))) => Agg(al, ReqCnt)
+          case Count(Seq(c))             => colOf(c).map(i => Agg(al, ReqNn(i))).getOrElse(return None)
+          case _                         => return None
         }
       case _ => return None
     }
-    if (!reqs.exists(r => r._2 != ReqCnt)) return None // bare COUNT(*): reader fast path
+    val reqs: Seq[(Alias, Req)] = outs.collect { case Agg(al, r) => (al, r) }
+    if (reqs.isEmpty) return None
+    // all-COUNT(*) requests: the reader metadata-count fast path already
+    // answers them (including grouped-by-partition and partition-filtered
+    // forms — empty projection + constant partition vectors)
+    if (reqs.forall(_._2 == ReqCnt)) return None
 
     // build the synthetic stats relation
-    val cols = reqs.map(_._2).collect { case ReqMin(i) => i; case ReqMax(i) => i }.distinct.sorted
+    val boundReqs = reqs.map(_._2).collect { case ReqMin(i) => i; case ReqMax(i) => i }
+    val cols = boundReqs.distinct.sorted
     val targets = cols.map { i =>
       (i, reqs.exists(_._2 == ReqMin(i)), reqs.exists(_._2 == ReqMax(i)))
     }
-    val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets)
+    val nnCols = reqs.map(_._2).collect { case ReqNn(i) => i }.distinct.sorted
+    val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets, nnCols)
     val newRel = fsRel.copy(
       dataSchema = schema,
       fileFormat = new FourMcStatsFileFormat(dataSchema))(fsRel.sparkSession)
     val dataAttrs: Seq[AttributeReference] =
       schema.fields.map(f => AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
-    val partAttrs: Seq[AttributeReference] =
-      fsRel.partitionSchema.fields.map(f => AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
-    val newLr = LogicalRelation(newRel, dataAttrs ++ partAttrs, None,
+    val newLr = LogicalRelation(newRel, dataAttrs ++ origPartAttrs, None,
       isStreaming = false, stream = None)
     def attr(name: String): AttributeReference = dataAttrs.find(_.name == name).get
 
-    val newAggs: Seq[NamedExpression] = reqs.map { case (al, req) =>
-      val rewritten: Expression = req match {
-        case ReqMin(i) =>
-          AggregateExpression(Min(attr(s"_min_$i")), Complete, isDistinct = false)
-        case ReqMax(i) =>
-          AggregateExpression(Max(attr(s"_max_$i")), Complete, isDistinct = false)
-        case ReqCnt =>
-          // Sum is null on zero rows; COUNT(*) of an empty table is 0
-          Coalesce(Seq(
-            AggregateExpression(Sum(attr("_cnt")), Complete, isDistinct = false),
-            Literal(0L, LongType)))
-      }
-      Alias(rewritten, al.name)(exprId = al.exprId, qualifier = al.qualifier,
-        explicitMetadata = Some(al.metadata))
+    val newAggs: Seq[NamedExpression] = outs.map {
+      case Pass(ne) => ne
+      case Agg(al, req) =>
+        val rewritten: Expression = req match {
+          case ReqMin(i) =>
+            AggregateExpression(Min(attr(s"_min_$i")), Complete, isDistinct = false)
+          case ReqMax(i) =>
+            AggregateExpression(Max(attr(s"_max_$i")), Complete, isDistinct = false)
+          case ReqNn(i) =>
+            // Sum is null on zero rows; COUNT of an empty group set is 0
+            Coalesce(Seq(
+              AggregateExpression(Sum(attr(s"_nn_$i")), Complete, isDistinct = false),
+              Literal(0L, LongType)))
+          case ReqCnt =>
+            Coalesce(Seq(
+              AggregateExpression(Sum(attr("_cnt")), Complete, isDistinct = false),
+              Literal(0L, LongType)))
+        }
+        Alias(rewritten, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = Some(al.metadata))
     }
-    Some(Aggregate(Nil, newAggs, newLr))
+    val newChild: LogicalPlan = filterCond.map(Filter(_, newLr)).getOrElse(newLr)
+    Some(Aggregate(groups, newAggs, newChild))
   }
 }

@@ -78,20 +78,27 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
     val origTags: Array[Int] = origSchema.fields.map(f => CsvPayload.tagOf(f.dataType))
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
 
-    // decode the synthetic field names: _min_<i> / _max_<i> / _cnt
-    final case class FieldSpec(kind: Int, col: Int) // kind: 0=min, 1=max, 2=cnt
+    // decode the synthetic field names: _min_<i> / _max_<i> / _nn_<i> / _cnt
+    final case class FieldSpec(kind: Int, col: Int) // kind: 0=min, 1=max, 2=cnt, 3=non-null cnt
     val specs: Array[FieldSpec] = requiredSchema.fields.map { f =>
       f.name match {
         case "_cnt"                           => FieldSpec(2, -1)
         case n if n.startsWith("_min_")       => FieldSpec(0, n.stripPrefix("_min_").toInt)
         case n if n.startsWith("_max_")       => FieldSpec(1, n.stripPrefix("_max_").toInt)
+        case n if n.startsWith("_nn_")        => FieldSpec(3, n.stripPrefix("_nn_").toInt)
         case other =>
           throw new IllegalArgumentException(s"unexpected stats-relation field $other")
       }
     }
     val needMin: Set[Int] = specs.filter(_.kind == 0).map(_.col).toSet
     val needMax: Set[Int] = specs.filter(_.kind == 1).map(_.col).toSet
-    val neededCols: Array[Int] = (needMin ++ needMax).toArray.sorted
+    val needNn: Set[Int] = specs.filter(_.kind == 3).map(_.col).toSet
+    // bounds columns gate stats usability (exactness of min/max); nn-only
+    // columns need just the nullCount array, which is always exact when a
+    // stats segment exists
+    val boundsCols: Set[Int] = needMin ++ needMax
+    val neededCols: Array[Int] = (boundsCols ++ needNn).toArray.sorted
+    val isBoundsCol: Array[Boolean] = neededCols.map(boundsCols.contains)
     val neededFields = if (neededCols.isEmpty) 0 else neededCols.max + 1
 
     (file: PartitionedFile) => {
@@ -109,18 +116,23 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
         val ordStart = index.ordAt(alignedStart)
         val ordEnd = index.ordAt(alignedEnd) // exclusive
 
-        /** Can block `b`'s stats answer every requested bound EXACTLY? */
+        /** Can block `b`'s stats answer every requested bound EXACTLY?
+          * (nn-only columns impose no condition: nullCount is stored
+          * exactly for every column whenever the stats segment exists.)
+          */
         def statsUsable(st: McBlockStats, b: Int): Boolean = {
           var ci = 0
           while (ci < neededCols.length) {
-            val c = neededCols(ci)
-            val k = b * st.nCols + c
-            val nonNull = st.lineCount(b) - st.nullCount(k)
-            if (nonNull > 0) {
-              if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
-              if (origTags(c) == CsvPayload.TagString) {
-                if (needMin.contains(c) && !st.minExact(k)) return false
-                if (needMax.contains(c) && !st.maxExact(k)) return false
+            if (isBoundsCol(ci)) {
+              val c = neededCols(ci)
+              val k = b * st.nCols + c
+              val nonNull = st.lineCount(b) - st.nullCount(k)
+              if (nonNull > 0) {
+                if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
+                if (origTags(c) == CsvPayload.TagString) {
+                  if (needMin.contains(c) && !st.minExact(k)) return false
+                  if (needMax.contains(c) && !st.maxExact(k)) return false
+                }
               }
             }
             ci += 1
@@ -152,9 +164,11 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
           var i = 0
           while (i < specs.length) {
             val s = specs(i)
-            vals(i) =
-              if (s.kind == 2) st.lineCount(b).toLong
-              else statBound(st, b, s.col, isMax = s.kind == 1)
+            vals(i) = (s.kind: @scala.annotation.switch) match {
+              case 2 => st.lineCount(b).toLong
+              case 3 => (st.lineCount(b) - st.nullCount(b * st.nCols + s.col)).toLong
+              case _ => statBound(st, b, s.col, isMax = s.kind == 1)
+            }
             i += 1
           }
           new GenericInternalRow(vals)
@@ -164,18 +178,25 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
           .withZone(java.time.ZoneOffset.UTC)
         val starts = new Array[Int](totalFields + 1)
 
-        /** Per-line fallback row: (v, v, …, 1) over the parsed needed cols. */
+        /** Per-line fallback row: (v, v, …, 1) over the parsed needed cols.
+          * nn-only columns skip the value parse — a null check is enough for
+          * a non-null count.
+          */
         def lineRow(bytes: Array[Byte]): InternalRow = {
           CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields)
           val parsed = new Array[Any](neededCols.length)
+          val nonNull = new Array[Boolean](neededCols.length)
           var ci = 0
           while (ci < neededCols.length) {
             val c = neededCols(ci)
             val s = starts(c)
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, c, s, neededFields, totalFields)
             val tag = origTags(c)
+            val isNull =
+              CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)
+            nonNull(ci) = !isNull
             parsed(ci) =
-              if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString))
+              if (isNull || !isBoundsCol(ci))
                 null
               else (tag: @scala.annotation.switch) match {
                 case CsvPayload.TagString =>
@@ -200,7 +221,11 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
           var i = 0
           while (i < specs.length) {
             val sp = specs(i)
-            vals(i) = if (sp.kind == 2) 1L else parsed(colPos(sp.col))
+            vals(i) = (sp.kind: @scala.annotation.switch) match {
+              case 2 => 1L
+              case 3 => if (nonNull(colPos(sp.col))) 1L else 0L
+              case _ => parsed(colPos(sp.col))
+            }
             i += 1
           }
           new GenericInternalRow(vals)
@@ -247,14 +272,19 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
 object FourMcStatsFileFormat {
 
   /** Synthetic schema for the rule: bounds for each (colIdx, needMin,
-    * needMax) target plus the `_cnt` line-count column.
+    * needMax) target, a `_nn_<i>` per-block non-null count for each
+    * COUNT(col) column, plus the `_cnt` line-count column.
     */
-  def statsSchema(origSchema: StructType, targets: Seq[(Int, Boolean, Boolean)]): StructType = {
+  def statsSchema(
+      origSchema: StructType,
+      targets: Seq[(Int, Boolean, Boolean)],
+      nnCols: Seq[Int] = Nil): StructType = {
     val fields = targets.flatMap { case (i, wantMin, wantMax) =>
       val dt = origSchema.fields(i).dataType
       (if (wantMin) Seq(StructField(s"_min_$i", dt, nullable = true)) else Nil) ++
         (if (wantMax) Seq(StructField(s"_max_$i", dt, nullable = true)) else Nil)
-    } :+ StructField("_cnt", LongType, nullable = false)
+    } ++ nnCols.map(i => StructField(s"_nn_$i", LongType, nullable = false)) :+
+      StructField("_cnt", LongType, nullable = false)
     StructType(fields)
   }
 }

@@ -151,4 +151,91 @@ class McAggPushdownSpec extends AnyFunSuite {
     val q = scan(dir).agg(min(col("k")).as("mn"), count(lit(1)).as("n")).collect().head
     assert(q.isNullAt(0) && q.getLong(1) == 0L)
   }
+
+  private val partSchema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType), StructField("p", StringType)))
+
+  private def writePartitioned(dir: String): Unit = {
+    import spark.implicits._
+    // s is null on every third row so COUNT(s) != COUNT(*)
+    val df = (1 to 6000).map { i =>
+      (i.toLong, if (i % 3 == 0) null else s"str${i % 97}", s"part${i % 4}")
+    }.toDF("k", "s", "p")
+    df.write.format("4mc").option("payload", "csv")
+      .partitionBy("p").mode("overwrite").save(dir)
+  }
+
+  private def partScan(dir: String): DataFrame =
+    spark.read.format("4mc").option("payload", "csv").schema(partSchema).load(dir)
+
+  test("group-by-partition-column min/max/count answers from stats: zero blocks decompressed") {
+    val dir = tmpDir()
+    writePartitioned(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("p")).agg(
+        min(col("k")).as("mn"), max(col("k")).as("mx"),
+        count(lit(1)).as("n"), count(col("s")).as("n_s")).orderBy(col("p"))
+    val q = agg(partScan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      s"expected stats relation:\n${q.queryExecution.executedPlan.toString.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(partScan(dir)).collect().toSeq
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.exists(r => r.getLong(2) != r.getLong(3)),
+      "fixture must have nulls so COUNT(col) differs from COUNT(*)")
+    FourMcScanMetrics.reset()
+    assert(q.collect().toSeq == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      s"grouped stats aggregate must decompress zero blocks, read ${FourMcScanMetrics.blocksRead.sum()}")
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L)
+  }
+
+  test("partition-only filter keeps the rewrite and prunes partitions; data filter refuses") {
+    val dir = tmpDir()
+    writePartitioned(dir)
+    // total stats blocks with no filter, for the pruning comparison
+    FourMcScanMetrics.reset()
+    partScan(dir).agg(min(col("k")).as("mn")).collect()
+    val allBlocks = FourMcScanMetrics.statsAggBlocks.sum()
+    def agg(df: DataFrame): DataFrame =
+      df.filter(col("p") === "part1" || col("p") === "part2")
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"), count(col("s")).as("n_s"))
+    val q = agg(partScan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(partScan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+    assert(FourMcScanMetrics.statsAggBlocks.sum() < allBlocks,
+      s"partition pruning must shrink the stats sweep: ${FourMcScanMetrics.statsAggBlocks.sum()} vs $allBlocks")
+    // a filter touching a DATA column refuses the rewrite
+    val dataFiltered = partScan(dir).filter(col("p") === "part1" && col("k") > 10)
+      .agg(min(col("k")).as("mn")).queryExecution.executedPlan.toString
+    assert(!dataFiltered.contains("4MC-STATS"))
+    // grouping by a DATA column refuses even with count(col)
+    val dataGrouped = partScan(dir).groupBy(col("s"))
+      .agg(count(col("k")).as("n")).queryExecution.executedPlan.toString
+    assert(!dataGrouped.contains("4MC-STATS"))
+  }
+
+  test("global COUNT(col) uses per-block null counts: zero blocks decompressed") {
+    val dir = tmpDir()
+    writePartitioned(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.agg(count(col("s")).as("n_s"), count(lit(1)).as("n"))
+    val q = agg(partScan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(partScan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.getLong(0) == 4000L && expect.getLong(1) == 6000L)
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+  }
 }
