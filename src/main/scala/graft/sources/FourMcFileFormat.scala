@@ -700,7 +700,8 @@ final class FourMcCsvOutputWriter(
   private lazy val fmt = java.time.format.DateTimeFormatter
     .ofPattern(tsFmt)
     .withZone(java.time.ZoneOffset.UTC)
-  private val sb = new java.lang.StringBuilder(256)
+  private val enc = new CsvPayload.LineEncoder(256)
+  private val tags: Array[Int] = schema.fields.map(f => CsvPayload.tagOf(f.dataType))
 
   // Per-block column stats ([[BlockStats]]): observed values are exactly what
   // the reader will parse back — timestamps are floor-truncated to the
@@ -734,32 +735,28 @@ final class FourMcCsvOutputWriter(
 
   override def write(row: InternalRow): Unit = {
     if (statsBuilder != null) observeStats(row)
-    sb.setLength(0)
+    enc.reset()
     var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append(delim)
-      if (row.isNullAt(i)) sb.append('\\').append('N')
-      else {
-        schema.fields(i).dataType match {
-          case StringType  => CsvPayload.appendEscaped(sb, row.getUTF8String(i).toString, delimByte)
-          case LongType    => sb.append(row.getLong(i))
-          case IntegerType => sb.append(row.getInt(i))
-          case DoubleType  => sb.append(row.getDouble(i))
-          case FloatType   => sb.append(row.getFloat(i))
-          case BooleanType => sb.append(row.getBoolean(i))
-          case TimestampType | TimestampNTZType =>
-            val micros = row.getLong(i)
-            if (tsMicroDigits < 0 || !CsvPayload.appendTimestampMicros(sb, micros, tsMicroDigits))
-              sb.append(fmt.format(java.time.Instant.ofEpochSecond(
-                Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
-          case dt => throw new UnsupportedOperationException(s"csv payload type $dt")
-        }
+    while (i < tags.length) {
+      if (i > 0) enc.raw(delimByte)
+      if (row.isNullAt(i)) enc.raw2(CsvPayload.Esc, 'N')
+      else (tags(i): @scala.annotation.switch) match {
+        case CsvPayload.TagString  => enc.escaped(row.getUTF8String(i).getBytes, delimByte)
+        case CsvPayload.TagLong    => enc.long(row.getLong(i))
+        case CsvPayload.TagInt     => enc.long(row.getInt(i).toLong)
+        case CsvPayload.TagDouble  => enc.string(java.lang.Double.toString(row.getDouble(i)))
+        case CsvPayload.TagFloat   => enc.string(java.lang.Float.toString(row.getFloat(i)))
+        case CsvPayload.TagBoolean => enc.string(if (row.getBoolean(i)) "true" else "false")
+        case _ =>
+          val micros = row.getLong(i)
+          if (tsMicroDigits < 0 || !enc.timestampMicros(micros, tsMicroDigits))
+            enc.string(fmt.format(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
       }
       i += 1
     }
-    sb.append('\n')
-    val bytes = sb.toString.getBytes("UTF-8")
-    out.write(bytes, 0, bytes.length)
+    enc.raw('\n')
+    out.write(enc.bytes, 0, enc.length)
   }
 
   override def close(): Unit = out.close()
@@ -781,41 +778,59 @@ object CsvPayload {
     * escaped delimiters inside values don't split fields. SHARED by the
     * row and vectorized readers (base = 0 resp. rowSlot * stride) — one
     * boundary semantics, two consumers, no drift.
+    *
+    * Plain-byte runs are skipped 8 bytes per iteration via
+    * [[SwarScan.nextSpecial]]; only delimiter/escape bytes (and the <8-byte
+    * unaligned tail) take the byte-wise branch, whose semantics are
+    * unchanged.
     */
   def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
                      neededFields: Int, totalFields: Int): Unit = {
     var f = 1
     starts(base) = 0
+    val n = bytes.length
+    val dSpread = SwarScan.spread(delim)
+    val eSpread = SwarScan.spread(Esc)
     var i = 0
-    while (i < bytes.length && f < neededFields) {
-      val b = bytes(i)
-      if (b == Esc) i += 2
-      else {
-        if (b == delim) { starts(base + f) = i + 1; f += 1 }
-        i += 1
+    while (i < n && f < neededFields) {
+      i = SwarScan.nextSpecial(bytes, i, n, dSpread, eSpread)
+      if (i < n) {
+        val b = bytes(i)
+        if (b == Esc) i += 2
+        else {
+          if (b == delim) { starts(base + f) = i + 1; f += 1 }
+          i += 1
+        }
       }
     }
     while (f <= math.min(neededFields, totalFields - 1)) {
-      starts(base + f) = bytes.length + 1; f += 1
+      starts(base + f) = n + 1; f += 1
     }
-    if (neededFields == totalFields) starts(base + totalFields) = bytes.length + 1
+    if (neededFields == totalFields) starts(base + totalFields) = n + 1
   }
 
   /** Exclusive end offset of field `src` (start offset `s`) under the
     * [[scanBoundaries]] convention. The last SCANNED field that is not the
     * last schema field has no indexed next boundary (the capped scan
-    * stopped at it) — its delimiter is found lazily, escape-aware.
+    * stopped at it) — its delimiter is found lazily, escape-aware (same
+    * SWAR fast path as the scan).
     */
   def fieldEnd(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
                src: Int, s: Int, neededFields: Int, totalFields: Int): Int =
     if (src + 1 >= neededFields && src + 1 < totalFields) {
+      val n = bytes.length
+      val dSpread = SwarScan.spread(delim)
+      val eSpread = SwarScan.spread(Esc)
       var j = s
-      while (j < bytes.length) {
-        if (bytes(j) == Esc) j += 2
-        else if (bytes(j) == delim) return j
-        else j += 1
+      while (j < n) {
+        j = SwarScan.nextSpecial(bytes, j, n, dSpread, eSpread)
+        if (j < n) {
+          if (bytes(j) == Esc) j += 2
+          else if (bytes(j) == delim) return j
+          else j += 1
+        }
       }
-      bytes.length
+      n
     } else math.min(starts(base + src + 1) - 1, bytes.length)
 
   // parse-dispatch tags (compile DataType to an Int once per reader; the
@@ -980,19 +995,100 @@ object CsvPayload {
     UTF8String.fromBytes(outB, 0, o)
   }
 
-  def appendEscaped(sb: java.lang.StringBuilder, s: String, delim: Byte): Unit = {
-    val d = delim.toChar
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      c match {
-        case '\\'       => sb.append('\\').append('\\')
-        case '\n'       => sb.append('\\').append('n')
-        case '\r'       => sb.append('\\').append('r')
-        case x if x == d => sb.append('\\').append(x)
-        case x          => sb.append(x)
+  /** Reusable byte-level line assembler for the csv sink: one growing
+    * buffer per writer, zero per-row String/encoder allocations. UTF-8
+    * guarantees the special bytes ('\\', '\n', '\r', the delimiter — all
+    * ASCII) never occur inside a multi-byte sequence, so escaping operates
+    * directly on [[org.apache.spark.unsafe.types.UTF8String]] bytes without
+    * a UTF-16 round trip.
+    */
+  final class LineEncoder(initial: Int = 256) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    def reset(): Unit = len = 0
+    def bytes: Array[Byte] = buf
+    def length: Int = len
+    private def ensure(k: Int): Unit = if (len + k > buf.length) {
+      var n = buf.length << 1
+      while (n < len + k) n <<= 1
+      buf = java.util.Arrays.copyOf(buf, n)
+    }
+    def raw(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
+    def raw2(a: Byte, b: Byte): Unit = { ensure(2); buf(len) = a; buf(len + 1) = b; len += 2 }
+
+    /** UTF-8 bytes with '\' escaping of '\\', '\n', '\r', and the delimiter. */
+    def escaped(src: Array[Byte], delim: Byte): Unit = {
+      ensure(src.length << 1) // worst case: every byte escaped
+      var i = 0
+      while (i < src.length) {
+        val b = src(i)
+        if (b == Esc) { buf(len) = Esc; buf(len + 1) = Esc; len += 2 }
+        else if (b == '\n') { buf(len) = Esc; buf(len + 1) = 'n'; len += 2 }
+        else if (b == '\r') { buf(len) = Esc; buf(len + 1) = 'r'; len += 2 }
+        else if (b == delim) { buf(len) = Esc; buf(len + 1) = b; len += 2 }
+        else { buf(len) = b; len += 1 }
+        i += 1
       }
-      i += 1
+    }
+
+    /** A String whose content is ASCII in the common case (number/boolean/
+      * formatter output); any non-ASCII char falls back to a UTF-8 copy.
+      */
+    def string(s: String): Unit = {
+      ensure(s.length)
+      var i = 0
+      while (i < s.length && s.charAt(i) < 0x80) {
+        buf(len + i) = s.charAt(i).toByte
+        i += 1
+      }
+      if (i == s.length) len += s.length
+      else {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ensure(b.length)
+        System.arraycopy(b, 0, buf, len, b.length)
+        len += b.length
+      }
+    }
+
+    def long(v: Long): Unit =
+      if (v == Long.MinValue) string("-9223372036854775808")
+      else {
+        ensure(20)
+        var x = v
+        if (x < 0) { buf(len) = '-'; len += 1; x = -x }
+        // digits right-to-left into a 19-byte window, then shift-copy
+        var p = len + 19
+        do { p -= 1; buf(p) = ('0' + (x % 10).toInt).toByte; x /= 10 } while (x != 0)
+        val d = len + 19 - p
+        System.arraycopy(buf, p, buf, len, d)
+        len += d
+      }
+
+    def pad2(v: Int): Unit = raw2(('0' + v / 10).toByte, ('0' + v % 10).toByte)
+
+    /** `yyyy-MM-dd HH:mm:ss[.f*]`; false when the year needs the formatter. */
+    def timestampMicros(micros: Long, fracDigits: Int): Boolean = {
+      val days = Math.floorDiv(micros, 86400000000L)
+      var rem = Math.floorMod(micros, 86400000000L)
+      val (y, mo, d) = civilFromDays(days)
+      if (y < 0 || y > 9999) return false
+      val secs = rem / 1000000L
+      rem = rem % 1000000L
+      pad2(y / 100); pad2(y % 100)
+      raw('-'); pad2(mo); raw('-'); pad2(d)
+      raw(' '); pad2((secs / 3600L).toInt); raw(':')
+      pad2(((secs / 60L) % 60L).toInt); raw(':'); pad2((secs % 60L).toInt)
+      if (fracDigits > 0) {
+        raw('.')
+        var scale = 100000L
+        var k = 0
+        while (k < fracDigits) {
+          raw(('0' + ((rem / scale) % 10L).toInt).toByte)
+          scale /= 10
+          k += 1
+        }
+      }
+      true
     }
   }
 
@@ -1147,10 +1243,6 @@ object CsvPayload {
     ((yy + (if (m <= 2) 1 else 0)).toInt, m.toInt, d.toInt)
   }
 
-  private def pad2(sb: java.lang.StringBuilder, v: Int): Unit = {
-    sb.append(('0' + v / 10).toChar).append(('0' + v % 10).toChar)
-  }
-
   /** Does the field slice look like the fixed `yyyy-MM-dd HH:mm:ss` layout?
     * (Four-digit year; separators in place.) Anything else — 5-digit years,
     * negative years — goes through the formatter fallback.
@@ -1159,36 +1251,6 @@ object CsvPayload {
     e - s >= 19 && b(s + 4) == '-' && b(s + 7) == '-' && b(s + 10) == ' ' &&
       b(s + 13) == ':' && b(s + 16) == ':'
 
-  /** Format epoch micros as `yyyy-MM-dd HH:mm:ss[.frac]` with `fracDigits`
-    * fraction digits (truncating), matching the fast parser. Returns false
-    * WITHOUT appending when the year needs more (or fewer) than 4 digits —
-    * the caller then uses the formatter, keeping writer and parser layouts
-    * in lockstep.
-    */
-  def appendTimestampMicros(sb: java.lang.StringBuilder, micros: Long, fracDigits: Int): Boolean = {
-    val days = Math.floorDiv(micros, 86400000000L)
-    var rem = Math.floorMod(micros, 86400000000L)
-    val (y, mo, d) = civilFromDays(days)
-    if (y < 0 || y > 9999) return false
-    val secs = rem / 1000000L
-    rem = rem % 1000000L
-    if (y >= 1000) sb.append(y)
-    else { sb.append(('0' + y / 1000).toChar); pad2(sb, (y / 10) % 100); sb.append(('0' + y % 10).toChar) }
-    sb.append('-'); pad2(sb, mo); sb.append('-'); pad2(sb, d)
-    sb.append(' '); pad2(sb, (secs / 3600L).toInt); sb.append(':')
-    pad2(sb, ((secs / 60L) % 60L).toInt); sb.append(':'); pad2(sb, (secs % 60L).toInt)
-    if (fracDigits > 0) {
-      sb.append('.')
-      var scale = 100000L
-      var k = 0
-      while (k < fracDigits) {
-        sb.append(('0' + ((rem / scale) % 10L).toInt).toChar)
-        scale /= 10
-        k += 1
-      }
-    }
-    true
-  }
 }
 
 final class FourMcOutputWriter(

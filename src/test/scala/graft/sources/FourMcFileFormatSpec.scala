@@ -686,6 +686,60 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("property: SWAR boundary scan equals the byte-wise reference on random buffers") {
+    // scanBoundaries/fieldEnd skip plain bytes 8 at a time (SwarScan); pin
+    // them against the one-byte-at-a-time reference over buffers dense in
+    // delimiters, escapes (incl. trailing escape), and every alignment
+    val rnd = new scala.util.Random(7)
+    def ref(bytes: Array[Byte], delim: Byte, starts: Array[Int],
+            neededFields: Int, totalFields: Int): Unit = {
+      var f = 1
+      starts(0) = 0
+      var i = 0
+      while (i < bytes.length && f < neededFields) {
+        val b = bytes(i)
+        if (b == CsvPayload.Esc) i += 2
+        else {
+          if (b == delim) { starts(f) = i + 1; f += 1 }
+          i += 1
+        }
+      }
+      while (f <= math.min(neededFields, totalFields - 1)) {
+        starts(f) = bytes.length + 1; f += 1
+      }
+      if (neededFields == totalFields) starts(totalFields) = bytes.length + 1
+    }
+    def refEnd(bytes: Array[Byte], delim: Byte, s: Int): Int = {
+      var j = s
+      while (j < bytes.length) {
+        if (bytes(j) == CsvPayload.Esc) j += 2
+        else if (bytes(j) == delim) return j
+        else j += 1
+      }
+      bytes.length
+    }
+    val alphabet = "ab|\\\\xy".getBytes("UTF-8") // heavy in special bytes
+    for (trial <- 0 until 2000) {
+      val len = rnd.nextInt(40) + (if (trial % 3 == 0) rnd.nextInt(200) else 0)
+      val bytes = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length)))
+      val total = 1 + rnd.nextInt(8)
+      val needed = 1 + rnd.nextInt(total)
+      val got = new Array[Int](total + 1)
+      val want = new Array[Int](total + 1)
+      CsvPayload.scanBoundaries(bytes, '|'.toByte, got, 0, needed, total)
+      ref(bytes, '|'.toByte, want, needed, total)
+      assert(got.toSeq == want.toSeq,
+        s"scan drift on ${new String(bytes, "UTF-8")} needed=$needed total=$total")
+      // fieldEnd's lazy branch: last scanned field that isn't last in schema
+      if (needed < total) {
+        val s = math.min(got(needed - 1), bytes.length)
+        val ge = CsvPayload.fieldEnd(bytes, '|'.toByte, got, 0, needed - 1, s, needed, total)
+        assert(ge == refEnd(bytes, '|'.toByte, s),
+          s"fieldEnd drift on ${new String(bytes, "UTF-8")} s=$s")
+      }
+    }
+  }
+
   test("property: row and vectorized readers agree over randomized escapes and missing fields") {
     // The two readers share scanBoundaries/fieldEnd (CsvPayload), but the
     // downstream parse paths are separate — pin equivalence over adversarial
