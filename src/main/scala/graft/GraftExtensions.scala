@@ -24,8 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.McAggregatePushdown)
     // join-driven 4mc block pruning: broadcast-small build sides inject a
     // RuntimeKeyFilter into the probe scan (the fact-side analog of DPP);
-    // disable with spark.graft.fourmc.runtimeKeyFilter.inject=false
-    ext.injectOptimizerRule(_ => graft.plans.McInjectRuntimeKeyFilter)
+    // disable with spark.graft.fourmc.runtimeKeyFilter.inject=false.
+    // Registered PRE-CBO (a Once batch, after operator optimization) — NOT
+    // as an operator-optimization rule: the rule runs an eager key-collect
+    // job, and a fixpoint batch would re-execute it on every iteration
+    // (measured 21 jobs vs 5 on a refused injection in r10).
+    ext.injectPreCBORule(_ => graft.plans.McInjectRuntimeKeyFilter)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

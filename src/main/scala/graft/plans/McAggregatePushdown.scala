@@ -3,7 +3,8 @@ package graft.plans
 import graft.sources.{FourMcFileFormat, FourMcStatsFileFormat, RuntimeKeyFilter}
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression
+  Alias, AttributeReference, BinaryComparison, Coalesce, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min, Sum
@@ -135,7 +136,10 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case Min(c)                    => colOf(c).map(i => Agg(al, ReqMin(i))).getOrElse(return None)
           case Max(c)                    => colOf(c).map(i => Agg(al, ReqMax(i))).getOrElse(return None)
-          case Count(Seq(Literal(_, _))) => Agg(al, ReqCnt)
+          // non-null literal only: COUNT(NULL) is 0, not the row count.
+          // NullPropagation folds it earlier today, but relying on batch
+          // ordering would be an implicit dependency — guard locally.
+          case Count(Seq(Literal(v, _))) if v != null => Agg(al, ReqCnt)
           case Count(Seq(c))             => colOf(c).map(i => Agg(al, ReqNn(i))).getOrElse(return None)
           case _                         => return None
         }

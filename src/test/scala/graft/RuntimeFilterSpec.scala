@@ -112,6 +112,59 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"join-driven pruning must refute >50% of owned blocks: read=$read skipped=$skipped")
   }
 
+  test("key-collect runs EXACTLY ONCE per query; unselective builds run zero") {
+    import graft.plans.McInjectRuntimeKeyFilter
+    // (a) the eligible join: plan + execute must pay exactly one eager
+    // key-collect job — not one per fixpoint iteration (r10: 4+ per query)
+    McInjectRuntimeKeyFilter.clearCache()
+    val before = McInjectRuntimeKeyFilter.collectRuns.get()
+    val df = RoundTrip.runtimeKeysetJoin(spark, sf)
+    df.queryExecution.optimizedPlan // EXPLAIN path
+    df.collect()                    // execution path (AQE re-optimizations included)
+    val afterOne = McInjectRuntimeKeyFilter.collectRuns.get()
+    assert(afterOne - before == 1L,
+      s"eligible query must pay exactly 1 key-collect, got ${afterOne - before}")
+    // re-planning the SAME DataFrame is memoized — zero extra jobs
+    df.queryExecution.optimizedPlan.stats
+    assert(McInjectRuntimeKeyFilter.collectRuns.get() == afterOne)
+
+    // (b) an UNSELECTIVE build side (bare dim scan, no filter — its key set
+    // is the full column domain, refuting nothing) must refuse without
+    // running any job at all: the r10 fourmc_orders_selfjoin regression
+    val b2 = McInjectRuntimeKeyFilter.collectRuns.get()
+    val self = RoundTrip.ordersSelfJoinCheck(spark, sf)
+    self.queryExecution.optimizedPlan
+    val selfRows = self.collect()
+    assert(McInjectRuntimeKeyFilter.collectRuns.get() == b2,
+      "unselective build side must not pay a key-collect job")
+    assert(!fourMcScanOptions(self).exists(_.contains(graft.sources.RuntimeKeyFilter.OptionKey)))
+    assert(selfRows.head.getLong(0) > 0)
+  }
+
+  test("end-to-end Spark job count of the self-join stays at the uninjected baseline") {
+    // the r10 regression was 21 jobs vs 5: count actual jobs with a
+    // listener under rule-on vs rule-off and require parity
+    def jobsOf(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    RoundTrip.ordersSelfJoinCheck(spark, sf).collect() // warm round-trip dir + indexes
+    val withRule = jobsOf(RoundTrip.ordersSelfJoinCheck(spark, sf).collect())
+    spark.conf.set("spark.graft.fourmc.runtimeKeyFilter.inject", "false")
+    val without =
+      try jobsOf(RoundTrip.ordersSelfJoinCheck(spark, sf).collect())
+      finally spark.conf.unset("spark.graft.fourmc.runtimeKeyFilter.inject")
+    assert(withRule <= without,
+      s"injection rule may not add Spark jobs to a refused query: $withRule vs $without")
+  }
+
   test("oversized build side refuses injection and falls back unpruned, value-identical") {
     import graft.sources.FourMcScanMetrics
     val pruned = RoundTrip.runtimeKeysetJoin(spark, sf).collect()
