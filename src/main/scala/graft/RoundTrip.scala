@@ -390,6 +390,38 @@ object RoundTrip {
       |FROM documents WHERE lang <> 'zh'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DATA-COLUMN-FILTERED zone-map aggregate pushdown (r10 verdict #5,
+    * [[graft.plans.McAggregatePushdown]]): `MIN/MAX/COUNT … WHERE ts >= X`
+    * over the ts-CLUSTERED events container. The filter compiles to a
+    * zone-map range predicate pushed into the stats relation: blocks wholly
+    * inside the window contribute their FOOTER stats row (no decode),
+    * blocks wholly outside are skipped, and only the boundary block decodes
+    * and re-filters per line. At 100 TB this is the dashboard freshness
+    * probe over a time window — `MIN(ts) WHERE ts >= yesterday` costs the
+    * footer sweep plus ONE block, not a scan (McAggPushdownSpec pins
+    * `blocksRead <= straddlers` and the skip/stats split).
+    */
+  def fourMcMinMaxFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val micro = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val (dir, schema) = ensureRoundTripSorted(
+      spark, sfDir, "events", "zstd-1", "ts", micro, blockBytes = 128 * 1024)
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", micro).schema(schema).load(dir)
+    back
+      .filter($"ts" >= lit("2024-01-20 00:00:00").cast(TimestampType))
+      .agg(
+        min($"ts").as("min_ts"), max($"ts").as("max_ts"),
+        min($"value").as("min_value"), max($"value").as("max_value"),
+        count($"user_id").as("n_users_nn"), count(lit(1)).as("n"))
+  }
+
+  val fourMcMinMaxFilteredSql: String =
+    """SELECT min(ts) AS min_ts, max(ts) AS max_ts,
+      |       min(value) AS min_value, max(value) AS max_value,
+      |       COUNT(user_id) AS n_users_nn, COUNT(*) AS n
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
+
   /** SQL-DDL surface of the 4mc datasource (`DataSourceRegister` shortName
     * "4mc", `FourMcFileFormat.scala:40`): `CREATE TABLE … USING 4mc`, two
     * disjoint `INSERT INTO` appends (which must compose, not overwrite), and

@@ -189,6 +189,23 @@ object FourMcReader {
   * Emitted key = file offset of the block the line started in (compressed
   * coordinates, like the reference's LongWritable key).
   */
+/** Line stream with an optional ZERO-COPY access mode: `advanceSlice()`
+  * positions `sliceBytes`/`sliceStart`/`sliceEnd` on the next line without
+  * materializing a per-line array — for lines fully inside one block the
+  * slice points INTO the decompressed block buffer (valid until the next
+  * advance; consumers that retain bytes must copy). The classic
+  * `Iterator[(Long, Array[Byte])]` interface stays available for consumers
+  * that want detached lines; the two modes must not be mixed on one
+  * instance.
+  */
+trait McLineStream extends Iterator[(Long, Array[Byte])] {
+  def advanceSlice(): Boolean
+  def sliceOff: Long
+  def sliceBytes: Array[Byte]
+  def sliceStart: Int
+  def sliceEnd: Int
+}
+
 final class FourMcLineIterator(
     in: McInput,
     index: FourMcIndex,
@@ -196,7 +213,7 @@ final class FourMcLineIterator(
     splitEnd: Long,
     maxLineLen: Int = 64 * 1024 * 1024,
     permissive: Boolean = false
-) extends Iterator[(Long, Array[Byte])] {
+) extends McLineStream {
 
   private val alignedStart = index.nextBlockAt(math.max(splitStart, FourMc.HeaderLen.toLong))
   private val alignedEnd =
@@ -282,15 +299,22 @@ final class FourMcLineIterator(
     false // unreachable
   }
 
-  /** Read one line (terminated by \n, trailing \r stripped); null at EOF.
-    * Returns (blockFileOffset of line start, bytes).
+  // zero-copy slice of the current line (valid until the next read)
+  var sliceOff: Long = 0L
+  var sliceBytes: Array[Byte] = _
+  var sliceStart: Int = 0
+  var sliceEnd: Int = 0
+
+  /** Read one line (terminated by \n, trailing \r stripped) into the slice
+    * fields; false at EOF. A line fully inside one block slices the block
+    * buffer in place; a spanning line is assembled into a fresh array.
     */
-  private def readLine(): (Long, Array[Byte]) = {
+  private def readLineSlice(): Boolean = {
     if (block == null || blockPos >= block.length) {
       if (block != null && blockPos >= block.length) block = null
-      if (block == null && !fetchBlock()) return null
+      if (block == null && !fetchBlock()) return false
     }
-    if (resynced && !dropToNewline()) return null
+    if (resynced && !dropToNewline()) return false
     var startOff = blockFileOff
     var out: java.io.ByteArrayOutputStream = null
     while (true) {
@@ -298,18 +322,17 @@ final class FourMcLineIterator(
       while (i < block.length && block(i) != '\n') i += 1
       if (i < block.length) { // newline found in this block
         var end = i
-        val res =
-          if (out == null) {
-            if (end > blockPos && block(end - 1) == '\r') end -= 1
-            java.util.Arrays.copyOfRange(block, blockPos, end)
-          } else {
-            out.write(block, blockPos, end - blockPos)
-            val a = out.toByteArray
-            if (a.nonEmpty && a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1)
-            else a
-          }
+        if (out == null) {
+          if (end > blockPos && block(end - 1) == '\r') end -= 1
+          sliceOff = startOff; sliceBytes = block; sliceStart = blockPos; sliceEnd = end
+        } else {
+          out.write(block, blockPos, end - blockPos)
+          val a = out.toByteArray
+          val len = if (a.nonEmpty && a(a.length - 1) == '\r') a.length - 1 else a.length
+          sliceOff = startOff; sliceBytes = a; sliceStart = 0; sliceEnd = len
+        }
         blockPos = i + 1
-        return (startOff, res)
+        return true
       } else {
         // line continues into the next block
         if (out == null) out = new java.io.ByteArrayOutputStream(block.length - blockPos + 64)
@@ -319,25 +342,42 @@ final class FourMcLineIterator(
         if (!fetchBlock()) {
           // a resync that ran off the end of the stream killed the partial
           // line being assembled — it must not surface as a bogus EOF tail
-          if (resynced) return null
+          if (resynced) return false
           val a = out.toByteArray
-          return if (a.isEmpty) null
-          else {
-            val r =
-              if (a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1) else a
-            (startOff, r)
-          }
+          if (a.isEmpty) return false
+          val len = if (a(a.length - 1) == '\r') a.length - 1 else a.length
+          sliceOff = startOff; sliceBytes = a; sliceStart = 0; sliceEnd = len
+          return true
         }
         if (resynced) {
           // the line being assembled touched a corrupt block — discard it
           // and start over at the next clean line boundary
-          if (!dropToNewline()) return null
+          if (!dropToNewline()) return false
           out = null
           startOff = blockFileOff
         }
       }
     }
-    null // unreachable
+    false // unreachable
+  }
+
+  /** Detached-line read for the Iterator interface; null at EOF. */
+  private def readLine(): (Long, Array[Byte]) =
+    if (!readLineSlice()) null
+    else if (sliceStart == 0 && sliceEnd == sliceBytes.length) (sliceOff, sliceBytes)
+    else (sliceOff, java.util.Arrays.copyOfRange(sliceBytes, sliceStart, sliceEnd))
+
+  /** Zero-copy advance — see [[McLineStream]]. */
+  def advanceSlice(): Boolean = {
+    if (finished) return false
+    if (pendingFirst != null) {
+      val (o, a) = pendingFirst; pendingFirst = null
+      sliceOff = o; sliceBytes = a; sliceStart = 0; sliceEnd = a.length
+      return true
+    }
+    if (consumedPos > alignedEnd) { finished = true; return false }
+    if (!readLineSlice()) { finished = true; return false }
+    true
   }
 
   private def skipLine(): Unit = {
@@ -397,7 +437,7 @@ final class FourMcPrunedLineIterator(
     splitEnd: Long,
     keep: Array[Boolean],
     maxLineLen: Int = 64 * 1024 * 1024
-) extends Iterator[(Long, Array[Byte])] {
+) extends McLineStream {
   private val stats = index.stats.getOrElse(
     throw new IllegalArgumentException("pruned iterator requires block stats"))
   private val alignedStart = index.nextBlockAt(math.max(splitStart, FourMc.HeaderLen.toLong))
@@ -456,11 +496,18 @@ final class FourMcPrunedLineIterator(
     false
   }
 
+  // zero-copy slice of the current line (valid until the next read)
+  var sliceOff: Long = 0L
+  var sliceBytes: Array[Byte] = _
+  var sliceStart: Int = 0
+  var sliceEnd: Int = 0
+
   /** Same multi-block line scan as the classic iterator; continuation blocks
-    * are fetched sequentially (never skipped).
+    * are fetched sequentially (never skipped). Sets the slice fields; false
+    * at EOF.
     */
-  private def readLine(): (Long, Array[Byte]) = {
-    if (blockPos >= block.length && !decompress(curOrd + 1)) return null
+  private def readLineSlice(): Boolean = {
+    if (blockPos >= block.length && !decompress(curOrd + 1)) return false
     val startOff = blockFileOff
     var out: java.io.ByteArrayOutputStream = null
     while (true) {
@@ -468,18 +515,17 @@ final class FourMcPrunedLineIterator(
       while (i < block.length && block(i) != '\n') i += 1
       if (i < block.length) {
         var end = i
-        val res =
-          if (out == null) {
-            if (end > blockPos && block(end - 1) == '\r') end -= 1
-            java.util.Arrays.copyOfRange(block, blockPos, end)
-          } else {
-            out.write(block, blockPos, end - blockPos)
-            val a = out.toByteArray
-            if (a.nonEmpty && a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1)
-            else a
-          }
+        if (out == null) {
+          if (end > blockPos && block(end - 1) == '\r') end -= 1
+          sliceOff = startOff; sliceBytes = block; sliceStart = blockPos; sliceEnd = end
+        } else {
+          out.write(block, blockPos, end - blockPos)
+          val a = out.toByteArray
+          val len = if (a.nonEmpty && a(a.length - 1) == '\r') a.length - 1 else a.length
+          sliceOff = startOff; sliceBytes = a; sliceStart = 0; sliceEnd = len
+        }
         blockPos = i + 1
-        return (startOff, res)
+        return true
       } else {
         if (out == null) out = new java.io.ByteArrayOutputStream(block.length - blockPos + 64)
         out.write(block, blockPos, block.length - blockPos)
@@ -487,26 +533,28 @@ final class FourMcPrunedLineIterator(
         blockPos = block.length
         if (!decompress(curOrd + 1)) {
           val a = out.toByteArray
-          return if (a.isEmpty) null
-          else {
-            val r =
-              if (a(a.length - 1) == '\r') java.util.Arrays.copyOf(a, a.length - 1) else a
-            (startOff, r)
-          }
+          if (a.isEmpty) return false
+          val len = if (a(a.length - 1) == '\r') a.length - 1 else a.length
+          sliceOff = startOff; sliceBytes = a; sliceStart = 0; sliceEnd = len
+          return true
         }
       }
     }
-    null // unreachable
+    false // unreachable
   }
 
-  private def advance(): Unit = {
-    if (finished) return
+  private def readLine(): (Long, Array[Byte]) =
+    if (!readLineSlice()) null
+    else if (sliceStart == 0 && sliceEnd == sliceBytes.length) (sliceOff, sliceBytes)
+    else (sliceOff, java.util.Arrays.copyOfRange(sliceBytes, sliceStart, sliceEnd))
+
+  /** Shared pruning step for both access modes: position the stream at the
+    * next emittable line start; false when the owned range is exhausted.
+    */
+  private def advancePos(): Boolean = {
     if (!started) {
       started = true
-      if (!jump(ownedStartOrd)) { finished = true; nextLine = null; return }
-      nextLine = readLine()
-      if (nextLine == null) finished = true
-      return
+      return jump(ownedStartOrd)
     }
     // candidate next line starts at (curOrd, blockPos); owner = block holding
     // the byte before it (exhausted block ⇒ next start is (curOrd+1, 0))
@@ -514,12 +562,25 @@ final class FourMcPrunedLineIterator(
       if (blockPos >= block.length) curOrd
       else if (blockPos == 0) math.max(curOrd - 1, 0)
       else curOrd
-    if (owner >= ownedEndOrd) { finished = true; nextLine = null; return }
+    if (owner >= ownedEndOrd) return false
     if (owner < ownedStartOrd || !keep(owner)) {
-      if (!jump(owner + 1)) { finished = true; nextLine = null; return }
+      if (!jump(owner + 1)) return false
     }
+    true
+  }
+
+  private def advance(): Unit = {
+    if (finished) return
+    if (!advancePos()) { finished = true; nextLine = null; return }
     nextLine = readLine()
     if (nextLine == null) finished = true
+  }
+
+  /** Zero-copy advance — see [[McLineStream]]. */
+  def advanceSlice(): Boolean = {
+    if (finished) return false
+    if (!advancePos() || !readLineSlice()) { finished = true; return false }
+    true
   }
 
   private var primed = false

@@ -1,9 +1,10 @@
 package graft.plans
 
 import graft.sources.{FourMcFileFormat, FourMcStatsFileFormat, RuntimeKeyFilter}
+import graft.sources.FourMcStatsFileFormat.StatsPred
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, BinaryComparison, Coalesce, EqualTo, Expression, GreaterThan,
+  Alias, And, AttributeReference, BinaryComparison, Coalesce, EqualTo, Expression, GreaterThan,
   GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
@@ -27,9 +28,14 @@ import org.apache.spark.sql.types.LongType
   * already has the metadata-count fast path in the row/vectorized readers).
   * Grouping is allowed on bare PARTITION columns (each block belongs to
   * exactly one partition directory, so per-block stats rows group exactly);
-  * a Filter below the aggregate is allowed when it touches only partition
-  * columns (partition pruning commutes with the stats relation — both scan
-  * the same pruned file set). Rewrites the child to a
+  * a Filter below the aggregate is allowed when every conjunct either
+  * touches only partition columns (partition pruning commutes with the
+  * stats relation — both scan the same pruned file set) or compiles to a
+  * zone-map range predicate on a non-string data column (`MIN(ts) WHERE
+  * ts >= X`): those push into the stats relation, which emits the stats row
+  * for blocks the zone map proves wholly inside the predicate, skips blocks
+  * wholly outside, and decodes + re-filters only straddling blocks.
+  * Rewrites the child to a
   * [[FourMcStatsFileFormat]] relation that emits one `(min…, max…, nn…,
   * cnt)` row per owned BLOCK from the footer stats — falling back to
   * per-line decode only for blocks whose stats cannot answer exactly
@@ -107,9 +113,23 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       lr.output.collect { case a: AttributeReference if partNames.contains(a.name) => a }
     val partAttrSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(origPartAttrs)
 
-    // grouping only by partition columns; filters only over them
+    // grouping only by partition columns
     if (!groups.forall(partAttrSet.contains)) return None
-    if (filterCond.exists(c => !c.references.subsetOf(partAttrSet))) return None
+    // Filters: partition conjuncts stay a logical Filter above the stats
+    // relation (directory pruning commutes — both scans list the same
+    // pruned file set). DATA conjuncts must each compile to a zone-map
+    // range predicate (col <cmp> literal / IS NOT NULL on a non-string
+    // data column); they're pushed into the stats format, which classifies
+    // every owned block as all-rows-pass (stats row), none-pass (skipped),
+    // or straddling (decoded + re-filtered per line). Any conjunct that
+    // doesn't compile refuses the whole rewrite — the normal scan's own
+    // block pruning handles it instead.
+    val conjuncts = filterCond.map(splitConjunction).getOrElse(Nil)
+    val (partConj, dataConj) = conjuncts.partition(_.references.subsetOf(partAttrSet))
+    val dataPreds: Seq[StatsPred] = dataConj.map { c =>
+      compileDataPred(c, dataSchema, partNames).getOrElse(return None)
+    }
+    val partFilter: Option[Expression] = partConj.reduceOption(And.apply)
     val groupSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(groups)
 
     def colOf(e: Expression): Option[Int] = e match {
@@ -147,10 +167,12 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     }
     val reqs: Seq[(Alias, Req)] = outs.collect { case Agg(al, r) => (al, r) }
     if (reqs.isEmpty) return None
-    // all-COUNT(*) requests: the reader metadata-count fast path already
-    // answers them (including grouped-by-partition and partition-filtered
-    // forms — empty projection + constant partition vectors)
-    if (reqs.forall(_._2 == ReqCnt)) return None
+    // all-COUNT(*) requests WITHOUT a data filter: the reader metadata-count
+    // fast path already answers them (including grouped-by-partition and
+    // partition-filtered forms — empty projection + constant partition
+    // vectors). With a data filter the fast path doesn't apply, and the
+    // stats route still skips decoding every wholly-inside block.
+    if (dataPreds.isEmpty && reqs.forall(_._2 == ReqCnt)) return None
 
     // build the synthetic stats relation
     val boundReqs = reqs.map(_._2).collect { case ReqMin(i) => i; case ReqMax(i) => i }
@@ -162,7 +184,7 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets, nnCols)
     val newRel = fsRel.copy(
       dataSchema = schema,
-      fileFormat = new FourMcStatsFileFormat(dataSchema))(fsRel.sparkSession)
+      fileFormat = new FourMcStatsFileFormat(dataSchema, dataPreds))(fsRel.sparkSession)
     val dataAttrs: Seq[AttributeReference] =
       schema.fields.map(f => AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
     val newLr = LogicalRelation(newRel, dataAttrs ++ origPartAttrs, None,
@@ -190,7 +212,66 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
         Alias(rewritten, al.name)(exprId = al.exprId, qualifier = al.qualifier,
           explicitMetadata = Some(al.metadata))
     }
-    val newChild: LogicalPlan = filterCond.map(Filter(_, newLr)).getOrElse(newLr)
+    val newChild: LogicalPlan = partFilter.map(Filter(_, newLr)).getOrElse(newLr)
     Some(Aggregate(groups, newAggs, newChild))
+  }
+
+  private def splitConjunction(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunction(l) ++ splitConjunction(r)
+    case other     => Seq(other)
+  }
+
+  /** Compile one data-column conjunct to a [[StatsPred]], or None if its
+    * shape/type is outside the pushable set. Strings are excluded (their
+    * stored bounds may be 16-byte truncations — range proofs over prefixes
+    * are subtle enough to be a follow-up, and the normal scan's pruning
+    * already handles them); double/float equality is excluded (zone/line
+    * comparison uses the total order, where -0.0 < 0.0, but Catalyst's
+    * EqualTo treats them equal).
+    */
+  private def compileDataPred(
+      e: Expression,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partNames: Set[String]): Option[StatsPred] = {
+    import graft.sources.CsvPayload
+    import FourMcStatsFileFormat._
+    def colInfo(a: AttributeReference): Option[(Int, Int)] =
+      if (partNames.contains(a.name)) None
+      else {
+        val i = dataSchema.fieldNames.indexOf(a.name)
+        if (i < 0) None
+        else scala.util.Try(CsvPayload.tagOf(dataSchema.fields(i).dataType)).toOption
+          .filter(_ != CsvPayload.TagString)
+          .map(t => (i, t))
+      }
+    def mk(a: AttributeReference, v: Any, op: Int): Option[StatsPred] =
+      colInfo(a).flatMap { case (i, tag) =>
+        (tag, v) match {
+          case (CsvPayload.TagLong, l: Long)       => Some(StatsPred(i, op, isDouble = false, l, 0d))
+          case (CsvPayload.TagTimestamp, l: Long)  => Some(StatsPred(i, op, isDouble = false, l, 0d))
+          case (CsvPayload.TagInt, n: Int)         => Some(StatsPred(i, op, isDouble = false, n.toLong, 0d))
+          case (CsvPayload.TagBoolean, b: Boolean) => Some(StatsPred(i, op, isDouble = false, if (b) 1L else 0L, 0d))
+          case (CsvPayload.TagDouble, d: Double) if op != OpEq =>
+            Some(StatsPred(i, op, isDouble = true, 0L, d))
+          case (CsvPayload.TagFloat, f: Float) if op != OpEq =>
+            Some(StatsPred(i, op, isDouble = true, 0L, f.toDouble))
+          case _ => None
+        }
+      }
+    e match {
+      case IsNotNull(a: AttributeReference) =>
+        colInfo(a).map { case (i, _) => StatsPred(i, OpNotNull, isDouble = false, 0L, 0d) }
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null => mk(a, v, OpGe)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null => mk(a, v, OpLe)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null        => mk(a, v, OpGt)
+      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null        => mk(a, v, OpLt)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null    => mk(a, v, OpLe)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null    => mk(a, v, OpGe)
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null           => mk(a, v, OpLt)
+      case LessThan(Literal(v, _), a: AttributeReference) if v != null           => mk(a, v, OpGt)
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null            => mk(a, v, OpEq)
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null            => mk(a, v, OpEq)
+      case _ => None
+    }
   }
 }

@@ -178,17 +178,19 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val src = fieldIdx(k)
             val s = starts(src)
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields)
-            val ps = fieldPreds(k)
+            val fp = fieldPreds(k)
+            val ps = fp.rest
             val tag = fieldTags(k)
             if (CsvPayload.isNullMarker(bytes, s, e) ||
               (s >= e && tag != CsvPayload.TagString)) {
-              keep = ps.length == 0 || pass(ps, null)
+              keep = fp.nullPasses // empty pred set precomputes to true
               if (keep) writer.setNullAt(k)
             } else {
               // numeric/timestamp decode straight off the byte slice — no
               // per-field String for the hot types, Int-tag jump table
-              // instead of a DataType match per value; predicates box only
-              // for filter-bound fields
+              // instead of a DataType match per value; long-domain ranges
+              // compare unboxed, residual predicates box only for
+              // filter-bound fields
               (tag: @scala.annotation.switch) match {
                 case CsvPayload.TagString =>
                   val u =
@@ -198,11 +200,11 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                   if (keep) writer.write(k, u)
                 case CsvPayload.TagLong =>
                   val x = CsvPayload.parseLong(bytes, s, e)
-                  keep = ps.length == 0 || pass(ps, x)
+                  keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
                   if (keep) writer.write(k, x)
                 case CsvPayload.TagInt =>
                   val x = CsvPayload.parseInt(bytes, s, e)
-                  keep = ps.length == 0 || pass(ps, x)
+                  keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
                   if (keep) writer.write(k, x)
                 case CsvPayload.TagDouble =>
                   val x = CsvPayload.parseDouble(bytes, s, e)
@@ -224,7 +226,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                       val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     }
-                  keep = ps.length == 0 || pass(ps, x)
+                  keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
                   if (keep) writer.write(k, x)
               }
             }
@@ -474,7 +476,7 @@ object FourMcFileFormat {
       statsEnabled: Boolean,
       permissive: Boolean,
       rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]
-  ): Iterator[(Long, Array[Byte])] = {
+  ): McLineStream = {
     val keepOpt: Option[Array[Boolean]] =
       if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
         index.stats.flatMap { st =>
@@ -785,16 +787,23 @@ object CsvPayload {
     * unchanged.
     */
   def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
-                     neededFields: Int, totalFields: Int): Unit = {
+                     neededFields: Int, totalFields: Int): Unit =
+    scanBoundaries(bytes, delim, starts, base, neededFields, totalFields, 0, bytes.length)
+
+  /** Range form: the line is `bytes[from, to)` — offsets in `starts` are
+    * ABSOLUTE (from-based), so the zero-copy block-slice path and the
+    * detached-line path share one implementation.
+    */
+  def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
+                     neededFields: Int, totalFields: Int, from: Int, to: Int): Unit = {
     var f = 1
-    starts(base) = 0
-    val n = bytes.length
+    starts(base) = from
     val dSpread = SwarScan.spread(delim)
     val eSpread = SwarScan.spread(Esc)
-    var i = 0
-    while (i < n && f < neededFields) {
-      i = SwarScan.nextSpecial(bytes, i, n, dSpread, eSpread)
-      if (i < n) {
+    var i = from
+    while (i < to && f < neededFields) {
+      i = SwarScan.nextSpecial(bytes, i, to, dSpread, eSpread)
+      if (i < to) {
         val b = bytes(i)
         if (b == Esc) i += 2
         else {
@@ -804,9 +813,9 @@ object CsvPayload {
       }
     }
     while (f <= math.min(neededFields, totalFields - 1)) {
-      starts(base + f) = n + 1; f += 1
+      starts(base + f) = to + 1; f += 1
     }
-    if (neededFields == totalFields) starts(base + totalFields) = n + 1
+    if (neededFields == totalFields) starts(base + totalFields) = to + 1
   }
 
   /** Exclusive end offset of field `src` (start offset `s`) under the
@@ -817,21 +826,27 @@ object CsvPayload {
     */
   def fieldEnd(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
                src: Int, s: Int, neededFields: Int, totalFields: Int): Int =
+    fieldEnd(bytes, delim, starts, base, src, s, neededFields, totalFields, bytes.length)
+
+  /** Range form: `lineEnd` is the line's exclusive end (the zero-copy slice
+    * path's block-buffer offset; `bytes.length` for detached lines).
+    */
+  def fieldEnd(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
+               src: Int, s: Int, neededFields: Int, totalFields: Int, lineEnd: Int): Int =
     if (src + 1 >= neededFields && src + 1 < totalFields) {
-      val n = bytes.length
       val dSpread = SwarScan.spread(delim)
       val eSpread = SwarScan.spread(Esc)
       var j = s
-      while (j < n) {
-        j = SwarScan.nextSpecial(bytes, j, n, dSpread, eSpread)
-        if (j < n) {
+      while (j < lineEnd) {
+        j = SwarScan.nextSpecial(bytes, j, lineEnd, dSpread, eSpread)
+        if (j < lineEnd) {
           if (bytes(j) == Esc) j += 2
           else if (bytes(j) == delim) return j
           else j += 1
         }
       }
-      n
-    } else math.min(starts(base + src + 1) - 1, bytes.length)
+      lineEnd
+    } else math.min(starts(base + src + 1) - 1, lineEnd)
 
   // parse-dispatch tags (compile DataType to an Int once per reader; the
   // per-value hot loop then switches on a jump table)
@@ -857,6 +872,34 @@ object CsvPayload {
     case other => throw new UnsupportedOperationException(s"csv payload type $other")
   }
 
+  /** Compiled pushed predicates for ONE required field. The =/</>/≤/≥
+    * conjuncts on long-domain columns (long / int / timestamp — micros) fold
+    * into a single primitive inclusive range `[loL, hiL]` evaluated with two
+    * unboxed compares per value; everything else (strings, doubles, IN,
+    * prefix ops) stays as boxed closures in `rest`. The r10-profile showed
+    * the closure path boxing every parsed value on filter-bound fields —
+    * ~0.5 s of pure allocation/dispatch on a 30M-row timestamp filter — and
+    * the q1-twin filter (`l_shipdate <= date`) is exactly one long-domain
+    * range.
+    *
+    * `nullPasses` precomputes the outcome for a NULL value (closures are
+    * pure functions, and a range rejects null per SQL three-valued logic),
+    * so nulls cost one field read instead of a closure chain.
+    */
+  final class FieldPred(
+      val hasRange: Boolean,
+      val loL: Long,
+      val hiL: Long,
+      val rest: Array[Any => Boolean]) extends Serializable {
+    val nonEmpty: Boolean = hasRange || rest.length > 0
+    val nullPasses: Boolean = !hasRange && rest.forall(p => p(null))
+    @inline def rangeOk(x: Long): Boolean = !hasRange || (x >= loL && x <= hiL)
+  }
+
+  object FieldPred {
+    val empty = new FieldPred(hasRange = false, Long.MinValue, Long.MaxValue, Array.empty)
+  }
+
   /** Compile the pushable single-column conjuncts of `filters` into per-
     * required-field predicates over PARSED values (internal representations:
     * UTF8String / Long / Int / Double / Float / Boolean / micros-Long).
@@ -868,13 +911,13 @@ object CsvPayload {
     * UNKNOWN row can never pass the downstream filter either, so skipping it
     * early is sound).
     *
-    * Returns one (possibly empty) predicate array per required-schema field.
+    * Returns one (possibly empty) [[FieldPred]] per required-schema field.
     */
   def compileFilters(
       filters: Seq[Filter],
       schema: StructType,
       tags: Array[Int]
-  ): Array[Array[Any => Boolean]] = {
+  ): Array[FieldPred] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
@@ -915,28 +958,70 @@ object CsvPayload {
     }
 
     val byField = Array.fill(schema.length)(List.empty[Any => Boolean])
+    // primitive range accumulators (long-domain tags only)
+    val rangeSet = new Array[Boolean](schema.length)
+    val rangeLo = Array.fill(schema.length)(Long.MinValue)
+    val rangeHi = Array.fill(schema.length)(Long.MaxValue)
     def fieldOf(attr: String): Int =
       schema.fields.indexWhere(_.name == attr) // -1 when the column isn't required here
+    def longDomain(tag: Int): Boolean =
+      tag == TagLong || tag == TagInt || tag == TagTimestamp
 
     def add(attr: String, p: Int => Option[Any => Boolean]): Unit = {
       val k = fieldOf(attr)
       if (k >= 0) p(k).foreach(pred => byField(k) = pred :: byField(k))
     }
 
+    /** Tighten field k's primitive range; an unsatisfiable bound leaves
+      * lo > hi, which rejects every value. Returns false when the literal
+      * doesn't convert (caller falls back to the closure form).
+      */
+    def tighten(attr: String, v: Any, op: Int): Boolean = { // op: 0 eq,1 gt,2 ge,3 lt,4 le
+      val k = fieldOf(attr)
+      if (k < 0) return true // column not required here: nothing to compile
+      if (!longDomain(tags(k))) return false
+      lit(tags(k), v) match {
+        case Some(l: java.lang.Long) =>
+          val c = l.longValue
+          rangeSet(k) = true
+          op match {
+            case 0 => rangeLo(k) = math.max(rangeLo(k), c); rangeHi(k) = math.min(rangeHi(k), c)
+            case 1 => if (c == Long.MaxValue) { rangeLo(k) = 1L; rangeHi(k) = 0L }
+                      else rangeLo(k) = math.max(rangeLo(k), c + 1)
+            case 2 => rangeLo(k) = math.max(rangeLo(k), c)
+            case 3 => if (c == Long.MinValue) { rangeLo(k) = 1L; rangeHi(k) = 0L }
+                      else rangeHi(k) = math.min(rangeHi(k), c - 1)
+            case 4 => rangeHi(k) = math.min(rangeHi(k), c)
+          }
+          true
+        case _ => false
+      }
+    }
+
     def compileOne(f: Filter): Unit = f match {
       case And(a, b) => compileOne(a); compileOne(b)
-      case IsNotNull(a) => add(a, _ => Some(v => v != null))
+      case IsNotNull(a) =>
+        val k = fieldOf(a)
+        // long-domain: a full primitive range IS "is not null" (null fails
+        // any range, every non-null value is inside) — zero per-value cost
+        if (k >= 0 && longDomain(tags(k))) rangeSet(k) = true
+        else add(a, _ => Some(v => v != null))
       case IsNull(a)    => add(a, _ => Some(v => v == null))
       case EqualTo(a, v) =>
-        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) == 0))
+        if (!tighten(a, v, 0))
+          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) == 0))
       case GreaterThan(a, v) =>
-        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) > 0))
+        if (!tighten(a, v, 1))
+          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) > 0))
       case GreaterThanOrEqual(a, v) =>
-        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) >= 0))
+        if (!tighten(a, v, 2))
+          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) >= 0))
       case LessThan(a, v) =>
-        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) < 0))
+        if (!tighten(a, v, 3))
+          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) < 0))
       case LessThanOrEqual(a, v) =>
-        add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) <= 0))
+        if (!tighten(a, v, 4))
+          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) <= 0))
       case In(a, vs) =>
         add(a, k => {
           val ls = vs.toSeq.map(v => lit(tags(k), v))
@@ -961,7 +1046,10 @@ object CsvPayload {
       case _ => // Or / Not / nested — left to Spark's post-scan Filter
     }
     filters.foreach(compileOne)
-    byField.map(_.toArray)
+    Array.tabulate(schema.length) { k =>
+      if (!rangeSet(k) && byField(k).isEmpty) FieldPred.empty
+      else new FieldPred(rangeSet(k), rangeLo(k), rangeHi(k), byField(k).toArray)
+    }
   }
 
   def isNullMarker(b: Array[Byte], s: Int, e: Int): Boolean =
@@ -970,6 +1058,15 @@ object CsvPayload {
   /** Unescape a field slice; returns the raw slice (zero-copy) when no
     * escape byte is present.
     */
+  /** True when [s, e) contains no escape byte — the value's bytes can be
+    * consumed in place (no unescape pass, no intermediate allocation).
+    */
+  def escapeFree(b: Array[Byte], s: Int, e: Int): Boolean = {
+    var i = s
+    while (i < e) { if (b(i) == Esc) return false; i += 1 }
+    true
+  }
+
   def unescape(b: Array[Byte], s: Int, e: Int, delim: Byte): UTF8String = {
     var i = s
     var hasEsc = false

@@ -35,8 +35,20 @@ import org.apache.spark.util.SerializableConfiguration
   * byte range partitions the aggregate inputs exactly (same ownership rule
   * as [[FourMcFileFormat.ownedLineCount]]). Footer reads stay task-side —
   * planning this relation lists files only.
+  *
+  * `preds` (data-column range predicates compiled by the rule) extend the
+  * pushdown to FILTERED aggregates (`MIN(ts) WHERE ts >= X`): each owned
+  * block is classified against its zone map as all-rows-pass (stats row as
+  * usual — every row contributes), no-row-passes (skipped entirely, counted
+  * in `blocksSkipped`), or straddling (decoded, predicates re-evaluated per
+  * line). Null filter values fail every comparison, so a block proves
+  * "all pass" only with a zero null count on the filter column, while
+  * "none pass" needs only the non-null bounds (nulls fail anyway).
   */
-class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Serializable {
+class FourMcStatsFileFormat(
+    origSchema: StructType,
+    preds: Seq[FourMcStatsFileFormat.StatsPred] = Nil
+) extends FileFormat with Serializable {
 
   override def toString: String = "4MC-STATS"
 
@@ -95,11 +107,17 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
     val needNn: Set[Int] = specs.filter(_.kind == 3).map(_.col).toSet
     // bounds columns gate stats usability (exactness of min/max); nn-only
     // columns need just the nullCount array, which is always exact when a
-    // stats segment exists
+    // stats segment exists. Predicate columns are parsed in the decode
+    // fallback (their values feed the per-line filter) but impose no
+    // exactness condition — classification already consulted their zones.
     val boundsCols: Set[Int] = needMin ++ needMax
-    val neededCols: Array[Int] = (boundsCols ++ needNn).toArray.sorted
+    val predCols: Set[Int] = preds.map(_.col).toSet
+    val neededCols: Array[Int] = (boundsCols ++ needNn ++ predCols).toArray.sorted
     val isBoundsCol: Array[Boolean] = neededCols.map(boundsCols.contains)
+    val needsValue: Array[Boolean] =
+      neededCols.map(c => boundsCols.contains(c) || predCols.contains(c))
     val neededFields = if (neededCols.isEmpty) 0 else neededCols.max + 1
+    val predArr: Array[FourMcStatsFileFormat.StatsPred] = preds.toArray
 
     (file: PartitionedFile) => {
       val p = file.toPath.getName
@@ -178,9 +196,57 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
           .withZone(java.time.ZoneOffset.UTC)
         val starts = new Array[Int](totalFields + 1)
 
-        /** Per-line fallback row: (v, v, …, 1) over the parsed needed cols.
-          * nn-only columns skip the value parse — a null check is enough for
-          * a non-null count.
+        val predPos: Array[Int] =
+          predArr.map(p => java.util.Arrays.binarySearch(neededCols, p.col))
+
+        /** Spark-total-order compare of a parsed filter value against the
+          * predicate literal (NaN greatest, like Catalyst's double ordering).
+          */
+        def predCompare(p: FourMcStatsFileFormat.StatsPred, v: Any): Int =
+          if (p.isDouble) {
+            val d = v match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float  => f.doubleValue()
+            }
+            java.lang.Double.compare(d, p.litD)
+          } else {
+            val l = v match {
+              case l: java.lang.Long    => l.longValue()
+              case i: java.lang.Integer => i.longValue()
+              case b: java.lang.Boolean => if (b) 1L else 0L
+            }
+            java.lang.Long.compare(l, p.litL)
+          }
+
+        /** Re-evaluate the pushed predicates on one decoded line (straddling
+          * or stats-less blocks). Null filter values fail every op.
+          */
+        def evalPreds(parsed: Array[Any], nonNull: Array[Boolean]): Boolean = {
+          var i = 0
+          while (i < predArr.length) {
+            val pos = predPos(i)
+            if (!nonNull(pos)) return false
+            val p = predArr(i)
+            if (p.op != FourMcStatsFileFormat.OpNotNull) {
+              val c = predCompare(p, parsed(pos))
+              val pass = (p.op: @scala.annotation.switch) match {
+                case FourMcStatsFileFormat.OpGe => c >= 0
+                case FourMcStatsFileFormat.OpGt => c > 0
+                case FourMcStatsFileFormat.OpLe => c <= 0
+                case FourMcStatsFileFormat.OpLt => c < 0
+                case FourMcStatsFileFormat.OpEq => c == 0
+              }
+              if (!pass) return false
+            }
+            i += 1
+          }
+          true
+        }
+
+        /** Per-line fallback row: (v, v, …, 1) over the parsed needed cols,
+          * or null when the line fails the pushed predicates. nn-only
+          * columns skip the value parse — a null check is enough for a
+          * non-null count.
           */
         def lineRow(bytes: Array[Byte]): InternalRow = {
           CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields)
@@ -196,7 +262,7 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
               CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)
             nonNull(ci) = !isNull
             parsed(ci) =
-              if (isNull || !isBoundsCol(ci))
+              if (isNull || !needsValue(ci))
                 null
               else (tag: @scala.annotation.switch) match {
                 case CsvPayload.TagString =>
@@ -216,6 +282,7 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
               }
             ci += 1
           }
+          if (predArr.nonEmpty && !evalPreds(parsed, nonNull)) return null
           val colPos: Int => Int = c => java.util.Arrays.binarySearch(neededCols, c)
           val vals = new Array[Any](specs.length)
           var i = 0
@@ -231,21 +298,73 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
           new GenericInternalRow(vals)
         }
 
+        /** Classify block `b` against the pushed predicates' zone maps:
+          * 0 = every row passes (stats row usable as-is), 1 = straddling
+          * (decode + per-line eval), 2 = no row passes (skip the block).
+          */
+        def filterState(st: McBlockStats, b: Int): Int = {
+          var all = true
+          var pi = 0
+          while (pi < predArr.length) {
+            val p = predArr(pi)
+            val k = b * st.nCols + p.col
+            val nonNull = st.lineCount(b) - st.nullCount(k)
+            if (nonNull == 0) return 2 // only nulls (or empty): nothing passes
+            if (p.op == FourMcStatsFileFormat.OpNotNull) {
+              if (st.nullCount(k) > 0) all = false
+            } else if (!st.hasBounds(k)) {
+              all = false // NaN-poisoned zone: undecidable, decode
+            } else {
+              val isDbl = p.isDouble
+              // stored bits → comparable domain (doubles ride raw bits)
+              val cLo =
+                if (isDbl)
+                  java.lang.Double.compare(
+                    java.lang.Double.longBitsToDouble(st.minLong(k)), p.litD)
+                else java.lang.Long.compare(st.minLong(k), p.litL)
+              val cHi =
+                if (isDbl)
+                  java.lang.Double.compare(
+                    java.lang.Double.longBitsToDouble(st.maxLong(k)), p.litD)
+                else java.lang.Long.compare(st.maxLong(k), p.litL)
+              val (allTrue, noneTrue) = (p.op: @scala.annotation.switch) match {
+                case FourMcStatsFileFormat.OpGe => (cLo >= 0, cHi < 0)
+                case FourMcStatsFileFormat.OpGt => (cLo > 0, cHi <= 0)
+                case FourMcStatsFileFormat.OpLe => (cHi <= 0, cLo > 0)
+                case FourMcStatsFileFormat.OpLt => (cHi < 0, cLo >= 0)
+                case FourMcStatsFileFormat.OpEq =>
+                  (cLo == 0 && cHi == 0, cLo > 0 || cHi < 0)
+              }
+              if (noneTrue) return 2 // non-null rows all fail; null rows fail too
+              // "all rows pass" additionally needs zero nulls — null fails
+              if (!allTrue || st.nullCount(k) > 0) all = false
+            }
+            pi += 1
+          }
+          if (all) 0 else 1
+        }
+
         index.stats match {
           case Some(st) =>
-            // split blocks into stats-answered and decode-fallback sets
+            // split blocks into stats-answered, decode-fallback, and (with
+            // pushed predicates) refuted sets
             val keep = new Array[Boolean](index.numBlocks) // true = must decode
             var statsBlocks = 0
             var decodeBlocks = 0
+            var skippedBlocks = 0
+            val statsSet = new Array[Boolean](index.numBlocks)
             var b = ordStart
             while (b < ordEnd) {
-              if (statsUsable(st, b)) statsBlocks += 1
+              val fs = if (predArr.isEmpty) 0 else filterState(st, b)
+              if (fs == 2) skippedBlocks += 1
+              else if (fs == 0 && statsUsable(st, b)) { statsSet(b) = true; statsBlocks += 1 }
               else { keep(b) = true; decodeBlocks += 1 }
               b += 1
             }
             FourMcScanMetrics.statsAggBlocks.add(statsBlocks)
+            if (skippedBlocks > 0) FourMcScanMetrics.blocksSkipped.add(skippedBlocks)
             val synthesized: Iterator[InternalRow] =
-              (ordStart until ordEnd).iterator.filter(!keep(_)).map(statsRow(st, _))
+              (ordStart until ordEnd).iterator.filter(statsSet(_)).map(statsRow(st, _))
             val decoded: Iterator[InternalRow] =
               if (decodeBlocks == 0) Iterator.empty
               else {
@@ -253,16 +372,17 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
                 Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
                   FourMcScanMetrics.blocksRead.add(it.blocksRead)
                 })
-                it.map { case (_, bytes) => lineRow(bytes) }
+                it.map { case (_, bytes) => lineRow(bytes) }.filter(_ != null)
               }
             synthesized ++ decoded
           case None =>
-            // stats-less file: decode every owned line
+            // stats-less file: decode every owned line (predicates, if any,
+            // evaluate per line)
             val it = new FourMcLineIterator(in, index, file.start, splitEnd, permissive = false)
             Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
               FourMcScanMetrics.blocksRead.add(ordEnd - ordStart)
             })
-            it.map { case (_, bytes) => lineRow(bytes) }
+            it.map { case (_, bytes) => lineRow(bytes) }.filter(_ != null)
         }
       }
     }
@@ -270,6 +390,21 @@ class FourMcStatsFileFormat(origSchema: StructType) extends FileFormat with Seri
 }
 
 object FourMcStatsFileFormat {
+
+  // StatsPred comparison ops
+  final val OpGe = 0
+  final val OpGt = 1
+  final val OpLe = 2
+  final val OpLt = 3
+  final val OpEq = 4
+  final val OpNotNull = 5
+
+  /** One compiled data-column predicate: `col <op> literal` (or IS NOT
+    * NULL). `isDouble` selects the comparison domain — double/float columns
+    * compare via `litD` with Spark's total order (NaN greatest), everything
+    * else (long/int/timestamp/boolean) via `litL`.
+    */
+  final case class StatsPred(col: Int, op: Int, isDouble: Boolean, litL: Long, litD: Double)
 
   /** Synthetic schema for the rule: bounds for each (colIdx, needMin,
     * needMax) target, a `_nn_<i>` per-block non-null count for each

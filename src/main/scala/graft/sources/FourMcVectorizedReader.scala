@@ -132,6 +132,7 @@ object FourMcVectorizedReader {
 
       val stride = neededFields + 1
       val bufBytes = new Array[Array[Byte]](BatchSize)
+      val rowEnds = new Array[Int](BatchSize) // exclusive line end per buffered row
       val starts = new Array[Int](BatchSize * stride)
       // parsed filter-field values cached at buffer time so the column
       // decode never parses a filter-bound field twice: primitives as raw
@@ -151,29 +152,32 @@ object FourMcVectorizedReader {
       }
 
       /** End offset of field `src` for buffered row `r` (exclusive) — the
-        * shared [[CsvPayload.fieldEnd]] semantics, flat-array base offset.
+        * shared [[CsvPayload.fieldEnd]] semantics, flat-array base offset,
+        * bounded by the row's line end (slices live inside block buffers).
         */
-      def fieldEnd(bytes: Array[Byte], base: Int, src: Int, s: Int): Int =
-        CsvPayload.fieldEnd(bytes, delim, starts, base, src, s, neededFields, totalFields)
+      def fieldEnd(bytes: Array[Byte], base: Int, src: Int, s: Int, lineEnd: Int): Int =
+        CsvPayload.fieldEnd(bytes, delim, starts, base, src, s, neededFields, totalFields, lineEnd)
 
-      /** Boundary-scan `bytes` into row slot `r`; evaluate the pushed
-        * filters on their fields; true = the row enters the batch.
+      /** Boundary-scan the line slice `bytes[from, to)` into row slot `r`;
+        * evaluate the pushed filters on their fields; true = the row enters
+        * the batch.
         */
-      def bufferLine(bytes: Array[Byte], r: Int): Boolean = {
+      def bufferLine(bytes: Array[Byte], from: Int, to: Int, r: Int): Boolean = {
         val base = r * stride
-        CsvPayload.scanBoundaries(bytes, delim, starts, base, neededFields, totalFields)
+        CsvPayload.scanBoundaries(bytes, delim, starts, base, neededFields, totalFields, from, to)
         var pi = 0
         while (pi < nPred) {
           val k = predFields(pi)
-          val ps = fieldPreds(k)
+          val fp = fieldPreds(k)
+          val ps = fp.rest
           val src = fieldIdx(k)
           val s = starts(base + src)
-          val e = fieldEnd(bytes, base, src, s)
+          val e = fieldEnd(bytes, base, src, s, to)
           val tag = fieldTags(k)
           val slot = r * nPred + pi
           var keep = true
           if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)) {
-            keep = pass(ps, null)
+            keep = fp.nullPasses
             predNulls(slot) = true
           } else {
             predNulls(slot) = false
@@ -184,10 +188,12 @@ object FourMcVectorizedReader {
                 keep = pass(ps, u); predObjs(slot) = u
               case CsvPayload.TagLong =>
                 val x = CsvPayload.parseLong(bytes, s, e)
-                keep = pass(ps, x); predLongs(slot) = x
+                keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                predLongs(slot) = x
               case CsvPayload.TagInt =>
                 val x = CsvPayload.parseInt(bytes, s, e)
-                keep = pass(ps, x); predLongs(slot) = x.toLong
+                keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                predLongs(slot) = x.toLong
               case CsvPayload.TagDouble =>
                 val x = CsvPayload.parseDouble(bytes, s, e)
                 keep = pass(ps, x); predLongs(slot) = java.lang.Double.doubleToRawLongBits(x)
@@ -205,26 +211,38 @@ object FourMcVectorizedReader {
                     val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
                     inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                   }
-                keep = pass(ps, x); predLongs(slot) = x
+                keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                predLongs(slot) = x
             }
           }
           if (!keep) return false
           pi += 1
         }
         bufBytes(r) = bytes
+        rowEnds(r) = to
         true
       }
 
-      /** Column-major decode of buffered rows [0, n) into the vectors;
-        * filter-bound columns replay the values parsed at buffer time.
+      /** Boundary-scan only (no predicate evaluation): rows always enter
+        * the batch; used when predicates are absent or adaptively skipped.
         */
-      def decodeColumns(n: Int): Unit = {
+      def bufferPlain(bytes: Array[Byte], from: Int, to: Int, r: Int): Unit = {
+        CsvPayload.scanBoundaries(bytes, delim, starts, r * stride, neededFields, totalFields, from, to)
+        bufBytes(r) = bytes
+        rowEnds(r) = to
+      }
+
+      /** Column-major decode of buffered rows [0, n) into the vectors;
+        * with `replay`, filter-bound columns reuse the values parsed at
+        * buffer time (only valid for batches that ran [[bufferLine]]).
+        */
+      def decodeColumns(n: Int, replay: Boolean): Unit = {
         var k = 0
         while (k < nFields) {
           val vec = dataVectors(k)
           val src = fieldIdx(k)
           val tag = fieldTags(k)
-          val slot0 = predSlot(k)
+          val slot0 = if (replay) predSlot(k) else -1
           if (slot0 >= 0) {
             var r = 0
             while (r < n) {
@@ -252,12 +270,19 @@ object FourMcVectorizedReader {
             val bytes = bufBytes(r)
             val base = r * stride
             val s = starts(base + src)
-            val e = fieldEnd(bytes, base, src, s)
+            val e = fieldEnd(bytes, base, src, s, rowEnds(r))
             if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString))
               vec.putNull(r)
             else (tag: @scala.annotation.switch) match {
               case CsvPayload.TagString =>
                 if (s >= e) vec.putByteArray(r, Array.emptyByteArray, 0, 0)
+                else if (CsvPayload.escapeFree(bytes, s, e))
+                  // the common case writes the line bytes straight into the
+                  // vector's contiguous child array: one copy, zero
+                  // allocation (the old UTF8String round-trip allocated a
+                  // fresh byte[] per value via getBytes — ~2 allocations/row
+                  // on q1's two group-by strings at 30M rows)
+                  vec.putByteArray(r, bytes, s, e - s)
                 else {
                   val u = CsvPayload.unescape(bytes, s, e, delim)
                   vec.putByteArray(r, u.getBytes, 0, u.numBytes())
@@ -285,16 +310,62 @@ object FourMcVectorizedReader {
       }
 
       erase(new Iterator[ColumnarBatch] {
-        override def hasNext: Boolean = lines.hasNext
+        // ADAPTIVE fail-fast: buffer-time predicate evaluation parses
+        // filter-bound fields row-major, which costs ~2-3x their
+        // column-major decode. That is a bargain when rows get refuted
+        // (refuted rows skip batch entry entirely) and pure overhead when
+        // the filter passes ~everything (Spark's post-scan Filter
+        // re-applies every pushed predicate, so skipping evaluation here
+        // is always sound). Probe batches measure the refusal rate; when
+        // a probe refuses almost nothing, the next PROBE_PERIOD-1 batches
+        // skip evaluation and decode column-major, then one batch
+        // re-probes (catches mid-file selectivity shifts the block-stats
+        // pruning didn't already absorb).
+        private val ProbePeriod = 16
+        private val MinRefusals = BatchSize / 64 // < ~1.6% refused → skip
+        private var batchOrd = 0
+        private var evalOn = true // last probe's verdict
+        // zero-copy lookahead: slices point into the decompressed block
+        // buffers (no per-line array, no per-line tuple); the buffered
+        // offsets stay valid because block buffers are fresh per block and
+        // bufBytes pins the few blocks a batch spans
+        private var pending = lines.advanceSlice()
+
+        override def hasNext: Boolean = pending
         override def next(): ColumnarBatch = {
           var k = 0
           while (k < nFields) { dataVectors(k).reset(); k += 1 }
           var n = 0
-          while (n < BatchSize && lines.hasNext) {
-            if (bufferLine(lines.next()._2, n)) n += 1
+          if (nPred == 0) {
+            while (n < BatchSize && pending) {
+              bufferPlain(lines.sliceBytes, lines.sliceStart, lines.sliceEnd, n)
+              n += 1
+              pending = lines.advanceSlice()
+            }
+            decodeColumns(n, replay = false)
+          } else if (evalOn || batchOrd % ProbePeriod == 0) {
+            var refused = 0
+            while (n < BatchSize && pending) {
+              if (bufferLine(lines.sliceBytes, lines.sliceStart, lines.sliceEnd, n)) n += 1
+              else refused += 1
+              pending = lines.advanceSlice()
+            }
+            evalOn = refused >= MinRefusals
+            decodeColumns(n, replay = true)
+          } else {
+            // skip-evaluation mode: rows enter the batch unfiltered and the
+            // filter-bound columns decode column-major like any other
+            // (Spark's post-scan Filter applies the predicates)
+            while (n < BatchSize && pending) {
+              bufferPlain(lines.sliceBytes, lines.sliceStart, lines.sliceEnd, n)
+              n += 1
+              pending = lines.advanceSlice()
+            }
+            decodeColumns(n, replay = false)
           }
-          decodeColumns(n)
-          // release line references so a huge-doc batch doesn't pin bytes
+          batchOrd += 1
+          // release block-buffer references so a consumed batch doesn't pin
+          // decompressed blocks
           var r = 0
           while (r < n) { bufBytes(r) = null; r += 1 }
           batch.setNumRows(n)

@@ -32,7 +32,22 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   */
 object StressPipeline {
 
-  final case class OpResult(name: String, secs: Double, rows: Long, shuffleWriteMb: Double)
+  final case class OpResult(name: String, secs: Double, rows: Long, shuffleWriteMb: Double,
+                            canaryMs: Double = -1.0)
+
+  /** 5e7-round spin (~80 ms unloaded): the per-op load calibration. Same
+    * ALU-only mix as [[graft.Bench.spinCanaryMs]] at a quarter of the work,
+    * cheap enough to run before all 23 ops.
+    */
+  private def quickCanaryMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 50000000) { x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("spin fixpoint")
+    ms
+  }
   final case class StressReport(repDocs: Int, repEmb: Int, nDocs: Long, nVecs: Long,
                                 textMb: Double, genSecs: Double, budgetSecs: Long,
                                 conf: Seq[(String, String)], ops: Seq[OpResult])
@@ -166,11 +181,12 @@ object StressPipeline {
     // the session with) stress cannot lose its own cached data
     val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     try {
+      val can = quickCanaryMs()
       val t0 = System.nanoTime()
       val rows = action
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
-      OpResult(name, secs, rows, shuffleBytes.get() / 1e6)
+      OpResult(name, secs, rows, shuffleBytes.get() / 1e6, can)
     } catch {
       // a failed op must be VISIBLE in the report (secs = -1), not abort the
       // remaining ops or silently vanish from the JSON
@@ -238,18 +254,33 @@ object StressPipeline {
     // — visible in the JSON, never a silent truncation — so one slow box
     // can't starve the rest of the bench or lose the whole output line.
     val budgetSecs = sys.env.get("SPARK_GRAFT_STRESS_BUDGET")
-      .flatMap(_.toLongOption).getOrElse(1500L)
+      .flatMap(_.toLongOption).getOrElse(1800L)
     val deadline = System.nanoTime() + budgetSecs * 1000000000L
     // SPARK_GRAFT_STRESS_OPS=a,b limits the section to named ops (local
     // iteration on one operator without paying for the other four)
     val onlyOps = sys.env.get("SPARK_GRAFT_STRESS_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    // section-start load baseline for the canary-gated retry below
+    val baseCanaryMs = quickCanaryMs()
     def guarded(name: String)(action: => Long): OpResult =
       if (onlyOps.exists(!_.contains(name))) OpResult(name, -3.0, -1L, 0.0)
       else if (System.nanoTime() > deadline) {
         System.err.println(s"[stress] $name skipped: section budget (${budgetSecs}s) exhausted")
         OpResult(name, -2.0, -1L, 0.0)
-      } else timed(spark, name)(action)
+      } else {
+        val r1 = timed(spark, name)(action)
+        // canary-gated retry (r10 verdict #4): when the pre-op spin canary
+        // shows >2x contention, the measurement is pressure-tainted —
+        // re-measure once if budget remains and keep the quieter run (its
+        // shuffle volume rides along, so the ngram 16,111 MB cross-check
+        // stays a per-run invariant, never a double-count)
+        if (r1.secs >= 0 && r1.canaryMs > 2 * baseCanaryMs && System.nanoTime() < deadline) {
+          System.err.println(
+            f"[stress] $name measured under pressure (canary ${r1.canaryMs}%.0f ms vs base $baseCanaryMs%.0f ms) — re-measuring")
+          val r2 = timed(spark, name)(action)
+          if (r2.secs >= 0 && r2.secs < r1.secs) r2 else r1
+        } else r1
+      }
     // Op catalog in CANONICAL report order. Ops that must run together (the
     // steady-state pair: build must precede and absorb the index cost) share
     // a group; rotation reorders GROUPS by least-recently-measured so a
@@ -441,7 +472,7 @@ object StressPipeline {
 
   def toJson(r: StressReport): String = {
     val ops = r.ops.map(o =>
-      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f}""")
+      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f}""")
       .mkString("{", ",", "}")
     val conf = r.conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"budget_secs":${r.budgetSecs},"conf":$conf,"ops":$ops}"""

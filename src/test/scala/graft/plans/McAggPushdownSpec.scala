@@ -79,12 +79,21 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L, "stats blocks must be counted")
   }
 
-  test("filtered / grouped / expression aggregates keep the normal scan") {
+  test("non-pushable filters / grouped / expression aggregates keep the normal scan") {
     val dir = tmpDir()
     writeSample(dir)
-    val filtered = scan(dir).filter(col("k") > 100).agg(min(col("k")).as("mn")).queryExecution
-      .executedPlan.toString
-    assert(!filtered.contains("4MC-STATS"))
+    // a STRING-column filter refuses (truncated bounds are out of scope)
+    val strFiltered = scan(dir).filter(col("s") > "str5").agg(min(col("k")).as("mn"))
+      .queryExecution.executedPlan.toString
+    assert(!strFiltered.contains("4MC-STATS"))
+    // an arithmetic predicate refuses (not a zone-map range shape)
+    val exprFiltered = scan(dir).filter(col("k") % 2 === 0).agg(min(col("k")).as("mn"))
+      .queryExecution.executedPlan.toString
+    assert(!exprFiltered.contains("4MC-STATS"))
+    // double EQUALITY refuses (-0.0/NaN total-order mismatch); ranges push
+    val dblEq = scan(dir).filter(col("v") === 3.0).agg(min(col("k")).as("mn"))
+      .queryExecution.executedPlan.toString
+    assert(!dblEq.contains("4MC-STATS"))
     val grouped = scan(dir).groupBy(col("s")).agg(min(col("k")).as("mn")).queryExecution
       .executedPlan.toString
     assert(!grouped.contains("4MC-STATS"))
@@ -212,14 +221,87 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(FourMcScanMetrics.blocksRead.sum() == 0L)
     assert(FourMcScanMetrics.statsAggBlocks.sum() < allBlocks,
       s"partition pruning must shrink the stats sweep: ${FourMcScanMetrics.statsAggBlocks.sum()} vs $allBlocks")
-    // a filter touching a DATA column refuses the rewrite
-    val dataFiltered = partScan(dir).filter(col("p") === "part1" && col("k") > 10)
-      .agg(min(col("k")).as("mn")).queryExecution.executedPlan.toString
-    assert(!dataFiltered.contains("4MC-STATS"))
+    // a mixed partition + long-range DATA filter keeps the rewrite (the
+    // data conjunct pushes into the stats relation) and stays exact
+    def mixedAgg(df: DataFrame): DataFrame =
+      df.filter(col("p") === "part1" && col("k") > 10)
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"), count(lit(1)).as("n"))
+    val mixed = mixedAgg(partScan(dir))
+    assert(mixed.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val mixedExpect =
+      try mixedAgg(partScan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(mixed.collect().head == mixedExpect)
     // grouping by a DATA column refuses even with count(col)
     val dataGrouped = partScan(dir).groupBy(col("s"))
       .agg(count(col("k")).as("n")).queryExecution.executedPlan.toString
     assert(!dataGrouped.contains("4MC-STATS"))
+  }
+
+  test("data-column-filtered min/max/count pushes down: inside blocks stay stats-only, " +
+    "outside blocks are skipped, straddlers decode") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // k-sorted single writer with small blocks → disjoint per-block k zones
+    (1 to 40000).map(i => (i.toLong, s"s${i % 13}", i / 3.0)).toDF("k", "s", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType), StructField("v", DoubleType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.filter(col("k") >= 30000L)
+        .agg(min(col("k")).as("mn"), max(col("v")).as("mx_v"),
+          count(col("s")).as("n_s"), count(lit(1)).as("n"))
+    val q = agg(sc)
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      s"filtered aggregate must rewrite:\n${q.queryExecution.executedPlan.toString.take(1200)}")
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sc).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.getLong(0) == 30000L && expect.getLong(3) == 10001L)
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    val statsB = FourMcScanMetrics.statsAggBlocks.sum()
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    val read = FourMcScanMetrics.blocksRead.sum()
+    // sorted layout: most matching blocks are wholly inside (stats rows),
+    // most non-matching are wholly outside (skipped), ≤ a few straddle
+    assert(statsB > 0, "wholly-inside blocks must answer from stats")
+    assert(skipped > 0, "wholly-outside blocks must be skipped")
+    assert(read <= 2, s"only straddling blocks may decode, read $read")
+    assert(skipped > statsB, "the 75% non-matching range must dominate the skip count")
+    // a COUNT(*)-only filtered aggregate also pushes (the metadata-count
+    // fast path requires no filters, so the stats route is the win here)
+    val cntQ = sc.filter(col("k") >= 30000L).agg(count(lit(1)).as("n"))
+    assert(cntQ.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    assert(cntQ.collect().head.getLong(0) == 10001L)
+  }
+
+  test("filtered pushdown null semantics: rows with null filter values are excluded") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // v null every 4th row; filter v >= 0 excludes exactly the nulls
+    (1 to 8000).map { i =>
+      (i.toLong, if (i % 4 == 0) (null: java.lang.Double) else java.lang.Double.valueOf(i / 2.0))
+    }.toDF("k", "v")
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.filter(col("v") >= 0.0).agg(min(col("k")).as("mn"), count(lit(1)).as("n"))
+    val q = agg(sc)
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sc).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.getLong(1) == 6000L, "nulls must not pass the filter")
+    assert(q.collect().head == expect)
   }
 
   test("global COUNT(col) uses per-block null counts: zero blocks decompressed") {

@@ -497,15 +497,20 @@ class FourMcFileFormatSpec extends AnyFunSuite {
         Or(EqualTo("a", 1L), EqualTo("a", 2L)) // disjunction: left to Spark
       ),
       schema, tags)
-    assert(preds(0).length == 1 && preds(1).length == 1 && preds(2).length == 2)
-    assert(preds(0).forall(_(java.lang.Long.valueOf(11L))))
-    assert(!preds(0).forall(_(java.lang.Long.valueOf(10L))))
-    assert(!preds(0).forall(_(null))) // null fails comparisons (3VL)
-    assert(preds(1).forall(_(UTF8String.fromString("hi"))))
-    assert(!preds(1).forall(_(UTF8String.fromString("ho"))))
-    assert(preds(2).forall(_(java.lang.Double.valueOf(2.5))))
-    assert(!preds(2).forall(_(java.lang.Double.valueOf(2.6))))
-    assert(!preds(2).forall(_(null)))
+    // long-domain comparison folds into the primitive range (no closures)
+    assert(preds(0).hasRange && preds(0).rest.isEmpty)
+    assert(preds(0).rangeOk(11L))
+    assert(!preds(0).rangeOk(10L))
+    assert(!preds(0).nullPasses) // null fails comparisons (3VL)
+    // string equality stays a closure
+    assert(!preds(1).hasRange && preds(1).rest.length == 1)
+    assert(preds(1).rest.forall(_(UTF8String.fromString("hi"))))
+    assert(!preds(1).rest.forall(_(UTF8String.fromString("ho"))))
+    // doubles stay closures (NaN/-0.0 total-order subtleties)
+    assert(!preds(2).hasRange && preds(2).rest.length == 2)
+    assert(preds(2).rest.forall(_(java.lang.Double.valueOf(2.5))))
+    assert(!preds(2).rest.forall(_(java.lang.Double.valueOf(2.6))))
+    assert(!preds(2).nullPasses)
   }
 
   test("hive-partitioned 4mc dir: partition pruning eliminates non-matching files") {
