@@ -52,4 +52,25 @@ public final class SwarScan {
     }
     return i;
   }
+
+  /**
+   * Exact index of the first {@code target} byte in {@code [i, n)}, or
+   * {@code n} if absent — the newline scan of the line iterators (a
+   * byte-per-iteration loop there cost ~2-3 CPU-s per 3 GB scanned). The
+   * word loop stops at the first flagged word; the lowest flagged byte is a
+   * true match (see class note), and the unaligned tail single-steps.
+   */
+  public static int indexOf(byte[] bytes, int i, int n, byte target) {
+    final long spread = REP * (target & 0xffL);
+    while (i + 8 <= n) {
+      long x = ((long) LV.get(bytes, i)) ^ spread;
+      long m = ((x - REP) & ~x) & HIGH;
+      if (m != 0) {
+        return i + (Long.numberOfTrailingZeros(m) >>> 3);
+      }
+      i += 8;
+    }
+    while (i < n && bytes[i] != target) i++;
+    return i;
+  }
 }

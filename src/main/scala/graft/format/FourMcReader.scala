@@ -290,8 +290,7 @@ final class FourMcLineIterator(
   private def dropToNewline(): Boolean = {
     resynced = false
     while (true) {
-      var i = blockPos
-      while (i < block.length && block(i) != '\n') i += 1
+      val i = graft.sources.SwarScan.indexOf(block, blockPos, block.length, '\n'.toByte)
       if (i < block.length) { blockPos = i + 1; return blockFileOff < alignedEnd }
       if (!fetchBlock()) return false
       resynced = false // further resyncs while dropping collapse into this drop
@@ -318,8 +317,7 @@ final class FourMcLineIterator(
     var startOff = blockFileOff
     var out: java.io.ByteArrayOutputStream = null
     while (true) {
-      var i = blockPos
-      while (i < block.length && block(i) != '\n') i += 1
+      val i = graft.sources.SwarScan.indexOf(block, blockPos, block.length, '\n'.toByte)
       if (i < block.length) { // newline found in this block
         var end = i
         if (out == null) {
@@ -511,8 +509,7 @@ final class FourMcPrunedLineIterator(
     val startOff = blockFileOff
     var out: java.io.ByteArrayOutputStream = null
     while (true) {
-      var i = blockPos
-      while (i < block.length && block(i) != '\n') i += 1
+      val i = graft.sources.SwarScan.indexOf(block, blockPos, block.length, '\n'.toByte)
       if (i < block.length) {
         var end = i
         if (out == null) {

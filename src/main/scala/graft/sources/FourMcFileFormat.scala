@@ -167,8 +167,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           }
           true
         }
-        lines.map { case (_, bytes) =>
-          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields)
+        // zero-copy slice mode (see McLineStream): parse runs in place on
+        // the decompressed block buffer — no per-line array or tuple
+        def parseSlice(bytes: Array[Byte], from: Int, to: Int): InternalRow = {
+          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to)
           writer.reset()
           writer.zeroOutNullBytes()
           var keep = true
@@ -177,7 +179,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val k = parseOrder(oi)
             val src = fieldIdx(k)
             val s = starts(src)
-            val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields)
+            val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields, to)
             val fp = fieldPreds(k)
             val ps = fp.rest
             val tag = fieldTags(k)
@@ -233,7 +235,25 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             oi += 1
           }
           (if (keep) writer.getRow else null): InternalRow
-        }.filter(_ ne null)
+        }
+        new Iterator[InternalRow] {
+          private var nextRow: InternalRow = _
+          private var primed = false
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && lines.advanceSlice())
+              nextRow = parseSlice(lines.sliceBytes, lines.sliceStart, lines.sliceEnd)
+          }
+          override def hasNext: Boolean = {
+            if (!primed) { advance(); primed = true }
+            nextRow != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            primed = false
+            nextRow
+          }
+        }
         }
       }
     } else {
