@@ -481,15 +481,18 @@ object Bench {
           fn(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        // 12 of the 22 (r10 verdict #7): the scan-heavy pair (q1/q6), the
-        // join-heavy tails (q18/q21), and a spread of shapes in between —
-        // broadcast-dim joins (q3/q5/q12/q14), anti/semi joins (q4/q22),
-        // group-heavy (q13), two-sided (q17)
+        // the full 22 at 50× facts (r10 verdict #7, widened from 12 in r11):
+        // the deadline guard truncates the tail with -2 sentinels rather
+        // than blowing the budget on a pressured box
         val sf5Names = Seq(
-          "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-          "q5_local_supplier", "q6_forecast", "q12_priority_class",
-          "q13_order_distribution", "q14_promo_revenue", "q17_small_quantity",
-          "q18_large_orders", "q21_waiting_suppliers", "q22_wealthy_inactive")
+          "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+          "q4_order_priority", "q5_local_supplier", "q6_forecast",
+          "q7_nation_volume", "q8_market_share", "q9_profit_nation",
+          "q10_returned_items", "q11_important_parts", "q12_priority_class",
+          "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+          "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
+          "q19_disjunctive", "q20_promotion_suppliers", "q21_waiting_suppliers",
+          "q22_wealthy_inactive")
         val rows = sf5Names.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val t =

@@ -422,6 +422,126 @@ object RoundTrip {
       |       COUNT(user_id) AS n_users_nn, COUNT(*) AS n
       |FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
 
+  /** Global SUMs over the container from v2 per-block footer sums
+    * ([[graft.format.BlockStats]] + [[graft.plans.McAggregatePushdown]]):
+    * integer columns re-sum overflow-checked exact block partials, doubles
+    * re-sum row-ordered block partials (l_quantity is integer-valued, so
+    * the double arithmetic is exact in any order) — zero blocks
+    * decompressed. The lake-ops trio is now complete: COUNT (metadata fast
+    * path), MIN/MAX (zone maps), SUM/totals (block sums) — every dashboard
+    * sanity aggregate is a footer sweep at 100 TB.
+    */
+  def fourMcSumMeta(spark: SparkSession, sfDir: String): DataFrame =
+    roundTrip(spark, sfDir, "lineitem", "lz4-fast")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_ok"),
+        sum(col("l_linenumber")).as("sum_ln"),
+        count(col("l_quantity")).as("n_qty"),
+        count(lit(1)).as("n"))
+
+  // integer sums cast to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT,
+  // Spark's Sum(long) stays long — the driver compares schemas
+  val fourMcSumMetaSql: String =
+    """SELECT sum(l_quantity) AS sum_qty,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+      |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+      |       COUNT(l_quantity) AS n_qty, COUNT(*) AS n
+      |FROM lineitem""".stripMargin
+
+  /** Write (once) a round-trip with per-block BLOOM FILTERS on `bloomCols`
+    * ([[graft.format.BlockBlooms]]); own scratch key — the plain round-trip
+    * of the same table must not alias it.
+    */
+  def ensureRoundTripBloom(
+      spark: SparkSession,
+      sfDir: String,
+      tableName: String,
+      bloomCols: String,
+      codec: String = "lz4-fast"
+  ): (String, StructType) = {
+    val src = Queries.table(spark, sfDir, tableName)
+    val schema = src.schema
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-rt2/$key/$tableName-$codec-bloom-${java.lang.Integer.toHexString(bloomCols.hashCode)}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val srcBytes = dataBytes(new java.io.File(s"$sfDir/$tableName.parquet"))
+      val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
+      src.repartition(nFiles)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", tsFmt)
+        .option("codec", codec)
+        .option("bloomColumns", bloomCols)
+        .save(dir.getAbsolutePath)
+    }
+    (dir.getAbsolutePath, schema)
+  }
+
+  /** Point lookups on a key UNCORRELATED with file order — the shape zone
+    * maps cannot prune (the hash repartition at write time spreads every
+    * key range across every block, so each block's [min, max] spans the
+    * domain) and per-block bloom filters can ([[graft.format.BlockBlooms]]):
+    * the pushed `IN` probes each block's filter and decodes only blocks
+    * that may contain a key. At 100 TB this is "find these orders in a
+    * petabyte of unsorted lineitems" as a handful of block reads instead of
+    * a full decompress, for ~1% of file size spent on filters. (Pruning
+    * effectiveness scales with 1 − per-block key density: at sf0.01 a block
+    * holds a third of the whole key domain, at 100 TB a sliver — the bigger
+    * the table, the more the blooms pay.)
+    */
+  def fourMcBloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (dir, schema) = ensureRoundTripBloom(spark, sfDir, "lineitem", "l_orderkey")
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+    back
+      .filter($"l_orderkey".isin(1L, 5L, 42L, 777L))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"),
+        max($"l_linenumber").as("max_ln"))
+      .orderBy($"l_orderkey")
+  }
+
+  val fourMcBloomLookupSql: String =
+    """SELECT l_orderkey, COUNT(*) AS n, sum(l_quantity) AS sum_qty,
+      |       max(l_linenumber) AS max_ln
+      |FROM lineitem WHERE l_orderkey IN (1, 5, 42, 777)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Join-driven bloom pruning, end to end through the PLANNER: the
+    * broadcast-small build side (customer 42's orders) makes
+    * [[graft.plans.McInjectRuntimeKeyFilter]] collect the ~dozen orderkeys
+    * and inject the runtime key filter into the 4mc scan, where
+    * [[graft.format.McStatsPruning.keepBlocksForKeys]] probes each block's
+    * BLOOM inside the (useless, domain-spanning) zone ranges — the
+    * layout-independent "needle join" skip no sort order can give. Without
+    * blooms the same plan decodes every block; results are identical.
+    */
+  def fourMcBloomKeyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (dir, schema) = ensureRoundTripBloom(spark, sfDir, "lineitem", "l_orderkey")
+    val fact = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+    val dim = Queries.table(spark, sfDir, "orders")
+      .filter($"o_custkey" === 42L)
+      .select($"o_orderkey", $"o_orderdate")
+    fact.join(broadcast(dim), fact("l_orderkey") === dim("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"l_quantity").as("sum_qty"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  val fourMcBloomKeyJoinSql: String =
+    """SELECT COUNT(*) AS n_items, sum(l_quantity) AS sum_qty,
+      |       COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey = 42""".stripMargin
+
   /** SQL-DDL surface of the 4mc datasource (`DataSourceRegister` shortName
     * "4mc", `FourMcFileFormat.scala:40`): `CREATE TABLE … USING 4mc`, two
     * disjoint `INSERT INTO` appends (which must compose, not overwrite), and

@@ -19,7 +19,22 @@ import org.apache.spark.sql.types._
   * colEntry   = nullCount(4) flags(1)
   *              [hasBounds: string -> minLen(1) minBytes maxLen(1) maxBytes
   *                          else   -> min(8) max(8)]
+  *              [hasSum (v2): sum(8)]
   * }}}
+  *
+  * Version 2 adds an optional per-block-column SUM of the non-null values
+  * (the `FlagHasSum` bit): long-domain columns (long/int) store the exact
+  * long sum with OVERFLOW DETECTION — a block whose row-ordered accumulation
+  * overflows stores no sum and is decoded by readers instead, so aggregate
+  * pushdown re-creates exactly the partial-sums-then-combine arithmetic
+  * Spark's own hash aggregate runs (ANSI mode errors at the combine, LEGACY
+  * wraps there, both as an equivalent plain scan would) — and double/float
+  * columns store the double sum accumulated in row order (NaN/Infinity
+  * propagate exactly as a plain scan would; only the ROUNDING of
+  * non-exactly-representable data may differ from a differently-ordered
+  * scan, the same caveat Spark's own partial aggregation has). Version-1
+  * segments parse with no sums; readers that know only v1 treat a v2
+  * segment as absent and scan normally.
   *
   * Detection is unambiguous: in a stats-less file the 12 bytes before the
   * footer are always the EOS marker (12 zeros); in a stats file they are
@@ -44,7 +59,7 @@ import org.apache.spark.sql.types._
   */
 object BlockStats {
   val StatsMagic: Int = 0x344d4353 // "4MCS"
-  val StatsVersion: Int = 1
+  val StatsVersion: Int = 2
   val TrailerLen: Int = 12
   val MaxStrBytes: Int = 16
 
@@ -55,6 +70,14 @@ object BlockStats {
   private[format] final val FlagBounds = 1
   private[format] final val FlagMinExact = 2
   private[format] final val FlagMaxExact = 4
+  private[format] final val FlagHasSum = 8 // v2: 8-byte sum follows bounds
+
+  /** Sum domain per parse tag: 0 = none, 1 = wrapping long, 2 = double. */
+  def sumKindOf(tag: Int): Int = tag match {
+    case CsvPayload.TagLong | CsvPayload.TagInt    => 1
+    case CsvPayload.TagDouble | CsvPayload.TagFloat => 2
+    case _                                          => 0
+  }
 }
 
 /** Parsed stats for one file. Arrays are indexed [block] and [block*nCols+col]. */
@@ -69,10 +92,13 @@ final class McBlockStats(
     val minBytes: Array[Array[Byte]], // strings (truncated); null for non-string
     val maxBytes: Array[Array[Byte]],
     val minExact: Array[Boolean],
-    val maxExact: Array[Boolean]
+    val maxExact: Array[Boolean],
+    val hasSum: Array[Boolean] = Array.empty, // v2; empty for v1 segments
+    val sumLong: Array[Long] = Array.empty // long wrap-sum, or double sum as raw bits
 ) extends Serializable {
   def nCols: Int = tags.length
   def nBlocks: Int = firstOwnedStart.length
+  def sumAt(k: Int): Boolean = k < hasSum.length && hasSum(k)
 }
 
 /** Writer-side accumulator. The csv OutputWriter calls [[startLine]] once per
@@ -84,6 +110,8 @@ final class McStatsBuilder(schema: StructType) {
 
   val tags: Array[Int] = schema.fields.map(f => CsvPayload.tagOf(f.dataType))
   private val nCols = tags.length
+
+  private val sumKind: Array[Int] = tags.map(BlockStats.sumKindOf)
 
   private final class BlockAcc {
     var firstOwned: Int = NoOwnedLines
@@ -97,6 +125,9 @@ final class McStatsBuilder(schema: StructType) {
     val maxB = new Array[Array[Byte]](nCols)
     val minX = new Array[Boolean](nCols)
     val maxX = new Array[Boolean](nCols)
+    val sumL = new Array[Long](nCols) // long sums, overflow-poisoned
+    val sumOver = new Array[Boolean](nCols) // long sum overflowed: no sum stored
+    val sumD = new Array[Double](nCols) // double sums, row order
   }
 
   private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockAcc]
@@ -125,6 +156,14 @@ final class McStatsBuilder(schema: StructType) {
   def observeNull(col: Int): Unit = cur.nulls(col) += 1
 
   def observeLong(col: Int, v: Long): Unit = {
+    if (sumKind(col) == 1) {
+      // overflow-checked accumulation: an overflowing block stores NO sum
+      // (readers decode it instead), so the pushdown never silently wraps
+      // where an ANSI-mode scan would error
+      val s = cur.sumL(col)
+      val t = s + v
+      if (((s ^ t) & (v ^ t)) < 0) cur.sumOver(col) = true else cur.sumL(col) = t
+    }
     if (!cur.bounded(col)) { cur.bounded(col) = true; cur.minL(col) = v; cur.maxL(col) = v }
     else {
       if (v < cur.minL(col)) cur.minL(col) = v
@@ -132,8 +171,12 @@ final class McStatsBuilder(schema: StructType) {
     }
   }
 
-  /** Doubles/floats ride the long slots as raw bits; NaN poisons the block-col. */
+  /** Doubles/floats ride the long slots as raw bits; NaN poisons the block-col
+    * BOUNDS but still accumulates into the sum — NaN propagates through a
+    * plain scan's sum identically.
+    */
   def observeDouble(col: Int, v: Double): Unit = {
+    cur.sumD(col) += v
     if (java.lang.Double.isNaN(v)) { cur.noBounds(col) = true; return }
     if (!cur.bounded(col)) {
       cur.bounded(col) = true
@@ -163,9 +206,10 @@ final class McStatsBuilder(schema: StructType) {
   }
 
   /** Serialize stats for exactly `nBlocks` container blocks (blocks beyond the
-    * last observed line are all-empty entries).
+    * last observed line are all-empty entries). `version` = 1 writes the
+    * sum-less legacy layout (compat tests — old files must keep parsing).
     */
-  def serialize(nBlocks: Int): Array[Byte] = {
+  def serialize(nBlocks: Int, version: Int = StatsVersion): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(64 + nBlocks * (8 + nCols * 24))
     def w4(v: Int): Unit = {
       bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
@@ -173,7 +217,7 @@ final class McStatsBuilder(schema: StructType) {
     }
     def w8(v: Long): Unit = { w4((v >>> 32).toInt); w4(v.toInt) }
     w4(StatsMagic)
-    w4(StatsVersion)
+    w4(version)
     w4(nCols)
     tags.foreach(bos.write)
     w4(nBlocks)
@@ -187,6 +231,7 @@ final class McStatsBuilder(schema: StructType) {
       while (c < nCols) {
         w4(acc.nulls(c))
         val bounds = acc.bounded(c) && !acc.noBounds(c)
+        val hasSum = version >= 2 && sumKind(c) != 0 && !acc.sumOver(c)
         var flags = 0
         if (bounds) {
           flags |= FlagBounds
@@ -195,6 +240,7 @@ final class McStatsBuilder(schema: StructType) {
           if (mx) flags |= FlagMinExact
           if (xx) flags |= FlagMaxExact
         }
+        if (hasSum) flags |= FlagHasSum
         bos.write(flags)
         if (bounds) {
           if (tags(c) == CsvPayload.TagString) {
@@ -202,6 +248,8 @@ final class McStatsBuilder(schema: StructType) {
             bos.write(acc.maxB(c).length); bos.write(acc.maxB(c), 0, acc.maxB(c).length)
           } else { w8(acc.minL(c)); w8(acc.maxL(c)) }
         }
+        if (hasSum)
+          w8(if (sumKind(c) == 2) java.lang.Double.doubleToLongBits(acc.sumD(c)) else acc.sumL(c))
         c += 1
       }
       b += 1
@@ -235,7 +283,8 @@ object McBlockStats {
     }
     def r8(): Long = { val hi = r4().toLong; val lo = r4().toLong & 0xffffffffL; (hi << 32) | lo }
     if (r4() != StatsMagic) throw new java.io.IOException("4mc stats segment magic mismatch")
-    if (r4() != StatsVersion) return None // forward-compat: ignore newer stats
+    val version = r4()
+    if (version < 1 || version > StatsVersion) return None // forward-compat: ignore newer stats
     val nCols = r4()
     if (nCols < 0 || nCols > 4096) throw new java.io.IOException(s"4mc stats nCols $nCols out of range")
     val tags = new Array[Int](nCols)
@@ -254,6 +303,8 @@ object McBlockStats {
     val maxB = new Array[Array[Byte]](n)
     val minX = new Array[Boolean](n)
     val maxX = new Array[Boolean](n)
+    val hasSum = new Array[Boolean](n)
+    val sums = new Array[Long](n)
     var b = 0
     while (b < nBlocks) {
       first(b) = r4()
@@ -274,11 +325,13 @@ object McBlockStats {
             maxB(k) = java.util.Arrays.copyOfRange(seg, p, p + xl); p += xl
           } else { minL(k) = r8(); maxL(k) = r8() }
         }
+        if (version >= 2 && (flags & FlagHasSum) != 0) { hasSum(k) = true; sums(k) = r8() }
         c += 1
       }
       b += 1
     }
-    Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX))
+    Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX,
+      hasSum, sums))
   }
 }
 
@@ -344,12 +397,17 @@ object McStatsPruning {
     v match { case n: java.lang.Number => Some(n.doubleValue); case _ => None }
 
   /** keep(b) for every block; `None` when the stats don't apply (schema
-    * mismatch) — caller then scans unpruned.
+    * mismatch) — caller then scans unpruned. When the file carries a bloom
+    * segment ([[BlockBlooms]]), equality and IN predicates on bloom columns
+    * additionally probe the per-block filter — the refutation that works
+    * where zone maps don't (point lookups on columns uncorrelated with file
+    * order, whose every [min, max] zone spans the domain).
     */
   def keepBlocks(
       filters: Seq[Filter],
       dataSchema: StructType,
-      stats: McBlockStats
+      stats: McBlockStats,
+      blooms: Option[McBlockBlooms] = None
   ): Option[Array[Boolean]] = {
     if (stats.nCols != dataSchema.length) return None
     val nCols = stats.nCols
@@ -472,19 +530,28 @@ object McStatsPruning {
           val vl = toLongLit(tag, v)
           if (vl.isEmpty) return _ => true
           val lit = vl.get
+          // equality on an integer column with a bloom: zone range AND a
+          // filter probe must both pass (either refutation is sound — only
+          // non-null values were inserted, and null never equals)
+          val bloomOrd: Int =
+            if (mode == ModeEq) blooms.map(_.ordOf(c)).getOrElse(-1) else -1
           blk => {
             val k = blk * nCols + c
             if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
-            else if (!stats.hasBounds(k)) true
             else {
-              val mn = stats.minLong(k); val mx = stats.maxLong(k)
-              (mode: @scala.annotation.switch) match {
-                case ModeEq => mn <= lit && lit <= mx
-                case ModeGt => mx > lit
-                case ModeGe => mx >= lit
-                case ModeLt => mn < lit
-                case _      => mn <= lit
-              }
+              val zoneOk =
+                if (!stats.hasBounds(k)) true
+                else {
+                  val mn = stats.minLong(k); val mx = stats.maxLong(k)
+                  (mode: @scala.annotation.switch) match {
+                    case ModeEq => mn <= lit && lit <= mx
+                    case ModeGt => mx > lit
+                    case ModeGe => mx >= lit
+                    case ModeLt => mn < lit
+                    case _      => mn <= lit
+                  }
+                }
+              zoneOk && (bloomOrd < 0 || blooms.get.mayContain(blk, bloomOrd, lit))
             }
           }
       }
@@ -520,35 +587,77 @@ object McStatsPruning {
     * Returns None (scan unpruned) when the column is missing or not an
     * integer type — never wrong, only less effective.
     */
+  /** Per-block probe budget for [[keepBlocksForKeys]]' bloom pass: probing
+    * every candidate key against every block is O(|keys| × blocks), so a
+    * block whose zone admits more than this many keys keeps the zone-map
+    * verdict (sound — blooms only ever remove). Point-ish key sets (the
+    * selective joins where bloom pruning pays) sit far under it.
+    */
+  final val BloomProbeCap = 4096
+
   def keepBlocksForKeys(
       attr: String,
       sortedKeys: Array[Long],
       dataSchema: StructType,
-      stats: McBlockStats
+      stats: McBlockStats,
+      blooms: Option[McBlockBlooms] = None
   ): Option[Array[Boolean]] = {
     if (stats.nCols != dataSchema.length) return None
     val c = dataSchema.fields.indexWhere(_.name == attr)
     if (c < 0) return None
     if (stats.tags(c) != CsvPayload.TagLong && stats.tags(c) != CsvPayload.TagInt) return None
     if (sortedKeys.isEmpty) return Some(new Array[Boolean](stats.nBlocks)) // ∅ keys: drop all
-    def anyKeyIn(mn: Long, mx: Long): Boolean = {
-      // smallest key >= mn, then check <= mx
+    def lowerBound(mn: Long): Int = { // smallest index with key >= mn
       var lo = 0
       var hi = sortedKeys.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (sortedKeys(mid) >= mn) hi = mid else lo = mid + 1
       }
-      lo < sortedKeys.length && sortedKeys(lo) <= mx
+      lo
     }
+    // zone pass, then (with a bloom segment) a capped membership pass: a
+    // zone-kept block is refutable when EVERY candidate key in [mn, mx]
+    // misses its bloom — the layout-independent skip for unsorted files
+    val bloomOrd = blooms.map(_.ordOf(c)).getOrElse(-1)
     val keep = new Array[Boolean](stats.nBlocks)
     var b = 0
     while (b < stats.nBlocks) {
       val k = b * stats.nCols + c
       keep(b) =
         if (stats.lineCount(b) - stats.nullCount(k) <= 0) false
-        else if (!stats.hasBounds(k)) true
-        else anyKeyIn(stats.minLong(k), stats.maxLong(k))
+        else if (!stats.hasBounds(k)) {
+          // no zone (shouldn't happen for integer cols): bloom alone decides
+          if (bloomOrd < 0 || !blooms.get.present(b, bloomOrd)) true
+          else {
+            if (sortedKeys.length > BloomProbeCap) true
+            else {
+              var i = 0
+              var hit = false
+              while (!hit && i < sortedKeys.length) {
+                hit = blooms.get.mayContain(b, bloomOrd, sortedKeys(i)); i += 1
+              }
+              hit
+            }
+          }
+        } else {
+          val mn = stats.minLong(k); val mx = stats.maxLong(k)
+          val lo = lowerBound(mn)
+          if (lo >= sortedKeys.length || sortedKeys(lo) > mx) false // zone refutes
+          else if (bloomOrd < 0 || !blooms.get.present(b, bloomOrd)) true
+          else {
+            // probe each candidate key inside the zone, budget-capped
+            var i = lo
+            var hit = false
+            var probes = 0
+            while (!hit && i < sortedKeys.length && sortedKeys(i) <= mx && probes < BloomProbeCap) {
+              hit = blooms.get.mayContain(b, bloomOrd, sortedKeys(i))
+              i += 1
+              probes += 1
+            }
+            hit || (i < sortedKeys.length && sortedKeys(i) <= mx && probes >= BloomProbeCap)
+          }
+        }
       b += 1
     }
     Some(keep)

@@ -32,7 +32,8 @@ final case class FourMcIndex(
     blockOffsets: Array[Long],
     eosPos: Long,
     fileLen: Long,
-    stats: Option[McBlockStats] = None
+    stats: Option[McBlockStats] = None,
+    blooms: Option[McBlockBlooms] = None
 ) {
 
   /** Smallest block start >= pos; eosPos when no such block (split owns no
@@ -146,7 +147,31 @@ object FourMcReader {
         statsLen = segLen
       }
     }
-    FourMcIndex(magic == MzMagic, offsets, footerStart - statsLen - EosLen, fileLen, stats)
+    // Optional bloom segment between EOS and the stats segment
+    // ([[BlockBlooms]]): same trailer-magic detection, one position earlier.
+    var bloomLen = 0L
+    var blooms: Option[McBlockBlooms] = None
+    val statsStart = footerStart - statsLen
+    if (statsLen > 0 && statsStart - HeaderLen - EosLen >= BlockBlooms.TrailerLen) {
+      val trailer = new Array[Byte](BlockBlooms.TrailerLen)
+      val tOff = statsStart - BlockBlooms.TrailerLen
+      if (tOff >= fileLen - tailLen)
+        System.arraycopy(tail, (tOff - (fileLen - tailLen)).toInt, trailer, 0, BlockBlooms.TrailerLen)
+      else in.readFully(tOff, trailer, 0, BlockBlooms.TrailerLen)
+      if (getBE(trailer, 4) == BlockBlooms.BloomMagic) {
+        val segLen = getBE(trailer, 0)
+        if (segLen < BlockBlooms.TrailerLen || segLen > statsStart - HeaderLen - EosLen)
+          throw new IOException(s"bad 4mc bloom segment length $segLen")
+        val seg = new Array[Byte](segLen)
+        in.readFully(statsStart - segLen, seg, 0, segLen)
+        if (getBE(seg, segLen - 4) != xxhash32(seg, 0, segLen - 4))
+          throw new IOException("4mc bloom segment checksum mismatch")
+        blooms = McBlockBlooms.parse(seg)
+        bloomLen = segLen
+      }
+    }
+    FourMcIndex(magic == MzMagic, offsets, footerStart - statsLen - bloomLen - EosLen, fileLen,
+      stats, blooms)
   }
 
   /** Read + verify + decompress the block whose header starts at `pos`.

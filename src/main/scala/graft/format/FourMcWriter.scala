@@ -36,6 +36,12 @@ final class FourMcWriter(out: OutputStream, codec: McCodec,
     */
   var statsProvider: Int => Array[Byte] = null
 
+  /** Optional bloom-segment provider ([[BlockBlooms]]), written between EOS
+    * and the stats segment. Only meaningful alongside a stats segment — the
+    * reader's detection chain walks footer → stats → bloom.
+    */
+  var bloomProvider: Int => Array[Byte] = null
+
   writeHeader()
 
   private def writeInt(v: Int): Unit = {
@@ -114,6 +120,10 @@ final class FourMcWriter(out: OutputStream, codec: McCodec,
     flushBlock()
     // EOS marker: an empty block, full 12-byte header of zeros
     writeInt(0); writeInt(0); writeInt(0)
+    if (bloomProvider != null && statsProvider != null) {
+      val seg = bloomProvider(blockOffsets.length)
+      if (seg != null) { out.write(seg); bytesOut += seg.length }
+    }
     if (statsProvider != null) {
       val seg = statsProvider(blockOffsets.length)
       if (seg != null) { out.write(seg); bytesOut += seg.length }

@@ -15,13 +15,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.LongType
 
-/** MIN/MAX/COUNT aggregate pushdown from 4mc zone maps — the planner
-  * rule that makes `SELECT min(ts), max(ts), count(*) FROM fourmc_table`
+/** MIN/MAX/SUM/COUNT aggregate pushdown from 4mc zone maps — the planner
+  * rule that makes `SELECT min(ts), max(ts), sum(qty), count(*) FROM t`
   * a footer sweep instead of a full scan (parquet answers the same shapes
   * from row-group metadata via its aggregate pushdown; the 4mc analog is
   * the per-block stats segment, `graft/format/BlockStats.scala`).
   *
   * Matches an aggregate whose every output is `min(col)`, `max(col)`,
+  * `sum(col)` (from v2 per-block sums: wrapping-long for integer columns —
+  * bit-exact vs a plain LEGACY-mode scan — row-ordered double for
+  * double/float; v1 segments decode per line instead),
   * `count(*)`, `count(col)` (non-null count, from the stats segment's exact
   * per-block null counts), or a grouping-column passthrough, over a 4mc csv
   * scan, with at least one non-`count(*)` aggregate (a bare COUNT(*)
@@ -82,11 +85,13 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** One requested aggregate: Min(col) / Max(col) / Count(*) / Count(col). */
+  /** One requested aggregate: Min/Max/Sum(col) / Count(*) / Count(col). */
   private sealed trait Req
   private case class ReqMin(col: Int) extends Req
   private case class ReqMax(col: Int) extends Req
   private case class ReqNn(col: Int) extends Req
+  private case class ReqSum(col: Int,
+      ctx: org.apache.spark.sql.catalyst.expressions.NumericEvalContext) extends Req
   private case object ReqCnt extends Req
 
   private def tryRewrite(
@@ -161,6 +166,22 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
           // ordering would be an implicit dependency — guard locally.
           case Count(Seq(Literal(v, _))) if v != null => Agg(al, ReqCnt)
           case Count(Seq(c))             => colOf(c).map(i => Agg(al, ReqNn(i))).getOrElse(return None)
+          // SUM from v2 per-block sums (`BlockStats`): integer columns store
+          // overflow-checked exact long sums (an overflowing block stores no
+          // sum and decodes instead), double/float the row-ordered double
+          // sum, so re-summing the block partials IS the partial-then-combine
+          // arithmetic Spark's own hash aggregate runs — valid under LEGACY
+          // and ANSI alike (the rewritten Sum keeps the original eval
+          // context, so ANSI combine overflow still errors). TRY mode is
+          // refused (null-on-overflow needs the scan's own TrySum). Old v1
+          // segments have no sums — those blocks decode per line
+          // (statsUsable gates on FlagHasSum), staying value-exact.
+          case s: Sum if s.evalContext.evalMode !=
+              org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+            colOf(s.child).filter { i =>
+              graft.format.BlockStats.sumKindOf(
+                graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType)) != 0
+            }.map(i => Agg(al, ReqSum(i, s.evalContext))).getOrElse(return None)
           case _                         => return None
         }
       case _ => return None
@@ -181,7 +202,8 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       (i, reqs.exists(_._2 == ReqMin(i)), reqs.exists(_._2 == ReqMax(i)))
     }
     val nnCols = reqs.map(_._2).collect { case ReqNn(i) => i }.distinct.sorted
-    val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets, nnCols)
+    val sumCols = reqs.map(_._2).collect { case ReqSum(i, _) => i }.distinct.sorted
+    val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets, nnCols, sumCols)
     val newRel = fsRel.copy(
       dataSchema = schema,
       fileFormat = new FourMcStatsFileFormat(dataSchema, dataPreds))(fsRel.sparkSession)
@@ -204,6 +226,13 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
             Coalesce(Seq(
               AggregateExpression(Sum(attr(s"_nn_$i")), Complete, isDistinct = false),
               Literal(0L, LongType)))
+          case ReqSum(i, ctx) =>
+            // SUM of zero rows is null — exactly Sum's own semantics, no
+            // Coalesce. `_sum_<i>` is already in Sum's result domain (long
+            // for int/long columns, double for double/float), so re-summing
+            // the per-block partials under the ORIGINAL eval context is the
+            // same arithmetic a plain scan's partial aggregation runs.
+            AggregateExpression(Sum(attr(s"_sum_$i"), ctx), Complete, isDistinct = false)
           case ReqCnt =>
             Coalesce(Seq(
               AggregateExpression(Sum(attr("_cnt")), Complete, isDistinct = false),

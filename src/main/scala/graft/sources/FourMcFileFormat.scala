@@ -331,6 +331,23 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val blockBytes = options.get("blockBytes").map(_.toInt).getOrElse(graft.format.FourMc.MaxBlockSize)
     require(csv || !options.contains("blockBytes"),
       s"blockBytes is only supported for payload=csv (got payload=$payload)")
+    // per-block bloom filters over integer key columns ([[BlockBlooms]]):
+    // comma-separated column names, validated eagerly on the driver
+    val bloomCols: Array[Int] = options.get("bloomColumns") match {
+      case None => Array.empty
+      case Some(s) =>
+        require(csv, s"bloomColumns is only supported for payload=csv (got payload=$payload)")
+        require(options.getOrElse("blockStats", "true").toBoolean,
+          "bloomColumns requires blockStats=true")
+        s.split(',').map(_.trim).filter(_.nonEmpty).map { name =>
+          val i = dataSchema.fieldNames.indexOf(name)
+          require(i >= 0, s"bloomColumns: no such column '$name'")
+          val tag = CsvPayload.tagOf(dataSchema.fields(i).dataType)
+          require(tag == CsvPayload.TagLong || tag == CsvPayload.TagInt,
+            s"bloomColumns: '$name' must be an integer column (int/long)")
+          i
+        }.sorted
+    }
     val ext = codec.fileExtension
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ext
@@ -340,7 +357,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           context: TaskAttemptContext
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
-          options.getOrElse("blockStats", "true").toBoolean, blockBytes)
+          options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -501,10 +518,10 @@ object FourMcFileFormat {
       if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
         index.stats.flatMap { st =>
           val fromFilters =
-            if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st)
+            if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st, index.blooms)
             else None
           val fromKeys = rkfOpt.flatMap { case (c, bKeys) =>
-            McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st)
+            McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st, index.blooms)
           }
           (fromFilters, fromKeys) match {
             case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
@@ -710,7 +727,8 @@ final class FourMcCsvOutputWriter(
     delim: String,
     tsFmt: String,
     blockStats: Boolean = true,
-    blockBytes: Int = graft.format.FourMc.MaxBlockSize
+    blockBytes: Int = graft.format.FourMc.MaxBlockSize,
+    bloomCols: Array[Int] = Array.empty
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -730,6 +748,28 @@ final class FourMcCsvOutputWriter(
   // serialization precision first, so bounds never exclude a parsed value.
   private val statsBuilder = if (blockStats) new graft.format.McStatsBuilder(schema) else null
   if (statsBuilder != null) out.statsProvider = n => statsBuilder.serialize(n)
+  // Per-block bloom filters ([[BlockBlooms]]) over integer key columns; the
+  // reader's segment detection requires the stats segment alongside.
+  require(bloomCols.isEmpty || blockStats, "bloomColumns requires blockStats=true")
+  private val bloomBuilder =
+    if (bloomCols.nonEmpty) new graft.format.McBloomBuilder(bloomCols) else null
+  if (bloomBuilder != null) out.bloomProvider = n => bloomBuilder.serialize(n)
+
+  private def observeBlooms(row: InternalRow): Unit = {
+    bloomBuilder.startLine(out.blockCount, out.pendingBytes)
+    var c = 0
+    while (c < bloomCols.length) {
+      val i = bloomCols(c)
+      if (!row.isNullAt(i)) {
+        val v = (tags(i): @scala.annotation.switch) match {
+          case CsvPayload.TagLong => row.getLong(i)
+          case CsvPayload.TagInt  => row.getInt(i).toLong
+        }
+        bloomBuilder.observe(c, v)
+      }
+      c += 1
+    }
+  }
   private val tsUnit: Long =
     if (tsMicroDigits >= 0) math.pow(10, 6 - tsMicroDigits).toLong else -1L
 
@@ -757,6 +797,7 @@ final class FourMcCsvOutputWriter(
 
   override def write(row: InternalRow): Unit = {
     if (statsBuilder != null) observeStats(row)
+    if (bloomBuilder != null) observeBlooms(row)
     enc.reset()
     var i = 0
     while (i < tags.length) {

@@ -90,14 +90,15 @@ class FourMcStatsFileFormat(
     val origTags: Array[Int] = origSchema.fields.map(f => CsvPayload.tagOf(f.dataType))
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
 
-    // decode the synthetic field names: _min_<i> / _max_<i> / _nn_<i> / _cnt
-    final case class FieldSpec(kind: Int, col: Int) // kind: 0=min, 1=max, 2=cnt, 3=non-null cnt
+    // decode the synthetic field names: _min_<i>/_max_<i>/_nn_<i>/_sum_<i>/_cnt
+    final case class FieldSpec(kind: Int, col: Int) // 0=min 1=max 2=cnt 3=non-null cnt 4=sum
     val specs: Array[FieldSpec] = requiredSchema.fields.map { f =>
       f.name match {
         case "_cnt"                           => FieldSpec(2, -1)
         case n if n.startsWith("_min_")       => FieldSpec(0, n.stripPrefix("_min_").toInt)
         case n if n.startsWith("_max_")       => FieldSpec(1, n.stripPrefix("_max_").toInt)
         case n if n.startsWith("_nn_")        => FieldSpec(3, n.stripPrefix("_nn_").toInt)
+        case n if n.startsWith("_sum_")       => FieldSpec(4, n.stripPrefix("_sum_").toInt)
         case other =>
           throw new IllegalArgumentException(s"unexpected stats-relation field $other")
       }
@@ -105,17 +106,20 @@ class FourMcStatsFileFormat(
     val needMin: Set[Int] = specs.filter(_.kind == 0).map(_.col).toSet
     val needMax: Set[Int] = specs.filter(_.kind == 1).map(_.col).toSet
     val needNn: Set[Int] = specs.filter(_.kind == 3).map(_.col).toSet
-    // bounds columns gate stats usability (exactness of min/max); nn-only
-    // columns need just the nullCount array, which is always exact when a
-    // stats segment exists. Predicate columns are parsed in the decode
-    // fallback (their values feed the per-line filter) but impose no
+    val needSum: Set[Int] = specs.filter(_.kind == 4).map(_.col).toSet
+    // bounds columns gate stats usability (exactness of min/max); sum
+    // columns gate on the v2 FlagHasSum (v1 segments decode instead);
+    // nn-only columns need just the nullCount array, which is always exact
+    // when a stats segment exists. Predicate columns are parsed in the
+    // decode fallback (their values feed the per-line filter) but impose no
     // exactness condition — classification already consulted their zones.
     val boundsCols: Set[Int] = needMin ++ needMax
     val predCols: Set[Int] = preds.map(_.col).toSet
-    val neededCols: Array[Int] = (boundsCols ++ needNn ++ predCols).toArray.sorted
+    val neededCols: Array[Int] = (boundsCols ++ needNn ++ needSum ++ predCols).toArray.sorted
     val isBoundsCol: Array[Boolean] = neededCols.map(boundsCols.contains)
+    val isSumCol: Array[Boolean] = neededCols.map(needSum.contains)
     val needsValue: Array[Boolean] =
-      neededCols.map(c => boundsCols.contains(c) || predCols.contains(c))
+      neededCols.map(c => boundsCols.contains(c) || needSum.contains(c) || predCols.contains(c))
     val neededFields = if (neededCols.isEmpty) 0 else neededCols.max + 1
     val predArr: Array[FourMcStatsFileFormat.StatsPred] = preds.toArray
 
@@ -141,18 +145,18 @@ class FourMcStatsFileFormat(
         def statsUsable(st: McBlockStats, b: Int): Boolean = {
           var ci = 0
           while (ci < neededCols.length) {
-            if (isBoundsCol(ci)) {
-              val c = neededCols(ci)
-              val k = b * st.nCols + c
-              val nonNull = st.lineCount(b) - st.nullCount(k)
-              if (nonNull > 0) {
-                if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
-                if (origTags(c) == CsvPayload.TagString) {
-                  if (needMin.contains(c) && !st.minExact(k)) return false
-                  if (needMax.contains(c) && !st.maxExact(k)) return false
-                }
+            val c = neededCols(ci)
+            val k = b * st.nCols + c
+            val nonNull = st.lineCount(b) - st.nullCount(k)
+            if (isBoundsCol(ci) && nonNull > 0) {
+              if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
+              if (origTags(c) == CsvPayload.TagString) {
+                if (needMin.contains(c) && !st.minExact(k)) return false
+                if (needMax.contains(c) && !st.maxExact(k)) return false
               }
             }
+            // v1 segments carry no sums: decode those blocks instead
+            if (isSumCol(ci) && nonNull > 0 && !st.sumAt(k)) return false
             ci += 1
           }
           true
@@ -177,6 +181,17 @@ class FourMcStatsFileFormat(
           }
         }
 
+        /** Stored per-block sum in Sum's result domain; null for all-null
+          * blocks (SUM ignores nulls — a no-value block contributes nothing).
+          */
+        def statSum(st: McBlockStats, b: Int, c: Int): Any = {
+          val k = b * st.nCols + c
+          if (st.lineCount(b) - st.nullCount(k) == 0) null
+          else if (graft.format.BlockStats.sumKindOf(origTags(c)) == 2)
+            java.lang.Double.longBitsToDouble(st.sumLong(k))
+          else st.sumLong(k)
+        }
+
         def statsRow(st: McBlockStats, b: Int): InternalRow = {
           val vals = new Array[Any](specs.length)
           var i = 0
@@ -185,6 +200,7 @@ class FourMcStatsFileFormat(
             vals(i) = (s.kind: @scala.annotation.switch) match {
               case 2 => st.lineCount(b).toLong
               case 3 => (st.lineCount(b) - st.nullCount(b * st.nCols + s.col)).toLong
+              case 4 => statSum(st, b, s.col)
               case _ => statBound(st, b, s.col, isMax = s.kind == 1)
             }
             i += 1
@@ -291,6 +307,15 @@ class FourMcStatsFileFormat(
             vals(i) = (sp.kind: @scala.annotation.switch) match {
               case 2 => 1L
               case 3 => if (nonNull(colPos(sp.col))) 1L else 0L
+              case 4 => // per-line sum contribution, in Sum's result domain
+                val pos = colPos(sp.col)
+                if (!nonNull(pos)) null
+                else parsed(pos) match {
+                  case l: java.lang.Long    => l
+                  case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue)
+                  case d: java.lang.Double  => d
+                  case f: java.lang.Float   => java.lang.Double.valueOf(f.doubleValue)
+                }
               case _ => parsed(colPos(sp.col))
             }
             i += 1
@@ -408,18 +433,25 @@ object FourMcStatsFileFormat {
 
   /** Synthetic schema for the rule: bounds for each (colIdx, needMin,
     * needMax) target, a `_nn_<i>` per-block non-null count for each
-    * COUNT(col) column, plus the `_cnt` line-count column.
+    * COUNT(col) column, a `_sum_<i>` per-block sum for each SUM column
+    * (long for int/long columns, double for double/float — Sum's own result
+    * domain), plus the `_cnt` line-count column.
     */
   def statsSchema(
       origSchema: StructType,
       targets: Seq[(Int, Boolean, Boolean)],
-      nnCols: Seq[Int] = Nil): StructType = {
+      nnCols: Seq[Int] = Nil,
+      sumCols: Seq[Int] = Nil): StructType = {
     val fields = targets.flatMap { case (i, wantMin, wantMax) =>
       val dt = origSchema.fields(i).dataType
       (if (wantMin) Seq(StructField(s"_min_$i", dt, nullable = true)) else Nil) ++
         (if (wantMax) Seq(StructField(s"_max_$i", dt, nullable = true)) else Nil)
-    } ++ nnCols.map(i => StructField(s"_nn_$i", LongType, nullable = false)) :+
-      StructField("_cnt", LongType, nullable = false)
+    } ++ nnCols.map(i => StructField(s"_nn_$i", LongType, nullable = false)) ++
+      sumCols.map { i =>
+        val kind = graft.format.BlockStats.sumKindOf(
+          CsvPayload.tagOf(origSchema.fields(i).dataType))
+        StructField(s"_sum_$i", if (kind == 2) DoubleType else LongType, nullable = true)
+      } :+ StructField("_cnt", LongType, nullable = false)
     StructType(fields)
   }
 }

@@ -320,4 +320,156 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(q.collect().head == expect)
     assert(FourMcScanMetrics.blocksRead.sum() == 0L)
   }
+
+  // ---- SUM pushdown (v2 per-block sums) -----------------------------------
+
+  import org.apache.spark.sql.types.{DoubleType => SqlDouble, IntegerType => SqlInt}
+
+  private val sumSchema = StructType(Seq(
+    StructField("k", LongType), StructField("i", SqlInt),
+    StructField("v", SqlDouble), StructField("s", StringType)))
+
+  /** k long (null every 5th), i int, v double (integer-valued, null every
+    * 7th), s string — nulls prove SUM skips them like a plain scan does.
+    */
+  private def writeSumSample(dir: String): Unit = {
+    import spark.implicits._
+    val df = (1 to 9000).map { j =>
+      (if (j % 5 == 0) (null: java.lang.Long) else java.lang.Long.valueOf(j.toLong),
+        j % 1000, if (j % 7 == 0) (null: java.lang.Double) else java.lang.Double.valueOf((j % 300).toDouble),
+        s"s${j % 11}")
+    }.toDF("k", "i", "v", "s")
+    df.coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (32 * 1024).toString).mode("overwrite").save(dir)
+  }
+
+  private def sumScan(dir: String): DataFrame =
+    spark.read.format("4mc").option("payload", "csv").schema(sumSchema).load(dir)
+
+  test("global SUM(long/int/double) answers from v2 block sums: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeSumSample(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.agg(sum(col("k")).as("sk"), sum(col("i")).as("si"), sum(col("v")).as("sv"),
+        min(col("k")).as("mn"), count(col("v")).as("nv"), count(lit(1)).as("n"))
+    val q = agg(sumScan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      s"SUM must rewrite:\n${q.queryExecution.executedPlan.toString.take(1200)}")
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sumScan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    val got = q.collect().head
+    assert(got == expect, s"pushdown $got != scan $expect")
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      s"sum-from-stats must decompress zero blocks, read ${FourMcScanMetrics.blocksRead.sum()}")
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L)
+    // SUM over a string column refuses the rewrite
+    val strSum = sumScan(dir).agg(sum(col("s")).as("x")).queryExecution.executedPlan.toString
+    assert(!strSum.contains("4MC-STATS"))
+  }
+
+  test("filtered SUM: inside blocks from stats, straddlers decode, stays exact") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1 to 40000).map(i => (i.toLong, i / 3.0)).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.filter(col("k") >= 30000L && col("k") < 35000L)
+        .agg(sum(col("k")).as("sk"), count(lit(1)).as("n"))
+    val q = agg(sc)
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sc).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.getLong(0) == (30000L to 34999L).sum && expect.getLong(1) == 5000L)
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0, "wholly-inside blocks answer from sums")
+    assert(FourMcScanMetrics.blocksSkipped.sum() > 0)
+    // two range edges × up to two blocks each under the offset-0 ownership rule
+    assert(FourMcScanMetrics.blocksRead.sum() <= 4,
+      s"only straddlers decode, read ${FourMcScanMetrics.blocksRead.sum()}")
+  }
+
+  test("grouped-by-partition SUM answers from stats") {
+    val dir = tmpDir()
+    writePartitioned(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("p")).agg(sum(col("k")).as("sk"), count(lit(1)).as("n")).orderBy(col("p"))
+    val q = agg(partScan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(partScan(dir)).collect().toSeq
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(q.collect().toSeq == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+  }
+
+  test("NaN values poison bounds but SUM stays stats-only (NaN propagates)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1 to 3000).map { i =>
+      (i.toLong, if (i == 1700) Double.NaN else i / 2.0)
+    }.toDF("k", "v").coalesce(1).write.format("4mc").option("payload", "csv")
+      .mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def agg(df: DataFrame): DataFrame = df.agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sc).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.getDouble(0).isNaN, "fixture must produce a NaN sum")
+    FourMcScanMetrics.reset()
+    val got = agg(sc).collect().head
+    assert(got.getDouble(0).isNaN && got.getLong(1) == expect.getLong(1))
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      "NaN poisons BOUNDS, not sums — the sum answers from stats")
+  }
+
+  test("v1 stats segments (no sums) decode per line and stay exact") {
+    // hand-write a 4mc file whose stats segment is the v1 (sum-less) layout
+    val dir = tmpDir()
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(dir, "part-0.4mc")
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble)))
+    val builder = new graft.format.McStatsBuilder(sch)
+    val w = new graft.format.FourMcWriter(
+      new java.io.FileOutputStream(f), graft.format.McCodec("lz4-fast"), blockBytes = 8 * 1024)
+    w.statsProvider = n => builder.serialize(n, version = 1)
+    var expectSumK = 0L
+    var expectSumV = 0.0
+    for (i <- 1 to 5000) {
+      builder.startLine(w.blockCount, w.pendingBytes)
+      builder.observeLong(0, i.toLong)
+      builder.observeDouble(1, i / 4.0)
+      expectSumK += i.toLong
+      expectSumV += i / 4.0
+      w.write(s"$i|${i / 4.0}\n".getBytes("UTF-8"))
+    }
+    w.close()
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def agg(df: DataFrame): DataFrame = df.agg(sum(col("k")).as("sk"), min(col("k")).as("mn"))
+    val q = agg(sc)
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      "rule still fires; the READER decodes sum-less blocks")
+    FourMcScanMetrics.reset()
+    val got = q.collect().head
+    assert(got.getLong(0) == expectSumK && got.getLong(1) == 1L)
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L, "v1 segments must force decode for SUM")
+    // …but a min/max-only aggregate still answers from the v1 bounds
+    FourMcScanMetrics.reset()
+    val mm = sc.agg(min(col("k")).as("mn"), max(col("k")).as("mx")).collect().head
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == 5000L)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L, "v1 bounds stay usable without decode")
+  }
 }
