@@ -459,15 +459,29 @@ object RoundTrip {
       tableName: String,
       bloomCols: String,
       codec: String = "lz4-fast"
+  ): (String, StructType) =
+    ensureRoundTripBloomDf(spark, sfDir, tableName,
+      Queries.table(spark, sfDir, tableName),
+      dataBytes(new java.io.File(s"$sfDir/$tableName.parquet")), bloomCols, codec)
+
+  /** As [[ensureRoundTripBloom]] but over an arbitrary (derived) DataFrame;
+    * `label` keys the scratch dir, `srcBytes` sizes the file fan-out.
+    */
+  def ensureRoundTripBloomDf(
+      spark: SparkSession,
+      sfDir: String,
+      label: String,
+      src: DataFrame,
+      srcBytes: Long,
+      bloomCols: String,
+      codec: String = "lz4-fast"
   ): (String, StructType) = {
-    val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
     val dir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-rt2/$key/$tableName-$codec-bloom-${java.lang.Integer.toHexString(bloomCols.hashCode)}")
+      s"graft-rt2/$key/$label-$codec-bloom-${java.lang.Integer.toHexString(bloomCols.hashCode)}")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      val srcBytes = dataBytes(new java.io.File(s"$sfDir/$tableName.parquet"))
       val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
         (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
       src.repartition(nFiles)
@@ -541,6 +555,40 @@ object RoundTrip {
       |       COUNT(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_custkey = 42""".stripMargin
+
+  /** STRING-key point lookups through the bloom segment: a derived
+    * high-cardinality business key (`o<orderkey>-<linenumber>`, the shape of
+    * a content hash / URL / doc id in a real corpus) bloomed at write time;
+    * the pushed `IN` probes each block's filter with the xxhash64 of the
+    * value bytes. String zone maps are DOUBLY useless here — the layout is
+    * unsorted AND lexicographic ranges of numeric strings interleave — so
+    * every skipped block is the bloom's.
+    */
+  def fourMcBloomStrLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Queries.table(spark, sfDir, "lineitem")
+      .withColumn("item_key",
+        concat(lit("o"), $"l_orderkey".cast(StringType), lit("-"),
+          $"l_linenumber".cast(StringType)))
+      .select($"item_key", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+    val (dir, schema) = ensureRoundTripBloomDf(spark, sfDir, "lineitem-strkey", li,
+      dataBytes(new java.io.File(s"$sfDir/lineitem.parquet")), "item_key")
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+    back
+      .filter($"item_key".isin("o1-1", "o5-2", "o42-1", "o777-3"))
+      .select($"item_key", $"l_quantity", $"l_shipdate")
+      .orderBy($"item_key")
+  }
+
+  val fourMcBloomStrLookupSql: String =
+    """SELECT 'o' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |         AS item_key,
+      |       l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE 'o' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |      IN ('o1-1', 'o5-2', 'o42-1', 'o777-3')
+      |ORDER BY item_key""".stripMargin
 
   /** SQL-DDL surface of the 4mc datasource (`DataSourceRegister` shortName
     * "4mc", `FourMcFileFormat.scala:40`): `CREATE TABLE … USING 4mc`, two

@@ -28,7 +28,9 @@ package graft.format
   * bucket selected by the top 32 hash bits via multiply-shift range
   * reduction, and sets one bit in each of the 8 words, chosen by the low 32
   * hash bits multiplied by 8 fixed odd salts. One cache line per probe.
-  * Long keys are mixed with the splitmix64 finalizer (public domain, Vigna).
+  * Long keys are mixed with the splitmix64 finalizer (public domain, Vigna);
+  * STRING keys enter as the xxhash64 of the unescaped UTF-8 value bytes
+  * (writer and probe hash identically) and are mixed the same way.
   *
   * Soundness: only NON-NULL values are inserted, so a negative probe proves
   * "no non-null row of this block equals K" — exactly the refutation an

@@ -475,10 +475,17 @@ object McStatsPruning {
         case CsvPayload.TagString =>
           val vb = v match { case s: String => s.getBytes("UTF-8"); case _ => null }
           if (vb == null) return _ => true
+          // string equality with a bloom: probe the xxhash64 of the value
+          // bytes (what the writer inserted) after the bounds test
+          val bloomOrd: Int =
+            if (mode == ModeEq) blooms.map(_.ordOf(c)).getOrElse(-1) else -1
+          val bloomKey: Long =
+            if (bloomOrd >= 0) graft.format.FourMc.xxhash64(vb, 0, vb.length) else 0L
           blk => {
             val k = blk * nCols + c
             if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
-            else if (!stats.hasBounds(k)) true
+            else if (!stats.hasBounds(k))
+              bloomOrd < 0 || blooms.get.mayContain(blk, bloomOrd, bloomKey)
             else {
               val minB = stats.minBytes(k); val maxB = stats.maxBytes(k)
               def vAboveMax: Boolean = // v > trueMax provable?
@@ -486,7 +493,8 @@ object McStatsPruning {
                 else prefixCompare(vb, maxB) > 0
               def vBelowMin: Boolean = byteCompare(vb, minB) < 0 // ⇒ v < minBytes ≤ trueMin
               (mode: @scala.annotation.switch) match {
-                case ModeEq => !(vBelowMin || vAboveMax)
+                case ModeEq => !(vBelowMin || vAboveMax) &&
+                  (bloomOrd < 0 || blooms.get.mayContain(blk, bloomOrd, bloomKey))
                 case ModeGt | ModeGe => // need trueMax > v (≥ v): refute when trueMax ≤/< v
                   if (stats.maxExact(k)) {
                     val d = byteCompare(maxB, vb)

@@ -38,6 +38,13 @@ object FourMc {
   def xxhash32(buf: Array[Byte], off: Int, len: Int): Int =
     xxf.hash32().hash(buf, off, len, 0)
 
+  /** XXHASH64, seed 0 — STRING-key hashing for the bloom segment
+    * ([[BlockBlooms]]); never a container checksum. Writer and probe hash
+    * the same unescaped UTF-8 value bytes, so membership is well-defined.
+    */
+  def xxhash64(buf: Array[Byte], off: Int, len: Int): Long =
+    xxf.hash64().hash(buf, off, len, 0L)
+
   def magicFor(zstd: Boolean): Int = if (zstd) MzMagic else McMagic
 
   def isContainerMagic(m: Int): Boolean = m == McMagic || m == MzMagic

@@ -343,8 +343,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           val i = dataSchema.fieldNames.indexOf(name)
           require(i >= 0, s"bloomColumns: no such column '$name'")
           val tag = CsvPayload.tagOf(dataSchema.fields(i).dataType)
-          require(tag == CsvPayload.TagLong || tag == CsvPayload.TagInt,
-            s"bloomColumns: '$name' must be an integer column (int/long)")
+          require(tag == CsvPayload.TagLong || tag == CsvPayload.TagInt ||
+            tag == CsvPayload.TagString,
+            s"bloomColumns: '$name' must be an integer or string column")
           i
         }.sorted
     }
@@ -764,6 +765,9 @@ final class FourMcCsvOutputWriter(
         val v = (tags(i): @scala.annotation.switch) match {
           case CsvPayload.TagLong => row.getLong(i)
           case CsvPayload.TagInt  => row.getInt(i).toLong
+          case CsvPayload.TagString => // unescaped value bytes, probe hashes the same
+            val b = row.getUTF8String(i).getBytes
+            graft.format.FourMc.xxhash64(b, 0, b.length)
         }
         bloomBuilder.observe(c, v)
       }

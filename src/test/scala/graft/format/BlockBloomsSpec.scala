@@ -165,9 +165,37 @@ class BlockBloomsSpec extends AnyFunSuite {
     } finally in.close()
   }
 
+  test("string bloom column: equality lookups prune where lexicographic zones interleave") {
+    val dir = tmpDir()
+    val n = 400000L
+    val strSchema = StructType(Seq(
+      StructField("skey", StringType), StructField("pad", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until n, 1).map { i =>
+        val key = (i * 2654435761L) % n
+        Row(s"k$key", "y" * 40) // "k1" < "k10" < "k2": zones interleave
+      },
+      strSchema
+    )
+    df.coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("bloomColumns", "skey").save(dir)
+    val back = spark.read.format("4mc").option("payload", "csv").schema(strSchema).load(dir)
+    FourMcScanMetrics.reset()
+    val hit = back.filter(org.apache.spark.sql.functions.col("skey") === "k123456").collect()
+    assert(hit.length == 1 && hit.head.getString(0) == "k123456")
+    assert(FourMcScanMetrics.blocksSkipped.sum() > 0, "string bloom must skip blocks")
+    assert(FourMcScanMetrics.blocksRead.sum() <= 2,
+      s"point lookup should decode ≲1 block, read ${FourMcScanMetrics.blocksRead.sum()}")
+    // a definitively-absent key decodes nothing at all
+    FourMcScanMetrics.reset()
+    assert(back.filter(org.apache.spark.sql.functions.col("skey") === "nope").collect().isEmpty)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      "absent key: every block refuted by its bloom")
+  }
+
   test("bloomColumns option validation") {
     import spark.implicits._
-    val df = Seq((1L, "a")).toDF("key", "payload")
+    val df = Seq((1L, "a", 2.5)).toDF("key", "payload", "score")
     val dir = tmpDir()
     def failsWith(msg: String)(body: => Unit): Unit = {
       val e = intercept[Exception](body)
@@ -179,9 +207,9 @@ class BlockBloomsSpec extends AnyFunSuite {
       df.write.format("4mc").option("payload", "csv")
         .option("bloomColumns", "nope").save(dir + "/a")
     }
-    failsWith("integer column") {
+    failsWith("integer or string column") {
       df.write.format("4mc").option("payload", "csv")
-        .option("bloomColumns", "payload").save(dir + "/b")
+        .option("bloomColumns", "score").save(dir + "/b")
     }
     failsWith("requires blockStats") {
       df.write.format("4mc").option("payload", "csv").option("blockStats", "false")
