@@ -435,6 +435,7 @@ object RoundTrip {
     roundTrip(spark, sfDir, "lineitem", "lz4-fast")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
         sum(col("l_orderkey")).as("sum_ok"),
         sum(col("l_linenumber")).as("sum_ln"),
         count(col("l_quantity")).as("n_qty"),
@@ -444,6 +445,7 @@ object RoundTrip {
   // Spark's Sum(long) stays long — the driver compares schemas
   val fourMcSumMetaSql: String =
     """SELECT sum(l_quantity) AS sum_qty,
+      |       sum(l_quantity) / COUNT(l_quantity) AS avg_qty,
       |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
       |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
       |       COUNT(l_quantity) AS n_qty, COUNT(*) AS n

@@ -92,6 +92,7 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
   private case class ReqNn(col: Int) extends Req
   private case class ReqSum(col: Int,
       ctx: org.apache.spark.sql.catalyst.expressions.NumericEvalContext) extends Req
+  private case class ReqAvg(col: Int) extends Req
   private case object ReqCnt extends Req
 
   private def tryRewrite(
@@ -182,6 +183,18 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
               graft.format.BlockStats.sumKindOf(
                 graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType)) != 0
             }.map(i => Agg(al, ReqSum(i, s.evalContext))).getOrElse(return None)
+          // AVG over a double/float column decomposes into Sum(_sum)/Sum(_nn)
+          // — the SAME Divide-of-double-sum-by-count Average's own
+          // evaluateExpression runs, so the arithmetic shape is preserved.
+          // Integral children are refused: Average accumulates their sum as
+          // a per-row DOUBLE, which our exact long block sums don't mirror
+          // bit-for-bit (SUM/COUNT cover that shape exactly instead).
+          case org.apache.spark.sql.catalyst.expressions.aggregate.Average(c, evalMode)
+              if evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+            colOf(c).filter { i =>
+              val t = graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType)
+              t == graft.sources.CsvPayload.TagDouble || t == graft.sources.CsvPayload.TagFloat
+            }.map(i => Agg(al, ReqAvg(i))).getOrElse(return None)
           case _                         => return None
         }
       case _ => return None
@@ -201,8 +214,14 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     val targets = cols.map { i =>
       (i, reqs.exists(_._2 == ReqMin(i)), reqs.exists(_._2 == ReqMax(i)))
     }
-    val nnCols = reqs.map(_._2).collect { case ReqNn(i) => i }.distinct.sorted
-    val sumCols = reqs.map(_._2).collect { case ReqSum(i, _) => i }.distinct.sorted
+    val nnCols = reqs.map(_._2).collect {
+      case ReqNn(i) => i
+      case ReqAvg(i) => i // AVG divides by the non-null count
+    }.distinct.sorted
+    val sumCols = reqs.map(_._2).collect {
+      case ReqSum(i, _) => i
+      case ReqAvg(i) => i
+    }.distinct.sorted
     val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets, nnCols, sumCols)
     val newRel = fsRel.copy(
       dataSchema = schema,
@@ -233,6 +252,18 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
             // the per-block partials under the ORIGINAL eval context is the
             // same arithmetic a plain scan's partial aggregation runs.
             AggregateExpression(Sum(attr(s"_sum_$i"), ctx), Complete, isDistinct = false)
+          case ReqAvg(i) =>
+            // Average(double) evaluates as Divide(double sum, count, LEGACY)
+            // internally — mirror it over the block partials. All-null input:
+            // Sum(_sum) is null → null, matching AVG's empty/all-null result.
+            org.apache.spark.sql.catalyst.expressions.Divide(
+              AggregateExpression(Sum(attr(s"_sum_$i")), Complete, isDistinct = false),
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                Coalesce(Seq(
+                  AggregateExpression(Sum(attr(s"_nn_$i")), Complete, isDistinct = false),
+                  Literal(0L, LongType))),
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
           case ReqCnt =>
             Coalesce(Seq(
               AggregateExpression(Sum(attr("_cnt")), Complete, isDistinct = false),

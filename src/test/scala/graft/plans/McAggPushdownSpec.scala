@@ -100,8 +100,10 @@ class McAggPushdownSpec extends AnyFunSuite {
     val exprAgg = scan(dir).agg((min(col("k")) + max(col("k"))).as("span")).queryExecution
       .executedPlan.toString
     assert(!exprAgg.contains("4MC-STATS"))
-    // avg is not answerable from zone maps
-    val avgAgg = scan(dir).agg(avg(col("v")).as("a"), min(col("k")).as("mn")).queryExecution
+    // avg over an INTEGRAL column refuses (Average accumulates a per-row
+    // double sum our exact long block sums don't mirror bit-for-bit);
+    // avg over double/float pushes — covered in the SUM/AVG tests below
+    val avgAgg = scan(dir).agg(avg(col("k")).as("a"), min(col("k")).as("mn")).queryExecution
       .executedPlan.toString
     assert(!avgAgg.contains("4MC-STATS"))
     // bare COUNT(*) keeps the metadata-count reader fast path
@@ -368,6 +370,27 @@ class McAggPushdownSpec extends AnyFunSuite {
     // SUM over a string column refuses the rewrite
     val strSum = sumScan(dir).agg(sum(col("s")).as("x")).queryExecution.executedPlan.toString
     assert(!strSum.contains("4MC-STATS"))
+  }
+
+  test("AVG(double) decomposes to Sum/Count over block partials: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeSumSample(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.agg(avg(col("v")).as("av"), sum(col("v")).as("sv"), count(col("v")).as("nv"))
+    val q = agg(sumScan(dir))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      s"AVG must rewrite:\n${q.queryExecution.executedPlan.toString.take(1200)}")
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sumScan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    val got = q.collect().head
+    assert(got == expect, s"pushdown $got != scan $expect")
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+    // integral AVG refuses
+    val intAvg = sumScan(dir).agg(avg(col("k")).as("a")).queryExecution.executedPlan.toString
+    assert(!intAvg.contains("4MC-STATS"))
   }
 
   test("filtered SUM: inside blocks from stats, straddlers decode, stays exact") {
