@@ -30,6 +30,34 @@ object Compact {
     (nIn, countFiles(spark, outDir), rows)
   }
 
+  /** Compact a TYPED csv-payload 4mc dir, preserving the metadata layers a
+    * text-payload rewrite would silently drop: the output files carry fresh
+    * per-block zone maps + sums (stats v2) for the REAL schema, and
+    * optionally bloom filters on `bloomColumns` — so the compacted archive
+    * prunes, aggregates from footers, and point-looks-up exactly like the
+    * ingest files did. (A text-payload compaction of a csv dir leaves
+    * 1-string-column stats that the typed readers must ignore — the
+    * schema-mismatch guard in FourMcStatsFileFormat — trading every
+    * metadata fast path away; this is the right tool instead.)
+    */
+  def compactCsv(spark: SparkSession, inDir: String, outDir: String,
+                 schema: org.apache.spark.sql.types.StructType, codec: String,
+                 targetFileBytes: Long = 512L * 1024 * 1024,
+                 bloomColumns: Option[String] = None,
+                 timestampFormat: String = "yyyy-MM-dd HH:mm:ss.SSS"): (Int, Int, Long) = {
+    val (nIn, bytes) = dirStats(spark, inDir)
+    val df = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", timestampFormat).schema(schema).load(inDir)
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val base = df.repartition(nOut).write.mode(SaveMode.Overwrite)
+      .format("4mc").option("payload", "csv").option("codec", codec)
+      .option("timestampFormat", timestampFormat)
+    bloomColumns.fold(base)(bc => base.option("bloomColumns", bc)).save(outDir)
+    val rows = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", timestampFormat).schema(schema).load(outDir).count()
+    (nIn, countFiles(spark, outDir), rows)
+  }
+
   /** Compact a binary-payload 4mc dir (length-prefixed records). */
   def compactBinary(spark: SparkSession, inDir: String, outDir: String,
                     codec: String, targetFileBytes: Long = 512L * 1024 * 1024): (Int, Int, Long) = {

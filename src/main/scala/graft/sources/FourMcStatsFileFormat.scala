@@ -323,11 +323,27 @@ class FourMcStatsFileFormat(
           new GenericInternalRow(vals)
         }
 
-        /** Classify block `b` against the pushed predicates' zone maps:
+        /** Bloom ordinal per equality predicate (−1 when the file has no
+          * bloom for that column): an OpEq conjunct whose key misses the
+          * block's filter proves NO row passes — the block skips entirely,
+          * even where the zone range (domain-spanning on unsorted keys)
+          * cannot refute. `MIN/SUM/COUNT … WHERE key = K` becomes a bloom
+          * sweep + one or two block decodes.
+          */
+        def predBloomOrds(blooms: Option[graft.format.McBlockBlooms]): Array[Int] =
+          predArr.map { p =>
+            if (p.op == FourMcStatsFileFormat.OpEq && !p.isDouble)
+              blooms.map(_.ordOf(p.col)).getOrElse(-1)
+            else -1
+          }
+
+        /** Classify block `b` against the pushed predicates' zone maps (and
+          * blooms for equality conjuncts):
           * 0 = every row passes (stats row usable as-is), 1 = straddling
           * (decode + per-line eval), 2 = no row passes (skip the block).
           */
-        def filterState(st: McBlockStats, b: Int): Int = {
+        def filterState(st: McBlockStats, b: Int, blooms: Option[graft.format.McBlockBlooms],
+            bloomOrds: Array[Int]): Int = {
           var all = true
           var pi = 0
           while (pi < predArr.length) {
@@ -335,6 +351,8 @@ class FourMcStatsFileFormat(
             val k = b * st.nCols + p.col
             val nonNull = st.lineCount(b) - st.nullCount(k)
             if (nonNull == 0) return 2 // only nulls (or empty): nothing passes
+            if (bloomOrds(pi) >= 0 && !blooms.get.mayContain(b, bloomOrds(pi), p.litL))
+              return 2 // no non-null value equals the key; nulls fail Eq too
             if (p.op == FourMcStatsFileFormat.OpNotNull) {
               if (st.nullCount(k) > 0) all = false
             } else if (!st.hasBounds(k)) {
@@ -370,7 +388,16 @@ class FourMcStatsFileFormat(
         }
 
         index.stats match {
-          case Some(st) =>
+          // the segment must describe THIS read schema: a file written with
+          // a different column set (text-payload compaction of a csv dir,
+          // schema evolution, mixed-writer dirs) carries a stats segment
+          // whose [block × col] arrays would MIS-INDEX under this schema's
+          // ordinals — silently wrong bounds, not just a crash. Mismatched
+          // files degrade to the per-line decode branch, value-exact.
+          // (The data scan's pruning has the same guard in
+          // McStatsPruning.keepBlocks; this is the aggregate twin.)
+          case Some(st) if st.nCols == totalFields &&
+              java.util.Arrays.equals(st.tags, origTags) =>
             // split blocks into stats-answered, decode-fallback, and (with
             // pushed predicates) refuted sets
             val keep = new Array[Boolean](index.numBlocks) // true = must decode
@@ -378,9 +405,10 @@ class FourMcStatsFileFormat(
             var decodeBlocks = 0
             var skippedBlocks = 0
             val statsSet = new Array[Boolean](index.numBlocks)
+            val bloomOrds = predBloomOrds(index.blooms)
             var b = ordStart
             while (b < ordEnd) {
-              val fs = if (predArr.isEmpty) 0 else filterState(st, b)
+              val fs = if (predArr.isEmpty) 0 else filterState(st, b, index.blooms, bloomOrds)
               if (fs == 2) skippedBlocks += 1
               else if (fs == 0 && statsUsable(st, b)) { statsSet(b) = true; statsBlocks += 1 }
               else { keep(b) = true; decodeBlocks += 1 }
@@ -400,9 +428,9 @@ class FourMcStatsFileFormat(
                 it.map { case (_, bytes) => lineRow(bytes) }.filter(_ != null)
               }
             synthesized ++ decoded
-          case None =>
-            // stats-less file: decode every owned line (predicates, if any,
-            // evaluate per line)
+          case _ =>
+            // stats-less or schema-mismatched file: decode every owned line
+            // (predicates, if any, evaluate per line)
             val it = new FourMcLineIterator(in, index, file.start, splitEnd, permissive = false)
             Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
               FourMcScanMetrics.blocksRead.add(ordEnd - ordStart)

@@ -39,6 +39,40 @@ class CompactSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == lines.sorted)
   }
 
+  test("csv compaction preserves typed rows AND the metadata layers (stats + blooms)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val inDir = freshDir(); val outDir = freshDir()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType), StructField("s", StringType)))
+    val n = 200000L
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until n, 20).map { i =>
+        org.apache.spark.sql.Row((i * 2654435761L) % n, i / 8.0, s"pad${"x" * 30}")
+      }, schema)
+    df.write.format("4mc").option("payload", "csv").option("codec", "lz4-fast").save(inDir)
+    assert(new java.io.File(inDir).listFiles.count(_.getName.endsWith(".4mc")) == 20)
+    val (nIn, nOut, rows) = Compact.compactCsv(spark, inDir, outDir, schema,
+      codec = "zstd-3", targetFileBytes = 16L * 1024 * 1024, bloomColumns = Some("k"))
+    assert(nIn == 20 && nOut < 4 && rows == n)
+    // the compacted files carry a fresh stats segment (v2, with sums) AND blooms
+    val f = new java.io.File(outDir).listFiles.filter(_.getName.endsWith(".4mz")).head
+    val in = graft.format.McInput.local(f.toPath)
+    try {
+      val idx = graft.format.FourMcReader.readIndex(in)
+      assert(idx.stats.isDefined && idx.stats.get.nCols == 3, "compacted stats segment missing")
+      assert(idx.stats.get.sumAt(0), "v2 sums missing on compacted output")
+      assert(idx.blooms.isDefined && idx.blooms.get.ordOf(0) >= 0, "compacted blooms missing")
+    } finally in.close()
+    // a point lookup on the compacted archive prunes via the fresh blooms
+    val back = spark.read.format("4mc").option("payload", "csv").schema(schema).load(outDir)
+    graft.sources.FourMcScanMetrics.reset()
+    val hit = back.filter(org.apache.spark.sql.functions.col("k") === 123321L).collect()
+    assert(hit.length == 1)
+    assert(graft.sources.FourMcScanMetrics.blocksSkipped.sum() > 0,
+      "compacted archive must keep point-lookup pruning")
+  }
+
   test("binary compaction preserves every record") {
     import spark.implicits._
     val inDir = freshDir(); val outDir = freshDir()

@@ -459,6 +459,77 @@ class McAggPushdownSpec extends AnyFunSuite {
       "NaN poisons BOUNDS, not sums — the sum answers from stats")
   }
 
+  test("equality-filtered aggregate over a bloomed unsorted key: bloom-refuted blocks skip") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val n = 300000L
+    // permuted key: every block's zone spans the domain — only blooms refute
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until n, 1).map { i =>
+        org.apache.spark.sql.Row((i * 2654435761L) % n, i / 2.0, "p" * 30)
+      },
+      StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble),
+        StructField("s", StringType))))
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("bloomColumns", "k").mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble),
+      StructField("s", StringType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.filter(col("k") === 123123L)
+        .agg(min(col("v")).as("mn"), sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    val q = agg(sc)
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try agg(sc).collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    assert(expect.getLong(2) == 1L, "permutation: exactly one row matches")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.blocksSkipped.sum() > 0,
+      "bloom must refute blocks inside the stats relation's classification")
+    assert(FourMcScanMetrics.blocksRead.sum() <= 2,
+      s"only the key's block decodes, read ${FourMcScanMetrics.blocksRead.sum()}")
+  }
+
+  test("schema-mismatched stats segments (evolution/mixed writers) decode, never mis-index") {
+    // lines carry THREE fields, but the attached stats segment was built for
+    // a TWO-column schema (the shape schema evolution / a text-payload
+    // rewrite of a csv dir leaves behind): the [block × col] arrays would
+    // mis-index under the 3-column read schema, so the reader must treat
+    // the segment as absent and decode per line
+    val dir = tmpDir()
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(dir, "part-0.4mc")
+    val oldSchema = StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble)))
+    val builder = new graft.format.McStatsBuilder(oldSchema)
+    val w = new graft.format.FourMcWriter(
+      new java.io.FileOutputStream(f), graft.format.McCodec("lz4-fast"), blockBytes = 8 * 1024)
+    w.statsProvider = n => builder.serialize(n)
+    for (i <- 1 to 4000) {
+      builder.startLine(w.blockCount, w.pendingBytes)
+      builder.observeLong(0, i.toLong)
+      builder.observeDouble(1, i / 4.0)
+      w.write(s"$i|${i / 4.0}|tag${i % 7}\n".getBytes("UTF-8"))
+    }
+    w.close()
+    val sch3 = StructType(Seq(StructField("k", LongType), StructField("v", SqlDouble),
+      StructField("t", StringType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch3).load(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.agg(min(col("k")).as("mn"), max(col("v")).as("mx"),
+        count(col("t")).as("nt"), count(lit(1)).as("n"))
+    val q = agg(sc)
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    FourMcScanMetrics.reset()
+    val got = q.collect().head
+    assert(got.getLong(0) == 1L && got.getDouble(1) == 1000.0 &&
+      got.getLong(2) == 4000L && got.getLong(3) == 4000L)
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L,
+      "mismatched stats must force per-line decode, never index the wrong arrays")
+  }
+
   test("v1 stats segments (no sums) decode per line and stay exact") {
     // hand-write a 4mc file whose stats segment is the v1 (sum-less) layout
     val dir = tmpDir()
