@@ -583,6 +583,41 @@ object RoundTrip {
       .orderBy($"item_key")
   }
 
+  /** STRING-key join-driven pruning end to end through the planner: the
+    * selective broadcast build collects customer 42's derived item keys,
+    * [[graft.plans.McInjectRuntimeKeyFilter]] hashes them (xxhash64 of the
+    * UTF-8 bytes — the bloom writer's domain) and injects a HASHED runtime
+    * key filter, and the scan refutes blocks by bloom membership alone
+    * (hashes carry no order for zone maps to use). This is "filter a corpus
+    * by a small denylist of string ids/URLs without scanning it" — at
+    * 100 TB the join touches the blocks that may hold a listed key and
+    * decompresses nothing else.
+    */
+  def fourMcBloomStrJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Queries.table(spark, sfDir, "lineitem")
+      .withColumn("item_key",
+        concat(lit("o"), $"l_orderkey".cast(StringType), lit("-"),
+          $"l_linenumber".cast(StringType)))
+      .select($"item_key", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+    val (dir, schema) = ensureRoundTripBloomDf(spark, sfDir, "lineitem-strkey", li,
+      dataBytes(new java.io.File(s"$sfDir/lineitem.parquet")), "item_key")
+    val fact = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+    val dim = Queries.table(spark, sfDir, "orders")
+      .filter($"o_custkey" === 42L)
+      .select(concat(lit("o"), $"o_orderkey".cast(StringType), lit("-1")).as("ik"))
+    fact.join(broadcast(dim), fact("item_key") === dim("ik"))
+      .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+  }
+
+  val fourMcBloomStrJoinSql: String =
+    """SELECT COUNT(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders
+      |  ON 'o' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |   = 'o' || CAST(o_orderkey AS VARCHAR) || '-1'
+      |WHERE o_custkey = 42""".stripMargin
+
   val fourMcBloomStrLookupSql: String =
     """SELECT 'o' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
       |         AS item_key,

@@ -603,6 +603,53 @@ object McStatsPruning {
     */
   final val BloomProbeCap = 4096
 
+  /** Join-driven pruning for a STRING key column through a HASHED domain:
+    * `sortedHashes` are xxhash64 values of the build side's distinct keys
+    * (UTF-8 bytes — the same hash the bloom writer inserted). Hashes carry
+    * no order, so zone maps can't narrow anything: pruning is bloom
+    * membership alone, budget-capped like the integer path. `None` when the
+    * file has no bloom for the column (or the column isn't a string) — the
+    * scan stays unpruned, never wrong.
+    *
+    * Same caller contract as [[keepBlocksForKeys]]: downstream keeps only
+    * rows whose `attr` ∈ the original key set (inner/semi equi-join), so
+    * all-null blocks are refutable and false positives only KEEP blocks.
+    */
+  def keepBlocksForHashedKeys(
+      attr: String,
+      sortedHashes: Array[Long],
+      dataSchema: StructType,
+      stats: McBlockStats,
+      blooms: Option[McBlockBlooms]
+  ): Option[Array[Boolean]] = {
+    if (stats.nCols != dataSchema.length) return None
+    val c = dataSchema.fields.indexWhere(_.name == attr)
+    if (c < 0 || stats.tags(c) != CsvPayload.TagString) return None
+    val bloomOrd = blooms.map(_.ordOf(c)).getOrElse(-1)
+    if (bloomOrd < 0) return None
+    if (sortedHashes.isEmpty) return Some(new Array[Boolean](stats.nBlocks)) // ∅: drop all
+    val bl = blooms.get
+    val keep = new Array[Boolean](stats.nBlocks)
+    var b = 0
+    while (b < stats.nBlocks) {
+      val k = b * stats.nCols + c
+      keep(b) =
+        if (stats.lineCount(b) - stats.nullCount(k) <= 0) false
+        else if (!bl.present(b, bloomOrd)) true
+        else if (sortedHashes.length > BloomProbeCap) true
+        else {
+          var i = 0
+          var hit = false
+          while (!hit && i < sortedHashes.length) {
+            hit = bl.mayContain(b, bloomOrd, sortedHashes(i)); i += 1
+          }
+          hit
+        }
+      b += 1
+    }
+    Some(keep)
+  }
+
   def keepBlocksForKeys(
       attr: String,
       sortedKeys: Array[Long],

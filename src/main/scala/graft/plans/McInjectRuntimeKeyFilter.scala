@@ -151,14 +151,22 @@ object McInjectRuntimeKeyFilter extends Rule[LogicalPlan] {
       pairs.collectFirst {
         case (pa, ba)
             if probeOut.contains(pa) && buildOut.contains(ba) &&
-              (pa.dataType == LongType || pa.dataType == IntegerType) &&
+              (pa.dataType == LongType || pa.dataType == IntegerType ||
+                pa.dataType == org.apache.spark.sql.types.StringType) &&
               ba.dataType == pa.dataType &&
               !partNames.contains(pa.name) &&
               fsRel.dataSchema.fieldNames.contains(pa.name) =>
           (pa, ba)
       }.flatMap { case (pa, ba) =>
         collectKeys(fsRel.sparkSession, build, ba).map { keys =>
-          val spec = RuntimeKeyFilter.encode(pa.name, keys, maxKeys = maxKeys)
+          // STRING keys travel as a hashed domain: xxhash64 of the key
+          // bytes, probed against the scan's per-block BLOOM segment
+          // ([[graft.format.BlockBlooms]]) — no raw values in the option,
+          // and a bloom-less file simply scans unpruned
+          val spec =
+            if (pa.dataType == org.apache.spark.sql.types.StringType)
+              RuntimeKeyFilter.encodeHashed(pa.name, keys, maxKeys = maxKeys)
+            else RuntimeKeyFilter.encode(pa.name, keys, maxKeys = maxKeys)
           val newRel = fsRel.copy(
             options = opts + (RuntimeKeyFilter.OptionKey -> spec))(fsRel.sparkSession)
           probe.transform {
@@ -249,7 +257,12 @@ object McInjectRuntimeKeyFilter extends Rule[LogicalPlan] {
       else Some(rows.map { r =>
         key.dataType match {
           case LongType => r.getLong(0)
-          case _        => r.getInt(0).toLong
+          case org.apache.spark.sql.types.StringType =>
+            // hashed domain: the same xxhash64-of-UTF-8-bytes the bloom
+            // writer inserted (FourMcCsvOutputWriter.observeBlooms)
+            val b = r.getString(0).getBytes("UTF-8")
+            graft.format.FourMc.xxhash64(b, 0, b.length)
+          case _ => r.getInt(0).toLong
         }
       })
     } catch {

@@ -130,7 +130,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // ([[RuntimeKeyFilter]]) refutes blocks by zone map with NO static
       // filter on this scan. Broadcast (not closure-captured): the decoded
       // array can reach ~1M longs and is shared by every task.
-      val rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])] =
+      val rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean)] =
         options.get(RuntimeKeyFilter.OptionKey)
           .map(FourMcFileFormat.rkfBroadcast(sparkSession, _))
       (file: PartitionedFile) => if (!extOk(file)) Iterator.empty else {
@@ -513,7 +513,7 @@ object FourMcFileFormat {
       filters: Seq[Filter],
       statsEnabled: Boolean,
       permissive: Boolean,
-      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])]
+      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean)]
   ): McLineStream = {
     val keepOpt: Option[Array[Boolean]] =
       if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
@@ -521,8 +521,11 @@ object FourMcFileFormat {
           val fromFilters =
             if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st, index.blooms)
             else None
-          val fromKeys = rkfOpt.flatMap { case (c, bKeys) =>
-            McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st, index.blooms)
+          val fromKeys = rkfOpt.flatMap { case (c, bKeys, hashed) =>
+            if (hashed)
+              McStatsPruning.keepBlocksForHashedKeys(c, bKeys.value, dataSchema, st, index.blooms)
+            else
+              McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st, index.blooms)
           }
           (fromFilters, fromKeys) match {
             case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
@@ -562,11 +565,11 @@ object FourMcFileFormat {
 
   private[sources] def rkfBroadcast(
       spark: org.apache.spark.sql.SparkSession,
-      spec: String): (String, org.apache.spark.broadcast.Broadcast[Array[Long]]) = {
+      spec: String): (String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean) = {
     if (rkfCache.size > 64) rkfCache.clear()
     val b = rkfCache.computeIfAbsent(
       spec, s => spark.sparkContext.broadcast(RuntimeKeyFilter.decode(s)._2))
-    (spec.substring(0, spec.indexOf(':')), b)
+    (spec.substring(0, spec.indexOf(':')), b, RuntimeKeyFilter.isHashed(spec))
   }
 
   /** Long-counted stream of `n` zero-column rows for the metadata COUNT(*)

@@ -75,7 +75,7 @@ object FourMcVectorizedReader {
       tsFmt: String,
       statsEnabled: Boolean,
       permissive: Boolean,
-      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]])],
+      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean)],
       broadcastConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
       extOk: PartitionedFile => Boolean
   ): PartitionedFile => Iterator[InternalRow] = {

@@ -27,12 +27,7 @@ object RuntimeKeyFilter {
     out.write(v.toInt)
   }
 
-  /** Encode `keys` (any order, duplicates fine; all must be >= 0 after
-    * sorting — negative keys use zigzag on the FIRST value only, deltas of a
-    * sorted array are non-negative).
-    */
-  def encode(col: String, keys: Array[Long], maxKeys: Int = 1 << 20): String = {
-    require(!col.contains(':'), s"column name may not contain ':': $col")
+  private def encodeBody(keys: Array[Long], maxKeys: Int): String = {
     val sorted = keys.distinct.sorted
     require(sorted.length <= maxKeys,
       s"runtime key set has ${sorted.length} keys (> $maxKeys): this dim side is not " +
@@ -52,15 +47,45 @@ object RuntimeKeyFilter {
       prev = v
       i += 1
     }
-    col + ":" + java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
   }
 
-  /** Decode to (column, sorted distinct keys). */
+  /** Encode `keys` (any order, duplicates fine; all must be >= 0 after
+    * sorting — negative keys use zigzag on the FIRST value only, deltas of a
+    * sorted array are non-negative).
+    */
+  def encode(col: String, keys: Array[Long], maxKeys: Int = 1 << 20): String = {
+    require(!col.contains(':'), s"column name may not contain ':': $col")
+    col + ":" + encodeBody(keys, maxKeys)
+  }
+
+  /** Encode a HASHED-domain key set for a STRING column: values are the
+    * xxhash64 of each key's UTF-8 bytes (what the bloom segment's writer
+    * inserted — [[graft.format.BlockBlooms]]). Hashes carry no order
+    * information about the underlying strings, so the reader prunes by
+    * per-block BLOOM membership only ([[graft.format.McStatsPruning
+    * .keepBlocksForHashedKeys]]); files without blooms scan unpruned.
+    * Marked with a `#` after the column separator ('#' is not a base64
+    * character, so old and new specs are unambiguous).
+    */
+  def encodeHashed(col: String, hashes: Array[Long], maxKeys: Int = 1 << 20): String = {
+    require(!col.contains(':'), s"column name may not contain ':': $col")
+    col + ":#" + encodeBody(hashes, maxKeys)
+  }
+
+  /** Is this spec a hashed-string-domain filter ([[encodeHashed]])? */
+  def isHashed(spec: String): Boolean = {
+    val sep = spec.indexOf(':')
+    sep > 0 && sep + 1 < spec.length && spec.charAt(sep + 1) == '#'
+  }
+
+  /** Decode to (column, sorted distinct keys-or-hashes). */
   def decode(spec: String): (String, Array[Long]) = {
     val sep = spec.indexOf(':')
     require(sep > 0, s"malformed runtime key filter spec: $spec")
     val col = spec.substring(0, sep)
-    val bytes = java.util.Base64.getDecoder.decode(spec.substring(sep + 1))
+    val body = if (isHashed(spec)) spec.substring(sep + 2) else spec.substring(sep + 1)
+    val bytes = java.util.Base64.getDecoder.decode(body)
     var p = 0
     def readVarint(): Long = {
       var v = 0L

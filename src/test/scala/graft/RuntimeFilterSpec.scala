@@ -112,6 +112,72 @@ class RuntimeFilterSpec extends AnyFunSuite {
       s"join-driven pruning must refute >50% of owned blocks: read=$read skipped=$skipped")
   }
 
+  test("STRING-key join injects a HASHED runtime filter probed against block blooms") {
+    import graft.sources.FourMcScanMetrics
+    val df = RoundTrip.fourMcBloomStrJoin(spark, sf)
+    // the injected spec is the hashed-domain form ('#' marker)
+    val spec = fourMcScanOptions(df)
+      .flatMap(_.get(graft.sources.RuntimeKeyFilter.OptionKey)).headOption
+    assert(spec.isDefined, "optimizer must inject a runtime key filter for the string key")
+    assert(graft.sources.RuntimeKeyFilter.isHashed(spec.get),
+      s"string keys must travel as a hashed domain: ${spec.get.take(60)}")
+    FourMcScanMetrics.reset()
+    val rows = df.collect()
+    // correctness: equals the same join on parquet
+    val want = spark.sql(RoundTrip.fourMcBloomStrJoinSql
+        .replace("FROM lineitem", s"FROM parquet.`$sf/lineitem.parquet`")
+        .replace("JOIN orders", s"JOIN parquet.`$sf/orders.parquet`")
+        .replace("AS VARCHAR", "AS STRING")) // Spark dialect; oracle keeps VARCHAR
+      .collect()
+    assert(rows.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    // (no skip assertion here: the sf0.01 fixture fits ONE 4 MiB block, so
+    // there is nothing refutable — the multi-block skip is pinned by the
+    // synthetic test below)
+    // kill switch degrades to the same values, unpruned
+    spark.conf.set("spark.graft.fourmc.runtimeKeyFilter.inject", "false")
+    try {
+      val off = RoundTrip.fourMcBloomStrJoin(spark, sf)
+      assert(fourMcScanOptions(off)
+        .forall(!_.contains(graft.sources.RuntimeKeyFilter.OptionKey)))
+      assert(off.collect().map(_.toString).toSeq == rows.map(_.toString).toSeq)
+    } finally spark.conf.set("spark.graft.fourmc.runtimeKeyFilter.inject", "true")
+  }
+
+  test("hashed runtime filter skips blocks on a multi-block bloomed string table") {
+    import graft.sources.FourMcScanMetrics
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("rkf-str").toString + "/t"
+    val n = 400000L
+    val schema = StructType(Seq(StructField("skey", StringType), StructField("pad", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until n, 1).map { i =>
+        org.apache.spark.sql.Row(s"k${(i * 2654435761L) % n}", "y" * 40)
+      }, schema)
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("bloomColumns", "skey").save(dir)
+    val fact = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    import spark.implicits._
+    // selective PARQUET-backed build (a LocalRelation dim would be
+    // constant-folded to an unselective leaf before the pre-CBO batch):
+    // five derived keys k0..k4
+    // ONE key: with ~5 blocks and 5 keys every block held one — a single
+    // needle leaves the other blocks refutable
+    val dim = Queries.table(spark, sf, "nation")
+      .filter($"n_nationkey" === 3)
+      .select(concat(lit("k"), ($"n_nationkey" * 41111).cast(StringType)).as("dk"))
+    val q = fact.join(broadcast(dim), fact("skey") === dim("dk"))
+      .agg(count(lit(1)).as("n"))
+    val spec = fourMcScanOptions(q)
+      .flatMap(_.get(graft.sources.RuntimeKeyFilter.OptionKey)).headOption
+    assert(spec.exists(graft.sources.RuntimeKeyFilter.isHashed),
+      "hashed spec must be injected for the string join")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head.getLong(0) == 1L) // k123333: one row in the permutation
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    val read = FourMcScanMetrics.blocksRead.sum()
+    assert(skipped > 0, s"bloom-hashed key filter must skip blocks: read=$read")
+  }
+
   test("key-collect runs EXACTLY ONCE per query; unselective builds run zero") {
     import graft.plans.McInjectRuntimeKeyFilter
     // (a) the eligible join: plan + execute must pay exactly one eager

@@ -64,6 +64,46 @@ class FsckSpec extends AnyFunSuite {
     assert(r2.getBoolean(2) && r2.getInt(4) == 0, s"file2 must stay clean: $r2")
   }
 
+  test("corrupt bloom/stats segments surface as unreadable metadata, payload still clean") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until 50000L, 1)
+        .map(i => org.apache.spark.sql.Row(i, "w" * 30)), schema)
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("bloomColumns", "k").save(dir)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+    val in = graft.format.McInput.local(f.toPath)
+    val (eosPos, hasBoth) = try {
+      val idx = graft.format.FourMcReader.readIndex(in)
+      (idx.eosPos, idx.stats.isDefined && idx.blooms.isDefined)
+    } finally in.close()
+    assert(hasBoth, "fixture must carry bloom + stats segments")
+    // flip one byte INSIDE the bloom segment (just past the EOS marker):
+    // the segment checksum must catch it — readIndex throws, fsck reports
+    // the file as unreadable metadata rather than silently mis-pruning
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      raf.seek(eosPos + 12 + 40)
+      val b = raf.read(); raf.seek(eosPos + 12 + 40); raf.write(b ^ 0x01)
+    } finally raf.close()
+    val report = Fsck.fsck(spark, dir).collect().head
+    assert(!report.getBoolean(2), s"corrupt bloom segment must flag the file: $report")
+    // on local fs Hadoop's CRC sidecar may flag the byte before our segment
+    // checksum does; both are checksum-class reports. The segment's own
+    // xxhash is pinned directly below, CRC layer bypassed.
+    assert(report.getString(5).toLowerCase.contains("checksum"),
+      s"error should be checksum-class: ${report.getString(5)}")
+    // direct (CRC-free) read: the BLOOM segment checksum itself must throw
+    val rawIn = graft.format.McInput.local(f.toPath)
+    try {
+      val e = intercept[java.io.IOException](graft.format.FourMcReader.readIndex(rawIn))
+      assert(e.getMessage.toLowerCase.contains("bloom"),
+        s"segment checksum should name the bloom segment: ${e.getMessage}")
+    } finally rawIn.close()
+  }
+
   test("shrunken comp field with a recomputed checksum is caught by exact contiguity") {
     import graft.format.{FourMc, FourMcReader, FourMcWriter, McCodec, McInput}
     val dir = freshDir()

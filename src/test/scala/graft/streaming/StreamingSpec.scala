@@ -103,6 +103,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"ingested $got events, source has $want")
   }
 
+  test("batch-commit ingest with bloomColumns publishes bloom-bearing files") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-bloom").toString
+    val batch = (0L until 50000L).map(i => ((i * 2654435761L) % 50000L, "z" * 30))
+      .toDF("k", "pad")
+    graft.streaming.FourMcBatchCommit.writeBatch(batch, 0L, out,
+      Map("payload" -> "csv", "bloomColumns" -> "k"))
+    val f = new java.io.File(out).listFiles
+      .filter(f => f.getName.endsWith(".4mc") && !f.getName.startsWith("_")).head
+    val in = graft.format.McInput.local(f.toPath)
+    try {
+      val idx = graft.format.FourMcReader.readIndex(in)
+      assert(idx.blooms.isDefined && idx.blooms.get.ordOf(0) >= 0,
+        "streamed files must carry the bloom segment (writeOpts passthrough)")
+      assert(idx.stats.isDefined)
+    } finally in.close()
+  }
+
   test("partitioned ingest prunes partitions on read-back and keeps every row") {
     val sf = "/root/testdata/sf0.001"
     val out = StreamingQueries.streamingIngestPartitioned(spark, sf)
