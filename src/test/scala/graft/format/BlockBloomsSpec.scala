@@ -193,6 +193,43 @@ class BlockBloomsSpec extends AnyFunSuite {
       "absent key: every block refuted by its bloom")
   }
 
+  test("partitioned writes and 4mz carry blooms: partition pruning composes with key probes") {
+    val dir = tmpDir()
+    val n = 400000L
+    val pSchema = StructType(Seq(
+      StructField("key", LongType), StructField("pad", StringType),
+      StructField("part", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until n, 1).map { i =>
+        val key = (i * 2654435761L) % n
+        Row(key, "w" * 40, s"p${key % 2}")
+      }, pSchema)
+    // zstd (4mz) + hive partitioning: bloomCols index against the DATA
+    // schema (partition col excluded), so 'key' must still probe correctly
+    df.coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("codec", "zstd-1").option("bloomColumns", "key")
+      .partitionBy("part").save(dir)
+    val f = new java.io.File(dir, "part=p0").listFiles
+      .filter(_.getName.endsWith(".4mz")).head
+    val in = McInput.local(f.toPath)
+    try {
+      val idx = FourMcReader.readIndex(in)
+      assert(idx.blooms.isDefined && idx.blooms.get.colIdx.toSeq == Seq(0),
+        "bloom col ordinal must index the partition-stripped data schema")
+    } finally in.close()
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .schema(StructType(pSchema.dropRight(1))).load(dir)
+    FourMcScanMetrics.reset()
+    // key 123456 is even → partition p0; the partition filter prunes the
+    // p1 directory, the bloom prunes p0's non-matching blocks
+    val hit = back
+      .filter(org.apache.spark.sql.functions.col("part") === "p0")
+      .filter(org.apache.spark.sql.functions.col("key") === 123456L).collect()
+    assert(hit.length == 1)
+    assert(FourMcScanMetrics.blocksSkipped.sum() > 0, "bloom must skip within the partition")
+    assert(FourMcScanMetrics.blocksRead.sum() <= 2)
+  }
+
   test("bloomColumns option validation") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.5)).toDF("key", "payload", "score")
