@@ -362,6 +362,55 @@ object PipelineQueries {
 
   val incrementalDedupSteadySql: String = incrementalDedupSql
 
+  /** Exact-dup batch admission against a 4MC SIGNATURE ARCHIVE with digest
+    * BLOOMS — this round's format features composed into the pipeline's
+    * steady-state shape: the corpus admission index `(doc, digest)` lives in
+    * the container format with per-block bloom filters on the md5 digest,
+    * and the daily batch probes it as the PROBE side of a broadcast join, so
+    * [[graft.plans.McInjectRuntimeKeyFilter]] hashes the batch's ~|batch|
+    * digests and refutes archive blocks by bloom membership. At 100 TB the
+    * nightly "which of these documents have we already ingested?" touches
+    * the blocks that may hold a matching digest and decompresses nothing
+    * else — no shuffle of the archive, no scan of it either. (Near-dup
+    * admission stays [[Incremental.batchStatusSteady]] over the parquet
+    * signature table — MinHash arrays don't ride the csv payload yet.)
+    */
+  def incrementalExactArchive(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    val d = docs(spark, sfDir)
+    val isBatch = col("doc_id") % 5 === 4
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sig_archive_${java.lang.Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    // admission key: md5 of the 80-char text prefix — the cheap first-pass
+    // fingerprint a real pipeline stores (full-text digests follow only for
+    // prefix hits); also what makes the fixture non-vacuous at small SF
+    def fp(c: org.apache.spark.sql.Column) =
+      md5(substring(c, 1, 80).cast(BinaryType)).as("digest")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      d.filter(!isBatch)
+        .select(col("doc_id").as("doc"), fp(col("text")))
+        .coalesce(1)
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .option("bloomColumns", "digest").save(dir)
+    }
+    val schema = StructType(Seq(
+      StructField("doc", LongType), StructField("digest", StringType)))
+    val archive = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val batch = d.filter(isBatch)
+      .select(fp(col("text")), col("doc_id"), col("lang"))
+    archive.join(broadcast(batch), Seq("digest"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_exact"))
+      .orderBy(col("lang"))
+  }
+
+  val incrementalExactArchiveSql: String =
+    """SELECT n.lang, COUNT(DISTINCT n.doc_id) AS n_exact
+      |FROM documents n JOIN documents c ON substr(n.text, 1, 80) = substr(c.text, 1, 80)
+      |WHERE n.doc_id % 5 = 4 AND NOT (c.doc_id % 5 = 4)
+      |GROUP BY n.lang ORDER BY n.lang""".stripMargin
+
   /** Curriculum tiers: 10 equal-population quality bins (0 = best) with
     * doc/token mass and the exact quality range per bin. Global rank via
     * the distributed prefix sum ([[Packing.qualityCurriculum]]).
