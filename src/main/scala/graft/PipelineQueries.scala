@@ -362,6 +362,32 @@ object PipelineQueries {
 
   val incrementalDedupSteadySql: String = incrementalDedupSql
 
+  /** [[incrementalDedupSteady]] with the signature index stored IN the 4mc
+    * container (round 12): `(doc, digest, sig: array<long>, shingles:
+    * array<long>)` rides the csv payload with digest blooms — the parquet
+    * sidecar is gone, and the steady-state admission reads MinHash arrays
+    * straight off the splittable container. Value-identical to the recompute
+    * and parquet-steady paths (same signature family end-to-end), so the
+    * oracle SQL is shared.
+    */
+  def incrementalDedupSteadyNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val isBatch = col("doc_id") % 5 === 4
+    val newDocs = d.filter(isBatch)
+    val sigPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sigtable4mc_v1_${java.lang.Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    val corpSigs = Incremental.ensureSignatureTable4mc(
+      spark, d.filter(!isBatch), "doc_id", "text", sigPath)
+    Incremental.batchStatusSteady(newDocs, corpSigs, "doc_id", "text", 0.5)
+      .join(newDocs.select(col("doc_id").as("doc"), col("lang")), "doc")
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("status"))
+  }
+
+  val incrementalDedupSteadyNativeSql: String = incrementalDedupSql
+
   /** Exact-dup batch admission against a 4MC SIGNATURE ARCHIVE with digest
     * BLOOMS — this round's format features composed into the pipeline's
     * steady-state shape: the corpus admission index `(doc, digest)` lives in
@@ -439,6 +465,19 @@ object PipelineQueries {
   }
 
   def annBruteForceSql: String = Similarity.bruteForceSql(10, 5)
+
+  /** [[annBruteForce]] over CONTAINER-NATIVE embeddings (round 12 arrays):
+    * the `array<float>` column round-trips through the 4mc csv payload, so
+    * similarity search runs straight off the splittable container — no
+    * parquet hop for the vector store. Same oracle as the parquet path
+    * (element-exact round-trip ⇒ identical similarities).
+    */
+  def annBruteForceFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RoundTrip.roundTrip(spark, sfDir, "embeddings", "lz4-fast")
+    Similarity.bruteForceTopKRounded(e, e.filter(col("vec_id") < 10), 5)
+  }
+
+  def annBruteForceFourMcSql: String = annBruteForceSql
 
   /** D2 embedding flavor at a LOOSE threshold (τ=0.4) — the QUARANTINED
     * exact baseline, NOT the scale path. At τ=0.4 over dense 64-dim

@@ -719,4 +719,64 @@ object RoundTrip {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |WHERE s_acctbal > 0
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** ARRAY columns in the csv payload (round 12): a deterministic
+    * `array<long>` fixture covering every encoding corner — null arrays,
+    * empty arrays, null ELEMENTS — round-trips through the container and is
+    * audited element-exactly by the DuckDB oracle (count / element mass /
+    * null-element census per lang). This is the signature-table shape
+    * ([[graft.ops.Incremental]]): MinHash arrays ride the payload natively
+    * now, so a steady-state dedup index can live IN the bloomed container
+    * instead of a parquet sidecar.
+    */
+  def sigArrayRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-rt2/${java.lang.Integer.toHexString(sfDir.hashCode)}/sig-arrays"
+    )
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Queries.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), expr(
+          """CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS ARRAY<BIGINT>)
+            |     WHEN doc_id % 7 = 3 THEN CAST(ARRAY() AS ARRAY<BIGINT>)
+            |     ELSE transform(sequence(1L, doc_id % 5 + 1),
+            |          x -> CASE WHEN (doc_id + x) % 13 = 0 THEN NULL
+            |               ELSE doc_id * 2654435761L + x * 40503L END)
+            |END""".stripMargin).as("sig"))
+        .coalesce(1)
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .save(dir.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("sig", ArrayType(LongType, containsNull = true))))
+    spark.read.format("4mc").option("payload", "csv").schema(schema)
+      .load(dir.getAbsolutePath)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("sig")).as("n_arrays"),
+        sum(size(col("sig"))).as("total_elems"),
+        sum(expr("aggregate(filter(sig, x -> x IS NOT NULL), 0L, (a, x) -> a + x)"))
+          .as("sum_elems"),
+        sum(expr("size(filter(sig, x -> x IS NULL))")).as("n_null_elems"))
+      .orderBy(col("lang"))
+  }
+
+  val sigArrayRoundTripSql: String =
+    """WITH sigs AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 11 = 0 THEN NULL
+      |         WHEN doc_id % 7 = 3 THEN CAST([] AS BIGINT[])
+      |         ELSE list_transform(range(1, CAST(doc_id % 5 + 2 AS BIGINT)),
+      |              x -> CASE WHEN (doc_id + x) % 13 = 0 THEN NULL
+      |                   ELSE doc_id * 2654435761 + x * 40503 END)
+      |    END AS sig
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs, COUNT(sig) AS n_arrays,
+      |  CAST(SUM(len(sig)) AS BIGINT) AS total_elems,
+      |  CAST(SUM(list_sum(list_filter(sig, x -> x IS NOT NULL))) AS BIGINT) AS sum_elems,
+      |  CAST(SUM(len(list_filter(sig, x -> x IS NULL))) AS BIGINT) AS n_null_elems
+      |FROM sigs GROUP BY lang ORDER BY lang""".stripMargin
 }

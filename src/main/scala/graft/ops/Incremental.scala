@@ -118,6 +118,39 @@ object Incremental {
     spark.read.parquet(path)
   }
 
+  /** [[ensureSignatureTable]] stored IN the 4mc container (round 12: MinHash
+    * and shingle-hash arrays ride the csv payload as `array<long>`), with
+    * per-block BLOOM filters on the md5 digest column. Same freshness
+    * protocol; value-identical table. What the container adds at 100 TB:
+    * the exact-dup admission probe (`digest IN batch-digests`) is a bloomed
+    * point lookup that decompresses only may-contain blocks, and the
+    * steady-state index needs no second storage system — signatures live in
+    * the same splittable format as the corpus itself.
+    */
+  def ensureSignatureTable4mc(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                              idCol: String, textCol: String, path: String,
+                              numHashes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val success = new java.io.File(path, "_SUCCESS")
+    val fpFile = new java.io.File(path, "_GRAFT_CORPUS_FP")
+    val fp = corpusFingerprint(spark, corpus)
+    val fresh = success.exists() && fpFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
+    if (!fresh) {
+      signatureTable(corpus, idCol, textCol, numHashes)
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .option("bloomColumns", "digest")
+        .save(path)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("doc", LongType, nullable = false),
+      StructField("digest", StringType, nullable = true),
+      StructField("sig", ArrayType(LongType, containsNull = true), nullable = true),
+      StructField("shingles", ArrayType(LongType, containsNull = true), nullable = true)))
+    spark.read.format("4mc").option("payload", "csv").schema(schema).load(path)
+  }
+
   /** Steady-state batch admission against a PRECOMPUTED corpus signature
     * table — value-identical to [[batchStatus]] (same signature family,
     * banding, verification — all shared definitions), but the per-batch

@@ -143,7 +143,12 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
         val i = dataSchema.fieldNames.indexOf(a.name)
         if (i < 0) None
         else scala.util.Try(graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType))
-          .toOption.map(_ => i)
+          .toOption
+          // array columns carry no zone/sum stats (hasBounds=false by
+          // construction) and the stats relation's per-line decode fallback
+          // doesn't parse them — refuse, keep the normal scan
+          .filter(t => !graft.sources.CsvPayload.isArrayTag(t))
+          .map(_ => i)
       case _ => None
     }
 
@@ -301,7 +306,7 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
         val i = dataSchema.fieldNames.indexOf(a.name)
         if (i < 0) None
         else scala.util.Try(CsvPayload.tagOf(dataSchema.fields(i).dataType)).toOption
-          .filter(_ != CsvPayload.TagString)
+          .filter(t => t != CsvPayload.TagString && !CsvPayload.isArrayTag(t))
           .map(t => (i, t))
       }
     def mk(a: AttributeReference, v: Any, op: Int): Option[StatsPred] =

@@ -159,6 +159,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         // converting a boxed GenericInternalRow per row. Consumers that
         // buffer rows copy them (Spark's reader contract), so reuse is safe.
         val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(nFields)
+        // array fields write through UnsafeArrayWriter children of the SAME
+        // row buffer (zero intermediate allocation); one per element width
+        val arrWriter8 = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeArrayWriter(writer, 8)
+        val arrWriter4 = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeArrayWriter(writer, 4)
         def pass(ps: Array[Any => Boolean], v: Any): Boolean = {
           var pi = 0
           while (pi < ps.length) {
@@ -184,7 +188,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val ps = fp.rest
             val tag = fieldTags(k)
             if (CsvPayload.isNullMarker(bytes, s, e) ||
-              (s >= e && tag != CsvPayload.TagString)) {
+              (s >= e && tag != CsvPayload.TagString && !CsvPayload.isArrayTag(tag))) {
               keep = fp.nullPasses // empty pred set precomputes to true
               if (keep) writer.setNullAt(k)
             } else {
@@ -220,6 +224,43 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                   val x = bytes(s) == 't' || bytes(s) == 'T'
                   keep = ps.length == 0 || pass(ps, x)
                   if (keep) writer.write(k, x)
+                // arrays: elements parse in place, ';'-split, straight into
+                // the row buffer's array region. No predicates ever compile
+                // for array fields (compileFilters refuses them), so `keep`
+                // stays true here — Spark's Filter above the scan applies
+                // anything pushed.
+                case CsvPayload.TagArrLong | CsvPayload.TagArrDouble =>
+                  val n = CsvPayload.countElems(bytes, s, e)
+                  val prev = writer.cursor()
+                  arrWriter8.initialize(n)
+                  var j = 0
+                  var ts = s
+                  while (j < n) {
+                    var te = ts
+                    while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
+                    if (CsvPayload.isNullElem(bytes, ts, te)) arrWriter8.setNull8Bytes(j)
+                    else if (tag == CsvPayload.TagArrLong)
+                      arrWriter8.write(j, CsvPayload.parseLong(bytes, ts, te))
+                    else arrWriter8.write(j, CsvPayload.parseDouble(bytes, ts, te))
+                    ts = te + 1
+                    j += 1
+                  }
+                  writer.setOffsetAndSizeFromPreviousCursor(k, prev)
+                case CsvPayload.TagArrFloat =>
+                  val n = CsvPayload.countElems(bytes, s, e)
+                  val prev = writer.cursor()
+                  arrWriter4.initialize(n)
+                  var j = 0
+                  var ts = s
+                  while (j < n) {
+                    var te = ts
+                    while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
+                    if (CsvPayload.isNullElem(bytes, ts, te)) arrWriter4.setNull4Bytes(j)
+                    else arrWriter4.write(j, CsvPayload.parseFloat(bytes, ts, te))
+                    ts = te + 1
+                    j += 1
+                  }
+                  writer.setOffsetAndSizeFromPreviousCursor(k, prev)
                 case _ =>
                   val x =
                     if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
@@ -438,6 +479,11 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
         BooleanType | TimestampType | TimestampNTZType =>
       true
+    // numeric arrays in the csv payload (';'-joined elements, element nulls
+    // as `\N`): the signature-table / embedding shapes. array<int> and
+    // array<string> are deliberately out (cast ints to long; strings would
+    // reopen the escaping interplay the numeric grammar avoids).
+    case ArrayType(LongType | FloatType | DoubleType, _) => true
     case _ => false
   }
 }
@@ -793,6 +839,11 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDouble  => statsBuilder.observeDouble(i, row.getDouble(i))
         case CsvPayload.TagFloat   => statsBuilder.observeDouble(i, row.getFloat(i).toDouble)
         case CsvPayload.TagBoolean => statsBuilder.observeLong(i, if (row.getBoolean(i)) 1L else 0L)
+        // arrays have no bounds and no sums — only the null count (tracked
+        // by the isNullAt branch above) is meaningful; the block-col entry
+        // serializes as hasBounds=false, which every stats consumer already
+        // treats as "cannot prune / cannot answer"
+        case CsvPayload.TagArrLong | CsvPayload.TagArrFloat | CsvPayload.TagArrDouble => ()
         case _ =>
           val micros = row.getLong(i)
           if (tsUnit > 0) statsBuilder.observeLong(i, Math.floorDiv(micros, tsUnit) * tsUnit)
@@ -817,6 +868,35 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDouble  => enc.string(java.lang.Double.toString(row.getDouble(i)))
         case CsvPayload.TagFloat   => enc.string(java.lang.Float.toString(row.getFloat(i)))
         case CsvPayload.TagBoolean => enc.string(if (row.getBoolean(i)) "true" else "false")
+        case CsvPayload.TagArrLong =>
+          val a = row.getArray(i)
+          val n = a.numElements()
+          var j = 0
+          while (j < n) {
+            if (j > 0) enc.raw(CsvPayload.ElemSep)
+            if (a.isNullAt(j)) enc.raw('N'.toByte) else enc.long(a.getLong(j))
+            j += 1
+          }
+        case CsvPayload.TagArrFloat =>
+          val a = row.getArray(i)
+          val n = a.numElements()
+          var j = 0
+          while (j < n) {
+            if (j > 0) enc.raw(CsvPayload.ElemSep)
+            if (a.isNullAt(j)) enc.raw('N'.toByte)
+            else enc.string(java.lang.Float.toString(a.getFloat(j)))
+            j += 1
+          }
+        case CsvPayload.TagArrDouble =>
+          val a = row.getArray(i)
+          val n = a.numElements()
+          var j = 0
+          while (j < n) {
+            if (j > 0) enc.raw(CsvPayload.ElemSep)
+            if (a.isNullAt(j)) enc.raw('N'.toByte)
+            else enc.string(java.lang.Double.toString(a.getDouble(j)))
+            j += 1
+          }
         case _ =>
           val micros = row.getLong(i)
           if (tsMicroDigits < 0 || !enc.timestampMicros(micros, tsMicroDigits))
@@ -925,6 +1005,40 @@ object CsvPayload {
   final val TagFloat = 4
   final val TagBoolean = 5
   final val TagTimestamp = 6
+  // Array-payload tags (array<long> / array<float> / array<double>): elements
+  // are ';'-joined inside one csv field. Elements are numeric tokens or the
+  // one-byte `N` null-element token — none contains the field delimiter, a
+  // line break, or the escape byte, so the boundary scan and escaping are
+  // untouched. The three field shapes are mutually unambiguous: EMPTY field
+  // = EMPTY array, field-level `\N` (2 bytes, Esc+'N') = null array, and a
+  // single null element is the 1-byte token `N` (a numeric token never
+  // equals bare "N" — `NaN` is 3 bytes). Keep all array tags >= TagArrLong —
+  // [[isArrayTag]] is a single compare.
+  final val TagArrLong = 7
+  final val TagArrFloat = 8
+  final val TagArrDouble = 9
+
+  @inline def isArrayTag(tag: Int): Boolean = tag >= TagArrLong
+
+  /** Element separator inside array fields. Never escaped: array fields hold
+    * only numeric tokens / `N`, and ';' is not special anywhere else.
+    */
+  final val ElemSep: Byte = ';'
+
+  /** True when element token [s, e) is the null-element marker `N`. */
+  @inline def isNullElem(b: Array[Byte], s: Int, e: Int): Boolean =
+    e - s == 1 && b(s) == 'N'
+
+  /** Number of ';'-separated element tokens in field slice [s, e); 0 for an
+    * empty field (= empty array).
+    */
+  def countElems(b: Array[Byte], s: Int, e: Int): Int = {
+    if (s >= e) return 0
+    var n = 1
+    var i = s
+    while (i < e) { if (b(i) == ElemSep) n += 1; i += 1 }
+    n
+  }
 
   /** The parse tag for one csv-payload column type (shared by the row and
     * vectorized readers — one dispatch table, two consumers).
@@ -937,6 +1051,9 @@ object CsvPayload {
     case FloatType                        => TagFloat
     case BooleanType                      => TagBoolean
     case TimestampType | TimestampNTZType => TagTimestamp
+    case ArrayType(LongType, _)           => TagArrLong
+    case ArrayType(FloatType, _)          => TagArrFloat
+    case ArrayType(DoubleType, _)         => TagArrDouble
     case other => throw new UnsupportedOperationException(s"csv payload type $other")
   }
 
@@ -1037,7 +1154,10 @@ object CsvPayload {
 
     def add(attr: String, p: Int => Option[Any => Boolean]): Unit = {
       val k = fieldOf(attr)
-      if (k >= 0) p(k).foreach(pred => byField(k) = pred :: byField(k))
+      // array fields compile NO predicates (not even null checks): the parse
+      // loop never boxes an array value to feed a closure, and Spark's
+      // post-scan Filter re-applies everything pushed here anyway
+      if (k >= 0 && !isArrayTag(tags(k))) p(k).foreach(pred => byField(k) = pred :: byField(k))
     }
 
     /** Tighten field k's primitive range; an unsatisfiable bound leaves

@@ -47,6 +47,8 @@ class EntrySpec extends AnyFunSuite {
       "dsir_select" -> scalarAgg,
       // 10 probe vectors broadcast against the corpus
       "ann_brute_force" -> (_.contains("LessThan(vec_id,10)")),
+      // same bounded probe set, corpus read from the 4mc container
+      "ann_brute_force_fourmc" -> (_.contains("LessThan(vec_id,10)")),
       "ann_hard_negatives" -> (_.contains("LessThan(vec_id,10)")),
       // 10 probe LUTs broadcast against the corpus CODES (mSub-byte rows)
       "ann_pq" -> (_.contains("LessThan(vec_id,10)")),
