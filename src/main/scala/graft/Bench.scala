@@ -348,6 +348,62 @@ object Bench {
       }
     bloomGate.foreach(emitSection("bloom", _))
 
+    // ---- array-payload gate (round 12) -------------------------------------
+    // 1M-row signature/embedding fixture (16-long sig + 64-float emb per
+    // row): element-mass aggregate over (a) the vectorized 4mc array scan,
+    // (b) its parquet twin — A/B-interleaved median-of-5 (the r11 twin
+    // protocol) — plus the row-reader ratio and the on-disk byte ratio
+    // (text-encoded floats cost bytes; the gate keeps that trade-off
+    // visible). SPARK_GRAFT_ARRAYS=0 skips.
+    val arraysGate: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_ARRAYS").contains("0")) None
+      else try {
+        val n = 1000000L
+        val root = new java.io.File("/tmp/graft-arrays-gate")
+        val mcDir = new java.io.File(root, "mc")
+        val pqDir = new java.io.File(root, "pq")
+        val src = spark.range(0, n, 1, 16).select(
+          col("id"),
+          expr("transform(sequence(1L, 16L), x -> (id * 2654435761L + x * 40503L) % 1000000007L)").as("sig"),
+          expr("transform(sequence(1L, 64L), x -> CAST(sin(id * 0.001 + x) AS FLOAT))").as("emb"))
+        if (!new java.io.File(mcDir, "_SUCCESS").exists())
+          src.write.mode("overwrite").format("4mc").option("payload", "csv")
+            .save(mcDir.getAbsolutePath)
+        if (!new java.io.File(pqDir, "_SUCCESS").exists())
+          src.write.mode("overwrite").parquet(pqDir.getAbsolutePath)
+        val schema = src.schema
+        def agg(df: org.apache.spark.sql.DataFrame): Unit =
+          df.agg(
+            sum(expr("aggregate(sig, 0L, (a, x) -> a + x)")),
+            sum(expr("aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")))
+            .collect()
+        def mcScan(): Unit = agg(spark.read.format("4mc").option("payload", "csv")
+          .schema(schema).load(mcDir.getAbsolutePath))
+        def pqScan(): Unit = agg(spark.read.parquet(pqDir.getAbsolutePath))
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+        mcScan(); pqScan() // warm both paths + page cache
+        val samples = (1 to 5).map(_ => (time(mcScan()), time(pqScan())))
+        val mcSecs = median(samples.map(_._1))
+        val pqSecs = median(samples.map(_._2))
+        val rowSecs = {
+          spark.conf.set("spark.graft.fourmc.vectorized", "false")
+          try { mcScan(); median((1 to 3).map(_ => time(mcScan()))) }
+          finally spark.conf.unset("spark.graft.fourmc.vectorized")
+        }
+        def dirBytes(d: java.io.File): Long =
+          d.listFiles().filter(f => !f.getName.startsWith("_")).map(_.length).sum
+        Some(
+          f"""{"rows":$n,"mc_bytes":${dirBytes(mcDir)},"pq_bytes":${dirBytes(pqDir)},"array_scan_secs":$mcSecs%.3f,"array_scan_parquet_secs":$pqSecs%.3f,"array_twin_ratio":${mcSecs / math.max(pqSecs, 1e-9)}%.2f,"array_row_reader_secs":$rowSecs%.3f,"array_vec_speedup":${rowSecs / math.max(mcSecs, 1e-9)}%.2f}""")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] arrays gate failed: ${e.getMessage}")
+          None
+      }
+    arraysGate.foreach(emitSection("arrays", _))
+
     // ---- query wall clock: median of 3 after a warmup run -----------------
     // (run 1 pays JVM/codegen warmup and fills round-trip caches; medians
     // absorb the ±10% scheduler noise local[32] shows at this scale)

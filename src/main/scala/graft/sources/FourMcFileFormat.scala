@@ -1407,7 +1407,6 @@ object CsvPayload {
   }
 
   private val Pow10: Array[Double] = (0 to 22).map(k => math.pow(10, k)).toArray
-  private val Pow10F: Array[Float] = (0 to 10).map(k => math.pow(10, k).toFloat).toArray
 
   /** Byte-slice decimal double — the Clinger/Gay exact fast path: when the
     * mantissa fits 53 bits and the decimal scale k ≤ 22, both `m.toDouble`
@@ -1440,8 +1439,21 @@ object CsvPayload {
     if (neg) -v else v
   }
 
-  /** Float analog: exact for mantissa ≤ 2^24 and scale ≤ 10 (10^10 = 5^10·2^10
-    * with 5^10 < 2^24, so the divisor is exact in float).
+  /** Float fast path VIA DOUBLE: with ≤ 9 digits and scale ≤ 10 both
+    * `m.toDouble` and `10^frac` are exact, so the division yields
+    * `round_double(dec)` with one rounding; [[narrowExact]] then proves the
+    * float narrowing didn't double-round (the decimal's ±0.5·ulp_double
+    * interval lies strictly inside the float's rounding interval) — any
+    * ambiguous token falls back to `Float.parseFloat`. The previous fast
+    * path required mantissa ≤ 2^24, which REJECTED most shortest-repr float
+    * strings (Float.toString emits up to 9 significant digits): every such
+    * value paid a per-element String allocation — measured as the dominant
+    * term of the array-payload float decode. The guard is NOT theoretical:
+    * the exhaustive 2^31-float experiment (`tools/FloatViaDouble`) found
+    * exactly ONE shortest representation where unguarded via-double
+    * narrowing double-rounds (`7.038531E-26`, bits 363742205 → 363742206);
+    * it is in exponent syntax, which this fast path never parses, and the
+    * spec pins it through the full parser anyway.
     */
   def parseFloat(b: Array[Byte], s0: Int, e: Int): Float = {
     var s = s0
@@ -1461,10 +1473,29 @@ object CsvPayload {
       } else fast = false
       i += 1
     }
-    if (!fast || digits == 0 || m > (1L << 24) || frac > 10)
+    if (!fast || digits == 0 || frac > 10)
       return java.lang.Float.parseFloat(ascii(b, s0, e))
-    val v = if (frac <= 0) m.toFloat else m.toFloat / Pow10F(frac)
-    if (neg) -v else v
+    val v = if (frac <= 0) m.toDouble else m.toDouble / Pow10(frac)
+    val f = v.toFloat
+    if (narrowExact(v, f)) { if (neg) -f else f }
+    else java.lang.Float.parseFloat(ascii(b, s0, e))
+  }
+
+  /** True when narrowing `v = round_double(dec)` to float provably equals
+    * `round_float(dec)`: the decimal's uncertainty interval
+    * `[v − u, v + u]` (u = ulp(v) ≥ 2 × the one rounding error) must sit
+    * strictly inside `f`'s rounding interval `(h₋, h₊)` — float-neighbor
+    * halfway points are exact doubles, so the compares are exact. The fast
+    * path's value range ([1e-10, 1e9] ∪ {0}: no exponent syntax, ≤ 9 digits,
+    * scale ≤ 10) keeps f finite and normal-or-zero, so no overflow/subnormal
+    * boundary subtleties apply.
+    */
+  @inline private def narrowExact(v: Double, f: Float): Boolean = {
+    val fd = f.toDouble
+    val h2 = (fd + Math.nextUp(f).toDouble) / 2
+    val h1 = (fd + Math.nextDown(f).toDouble) / 2
+    val u = Math.ulp(v)
+    v - u > h1 && v + u < h2
   }
 
   /** -1 unless `pattern` is the fixed layout `yyyy-MM-dd HH:mm:ss` plus an

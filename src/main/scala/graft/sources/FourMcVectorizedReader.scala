@@ -262,27 +262,32 @@ object FourMcVectorizedReader {
               val e = fieldEnd(bytes, base, src, s, rowEnds(r))
               if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
               else {
-                val cnt = CsvPayload.countElems(bytes, s, e)
-                child.reserve(off + cnt)
-                var ts = s
+                // single-pass split+parse: tokens ≤ (len+1)/2 bounds the
+                // reserve (1-byte token + separator repeating), so no
+                // counting pre-scan touches the field bytes twice
                 var j = 0
-                while (j < cnt) {
-                  var te = ts
-                  while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
-                  if (CsvPayload.isNullElem(bytes, ts, te)) child.putNull(off + j)
-                  else (tag: @scala.annotation.switch) match {
-                    case CsvPayload.TagArrLong =>
-                      child.putLong(off + j, CsvPayload.parseLong(bytes, ts, te))
-                    case CsvPayload.TagArrFloat =>
-                      child.putFloat(off + j, CsvPayload.parseFloat(bytes, ts, te))
-                    case _ =>
-                      child.putDouble(off + j, CsvPayload.parseDouble(bytes, ts, te))
+                if (s < e) {
+                  child.reserve(off + ((e - s) >> 1) + 1)
+                  var ts = s
+                  var more = true
+                  while (more) {
+                    var te = ts
+                    while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
+                    if (CsvPayload.isNullElem(bytes, ts, te)) child.putNull(off + j)
+                    else (tag: @scala.annotation.switch) match {
+                      case CsvPayload.TagArrLong =>
+                        child.putLong(off + j, CsvPayload.parseLong(bytes, ts, te))
+                      case CsvPayload.TagArrFloat =>
+                        child.putFloat(off + j, CsvPayload.parseFloat(bytes, ts, te))
+                      case _ =>
+                        child.putDouble(off + j, CsvPayload.parseDouble(bytes, ts, te))
+                    }
+                    j += 1
+                    if (te >= e) more = false else ts = te + 1
                   }
-                  ts = te + 1
-                  j += 1
                 }
-                vec.putArray(r, off, cnt)
-                off += cnt
+                vec.putArray(r, off, j)
+                off += j
               }
               r += 1
             }

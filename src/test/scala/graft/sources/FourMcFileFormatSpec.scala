@@ -134,7 +134,10 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     val edge = Seq("0", "-0.0", "0.0", "3.14", "17290.19", "-0.04", "1.0E10", "-1.7E-9",
       "9007199254740993", "0.1234567890123456789", "123456789012345678901234",
-      "2.2250738585072014E-308", "1.7976931348623157E308", "+4.25", "00012.5000")
+      "2.2250738585072014E-308", "1.7976931348623157E308", "+4.25", "00012.5000",
+      // the ONE shortest float repr (exhaustive 2^31 sweep, tools/FloatViaDouble)
+      // where unguarded double→float narrowing double-rounds
+      "7.038531E-26")
     val doubles = edge ++
       (0 until 20000).map(_ => (rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10) *
         (if (rnd.nextBoolean()) -1 else 1)).toString) ++
@@ -146,8 +149,24 @@ class FourMcFileFormatSpec extends AnyFunSuite {
           java.lang.Double.doubleToRawLongBits(java.lang.Double.parseDouble(s)),
         s"double mismatch for '$s'")
     }
-    val floats = edge ++ (0 until 20000).map(_ => (rnd.nextFloat() *
-      math.pow(10, rnd.nextInt(12) - 6).toFloat * (if (rnd.nextBoolean()) -1 else 1)).toString)
+    // raw-bit floats exercise the via-double fast path on exactly the token
+    // class the writer emits (Float.toString shortest repr, ≤ 9 digits);
+    // halfway-neighbor decimals probe the narrowExact double-rounding guard
+    val rawBitFloats = (0 until 40000).flatMap { _ =>
+      val f = java.lang.Float.intBitsToFloat(rnd.nextInt())
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) Nil
+      else Seq(java.lang.Float.toString(f))
+    }
+    val halfwayProbes = (0 until 20000).flatMap { _ =>
+      val f = math.abs(rnd.nextInt(2000000) / 100.0f) + 1.0f
+      val h = (f.toDouble + Math.nextUp(f).toDouble) / 2
+      val bd = new java.math.BigDecimal(h)
+      Seq(6, 7, 8, 9).map(p =>
+        bd.round(new java.math.MathContext(p)).toPlainString)
+    }
+    val floats = edge ++ rawBitFloats ++ halfwayProbes ++
+      (0 until 20000).map(_ => (rnd.nextFloat() *
+        math.pow(10, rnd.nextInt(12) - 6).toFloat * (if (rnd.nextBoolean()) -1 else 1)).toString)
     for (s <- floats) {
       val b = s.getBytes("UTF-8")
       assert(
