@@ -179,6 +179,23 @@ class ArrayPayloadSpec extends AnyFunSuite {
     assert(arrMin == expected, s"array min mismatch: $arrMin vs $expected")
   }
 
+  test("4mz arrays + typed compaction: zstd round-trip, compact to lz4, rows exact") {
+    val rows = fixtureRows(3000)
+    val dir = writeFixture(rows, Map("codec" -> "zstd-3", "blockBytes" -> "131072"))
+    val want = rows.map(normalize).sortBy(_._1).map(t => String.valueOf(t))
+    def check(d: String): Unit = {
+      val got = spark.read.format("4mc").option("payload", "csv").schema(schema).load(d)
+        .collect().map(r => String.valueOf(normalize(r))).sorted
+      assert(got.sameElements(want.sorted))
+    }
+    check(dir) // 4mz (zstd) array payload reads back exactly
+    val outDir = java.nio.file.Files.createTempDirectory("arrcompact").toString + "/out"
+    val (_, nOut, outRows) = graft.ops.Compact.compactCsv(
+      spark, dir, outDir, schema, "lz4-fast")
+    assert(outRows == 3000L && nOut >= 1)
+    check(outDir) // compacted copy preserves arrays element-exactly
+  }
+
   test("count(*) metadata fast path and null counts survive array columns") {
     val rows = fixtureRows(5000)
     val dir = writeFixture(rows)
