@@ -349,6 +349,27 @@ object StressPipeline {
             spark, d.filter(!isBatch), "doc_id", "text", s"$dir/sigtable")
           graft.ops.Incremental.batchStatusSteady(
             d.filter(isBatch), corpSigs, "doc_id", "text", 0.5).count()
+        }),
+        // round 12: the same index IN the 4mc container (MinHash + shingle
+        // arrays ride the csv payload, digest blooms attached). Build cost
+        // and per-batch admission are measured against the parquet twin
+        // above — the array scan must keep per-batch time batch-bounded,
+        // the composition evidence that container-native indexes hold at
+        // 700x docs
+        "incremental_sig_table_build_4mc" -> (() => {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/sigtable4mc")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          val d = spark.read.parquet(s"$dir/documents.parquet")
+          graft.ops.Incremental.ensureSignatureTable4mc(
+            spark, d.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", s"$dir/sigtable4mc").count()
+        }),
+        "incremental_dedup_steady_4mc" -> (() => {
+          val d = spark.read.parquet(s"$dir/documents.parquet")
+          val isBatch = col("doc_id") % 5 === 4
+          val corpSigs = graft.ops.Incremental.ensureSignatureTable4mc(
+            spark, d.filter(!isBatch), "doc_id", "text", s"$dir/sigtable4mc")
+          graft.ops.Incremental.batchStatusSteady(
+            d.filter(isBatch), corpSigs, "doc_id", "text", 0.5).count()
         })),
       // per-domain cap: one checkpointed scoring pass, then a plain agg +
       // a WindowGroupLimit-capped rank — the window shuffle carries at most
