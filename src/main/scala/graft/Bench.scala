@@ -649,11 +649,13 @@ object Bench {
             if (System.nanoTime() > deadline) cn -> ((-2.0, -2.0))
             else try {
               timed(cf); timed(pf) // warm both, then alternate
-              // 5 interleaved samples, MEDIAN aggregation (see the sf1 twin
-              // note): at 50× the parquet twin's per-sample spread is ±30%,
-              // the whole 2× gate margin — min-of-N hands the gate to
-              // whichever side catches the luckiest sample
-              val samples = (1 to 5).map(_ => (timed(cf), timed(pf)))
+              // 9 interleaved samples, MEDIAN aggregation (see the sf1 twin
+              // note): at 50× BOTH sides' per-sample spread is ±30%, the
+              // whole 2× gate margin — min-of-N hands the gate to whichever
+              // side catches the luckiest sample, and round-12 probes showed
+              // even median-of-5 swinging 1.68–2.03 across runs on identical
+              // code; 9 samples cost ~5 s and cut the median's spread ~√2
+              val samples = (1 to 9).map(_ => (timed(cf), timed(pf)))
               cn -> ((Bench.median(samples.map(_._1)), Bench.median(samples.map(_._2))))
             } catch {
               case e: Throwable =>
