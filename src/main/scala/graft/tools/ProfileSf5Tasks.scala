@@ -68,6 +68,22 @@ object ProfileSf5Tasks {
     spark.conf.set("spark.graft.fourmc.vectorized", "false")
     report("4mc group rf ROW reader") { mc().groupBy(col("l_returnflag")).agg(count(lit(1))) }
     spark.conf.set("spark.graft.fourmc.vectorized", "true")
+    // isolate the double-parse term: grouped on a DATA column (pushdown
+    // refuses), count-only parses 1 int; +4 doubles / +2 strings / +1 ts
+    // deltas attribute the scan stage's CPU to per-type parse costs
+    report("4mc group ln count (1 int)") {
+      mc().groupBy(col("l_linenumber")).agg(count(lit(1))) }
+    report("4mc group ln + 4 doubles") {
+      mc().groupBy(col("l_linenumber")).agg(sum(col("l_quantity")),
+        sum(col("l_extendedprice")), sum(col("l_discount")), sum(col("l_tax"))) }
+    report("4mc group ln + 2 strings") {
+      mc().groupBy(col("l_linenumber")).agg(count(col("l_returnflag")),
+        count(col("l_linestatus"))) }
+    report("4mc group ln + shipdate") {
+      mc().groupBy(col("l_linenumber")).agg(max(col("l_shipdate"))) }
+    report("parquet group ln + 4 doubles") {
+      pq().groupBy(col("l_linenumber")).agg(sum(col("l_quantity")),
+        sum(col("l_extendedprice")), sum(col("l_discount")), sum(col("l_tax"))) }
     report("4mc q1") { Queries.q1Over(mc()) }
     report("parquet q1") { Queries.q1Over(pq()) }
     spark.stop()
