@@ -84,6 +84,14 @@ object ProfileSf5Tasks {
     report("parquet group ln + 4 doubles") {
       pq().groupBy(col("l_linenumber")).agg(sum(col("l_quantity")),
         sum(col("l_extendedprice")), sum(col("l_discount")), sum(col("l_tax"))) }
+    // decisive within-run A/B: is STRING-keyed grouping relatively worse
+    // over the 4mc vectors than over parquet's (dictionary-backed) vectors?
+    report("AB 4mc group int") { mc().groupBy(col("l_linenumber")).agg(count(lit(1))) }
+    report("AB parquet group int") { pq().groupBy(col("l_linenumber")).agg(count(lit(1))) }
+    report("AB 4mc group str") { mc().groupBy(col("l_returnflag")).agg(count(lit(1))) }
+    report("AB parquet group str") { pq().groupBy(col("l_returnflag")).agg(count(lit(1))) }
+    report("AB 4mc group str2") { mc().groupBy(col("l_returnflag"), col("l_linestatus")).agg(count(lit(1))) }
+    report("AB parquet group str2") { pq().groupBy(col("l_returnflag"), col("l_linestatus")).agg(count(lit(1))) }
     report("4mc q1") { Queries.q1Over(mc()) }
     report("parquet q1") { Queries.q1Over(pq()) }
     spark.stop()
