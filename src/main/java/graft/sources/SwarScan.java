@@ -54,6 +54,73 @@ public final class SwarScan {
   }
 
   /**
+   * EXACT per-byte equality mask: bit 7 of byte k is set iff
+   * {@code w}'s byte k equals the spread byte — no false positives, so
+   * callers may iterate EVERY set bit (unlike the borrow-propagating
+   * Mycroft mask above, where only the lowest bit is trustworthy).
+   * {@code t = (x & 0x7f..) + 0x7f..} sets each byte's high bit iff the
+   * low 7 bits are nonzero (the per-byte addition cannot carry across
+   * byte lanes: both operands are ≤ 0x7f); OR-ing x itself covers the
+   * high bit, so the complement's high bits mark exact zero bytes of x.
+   */
+  private static long eqMask(long w, long spread) {
+    long x = w ^ spread;
+    long t = (x & ~HIGH) + ~HIGH; // ~HIGH == 0x7f7f..7f
+    return ~(t | x | ~HIGH) & HIGH;
+  }
+
+  /**
+   * Field-boundary scan core for one csv line slice {@code [i, to)}:
+   * records {@code starts[base + f] = pos + 1} for every unescaped
+   * delimiter, f = fieldIdx..neededFields-1, consuming '\'-escapes
+   * (escape skips the next byte). Returns the next unwritten field index.
+   * Word loop: 8 bytes per iteration regardless of delimiter density —
+   * words with NO escape byte iterate their exact delimiter mask
+   * (JFR-measured: the per-delimiter {@link #nextSpecial} call pattern
+   * dominated the sf5 scan profile at lineitem's ~5-byte field widths);
+   * words containing an escape fall to the byte loop for that word only.
+   */
+  public static int scanFields(byte[] bytes, int i, int to, byte delim, byte esc,
+                               int[] starts, int base, int neededFields, int fieldIdx) {
+    int f = fieldIdx;
+    final long dSpread = spread(delim);
+    final long eSpread = spread(esc);
+    while (f < neededFields && i + 8 <= to) {
+      long w = (long) LV.get(bytes, i);
+      long em = eqMask(w, eSpread);
+      if (em == 0) {
+        long dm = eqMask(w, dSpread);
+        while (dm != 0) {
+          starts[base + f] = i + (Long.numberOfTrailingZeros(dm) >>> 3) + 1;
+          f++;
+          if (f >= neededFields) return f;
+          dm &= dm - 1;
+        }
+        i += 8;
+      } else {
+        int end = Math.min(i + 8, to);
+        while (i < end && f < neededFields) {
+          byte b = bytes[i];
+          if (b == esc) i += 2;
+          else {
+            if (b == delim) { starts[base + f] = i + 1; f++; }
+            i += 1;
+          }
+        }
+      }
+    }
+    while (i < to && f < neededFields) {
+      byte b = bytes[i];
+      if (b == esc) i += 2;
+      else {
+        if (b == delim) { starts[base + f] = i + 1; f++; }
+        i += 1;
+      }
+    }
+    return f;
+  }
+
+  /**
    * Exact index of the first {@code target} byte in {@code [i, n)}, or
    * {@code n} if absent — the newline scan of the line iterators (a
    * byte-per-iteration loop there cost ~2-3 CPU-s per 3 GB scanned). The

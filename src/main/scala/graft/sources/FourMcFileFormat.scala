@@ -944,22 +944,16 @@ object CsvPayload {
     */
   def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
                      neededFields: Int, totalFields: Int, from: Int, to: Int): Unit = {
-    var f = 1
     starts(base) = from
-    val dSpread = SwarScan.spread(delim)
-    val eSpread = SwarScan.spread(Esc)
-    var i = from
-    while (i < to && f < neededFields) {
-      i = SwarScan.nextSpecial(bytes, i, to, dSpread, eSpread)
-      if (i < to) {
-        val b = bytes(i)
-        if (b == Esc) i += 2
-        else {
-          if (b == delim) { starts(base + f) = i + 1; f += 1 }
-          i += 1
-        }
-      }
-    }
+    // word-at-a-time core (SwarScan.scanFields): 8 bytes per iteration with
+    // an EXACT delimiter mask iterated bit-by-bit — the previous
+    // nextSpecial-per-delimiter pattern paid a call + stride restart per
+    // boundary, which JFR showed dominating the sf5 scan profile at
+    // lineitem's ~5-byte field widths
+    var f =
+      if (neededFields > 1)
+        SwarScan.scanFields(bytes, from, to, delim, Esc, starts, base, neededFields, 1)
+      else 1
     while (f <= math.min(neededFields, totalFields - 1)) {
       starts(base + f) = to + 1; f += 1
     }
