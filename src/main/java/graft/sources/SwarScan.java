@@ -82,6 +82,22 @@ public final class SwarScan {
    */
   public static int scanFields(byte[] bytes, int i, int to, byte delim, byte esc,
                                int[] starts, int base, int neededFields, int fieldIdx) {
+    return scanFields(bytes, i, to, delim, esc, starts, base, neededFields, fieldIdx, 1);
+  }
+
+  /**
+   * Sparse variant: only fields {@code >= recordFrom} are stored — a
+   * projection whose lowest referenced field is k never reads
+   * {@code starts[base + 1..k-1]}, so a word whose delimiters all end
+   * below-k fields advances by {@code Long.bitCount} of the exact mask:
+   * a popcount instead of a per-delimiter bit loop and store (the
+   * "delimiter-counting prefix skip"). Semantics of the returned field
+   * counter, escapes, and the recorded slots are IDENTICAL to the dense
+   * form with recordFrom = 1.
+   */
+  public static int scanFields(byte[] bytes, int i, int to, byte delim, byte esc,
+                               int[] starts, int base, int neededFields, int fieldIdx,
+                               int recordFrom) {
     int f = fieldIdx;
     final long dSpread = spread(delim);
     final long eSpread = spread(esc);
@@ -90,20 +106,30 @@ public final class SwarScan {
       long em = eqMask(w, eSpread);
       if (em == 0) {
         long dm = eqMask(w, dSpread);
-        while (dm != 0) {
-          starts[base + f] = i + (Long.numberOfTrailingZeros(dm) >>> 3) + 1;
-          f++;
-          if (f >= neededFields) return f;
-          dm &= dm - 1;
+        int bc = Long.bitCount(dm);
+        if (f + bc <= recordFrom) {
+          // every delimiter in this word ends a field below recordFrom
+          // (largest stored index would be f + bc - 1 < recordFrom):
+          // count, don't iterate
+          f += bc;
+          i += 8;
+        } else {
+          while (dm != 0) {
+            if (f >= recordFrom)
+              starts[base + f] = i + (Long.numberOfTrailingZeros(dm) >>> 3) + 1;
+            f++;
+            if (f >= neededFields) return f;
+            dm &= dm - 1;
+          }
+          i += 8;
         }
-        i += 8;
       } else {
         int end = Math.min(i + 8, to);
         while (i < end && f < neededFields) {
           byte b = bytes[i];
           if (b == esc) i += 2;
           else {
-            if (b == delim) { starts[base + f] = i + 1; f++; }
+            if (b == delim) { if (f >= recordFrom) starts[base + f] = i + 1; f++; }
             i += 1;
           }
         }
@@ -113,11 +139,45 @@ public final class SwarScan {
       byte b = bytes[i];
       if (b == esc) i += 2;
       else {
-        if (b == delim) { starts[base + f] = i + 1; f++; }
+        if (b == delim) { if (f >= recordFrom) starts[base + f] = i + 1; f++; }
         i += 1;
       }
     }
     return f;
+  }
+
+  /**
+   * Collect EVERY index of {@code target} in {@code bytes[from, n)}, in
+   * ascending order, into {@code out[1..]}, storing the exclusive end of
+   * the run in {@code out[0]} (so matches occupy {@code out[1 .. out[0])}).
+   * Grows (and returns) the array as needed — callers must use the returned
+   * reference. One word-at-a-time pass with the exact {@link #eqMask}
+   * (every set bit is a true match) replaces a per-line
+   * {@link #indexOf} restart: the block-level newline index costs one
+   * streaming pass per block instead of per-line loop setup plus a
+   * double-read of each line's boundary word.
+   */
+  public static int[] collect(byte[] bytes, int from, int n, byte target, int[] out) {
+    final long spread = REP * (target & 0xffL);
+    int c = 1;
+    int i = from;
+    while (i + 8 <= n) {
+      if (c + 8 > out.length) out = java.util.Arrays.copyOf(out, out.length * 2);
+      long w = (long) LV.get(bytes, i);
+      long m = eqMask(w, spread);
+      while (m != 0) {
+        out[c++] = i + (Long.numberOfTrailingZeros(m) >>> 3);
+        m &= m - 1;
+      }
+      i += 8;
+    }
+    if (c + 8 > out.length) out = java.util.Arrays.copyOf(out, out.length + 16);
+    while (i < n) {
+      if (bytes[i] == target) out[c++] = i;
+      i++;
+    }
+    out[0] = c;
+    return out;
   }
 
   /**

@@ -125,6 +125,20 @@ object McCodec {
       )
     )
 
+  // Per-thread reusable zstd decompression context: the static
+  // Zstd.decompress allocates and frees a native DCtx (~100+ KB workspace)
+  // on EVERY call — at one call per block that is measurable against a
+  // 1 MiB block decode — and its byte[] overload has no (offset, length)
+  // form, forcing a copy of the compressed slice. decompressByteArray on a
+  // reused context does neither. Executor task threads are pooled, so one
+  // context per thread is bounded; contexts die with their thread (the
+  // same lifetime argument as the reference's DirectBufferPool,
+  // `util/DirectBufferPool.java:88-116`, which heap codecs otherwise
+  // obsolete).
+  private val zstdDCtx = new ThreadLocal[com.github.luben.zstd.ZstdDecompressCtx] {
+    override def initialValue() = new com.github.luben.zstd.ZstdDecompressCtx()
+  }
+
   /** Decompression is magic-driven, not codec-driven: any 4mc reader decodes
     * both families by dispatching on the file magic.
     */
@@ -137,10 +151,7 @@ object McCodec {
   ): Array[Byte] = {
     val out = new Array[Byte](uncompressedLen)
     if (zstd) {
-      val in =
-        if (srcOff == 0 && srcLen == src.length) src
-        else java.util.Arrays.copyOfRange(src, srcOff, srcOff + srcLen)
-      val n = Zstd.decompress(out, in)
+      val n = zstdDCtx.get().decompressByteArray(out, 0, uncompressedLen, src, srcOff, srcLen)
       if (n != uncompressedLen)
         throw new java.io.IOException(
           s"4mz block decompressed to $n bytes, expected $uncompressedLen"

@@ -262,6 +262,27 @@ final class FourMcLineIterator(
   // recovery line salvaged by skipLine() after a resync — emitted first
   private var pendingFirst: (Long, Array[Byte]) = _
 
+  // Per-block newline index: one SWAR pass over each freshly decompressed
+  // block collects every '\n' position (SwarScan.collect convention: count
+  // at slot 0, matches ascending from slot 1); line advances then pop the
+  // next position instead of re-entering a word-scan per line. The previous
+  // per-line SwarScan.indexOf paid loop setup per line AND re-read each
+  // line's boundary word twice — JFR attributed ~30 ns/line to this
+  // bookkeeping at sf5 (30 M lines). Consumption is monotonic: every
+  // newline below blockPos has been popped exactly once, so the next entry
+  // is always the first newline >= blockPos.
+  //
+  // (A fused variant that also collected DELIMITER positions per block was
+  // built and measured in round 13 — single-thread A/B on a real sf5 part
+  // file put it 2-25% SLOWER than the per-line prefix scan: recording all
+  // ~17 marks of a lineitem line adds ~50% memory traffic while the sparse
+  // scan touches only the needed prefix. Reverted; PLANS.md round-13.)
+  private var nl: Array[Int] = new Array[Int](4096)
+  private var nlIdx = 1
+
+  @inline private def nextNewline(): Int =
+    if (nlIdx < nl(0)) { val p = nl(nlIdx); nlIdx += 1; p } else block.length
+
   if (splitStart != 0 && !finished) skipLine()
 
   private def fetchBlock(): Boolean = {
@@ -282,6 +303,8 @@ final class FourMcLineIterator(
             blockFileOff = off
             nextHeaderPos = nxt
             consumedPos = if (nxt >= index.eosPos) index.eosPos else nxt
+            nl = graft.sources.SwarScan.collect(data, 0, data.length, '\n'.toByte, nl)
+            nlIdx = 1
             Some(true)
           }
         } catch {
@@ -315,7 +338,7 @@ final class FourMcLineIterator(
   private def dropToNewline(): Boolean = {
     resynced = false
     while (true) {
-      val i = graft.sources.SwarScan.indexOf(block, blockPos, block.length, '\n'.toByte)
+      val i = nextNewline()
       if (i < block.length) { blockPos = i + 1; return blockFileOff < alignedEnd }
       if (!fetchBlock()) return false
       resynced = false // further resyncs while dropping collapse into this drop
@@ -342,7 +365,7 @@ final class FourMcLineIterator(
     var startOff = blockFileOff
     var out: java.io.ByteArrayOutputStream = null
     while (true) {
-      val i = graft.sources.SwarScan.indexOf(block, blockPos, block.length, '\n'.toByte)
+      val i = nextNewline()
       if (i < block.length) { // newline found in this block
         var end = i
         if (out == null) {

@@ -113,6 +113,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // Boundary scan can stop after the last REQUIRED field: a projection of
       // the first k columns never walks the tail of the line.
       val neededFields = if (fieldIdx.isEmpty) 0 else fieldIdx.max + 1
+      // ... and popcount-skip the delimiters BELOW the first required field
+      // (see the sparse scanBoundaries form)
+      val firstField = if (fieldIdx.isEmpty) 1 else math.max(1, fieldIdx.min)
       val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
       // Pushed-filter evaluation INSIDE the parse: filter-bound fields parse
       // first and each predicate runs as soon as its value exists, so a row
@@ -174,7 +177,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         // zero-copy slice mode (see McLineStream): parse runs in place on
         // the decompressed block buffer — no per-line array or tuple
         def parseSlice(bytes: Array[Byte], from: Int, to: Int): InternalRow = {
-          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to)
+          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to,
+            firstField)
           writer.reset()
           writer.zeroOutNullBytes()
           var keep = true
@@ -943,7 +947,19 @@ object CsvPayload {
     * detached-line path share one implementation.
     */
   def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
-                     neededFields: Int, totalFields: Int, from: Int, to: Int): Unit = {
+                     neededFields: Int, totalFields: Int, from: Int, to: Int): Unit =
+    scanBoundaries(bytes, delim, starts, base, neededFields, totalFields, from, to, 1)
+
+  /** Sparse form: `firstField` is the lowest field index any consumer will
+    * read (readers pass `max(1, min(projected srcs))` — every read is
+    * `starts(base + src)` or `starts(base + src + 1)` for a projected src,
+    * so slots in [1, firstField) may hold garbage). The prefix advances by
+    * delimiter POPCOUNT instead of a per-boundary bit-iterate-and-store —
+    * a projection of field 8 alone no longer pays 8 dead stores per line.
+    */
+  def scanBoundaries(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
+                     neededFields: Int, totalFields: Int, from: Int, to: Int,
+                     firstField: Int): Unit = {
     starts(base) = from
     // word-at-a-time core (SwarScan.scanFields): 8 bytes per iteration with
     // an EXACT delimiter mask iterated bit-by-bit — the previous
@@ -952,12 +968,21 @@ object CsvPayload {
     // lineitem's ~5-byte field widths
     var f =
       if (neededFields > 1)
-        SwarScan.scanFields(bytes, from, to, delim, Esc, starts, base, neededFields, 1)
+        SwarScan.scanFields(bytes, from, to, delim, Esc, starts, base, neededFields, 1,
+          math.min(firstField, neededFields))
       else 1
+    val capped = f >= neededFields
     while (f <= math.min(neededFields, totalFields - 1)) {
       starts(base + f) = to + 1; f += 1
     }
     if (neededFields == totalFields) starts(base + totalFields) = to + 1
+    // CAPPED scan with trailing unscanned fields: slot `neededFields` holds
+    // the 0 sentinel ("unknown — next delimiter not located"), telling
+    // [[fieldEnd]] to lazy-scan. A SHORT line's slots keep the to+1
+    // convention above (the truth: the field runs to the line end). The
+    // marks fast path (fused block scan) writes the REAL next-delimiter
+    // position here instead, and fieldEnd then never re-touches the bytes.
+    else if (capped && neededFields > 0) starts(base + neededFields) = 0
   }
 
   /** Exclusive end offset of field `src` (start offset `s`) under the
@@ -976,6 +1001,10 @@ object CsvPayload {
   def fieldEnd(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
                src: Int, s: Int, neededFields: Int, totalFields: Int, lineEnd: Int): Int =
     if (src + 1 >= neededFields && src + 1 < totalFields) {
+      // slot may carry a REAL next-field start (marks fast path) or the
+      // to+1 short-line truth; 0 = the capped-scan sentinel → lazy scan
+      val nx = starts(base + src + 1)
+      if (nx > 0) return math.min(nx - 1, lineEnd)
       val dSpread = SwarScan.spread(delim)
       val eSpread = SwarScan.spread(Esc)
       var j = s

@@ -87,6 +87,9 @@ object FourMcVectorizedReader {
     val nFields = requiredSchema.length
     val totalFields = dataSchema.length
     val neededFields = if (fieldIdx.isEmpty) 0 else fieldIdx.max + 1
+    // lowest field any consumer reads (starts(src) / starts(src+1)): the
+    // boundary scan popcount-skips delimiters of fields below this
+    val firstField = if (fieldIdx.isEmpty) 1 else math.max(1, fieldIdx.min)
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
     val fieldPreds = CsvPayload.compileFilters(filters, requiredSchema, fieldTags)
     // filter-bound fields, evaluated at buffer time in pushdown order
@@ -167,7 +170,8 @@ object FourMcVectorizedReader {
         */
       def bufferLine(bytes: Array[Byte], from: Int, to: Int, r: Int): Boolean = {
         val base = r * stride
-        CsvPayload.scanBoundaries(bytes, delim, starts, base, neededFields, totalFields, from, to)
+        CsvPayload.scanBoundaries(bytes, delim, starts, base, neededFields, totalFields,
+          from, to, firstField)
         var pi = 0
         while (pi < nPred) {
           val k = predFields(pi)
@@ -230,7 +234,8 @@ object FourMcVectorizedReader {
         * the batch; used when predicates are absent or adaptively skipped.
         */
       def bufferPlain(bytes: Array[Byte], from: Int, to: Int, r: Int): Unit = {
-        CsvPayload.scanBoundaries(bytes, delim, starts, r * stride, neededFields, totalFields, from, to)
+        CsvPayload.scanBoundaries(bytes, delim, starts, r * stride, neededFields, totalFields,
+          from, to, firstField)
         bufBytes(r) = bytes
         rowEnds(r) = to
       }

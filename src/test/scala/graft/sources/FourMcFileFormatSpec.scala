@@ -730,10 +730,14 @@ class FourMcFileFormatSpec extends AnyFunSuite {
           i += 1
         }
       }
+      val capped = f >= neededFields
       while (f <= math.min(neededFields, totalFields - 1)) {
         starts(f) = bytes.length + 1; f += 1
       }
       if (neededFields == totalFields) starts(totalFields) = bytes.length + 1
+      // capped-scan sentinel: slot neededFields = 0 → fieldEnd lazy-scans
+      // (to+1 stays the short-line truth; marks fill writes real values)
+      else if (capped) starts(neededFields) = 0
     }
     def refEnd(bytes: Array[Byte], delim: Byte, s: Int): Int = {
       var j = s
