@@ -359,7 +359,11 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_ARRAYS").contains("0")) None
       else try {
         val n = 1000000L
-        val root = new java.io.File("/tmp/graft-arrays-gate")
+        // fixture dir VERSIONED by the payload encoding revision: a stale
+        // _SUCCESS from an older encoder must not get benchmarked (and
+        // byte-compared) as if the current writer produced it (r12 advice).
+        // Bump the suffix whenever the csv payload encoding changes.
+        val root = new java.io.File(s"/tmp/graft-arrays-gate-${graft.format.FourMc.PayloadRevision}")
         val mcDir = new java.io.File(root, "mc")
         val pqDir = new java.io.File(root, "pq")
         val src = spark.range(0, n, 1, 16).select(

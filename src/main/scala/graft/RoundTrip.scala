@@ -103,6 +103,74 @@ object RoundTrip {
     (dir.getAbsolutePath, schema)
   }
 
+  /** Lineitem re-typed the way a warehouse actually stores it — DATE
+    * shipdate, DECIMAL(12,2) money — round-tripped through the container
+    * (round 13: native DATE/DECIMAL payload columns, not the timestamp /
+    * double adaptations). Cached like every round-trip fixture.
+    */
+  def typedLineitem(spark: SparkSession, sfDir: String, codec: String = "lz4-fast"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = rtDir(sfDir, "lineitem-typed", codec, tsFmt)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_quantity", DecimalType(12, 2)),
+      StructField("l_extendedprice", DecimalType(12, 2)),
+      StructField("l_discount", DecimalType(12, 2)),
+      StructField("l_tax", DecimalType(12, 2)),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", DateType)
+    ))
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val li = Queries.table(spark, sfDir, "lineitem")
+      li.select(
+          col("l_orderkey"),
+          col("l_quantity").cast(DecimalType(12, 2)).as("l_quantity"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("l_extendedprice"),
+          col("l_discount").cast(DecimalType(12, 2)).as("l_discount"),
+          col("l_tax").cast(DecimalType(12, 2)).as("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast(DateType).as("l_shipdate"))
+        .repartition(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv").option("codec", codec)
+        .save(dir.getAbsolutePath)
+    }
+    spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir.getAbsolutePath)
+  }
+
+  /** Q1-shaped pricing summary over the DATE/DECIMAL-typed container: the
+    * date filter prunes by zone map, the decimal sums aggregate exact
+    * unscaled longs (oracle: DuckDB computes the same casts from parquet).
+    */
+  def datePricingOverFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    typedLineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit(java.sql.Date.valueOf("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice")).cast(DoubleType).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Footer-stats MIN/MAX over the typed container's date and decimal
+    * columns — the metadata-only aggregate shape, no block decompression.
+    */
+  def dateMinMaxMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    typedLineitem(spark, sfDir)
+      .agg(
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(col("l_shipdate")).as("n_ship"))
+  }
+
   /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */
   def q1OverFourMc(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "lz4-fast"))

@@ -72,11 +72,14 @@ object BlockStats {
   private[format] final val FlagMaxExact = 4
   private[format] final val FlagHasSum = 8 // v2: 8-byte sum follows bounds
 
-  /** Sum domain per parse tag: 0 = none, 1 = wrapping long, 2 = double. */
+  /** Sum domain per parse tag: 0 = none, 1 = wrapping long, 2 = double.
+    * Decimals sum their UNSCALED values in the long domain (the consumer
+    * re-applies the column scale); dates have no meaningful sum.
+    */
   def sumKindOf(tag: Int): Int = tag match {
-    case CsvPayload.TagLong | CsvPayload.TagInt    => 1
-    case CsvPayload.TagDouble | CsvPayload.TagFloat => 2
-    case _                                          => 0
+    case CsvPayload.TagLong | CsvPayload.TagInt | CsvPayload.TagDecimal => 1
+    case CsvPayload.TagDouble | CsvPayload.TagFloat                     => 2
+    case _                                                              => 0
   }
 }
 
@@ -374,7 +377,7 @@ object McStatsPruning {
     0
   }
 
-  private def toLongLit(tag: Int, v: Any): Option[Long] = {
+  private def toLongLit(tag: Int, scale: Int, v: Any): Option[Long] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     if (v == null) return None
     tag match {
@@ -388,6 +391,21 @@ object McStatsPruning {
           case i: java.time.Instant       => Some(DateTimeUtils.instantToMicros(i))
           case l: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(l))
           case _                          => None
+        }
+      case CsvPayload.TagDate =>
+        v match {
+          case d: java.sql.Date       => Some(DateTimeUtils.fromJavaDate(d).toLong)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case _                      => None
+        }
+      case CsvPayload.TagDecimal =>
+        // zone maps hold UNSCALED values; a literal that doesn't fit the
+        // column scale exactly converts to no-prune rather than mis-prune
+        v match {
+          case d: java.math.BigDecimal =>
+            try Some(d.setScale(scale).unscaledValue.longValueExact)
+            catch { case _: ArithmeticException => None }
+          case _ => None
         }
       case _ => None
     }
@@ -535,7 +553,7 @@ object McStatsPruning {
             }
           }
         case _ =>
-          val vl = toLongLit(tag, v)
+          val vl = toLongLit(tag, CsvPayload.scaleOf(dataSchema.fields(c).dataType), v)
           if (vl.isEmpty) return _ => true
           val lit = vl.get
           // equality on an integer column with a bloom: zone range AND a

@@ -26,6 +26,10 @@ object FourMc {
   val McMagic: Int = 0x344d4300 // "4MC\0"
   val MzMagic: Int = 0x344d5a00 // "4MZ\0"
   val Version: Int = 1
+  // Revision of the csv PAYLOAD encoding (not the container): keys cached
+  // bench/test fixtures so data from an older encoder is never reused
+  // after an encoding change. r13 = arrays r12 + DATE/DECIMAL columns.
+  val PayloadRevision: Int = 13
   val MaxBlockSize: Int = 4 * 1024 * 1024
   val HeaderLen: Int = 12
   val EosLen: Int = 12

@@ -101,19 +101,43 @@ object Incremental {
     * parquet round-trip is the point: the steady-state path must work from
     * the STORED index, not a lineage cache.
     */
+  /** Freshness probe + fingerprint IO through the Hadoop FileSystem API, so
+    * hdfs:// / s3a:// index paths probe correctly (a java.io.File probe saw
+    * any non-local path as never-fresh, rewrote the table on every call,
+    * and dropped the fingerprint at a local relative path — r12 advice).
+    * The fingerprint write happens AFTER the table write: overwrite mode
+    * clears the directory first, so a crash between the two leaves a
+    * stale-free "not fresh" state, never a wrong "fresh" one.
+    */
+  private def ensureFresh(spark: org.apache.spark.sql.SparkSession, path: String, fp: String)(
+      write: => Unit): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")
+    val fpPath = new org.apache.hadoop.fs.Path(hPath, "_GRAFT_CORPUS_FP")
+    val fresh = fs.exists(success) && fs.exists(fpPath) && {
+      val len = fs.getFileStatus(fpPath).getLen.toInt
+      val in = fs.open(fpPath)
+      try {
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        new String(b, "UTF-8") == fp
+      } finally in.close()
+    }
+    if (!fresh) {
+      write
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   def ensureSignatureTable(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                            idCol: String, textCol: String, path: String,
                            numHashes: Int = 64): DataFrame = {
-    val success = new java.io.File(path, "_SUCCESS")
-    val fpFile = new java.io.File(path, "_GRAFT_CORPUS_FP")
     val fp = corpusFingerprint(spark, corpus)
-    val fresh = success.exists() && fpFile.exists() &&
-      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
-    if (!fresh) {
+    ensureFresh(spark, path, fp) {
       signatureTable(corpus, idCol, textCol, numHashes)
         .write.mode("overwrite").parquet(path)
-      // after the table write: overwrite mode clears the directory first
-      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
     }
     spark.read.parquet(path)
   }
@@ -131,17 +155,12 @@ object Incremental {
                               idCol: String, textCol: String, path: String,
                               numHashes: Int = 64): DataFrame = {
     import org.apache.spark.sql.types._
-    val success = new java.io.File(path, "_SUCCESS")
-    val fpFile = new java.io.File(path, "_GRAFT_CORPUS_FP")
     val fp = corpusFingerprint(spark, corpus)
-    val fresh = success.exists() && fpFile.exists() &&
-      new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8") == fp
-    if (!fresh) {
+    ensureFresh(spark, path, fp) {
       signatureTable(corpus, idCol, textCol, numHashes)
         .write.mode("overwrite").format("4mc").option("payload", "csv")
         .option("bloomColumns", "digest")
         .save(path)
-      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
     }
     val schema = StructType(Seq(
       StructField("doc", LongType, nullable = false),

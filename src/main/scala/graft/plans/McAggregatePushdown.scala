@@ -185,8 +185,11 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
           case s: Sum if s.evalContext.evalMode !=
               org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
             colOf(s.child).filter { i =>
-              graft.format.BlockStats.sumKindOf(
-                graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType)) != 0
+              val t = graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType)
+              // decimal blocks DO store unscaled long sums, but Sum's result
+              // domain for a decimal child is DecimalType(p+10, s) with its
+              // own overflow semantics — refuse rather than re-type
+              graft.format.BlockStats.sumKindOf(t) != 0 && t != graft.sources.CsvPayload.TagDecimal
             }.map(i => Agg(al, ReqSum(i, s.evalContext))).getOrElse(return None)
           // AVG over a double/float column decomposes into Sum(_sum)/Sum(_nn)
           // — the SAME Divide-of-double-sum-by-count Average's own
@@ -320,6 +323,13 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
             Some(StatsPred(i, op, isDouble = true, 0L, d))
           case (CsvPayload.TagFloat, f: Float) if op != OpEq =>
             Some(StatsPred(i, op, isDouble = true, 0L, f.toDouble))
+          case (CsvPayload.TagDate, n: Int) => Some(StatsPred(i, op, isDouble = false, n.toLong, 0d))
+          // decimal literal must sit on the column's own scale for the
+          // unscaled-long comparison to be exact; Catalyst usually arranges
+          // exactly that for same-type comparisons, anything else refuses
+          case (CsvPayload.TagDecimal, d: org.apache.spark.sql.types.Decimal)
+              if d.scale == CsvPayload.scaleOf(dataSchema.fields(i).dataType) =>
+            Some(StatsPred(i, op, isDouble = false, d.toUnscaledLong, 0d))
           case _ => None
         }
       }

@@ -101,7 +101,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // typed delimited parse INSIDE the reader: only the required columns
       // are converted (projection pushdown into the parse), the rest of each
       // line is skipped byte-wise — the roundtrip fast path
-      val delim = options.getOrElse("delimiter", "|").charAt(0).toByte
+      val delim = CsvPayload.delimiterOf(options.getOrElse("delimiter", "|"))
       val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
       val fieldIdx = requiredSchema.fields.map(f => dataSchema.fieldIndex(f.name))
       val fieldTypes = requiredSchema.fields.map(_.dataType)
@@ -110,12 +110,16 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       // Precompiled parse tags: the hot loop dispatches on an Int jump table
       // instead of re-matching DataType case objects per value.
       val fieldTags: Array[Int] = fieldTypes.map(CsvPayload.tagOf)
+      require(!fieldTags.contains(CsvPayload.TagArrInt),
+        "csv payload stores array<int> widened to array<long>; declare array<long> in the read schema")
       // Boundary scan can stop after the last REQUIRED field: a projection of
       // the first k columns never walks the tail of the line.
       val neededFields = if (fieldIdx.isEmpty) 0 else fieldIdx.max + 1
       // ... and popcount-skip the delimiters BELOW the first required field
       // (see the sparse scanBoundaries form)
       val firstField = if (fieldIdx.isEmpty) 1 else math.max(1, fieldIdx.min)
+      val fieldScale: Array[Int] = requiredSchema.fields.map(f => CsvPayload.scaleOf(f.dataType))
+      val fieldPrec: Array[Int] = requiredSchema.fields.map(f => CsvPayload.precisionOf(f.dataType))
       val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
       // Pushed-filter evaluation INSIDE the parse: filter-bound fields parse
       // first and each predicate runs as soon as its value exists, so a row
@@ -228,6 +232,18 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                   val x = bytes(s) == 't' || bytes(s) == 'T'
                   keep = ps.length == 0 || pass(ps, x)
                   if (keep) writer.write(k, x)
+                case CsvPayload.TagDate =>
+                  val x = CsvPayload.parseDateDays(bytes, s, e)
+                  keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                  if (keep) writer.write(k, x)
+                case CsvPayload.TagDecimal =>
+                  val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
+                  keep = fp.rangeOk(un) && (ps.length == 0 ||
+                    pass(ps, org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k))))
+                  if (keep)
+                    writer.write(k,
+                      org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k)),
+                      fieldPrec(k), fieldScale(k))
                 // arrays: elements parse in place, ';'-split, straight into
                 // the row buffer's array region. No predicates ever compile
                 // for array fields (compileFilters refuses them), so `keep`
@@ -461,7 +477,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           .map(FourMcFileFormat.rkfBroadcast(sparkSession, _))
         FourMcVectorizedReader.csvReader(
           requiredSchema, partitionSchema, dataSchema, filters,
-          delim = options.getOrElse("delimiter", "|").charAt(0).toByte,
+          delim = CsvPayload.delimiterOf(options.getOrElse("delimiter", "|")),
           tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS"),
           statsEnabled = options.getOrElse("blockStats", "true").toBoolean,
           permissive = permissive,
@@ -481,13 +497,19 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
 
   override def supportDataType(dataType: DataType): Boolean = dataType match {
     case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
-        BooleanType | TimestampType | TimestampNTZType =>
+        BooleanType | TimestampType | TimestampNTZType | DateType =>
       true
+    // DecimalType up to the compact-long domain: the unscaled value rides
+    // the same scaled-long parse/stats/pushdown machinery as longs. Wider
+    // precisions would need a two-longs or bytes encoding — refused.
+    case d: DecimalType => d.precision <= 18
     // numeric arrays in the csv payload (';'-joined elements, element nulls
-    // as `\N`): the signature-table / embedding shapes. array<int> and
-    // array<string> are deliberately out (cast ints to long; strings would
-    // reopen the escaping interplay the numeric grammar avoids).
+    // as `\N`): the signature-table / embedding shapes. array<string> is
+    // deliberately out (it would reopen the escaping interplay the numeric
+    // grammar avoids); array<int> is accepted WRITE-side and widened to
+    // long tokens — declare array<long> on read.
     case ArrayType(LongType | FloatType | DoubleType, _) => true
+    case ArrayType(IntegerType, _) => true
     case _ => false
   }
 }
@@ -789,13 +811,15 @@ final class FourMcCsvOutputWriter(
     val fs = fsPath.getFileSystem(context.getConfiguration)
     new FourMcWriter(new java.io.BufferedOutputStream(fs.create(fsPath, false), 1 << 16), codec, blockBytes)
   }
-  private val delimByte = delim.charAt(0).toByte
+  private val delimByte = CsvPayload.delimiterOf(delim)
   private val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
   private lazy val fmt = java.time.format.DateTimeFormatter
     .ofPattern(tsFmt)
     .withZone(java.time.ZoneOffset.UTC)
   private val enc = new CsvPayload.LineEncoder(256)
   private val tags: Array[Int] = schema.fields.map(f => CsvPayload.tagOf(f.dataType))
+  private val decScale: Array[Int] = schema.fields.map(f => CsvPayload.scaleOf(f.dataType))
+  private val decPrec: Array[Int] = schema.fields.map(f => CsvPayload.precisionOf(f.dataType))
 
   // Per-block column stats ([[BlockStats]]): observed values are exactly what
   // the reader will parse back — timestamps are floor-truncated to the
@@ -843,11 +867,15 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDouble  => statsBuilder.observeDouble(i, row.getDouble(i))
         case CsvPayload.TagFloat   => statsBuilder.observeDouble(i, row.getFloat(i).toDouble)
         case CsvPayload.TagBoolean => statsBuilder.observeLong(i, if (row.getBoolean(i)) 1L else 0L)
+        case CsvPayload.TagDate    => statsBuilder.observeLong(i, row.getInt(i).toLong)
+        case CsvPayload.TagDecimal =>
+          statsBuilder.observeLong(i, row.getDecimal(i, decPrec(i), decScale(i)).toUnscaledLong)
         // arrays have no bounds and no sums — only the null count (tracked
         // by the isNullAt branch above) is meaningful; the block-col entry
         // serializes as hasBounds=false, which every stats consumer already
         // treats as "cannot prune / cannot answer"
-        case CsvPayload.TagArrLong | CsvPayload.TagArrFloat | CsvPayload.TagArrDouble => ()
+        case CsvPayload.TagArrLong | CsvPayload.TagArrFloat | CsvPayload.TagArrDouble |
+            CsvPayload.TagArrInt => ()
         case _ =>
           val micros = row.getLong(i)
           if (tsUnit > 0) statsBuilder.observeLong(i, Math.floorDiv(micros, tsUnit) * tsUnit)
@@ -872,6 +900,18 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDouble  => enc.string(java.lang.Double.toString(row.getDouble(i)))
         case CsvPayload.TagFloat   => enc.string(java.lang.Float.toString(row.getFloat(i)))
         case CsvPayload.TagBoolean => enc.string(if (row.getBoolean(i)) "true" else "false")
+        case CsvPayload.TagDate    => enc.date(row.getInt(i))
+        case CsvPayload.TagDecimal =>
+          enc.decimal(row.getDecimal(i, decPrec(i), decScale(i)).toUnscaledLong, decScale(i))
+        case CsvPayload.TagArrInt => // widened: long tokens, read as array<long>
+          val a = row.getArray(i)
+          val n = a.numElements()
+          var j = 0
+          while (j < n) {
+            if (j > 0) enc.raw(CsvPayload.ElemSep)
+            if (a.isNullAt(j)) enc.raw('N'.toByte) else enc.long(a.getInt(j).toLong)
+            j += 1
+          }
         case CsvPayload.TagArrLong =>
           val a = row.getArray(i)
           val n = a.numElements()
@@ -922,6 +962,29 @@ final class FourMcCsvOutputWriter(
   */
 object CsvPayload {
   val Esc: Byte = '\\'.toByte
+
+  /** Validate and decode the 'delimiter' option. Raw value tokens
+    * (numbers, booleans, timestamps, dates, decimals, array elements) are
+    * written WITHOUT escaping, so a delimiter drawn from their alphabet
+    * corrupts fields silently on write and mis-splits them on read — fail
+    * fast at setup instead. Rejected: ASCII letters and digits, '+', '-',
+    * '.', ';' (array element separator), ':' and ' ' (timestamp layout),
+    * the escape '\', and line breaks. '|' (default), ',', tab, '#', '~'
+    * and the other punctuation bytes remain valid (string fields escape
+    * the delimiter, so any surviving choice is lossless).
+    */
+  def delimiterOf(opt: String): Byte = {
+    require(opt.length == 1 && opt.charAt(0) < 0x80,
+      s"4mc csv delimiter must be a single ASCII byte, got '$opt'")
+    val c = opt.charAt(0)
+    val reserved = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+      (c >= 'a' && c <= 'z') || "+-.;: \\\n\r".indexOf(c.toInt) >= 0
+    require(!reserved,
+      s"4mc csv delimiter '$opt' collides with the unescaped value alphabet " +
+        "(digits, letters, '+', '-', '.', ';', ':', ' ', '\\', line breaks); " +
+        "pick a punctuation byte like '|' or ','")
+    c.toByte
+  }
 
   /** One-pass field-boundary scan of one line, stopping after the last
     * REQUIRED field: writes the start offset of field f (0-based) to
@@ -979,9 +1042,8 @@ object CsvPayload {
     // CAPPED scan with trailing unscanned fields: slot `neededFields` holds
     // the 0 sentinel ("unknown — next delimiter not located"), telling
     // [[fieldEnd]] to lazy-scan. A SHORT line's slots keep the to+1
-    // convention above (the truth: the field runs to the line end). The
-    // marks fast path (fused block scan) writes the REAL next-delimiter
-    // position here instead, and fieldEnd then never re-touches the bytes.
+    // convention above (the truth: the field runs to the line end), which
+    // fieldEnd now answers from the slot without re-touching the bytes.
     else if (capped && neededFields > 0) starts(base + neededFields) = 0
   }
 
@@ -1001,8 +1063,8 @@ object CsvPayload {
   def fieldEnd(bytes: Array[Byte], delim: Byte, starts: Array[Int], base: Int,
                src: Int, s: Int, neededFields: Int, totalFields: Int, lineEnd: Int): Int =
     if (src + 1 >= neededFields && src + 1 < totalFields) {
-      // slot may carry a REAL next-field start (marks fast path) or the
-      // to+1 short-line truth; 0 = the capped-scan sentinel → lazy scan
+      // slot carries the to+1 short-line truth (answerable directly) or
+      // the capped-scan 0 sentinel → locate the delimiter lazily
       val nx = starts(base + src + 1)
       if (nx > 0) return math.min(nx - 1, lineEnd)
       val dSpread = SwarScan.spread(delim)
@@ -1040,8 +1102,22 @@ object CsvPayload {
   final val TagArrLong = 7
   final val TagArrFloat = 8
   final val TagArrDouble = 9
+  // Round-13 scalar additions APPEND past the array tags: tag values are
+  // PERSISTED one byte per column in the stats segment (BlockStats
+  // serialize/parse), so renumbering would orphan every existing file.
+  // DateType rides int32 epoch days ("yyyy-MM-dd"); DecimalType(p<=18,s)
+  // rides the scaled unscaled-long ("ddd.dd" with exactly s fraction
+  // digits) — both long-domain for ranges, zone maps, blooms-less pruning
+  // and footer MIN/MAX.
+  final val TagDate = 10
+  final val TagDecimal = 11
+  // WRITE-side only: array<int> is accepted and widened to long tokens
+  // (the on-disk form is identical to array<long>); the read schema must
+  // declare array<long> — readers refuse this tag with that instruction.
+  final val TagArrInt = 12
 
-  @inline def isArrayTag(tag: Int): Boolean = tag >= TagArrLong
+  @inline def isArrayTag(tag: Int): Boolean =
+    (tag >= TagArrLong && tag <= TagArrDouble) || tag == TagArrInt
 
   /** Element separator inside array fields. Never escaped: array fields hold
     * only numeric tokens / `N`, and ';' is not special anywhere else.
@@ -1074,10 +1150,25 @@ object CsvPayload {
     case FloatType                        => TagFloat
     case BooleanType                      => TagBoolean
     case TimestampType | TimestampNTZType => TagTimestamp
+    case DateType                         => TagDate
+    case d: DecimalType if d.precision <= 18 => TagDecimal
     case ArrayType(LongType, _)           => TagArrLong
     case ArrayType(FloatType, _)          => TagArrFloat
     case ArrayType(DoubleType, _)         => TagArrDouble
+    case ArrayType(IntegerType, _)        => TagArrInt
     case other => throw new UnsupportedOperationException(s"csv payload type $other")
+  }
+
+  /** Decimal scale for the parse/serialize pair (-1 for non-decimal). */
+  def scaleOf(dt: DataType): Int = dt match {
+    case d: DecimalType => d.scale
+    case _              => -1
+  }
+
+  /** Decimal precision (-1 for non-decimal). */
+  def precisionOf(dt: DataType): Int = dt match {
+    case d: DecimalType => d.precision
+    case _              => -1
   }
 
   /** Compiled pushed predicates for ONE required field. The =/</>/≤/≥
@@ -1129,7 +1220,12 @@ object CsvPayload {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
-    def lit(tag: Int, v: Any): Option[Any] = if (v == null) None else tag match {
+    // decimal literals convert to the COLUMN's unscaled domain; a literal
+    // that doesn't fit the scale exactly is simply not compiled (Spark's
+    // post-scan Filter still applies it)
+    val scales: Array[Int] = schema.fields.map(f => scaleOf(f.dataType))
+
+    def lit(tag: Int, scale: Int, v: Any): Option[Any] = if (v == null) None else tag match {
       case TagString => Some(UTF8String.fromString(v.toString))
       case TagLong | TagInt =>
         v match { case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue)); case _ => None }
@@ -1144,6 +1240,19 @@ object CsvPayload {
           case i: java.time.Instant      => Some(java.lang.Long.valueOf(DateTimeUtils.instantToMicros(i)))
           case l: java.time.LocalDateTime => Some(java.lang.Long.valueOf(DateTimeUtils.localDateTimeToMicros(l)))
           case _                         => None
+        }
+      case TagDate =>
+        v match {
+          case d: java.sql.Date       => Some(java.lang.Long.valueOf(DateTimeUtils.fromJavaDate(d).toLong))
+          case d: java.time.LocalDate => Some(java.lang.Long.valueOf(d.toEpochDay))
+          case _                      => None
+        }
+      case TagDecimal =>
+        v match {
+          case d: java.math.BigDecimal =>
+            try Some(java.lang.Long.valueOf(d.setScale(scale).unscaledValue.longValueExact))
+            catch { case _: ArithmeticException => None } // inexact scale / overflow
+          case _ => None
         }
       case _ => None
     }
@@ -1162,6 +1271,12 @@ object CsvPayload {
         java.lang.Boolean.compare(x.asInstanceOf[java.lang.Boolean].booleanValue, l.asInstanceOf[java.lang.Boolean].booleanValue)
       case TagTimestamp =>
         java.lang.Long.compare(x.asInstanceOf[java.lang.Long].longValue, l.asInstanceOf[java.lang.Long].longValue)
+      case TagDate =>
+        java.lang.Long.compare(x.asInstanceOf[java.lang.Number].longValue, l.asInstanceOf[java.lang.Long].longValue)
+      case TagDecimal =>
+        java.lang.Long.compare(
+          x.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong,
+          l.asInstanceOf[java.lang.Long].longValue)
       case _ => 0
     }
 
@@ -1173,7 +1288,8 @@ object CsvPayload {
     def fieldOf(attr: String): Int =
       schema.fields.indexWhere(_.name == attr) // -1 when the column isn't required here
     def longDomain(tag: Int): Boolean =
-      tag == TagLong || tag == TagInt || tag == TagTimestamp
+      tag == TagLong || tag == TagInt || tag == TagTimestamp || tag == TagDate ||
+        tag == TagDecimal
 
     def add(attr: String, p: Int => Option[Any => Boolean]): Unit = {
       val k = fieldOf(attr)
@@ -1191,7 +1307,7 @@ object CsvPayload {
       val k = fieldOf(attr)
       if (k < 0) return true // column not required here: nothing to compile
       if (!longDomain(tags(k))) return false
-      lit(tags(k), v) match {
+      lit(tags(k), scales(k), v) match {
         case Some(l: java.lang.Long) =>
           val c = l.longValue
           rangeSet(k) = true
@@ -1220,22 +1336,22 @@ object CsvPayload {
       case IsNull(a)    => add(a, _ => Some(v => v == null))
       case EqualTo(a, v) =>
         if (!tighten(a, v, 0))
-          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) == 0))
+          add(a, k => lit(tags(k), scales(k), v).map(l => x => x != null && cmp(tags(k), x, l) == 0))
       case GreaterThan(a, v) =>
         if (!tighten(a, v, 1))
-          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) > 0))
+          add(a, k => lit(tags(k), scales(k), v).map(l => x => x != null && cmp(tags(k), x, l) > 0))
       case GreaterThanOrEqual(a, v) =>
         if (!tighten(a, v, 2))
-          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) >= 0))
+          add(a, k => lit(tags(k), scales(k), v).map(l => x => x != null && cmp(tags(k), x, l) >= 0))
       case LessThan(a, v) =>
         if (!tighten(a, v, 3))
-          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) < 0))
+          add(a, k => lit(tags(k), scales(k), v).map(l => x => x != null && cmp(tags(k), x, l) < 0))
       case LessThanOrEqual(a, v) =>
         if (!tighten(a, v, 4))
-          add(a, k => lit(tags(k), v).map(l => x => x != null && cmp(tags(k), x, l) <= 0))
+          add(a, k => lit(tags(k), scales(k), v).map(l => x => x != null && cmp(tags(k), x, l) <= 0))
       case In(a, vs) =>
         add(a, k => {
-          val ls = vs.toSeq.map(v => lit(tags(k), v))
+          val ls = vs.toSeq.map(v => lit(tags(k), scales(k), v))
           if (ls.exists(_.isEmpty)) None
           else { val arr = ls.flatten; Some(x => x != null && arr.exists(l => cmp(tags(k), x, l) == 0)) }
         })
@@ -1373,6 +1489,42 @@ object CsvPayload {
       }
 
     def pad2(v: Int): Unit = raw2(('0' + v / 10).toByte, ('0' + v % 10).toByte)
+
+    /** DateType: `yyyy-MM-dd` for years 1..9999 (what [[parseDateDays]]'s
+      * fixed path reads back); out-of-range years via LocalDate's ISO form.
+      */
+    def date(days: Int): Unit = {
+      val (y, m, d) = CsvPayload.civilFromDays(days.toLong)
+      if (y >= 1 && y <= 9999) {
+        pad2(y / 100); pad2(y % 100); raw('-'); pad2(m); raw('-'); pad2(d)
+      } else string(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+    }
+
+    /** DecimalType(p<=18, s): unscaled long with the point re-inserted at
+      * `scale` — exactly `scale` fraction digits, so the parse is exact.
+      */
+    def decimal(unscaled: Long, scale: Int): Unit =
+      if (scale == 0) long(unscaled)
+      else if (unscaled == Long.MinValue) {
+        // abs() would overflow; p<=18 unscaled values never reach here, but
+        // stay total: go through BigDecimal once
+        string(java.math.BigDecimal.valueOf(unscaled, scale).toPlainString)
+      } else {
+        ensure(22)
+        var x = unscaled
+        if (x < 0) { buf(len) = '-'; len += 1; x = -x }
+        // digits right-to-left, zero-padded to scale+1 digits minimum so
+        // the integer part keeps at least one digit ("0.05", not ".05")
+        var p = len + 21
+        var emitted = 0
+        do {
+          if (emitted == scale && scale > 0) { p -= 1; buf(p) = '.' }
+          p -= 1; buf(p) = ('0' + (x % 10).toInt).toByte; x /= 10; emitted += 1
+        } while (x != 0 || emitted <= scale)
+        val d = len + 21 - p
+        System.arraycopy(buf, p, buf, len, d)
+        len += d
+      }
 
     /** `yyyy-MM-dd HH:mm:ss[.f*]`; false when the year needs the formatter. */
     def timestampMicros(micros: Long, fracDigits: Int): Boolean = {
@@ -1580,6 +1732,51 @@ object CsvPayload {
     val d = doy - (153 * mp + 2) / 5 + 1
     val m = if (mp < 10) mp + 3 else mp - 9
     ((yy + (if (m <= 2) 1 else 0)).toInt, m.toInt, d.toInt)
+  }
+
+  /** Parse a DateType field (`yyyy-MM-dd`) to epoch days. Fixed 10-byte
+    * fast path (what the writer emits for years 1..9999); anything else —
+    * negative or 5-digit years — through LocalDate's ISO parser.
+    */
+  def parseDateDays(b: Array[Byte], s: Int, e: Int): Int =
+    if (e - s == 10 && b(s + 4) == '-' && b(s + 7) == '-') {
+      val y = digits2(b, s) * 100 + digits2(b, s + 2)
+      daysFromCivil(y, digits2(b, s + 5), digits2(b, s + 8)).toInt
+    } else java.time.LocalDate.parse(ascii(b, s, e)).toEpochDay.toInt
+
+  /** Parse a DecimalType(p<=18, s) field to its unscaled long: plain
+    * decimal notation only (sign, digits, optional '.'), at most `scale`
+    * fraction digits (the writer emits exactly `scale`), shorter fractions
+    * zero-padded. Overflow past Long range fails like any malformed token.
+    */
+  def parseDecimalUnscaled(b: Array[Byte], s0: Int, e: Int, scale: Int): Long = {
+    var i = s0
+    var neg = false
+    if (i < e && (b(i) == '-' || b(i) == '+')) { neg = b(i) == '-'; i += 1 }
+    if (i >= e) throw new NumberFormatException(ascii(b, s0, e))
+    var m = 0L
+    var frac = -1
+    while (i < e) {
+      val c = b(i)
+      if (c == '.') {
+        if (frac >= 0) throw new NumberFormatException(ascii(b, s0, e))
+        frac = 0
+      } else {
+        val d = c - '0'
+        if (d < 0 || d > 9) throw new NumberFormatException(ascii(b, s0, e))
+        if (frac >= 0) frac += 1
+        if (m > (Long.MaxValue - d) / 10) throw new NumberFormatException(ascii(b, s0, e))
+        m = m * 10 + d
+      }
+      i += 1
+    }
+    if (frac > scale) throw new NumberFormatException(ascii(b, s0, e))
+    var pad = scale - math.max(frac, 0)
+    while (pad > 0) {
+      if (m > Long.MaxValue / 10) throw new NumberFormatException(ascii(b, s0, e))
+      m *= 10; pad -= 1
+    }
+    if (neg) -m else m
   }
 
   /** Does the field slice look like the fixed `yyyy-MM-dd HH:mm:ss` layout?

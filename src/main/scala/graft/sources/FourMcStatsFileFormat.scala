@@ -83,11 +83,13 @@ class FourMcStatsFileFormat(
   ): PartitionedFile => Iterator[InternalRow] = {
     val broadcastConf =
       sparkSession.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    val delim = options.getOrElse("delimiter", "|").charAt(0).toByte
+    val delim = CsvPayload.delimiterOf(options.getOrElse("delimiter", "|"))
     val tsFmt = options.getOrElse("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSS")
     val acceptAny = options.get("acceptAnyExtension").exists(_.toBoolean)
     val totalFields = origSchema.length
     val origTags: Array[Int] = origSchema.fields.map(f => CsvPayload.tagOf(f.dataType))
+    val origScale: Array[Int] = origSchema.fields.map(f => CsvPayload.scaleOf(f.dataType))
+    val origPrec: Array[Int] = origSchema.fields.map(f => CsvPayload.precisionOf(f.dataType))
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
 
     // decode the synthetic field names: _min_<i>/_max_<i>/_nn_<i>/_sum_<i>/_cnt
@@ -178,6 +180,11 @@ class FourMcStatsFileFormat(
               java.lang.Double.longBitsToDouble(if (isMax) st.maxLong(k) else st.minLong(k)).toFloat
             case CsvPayload.TagBoolean =>
               (if (isMax) st.maxLong(k) else st.minLong(k)) != 0L
+            case CsvPayload.TagDate =>
+              (if (isMax) st.maxLong(k) else st.minLong(k)).toInt
+            case CsvPayload.TagDecimal =>
+              org.apache.spark.sql.types.Decimal(
+                if (isMax) st.maxLong(k) else st.minLong(k), origPrec(c), origScale(c))
           }
         }
 
@@ -230,6 +237,7 @@ class FourMcStatsFileFormat(
               case l: java.lang.Long    => l.longValue()
               case i: java.lang.Integer => i.longValue()
               case b: java.lang.Boolean => if (b) 1L else 0L
+              case d: org.apache.spark.sql.types.Decimal => d.toUnscaledLong
             }
             java.lang.Long.compare(l, p.litL)
           }
@@ -288,6 +296,11 @@ class FourMcStatsFileFormat(
                 case CsvPayload.TagDouble  => CsvPayload.parseDouble(bytes, s, e)
                 case CsvPayload.TagFloat   => CsvPayload.parseFloat(bytes, s, e)
                 case CsvPayload.TagBoolean => bytes(s) == 't' || bytes(s) == 'T'
+                case CsvPayload.TagDate    => CsvPayload.parseDateDays(bytes, s, e)
+                case CsvPayload.TagDecimal =>
+                  org.apache.spark.sql.types.Decimal(
+                    CsvPayload.parseDecimalUnscaled(bytes, s, e, origScale(c)),
+                    origPrec(c), origScale(c))
                 case _ =>
                   if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
                     CsvPayload.parseTimestampMicros(bytes, s, e)

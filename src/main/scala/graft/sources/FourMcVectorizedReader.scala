@@ -48,6 +48,7 @@ object FourMcVectorizedReader {
     schema.forall(f => f.dataType match {
       case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
           BooleanType | TimestampType | TimestampNTZType | DateType => true
+      case d: DecimalType => d.precision <= 18 // compact lane (int/long)
       case ArrayType(LongType | FloatType | DoubleType, _) => true
       case _ => false
     })
@@ -90,6 +91,14 @@ object FourMcVectorizedReader {
     // lowest field any consumer reads (starts(src) / starts(src+1)): the
     // boundary scan popcount-skips delimiters of fields below this
     val firstField = if (fieldIdx.isEmpty) 1 else math.max(1, fieldIdx.min)
+    val fieldScale: Array[Int] = requiredSchema.fields.map(f => CsvPayload.scaleOf(f.dataType))
+    // decimal precision <= 9 stores its unscaled value in the vector's INT
+    // lane (Spark's compact-decimal vector layout); <= 18 in the long lane
+    val intDecimal: Array[Boolean] =
+      requiredSchema.fields.map(f => CsvPayload.precisionOf(f.dataType) match {
+        case p if p < 0 => false
+        case p          => p <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS
+      })
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
     val fieldPreds = CsvPayload.compileFilters(filters, requiredSchema, fieldTags)
     // filter-bound fields, evaluated at buffer time in pushdown order
@@ -210,6 +219,15 @@ object FourMcVectorizedReader {
               case CsvPayload.TagBoolean =>
                 val x = bytes(s) == 't' || bytes(s) == 'T'
                 keep = pass(ps, x); predLongs(slot) = if (x) 1L else 0L
+              case CsvPayload.TagDate =>
+                val x = CsvPayload.parseDateDays(bytes, s, e)
+                keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                predLongs(slot) = x.toLong
+              case CsvPayload.TagDecimal =>
+                val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
+                keep = fp.rangeOk(un) && (ps.length == 0 ||
+                  pass(ps, org.apache.spark.sql.types.Decimal(un, 18, fieldScale(k))))
+                predLongs(slot) = un
               case _ =>
                 val x =
                   if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
@@ -313,6 +331,10 @@ object FourMcVectorizedReader {
                 case CsvPayload.TagFloat     =>
                   vec.putFloat(r, java.lang.Float.intBitsToFloat(predLongs(slot).toInt))
                 case CsvPayload.TagBoolean   => vec.putBoolean(r, predLongs(slot) == 1L)
+                case CsvPayload.TagDate      => vec.putInt(r, predLongs(slot).toInt)
+                case CsvPayload.TagDecimal   =>
+                  if (intDecimal(k)) vec.putInt(r, predLongs(slot).toInt)
+                  else vec.putLong(r, predLongs(slot))
                 case _                       => vec.putLong(r, predLongs(slot))
               }
               r += 1
@@ -325,8 +347,10 @@ object FourMcVectorizedReader {
             val base = r * stride
             val s = starts(base + src)
             val e = fieldEnd(bytes, base, src, s, rowEnds(r))
+            // (no array-tag clause: array columns are captured by the
+            // dedicated branch above and never reach this scalar loop)
             if (CsvPayload.isNullMarker(bytes, s, e) ||
-                (s >= e && tag != CsvPayload.TagString && !CsvPayload.isArrayTag(tag)))
+                (s >= e && tag != CsvPayload.TagString))
               vec.putNull(r)
             else (tag: @scala.annotation.switch) match {
               case CsvPayload.TagString =>
@@ -347,6 +371,13 @@ object FourMcVectorizedReader {
               case CsvPayload.TagDouble  => vec.putDouble(r, CsvPayload.parseDouble(bytes, s, e))
               case CsvPayload.TagFloat   => vec.putFloat(r, CsvPayload.parseFloat(bytes, s, e))
               case CsvPayload.TagBoolean => vec.putBoolean(r, bytes(s) == 't' || bytes(s) == 'T')
+              case CsvPayload.TagDate    => vec.putInt(r, CsvPayload.parseDateDays(bytes, s, e))
+              case CsvPayload.TagDecimal =>
+                // compact decimals store the unscaled value in the vector's
+                // int/long lanes (the same layout Spark's parquet reader
+                // fills); precision picks the lane
+                val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
+                if (intDecimal(k)) vec.putInt(r, un.toInt) else vec.putLong(r, un)
               case _ =>
                 val x =
                   if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))

@@ -3,7 +3,7 @@ package graft.tools
 import graft.ops.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Scale-stress harness for the LLM-pipeline operators: replicates the sf
   * documents/embeddings tables by a large factor with DETERMINISTIC
@@ -32,8 +32,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   */
 object StressPipeline {
 
+  /** `tasks` = first-attempt task completions, `attempts` = ALL task-end
+    * events (retries + speculation + stage re-attempts included), and
+    * `firstAttemptShuffleMb` sums shuffle writes over first attempts only —
+    * so a pressured run that re-ran work is SELF-IDENTIFYING
+    * (attempts > tasks, all-attempts sum > first-attempt sum) instead of
+    * needing a diff against the deterministic plan volume (r12 verdict #3:
+    * the driver's loaded-box ngram row read 18,588 MB vs the 16,111 MB
+    * plan volume purely from retry double-counting).
+    */
   final case class OpResult(name: String, secs: Double, rows: Long, shuffleWriteMb: Double,
-                            canaryMs: Double = -1.0)
+                            canaryMs: Double = -1.0, tasks: Long = -1L, attempts: Long = -1L,
+                            firstAttemptShuffleMb: Double = -1.0)
 
   /** 5e7-round spin (~80 ms unloaded): the per-op load calibration. Same
     * ALU-only mix as [[graft.Bench.spinCanaryMs]] at a quarter of the work,
@@ -169,10 +179,22 @@ object StressPipeline {
     */
   private def timed(spark: SparkSession, name: String)(action: => Long): OpResult = {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val firstShuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val attempts = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      // task-level accounting so retried/speculative attempts are COUNTED
+      // but separable: `attempts` > `tasks` flags a pressured run, and the
+      // first-attempt shuffle sum is the deterministic plan volume
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        attempts.incrementAndGet()
+        val first = te.stageAttemptId == 0 && te.taskInfo != null && te.taskInfo.attemptNumber == 0
+        if (first) tasks.incrementAndGet()
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (first) firstShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -186,13 +208,15 @@ object StressPipeline {
       val rows = action
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
-      OpResult(name, secs, rows, shuffleBytes.get() / 1e6, can)
+      OpResult(name, secs, rows, shuffleBytes.get() / 1e6, can,
+        tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6)
     } catch {
       // a failed op must be VISIBLE in the report (secs = -1), not abort the
       // remaining ops or silently vanish from the JSON
       case e: Throwable =>
         System.err.println(s"[stress] $name failed: ${e.getMessage}")
-        OpResult(name, -1.0, -1L, shuffleBytes.get() / 1e6)
+        OpResult(name, -1.0, -1L, shuffleBytes.get() / 1e6, -1.0,
+          tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       // each op checkpoints multi-GB intermediates (postings, signatures, CC
@@ -493,7 +517,7 @@ object StressPipeline {
 
   def toJson(r: StressReport): String = {
     val ops = r.ops.map(o =>
-      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f}""")
+      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f}""")
       .mkString("{", ",", "}")
     val conf = r.conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"budget_secs":${r.budgetSecs},"conf":$conf,"ops":$ops}"""

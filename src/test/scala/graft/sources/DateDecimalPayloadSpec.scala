@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** DATE and DECIMAL(p<=18) columns in the typed csv payload (round 13):
+  * dates ride `yyyy-MM-dd` (int32 epoch days), decimals the plain decimal
+  * form with exactly `scale` fraction digits (compact unscaled long) —
+  * both long-domain for filter pushdown, zone maps and footer MIN/MAX.
+  * Also pins the write-side `array<int>` → long-token widening and the
+  * delimiter/value-alphabet collision validation.
+  */
+class DateDecimalPayloadSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("date-decimal-payload")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("fourmc-dd").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("d", DateType, nullable = true),
+    StructField("m", DecimalType(12, 2), nullable = true),
+    StructField("m0", DecimalType(7, 0), nullable = true),   // int-lane decimal, scale 0
+    StructField("m18", DecimalType(18, 6), nullable = true), // widest compact decimal
+    StructField("tag", StringType, nullable = true)
+  ))
+
+  /** Edge-heavy fixture: epoch/extreme dates, negative / zero / max-digit
+    * decimals, nulls, and strings alongside (escaping interplay).
+    */
+  private def fixtureRows(n: Int): Seq[Row] = (0 until n).map { i =>
+    val d: java.sql.Date =
+      if (i % 11 == 1) null
+      else java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i match {
+        case 2 => 0L          // 1970-01-01
+        case 3 => -719162L    // 0001-01-01
+        case 4 => 2932896L    // 9999-12-31
+        case 5 => -1L         // 1969-12-31
+        case _ => (i.toLong * 9973L) % 200000L - 100000L
+      }))
+    val m: java.math.BigDecimal =
+      if (i % 13 == 2) null
+      else java.math.BigDecimal.valueOf(i match {
+        case 6 => -9999999999L // -99999999.99 at scale 2
+        case 7 => 5L           // 0.05
+        case 8 => 0L
+        case _ => i.toLong * 104729L - 5000000L
+      }, 2)
+    val m0: java.math.BigDecimal =
+      if (i % 17 == 3) null else java.math.BigDecimal.valueOf(i.toLong * 31L - 800000L, 0)
+    val m18: java.math.BigDecimal =
+      if (i % 19 == 4) null
+      else java.math.BigDecimal.valueOf(i match {
+        case 9  => 999999999999999999L  // 18 nines
+        case 10 => -999999999999999999L
+        case _  => i.toLong * 2654435761L - 1000000000L
+      }, 6)
+    val tag = if (i % 23 == 5) null else s"t|ag\\${i % 7}"
+    Row(i.toLong, d, m, m0, m18, tag)
+  }
+
+  private def fixtureDf(n: Int) =
+    spark.createDataFrame(spark.sparkContext.parallelize(fixtureRows(n), 3), schema)
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import spark.implicits._
+    df.select(concat_ws("", df.columns.map(c => coalesce(col(c).cast("string"), lit("<null>"))).toIndexedSeq: _*))
+      .as[String].collect().sorted.toSeq
+  }
+
+  test("date + decimal columns round-trip value-exactly (lz4 and zstd)") {
+    val df = fixtureDf(3000)
+    for (codec <- Seq("lz4-fast", "zstd-1")) {
+      val dir = tmpDir()
+      df.write.format("4mc").option("payload", "csv").option("codec", codec).save(dir)
+      val back = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+      assert(back.schema.map(f => (f.name, f.dataType)) == schema.map(f => (f.name, f.dataType)))
+      assert(canon(back) == canon(df), codec)
+    }
+  }
+
+  test("split invariance: tiny blocks + tiny splits, same rows") {
+    val df = fixtureDf(4000)
+    val dir = tmpDir()
+    df.coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (64 * 1024).toString).save(dir)
+    val whole = canon(spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (32 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val split = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+      assert(split.rdd.getNumPartitions > 2)
+      assert(canon(split) == whole)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+  }
+
+  test("date range filter: pushed, correct, and zone-map block-skipping") {
+    // sorted dates => disjoint per-block date zones => selective range skips blocks
+    val n = 60000
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(8000L + i / 10)),
+        java.math.BigDecimal.valueOf(i.toLong, 2), null, null, s"r$i")
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmpDir()
+    df.sortWithinPartitions("id").coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (64 * 1024).toString).save(dir)
+    val table = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val cut = java.time.LocalDate.ofEpochDay(8000L + (n - 300) / 10)
+    val expect = (0 until n).count(i => 8000L + i / 10 >= cut.toEpochDay)
+    val before = (FourMcScanMetrics.blocksRead.sum, FourMcScanMetrics.blocksSkipped.sum)
+    val got = table.filter(col("d") >= lit(java.sql.Date.valueOf(cut))).count()
+    assert(got == expect.toLong)
+    val skipped = FourMcScanMetrics.blocksSkipped.sum - before._2
+    assert(skipped > 0, s"expected date zone maps to skip blocks (skipped=$skipped)")
+  }
+
+  test("decimal range filter is exact at the boundary") {
+    val df = fixtureDf(3000)
+    val dir = tmpDir()
+    df.write.format("4mc").option("payload", "csv").save(dir)
+    val table = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val lim = new java.math.BigDecimal("103.25")
+    val got = table.filter(col("m") >= lit(lim)).agg(count(lit(1)), sum(col("m"))).head()
+    val want = df.filter(col("m") >= lit(lim)).agg(count(lit(1)), sum(col("m"))).head()
+    assert(got == want)
+  }
+
+  test("MIN/MAX/COUNT on a date column answer from footer stats (agg pushdown)") {
+    val df = fixtureDf(5000)
+    val dir = tmpDir()
+    df.write.format("4mc").option("payload", "csv").save(dir)
+    val table = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val before = FourMcScanMetrics.blocksRead.sum
+    val got = table.agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+      count(col("d")).as("nn")).head()
+    val after = FourMcScanMetrics.blocksRead.sum
+    val want = df.agg(min(col("d")), max(col("d")), count(col("d"))).head()
+    assert(got == want)
+    assert(after == before, s"date MIN/MAX should be footer-answered, read ${after - before} blocks")
+    // decimal MIN/MAX likewise; SUM(decimal) falls back to the scan (typed
+    // Decimal result domain) but must stay value-correct
+    val gotDec = table.agg(min(col("m18")), max(col("m18")), sum(col("m"))).head()
+    val wantDec = df.agg(min(col("m18")), max(col("m18")), sum(col("m"))).head()
+    assert(gotDec == wantDec)
+  }
+
+  test("array<int> writes widened to long tokens; read as array<long>") {
+    import scala.jdk.CollectionConverters._
+    val s = StructType(Seq(
+      StructField("id", LongType), StructField("xs", ArrayType(IntegerType, containsNull = true))))
+    val rows = (0 until 500).map { i =>
+      Row(i.toLong,
+        if (i % 7 == 1) null
+        else (0 until i % 4).map(j => if ((i + j) % 5 == 2) null else Integer.valueOf(i * 31 + j)))
+    }
+    val df = spark.createDataFrame(rows.asJava, s)
+    val dir = tmpDir()
+    df.write.format("4mc").option("payload", "csv").save(dir)
+    val readSchema = StructType(Seq(
+      StructField("id", LongType), StructField("xs", ArrayType(LongType, containsNull = true))))
+    val back = spark.read.format("4mc").option("payload", "csv").schema(readSchema).load(dir)
+    assert(canon(back) == canon(df.select(col("id"), col("xs").cast(ArrayType(LongType)))))
+    // declaring array<int> on read fails fast with the widening instruction
+    // (materialize VALUES — a bare count() is answered from footer metadata
+    // with an empty projection and never consults the parse tags)
+    val err = intercept[Throwable] {
+      spark.read.format("4mc").option("payload", "csv").schema(s).load(dir)
+        .select(col("xs")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("array<long>")), messages(err).mkString(" | "))
+  }
+
+  test("delimiter colliding with the value alphabet is rejected at setup") {
+    val df = fixtureDf(10)
+    for (bad <- Seq(";", "-", "+", ".", "5", "N", "e", " ", ":", "\\")) {
+      val err = intercept[Throwable] {
+        df.write.format("4mc").option("payload", "csv").option("delimiter", bad)
+          .save(tmpDir())
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(err).exists(_.contains("delimiter")), s"'$bad': ${messages(err).take(3)}")
+    }
+    // a sane non-default delimiter still round-trips, dates and decimals included
+    val dir = tmpDir()
+    df.write.format("4mc").option("payload", "csv").option("delimiter", "~").save(dir)
+    val back = spark.read.format("4mc").option("payload", "csv").option("delimiter", "~")
+      .schema(schema).load(dir)
+    assert(canon(back) == canon(df))
+  }
+}
