@@ -171,6 +171,40 @@ object RoundTrip {
         count(col("l_shipdate")).as("n_ship"))
   }
 
+  /** q_json_props re-expressed over a NATIVE `map<string,string>` column
+    * (round 13: the csv payload's map type, SURVEY §1.4's `props` shape):
+    * events round-trip with props parsed from the JSON string into a real
+    * map, and the aggregation reads `element_at(props, 'k')` — no
+    * per-row JSON parse on the query side. Oracle identical to
+    * q_json_props's.
+    */
+  def mapPropsOverFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = rtDir(sfDir, "events-map", "zstd-1", tsFmt)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", MapType(StringType, StringType, valueContainsNull = true))))
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Queries.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          map(lit("k"), get_json_object(col("props"), "$.k")).as("props"))
+        .repartition(math.max(1, spark.sparkContext.defaultParallelism / 8))
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv").option("codec", "zstd-1")
+        .save(dir.getAbsolutePath)
+    }
+    spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir.getAbsolutePath)
+      .withColumn("k", element_at(col("props"), "k").cast(LongType))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("k_bucket"))
+  }
+
   /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */
   def q1OverFourMc(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "lz4-fast"))

@@ -178,9 +178,79 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           }
           true
         }
+        // map columns can't ride the reused UnsafeRowWriter (UnsafeMapData
+        // has no incremental writer); map-bearing projections take a boxed
+        // GenericInternalRow fallback — correct and total (pushed filters
+        // are re-applied by Spark's own post-scan Filter), while every
+        // map-free schema keeps the zero-allocation unsafe path below. The
+        // vectorized reader (the default batch path) decodes maps natively.
+        val hasMap = fieldTags.contains(CsvPayload.TagMap)
+        def parseSliceGeneric(bytes: Array[Byte], from: Int, to: Int): InternalRow = {
+          CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to,
+            firstField)
+          val vals = new Array[Any](nFields)
+          var k = 0
+          while (k < nFields) {
+            val src = fieldIdx(k)
+            val s = starts(src)
+            val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields, to)
+            val tag = fieldTags(k)
+            vals(k) =
+              if (CsvPayload.isNullMarker(bytes, s, e) ||
+                  (s >= e && tag != CsvPayload.TagString && tag != CsvPayload.TagMap &&
+                    !CsvPayload.isArrayTag(tag))) null
+              else tag match {
+                case CsvPayload.TagString =>
+                  if (s >= e) UTF8String.EMPTY_UTF8 else CsvPayload.unescape(bytes, s, e, delim)
+                case CsvPayload.TagLong    => java.lang.Long.valueOf(CsvPayload.parseLong(bytes, s, e))
+                case CsvPayload.TagInt     => java.lang.Integer.valueOf(CsvPayload.parseInt(bytes, s, e))
+                case CsvPayload.TagDouble  => java.lang.Double.valueOf(CsvPayload.parseDouble(bytes, s, e))
+                case CsvPayload.TagFloat   => java.lang.Float.valueOf(CsvPayload.parseFloat(bytes, s, e))
+                case CsvPayload.TagBoolean => java.lang.Boolean.valueOf(bytes(s) == 't' || bytes(s) == 'T')
+                case CsvPayload.TagDate    => java.lang.Integer.valueOf(CsvPayload.parseDateDays(bytes, s, e))
+                case CsvPayload.TagDecimal =>
+                  org.apache.spark.sql.types.Decimal(
+                    CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k)),
+                    fieldPrec(k), fieldScale(k))
+                case CsvPayload.TagMap => CsvPayload.parseMap(bytes, s, e, delim)
+                case CsvPayload.TagArrLong | CsvPayload.TagArrFloat | CsvPayload.TagArrDouble =>
+                  val cnt = CsvPayload.countElems(bytes, s, e)
+                  val arr = new Array[Any](cnt)
+                  var ts = s
+                  var j = 0
+                  while (j < cnt) {
+                    var te = ts
+                    while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
+                    arr(j) =
+                      if (CsvPayload.isNullElem(bytes, ts, te)) null
+                      else if (tag == CsvPayload.TagArrLong)
+                        java.lang.Long.valueOf(CsvPayload.parseLong(bytes, ts, te))
+                      else if (tag == CsvPayload.TagArrFloat)
+                        java.lang.Float.valueOf(CsvPayload.parseFloat(bytes, ts, te))
+                      else java.lang.Double.valueOf(CsvPayload.parseDouble(bytes, ts, te))
+                    ts = te + 1
+                    j += 1
+                  }
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+                case _ =>
+                  val x =
+                    if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
+                      CsvPayload.parseTimestampMicros(bytes, s, e)
+                    else {
+                      val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                    }
+                  java.lang.Long.valueOf(x)
+              }
+            k += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
+
         // zero-copy slice mode (see McLineStream): parse runs in place on
         // the decompressed block buffer — no per-line array or tuple
         def parseSlice(bytes: Array[Byte], from: Int, to: Int): InternalRow = {
+          if (hasMap) return parseSliceGeneric(bytes, from, to)
           CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to,
             firstField)
           writer.reset()
@@ -510,6 +580,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     // long tokens — declare array<long> on read.
     case ArrayType(LongType | FloatType | DoubleType, _) => true
     case ArrayType(IntegerType, _) => true
+    // the SURVEY §1.4 `props` shape: string-to-string maps, entries
+    // `key=value` ';'-joined with map-token escaping (see CsvPayload.TagMap)
+    case MapType(StringType, StringType, _) => true
     case _ => false
   }
 }
@@ -875,7 +948,7 @@ final class FourMcCsvOutputWriter(
         // serializes as hasBounds=false, which every stats consumer already
         // treats as "cannot prune / cannot answer"
         case CsvPayload.TagArrLong | CsvPayload.TagArrFloat | CsvPayload.TagArrDouble |
-            CsvPayload.TagArrInt => ()
+            CsvPayload.TagArrInt | CsvPayload.TagMap => ()
         case _ =>
           val micros = row.getLong(i)
           if (tsUnit > 0) statsBuilder.observeLong(i, Math.floorDiv(micros, tsUnit) * tsUnit)
@@ -903,6 +976,20 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDate    => enc.date(row.getInt(i))
         case CsvPayload.TagDecimal =>
           enc.decimal(row.getDecimal(i, decPrec(i), decScale(i)).toUnscaledLong, decScale(i))
+        case CsvPayload.TagMap =>
+          val m = row.getMap(i)
+          val mk = m.keyArray()
+          val mv = m.valueArray()
+          val n = m.numElements()
+          var j = 0
+          while (j < n) {
+            if (j > 0) enc.raw(CsvPayload.ElemSep)
+            enc.escapedMapToken(mk.getUTF8String(j).getBytes, delimByte)
+            enc.raw(CsvPayload.KvSep)
+            if (mv.isNullAt(j)) enc.raw2(CsvPayload.Esc, 'N')
+            else enc.escapedMapToken(mv.getUTF8String(j).getBytes, delimByte)
+            j += 1
+          }
         case CsvPayload.TagArrInt => // widened: long tokens, read as array<long>
           val a = row.getArray(i)
           val n = a.numElements()
@@ -1115,6 +1202,16 @@ object CsvPayload {
   // (the on-disk form is identical to array<long>); the read schema must
   // declare array<long> — readers refuse this tag with that instruction.
   final val TagArrInt = 12
+  // map<string,string> (round 13, SURVEY §1.4's `props` shape): entries
+  // `key=value` joined by ';' inside one csv field. Key/value tokens use
+  // the SAME '\'-escape grammar as plain string fields EXTENDED to ';' and
+  // '=' (the generic `\x → x` unescape rule already covers them), so
+  // arbitrary byte content round-trips and the field-boundary scan is
+  // untouched. Null map = field-level `\N`; EMPTY field = empty map; a
+  // null VALUE is the exact 2-byte token `\N` (the writer never escapes
+  // 'N', so a literal "N" value is 1 byte and literal "\N" content is 3 —
+  // the same disambiguation as the field-level marker).
+  final val TagMap = 13
 
   @inline def isArrayTag(tag: Int): Boolean =
     (tag >= TagArrLong && tag <= TagArrDouble) || tag == TagArrInt
@@ -1123,6 +1220,81 @@ object CsvPayload {
     * only numeric tokens / `N`, and ';' is not special anywhere else.
     */
   final val ElemSep: Byte = ';'
+
+  /** Key-value separator inside map entries (see [[TagMap]]). */
+  final val KvSep: Byte = '='
+
+  /** Number of `;`-separated ENTRIES in map field slice [s, e), escape-
+    * aware (map tokens escape their structural bytes); 0 for an empty
+    * field (= empty map).
+    */
+  def countEntries(b: Array[Byte], s: Int, e: Int): Int = {
+    if (s >= e) return 0
+    var n = 1
+    var i = s
+    while (i < e) {
+      val c = b(i)
+      if (c == Esc) i += 2
+      else { if (c == ElemSep) n += 1; i += 1 }
+    }
+    n
+  }
+
+  /** Exclusive end of the map entry starting at `ts` (the unescaped ';' or
+    * the field end `e`).
+    */
+  def entryEnd(b: Array[Byte], ts: Int, e: Int): Int = {
+    var i = ts
+    while (i < e) {
+      val c = b(i)
+      if (c == Esc) i += 2
+      else if (c == ElemSep) return i
+      else i += 1
+    }
+    e
+  }
+
+  /** Position of the entry's unescaped '=' in [ts, te), or -1 (a malformed
+    * entry without one reads as key with empty value).
+    */
+  def kvSplit(b: Array[Byte], ts: Int, te: Int): Int = {
+    var i = ts
+    while (i < te) {
+      val c = b(i)
+      if (c == Esc) i += 2
+      else if (c == KvSep) return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Parse a whole map field slice into boxed catalyst map data — the
+    * row-reader fallback for map-bearing schemas (the vectorized reader
+    * decodes straight into child vectors instead).
+    */
+  def parseMap(b: Array[Byte], s: Int, e: Int,
+               delim: Byte): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    val n = countEntries(b, s, e)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var ts = s
+    var j = 0
+    while (j < n) {
+      val te = entryEnd(b, ts, e)
+      val eq = kvSplit(b, ts, te)
+      val ke = if (eq < 0) te else eq
+      keys(j) = if (ts >= ke) UTF8String.EMPTY_UTF8 else unescape(b, ts, ke, delim)
+      val vs0 = if (eq < 0) te else eq + 1
+      vals(j) =
+        if (eq >= 0 && isNullMarker(b, vs0, te)) null
+        else if (vs0 >= te) UTF8String.EMPTY_UTF8
+        else unescape(b, vs0, te, delim)
+      ts = te + 1
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
 
   /** True when element token [s, e) is the null-element marker `N`. */
   @inline def isNullElem(b: Array[Byte], s: Int, e: Int): Boolean =
@@ -1156,6 +1328,7 @@ object CsvPayload {
     case ArrayType(FloatType, _)          => TagArrFloat
     case ArrayType(DoubleType, _)         => TagArrDouble
     case ArrayType(IntegerType, _)        => TagArrInt
+    case MapType(StringType, StringType, _) => TagMap
     case other => throw new UnsupportedOperationException(s"csv payload type $other")
   }
 
@@ -1293,10 +1466,11 @@ object CsvPayload {
 
     def add(attr: String, p: Int => Option[Any => Boolean]): Unit = {
       val k = fieldOf(attr)
-      // array fields compile NO predicates (not even null checks): the parse
-      // loop never boxes an array value to feed a closure, and Spark's
-      // post-scan Filter re-applies everything pushed here anyway
-      if (k >= 0 && !isArrayTag(tags(k))) p(k).foreach(pred => byField(k) = pred :: byField(k))
+      // array and map fields compile NO predicates (not even null checks):
+      // the parse loop never boxes such a value to feed a closure, and
+      // Spark's post-scan Filter re-applies everything pushed here anyway
+      if (k >= 0 && !isArrayTag(tags(k)) && tags(k) != TagMap)
+        p(k).foreach(pred => byField(k) = pred :: byField(k))
     }
 
     /** Tighten field k's primitive range; an unsatisfiable bound leaves
@@ -1451,6 +1625,25 @@ object CsvPayload {
         else if (b == '\r') { buf(len) = Esc; buf(len + 1) = 'r'; len += 2 }
         else if (b == delim) { buf(len) = Esc; buf(len + 1) = b; len += 2 }
         else { buf(len) = b; len += 1 }
+        i += 1
+      }
+    }
+
+    /** Map key/value token: [[escaped]] extended to the map grammar's own
+      * structural bytes ';' and '=' (the generic `\x → x` unescape rule
+      * restores them), so arbitrary content round-trips.
+      */
+    def escapedMapToken(src: Array[Byte], delim: Byte): Unit = {
+      ensure(src.length << 1)
+      var i = 0
+      while (i < src.length) {
+        val b = src(i)
+        if (b == Esc) { buf(len) = Esc; buf(len + 1) = Esc; len += 2 }
+        else if (b == '\n') { buf(len) = Esc; buf(len + 1) = 'n'; len += 2 }
+        else if (b == '\r') { buf(len) = Esc; buf(len + 1) = 'r'; len += 2 }
+        else if (b == delim || b == CsvPayload.ElemSep || b == CsvPayload.KvSep) {
+          buf(len) = Esc; buf(len + 1) = b; len += 2
+        } else { buf(len) = b; len += 1 }
         i += 1
       }
     }

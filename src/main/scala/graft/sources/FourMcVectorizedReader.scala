@@ -50,6 +50,7 @@ object FourMcVectorizedReader {
           BooleanType | TimestampType | TimestampNTZType | DateType => true
       case d: DecimalType => d.precision <= 18 // compact lane (int/long)
       case ArrayType(LongType | FloatType | DoubleType, _) => true
+      case MapType(StringType, StringType, _) => true // key/value child vectors
       case _ => false
     })
 
@@ -311,6 +312,53 @@ object FourMcVectorizedReader {
                 }
                 vec.putArray(r, off, j)
                 off += j
+              }
+              r += 1
+            }
+            k += 1
+          } else if (tag == CsvPayload.TagMap) {
+            // map<string,string>: unescaped keys/values land in the two
+            // child string vectors at SHARED offsets; putArray records the
+            // per-row (offset, count) the ColumnarMap accessor reads back.
+            // Maps are never filter-bound (compileFilters refuses them), so
+            // there is no replay variant.
+            val keyChild = vec.getChild(0)
+            val valChild = vec.getChild(1)
+            var off = 0
+            var r = 0
+            while (r < n) {
+              val bytes = bufBytes(r)
+              val base = r * stride
+              val s = starts(base + src)
+              val e = fieldEnd(bytes, base, src, s, rowEnds(r))
+              if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
+              else {
+                val cnt = CsvPayload.countEntries(bytes, s, e) // empty field = empty map
+                keyChild.reserve(off + cnt)
+                valChild.reserve(off + cnt)
+                var ts = s
+                var j = 0
+                while (j < cnt) {
+                  val te = CsvPayload.entryEnd(bytes, ts, e)
+                  val eq = CsvPayload.kvSplit(bytes, ts, te)
+                  val ke = if (eq < 0) te else eq
+                  if (ts >= ke) keyChild.putByteArray(off + j, Array.emptyByteArray, 0, 0)
+                  else {
+                    val u = CsvPayload.unescape(bytes, ts, ke, delim)
+                    keyChild.putByteArray(off + j, u.getBytes, 0, u.numBytes())
+                  }
+                  val vs0 = if (eq < 0) te else eq + 1
+                  if (eq >= 0 && CsvPayload.isNullMarker(bytes, vs0, te)) valChild.putNull(off + j)
+                  else if (vs0 >= te) valChild.putByteArray(off + j, Array.emptyByteArray, 0, 0)
+                  else {
+                    val u = CsvPayload.unescape(bytes, vs0, te, delim)
+                    valChild.putByteArray(off + j, u.getBytes, 0, u.numBytes())
+                  }
+                  ts = te + 1
+                  j += 1
+                }
+                vec.putArray(r, off, cnt)
+                off += cnt
               }
               r += 1
             }

@@ -196,6 +196,54 @@ class ArrayPayloadSpec extends AnyFunSuite {
     check(outDir) // compacted copy preserves arrays element-exactly
   }
 
+  test("corruption inside array-carrying blocks: exactly-once under any split layout") {
+    // The scalar-row exactly-once-under-corruption property (FormatProperty-
+    // Spec) re-pinned for rows whose PARSE spans child vectors: plant a
+    // checksum-breaking byte flip inside blocks of an array table, then
+    // check the permissive row multiset is IDENTICAL across split layouts —
+    // targeted cuts at/around/inside the victim block plus random cuts.
+    val rows = fixtureRows(4000)
+    val single = Files.createTempDirectory("arrchaos").toString + "/t"
+    locally {
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      df.sortWithinPartitions("id").write.format("4mc").option("payload", "csv")
+        .option("blockBytes", (16 * 1024).toString).save(single)
+    }
+    val file = new java.io.File(single).listFiles().filter(_.getName.endsWith(".4mc")).head
+    val clean = java.nio.file.Files.readAllBytes(file.toPath)
+    val idx = {
+      val in0 = graft.format.McInput.local(file.toPath)
+      try graft.format.FourMcReader.readIndex(in0) finally in0.close()
+    }
+    assert(idx.numBlocks >= 8, s"need several blocks, got ${idx.numBlocks}")
+    val rnd = new scala.util.Random(17)
+    def readRows(maxPartBytes: Long): Seq[String] = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartBytes.toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try spark.read.format("4mc").option("payload", "csv")
+        .option("ignoreCorruptBlocks", "true").schema(schema).load(single)
+        .collect().map(r => String.valueOf(normalize(r))).sorted.toSeq
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+    }
+    for (v <- Seq(idx.numBlocks / 2, 1, idx.numBlocks - 2)) {
+      val mutated = clean.clone()
+      val payloadOff = idx.blockOffsets(v).toInt + graft.format.FourMc.BlockHeaderLen
+      mutated(payloadOff) = (mutated(payloadOff) ^ 0x5a).toByte
+      java.nio.file.Files.write(file.toPath, mutated)
+      // invalidate the mtime-keyed index cache (same-second rewrite)
+      file.setLastModified(file.lastModified() + 2000 * (v + 1))
+      val whole = readRows(1L << 30) // one split: the ground truth
+      assert(whole.size < rows.size, "corruption must drop some rows")
+      for (partBytes <- Seq(12 * 1024L, 20 * 1024L, 33 * 1024L, 7000L + rnd.nextInt(9000))) {
+        val got = readRows(partBytes)
+        assert(got == whole,
+          s"victim=$v maxPartitionBytes=$partBytes changed the surviving row multiset " +
+            s"(${got.size} vs ${whole.size})")
+      }
+    }
+    java.nio.file.Files.write(file.toPath, clean)
+  }
+
   test("count(*) metadata fast path and null counts survive array columns") {
     val rows = fixtureRows(5000)
     val dir = writeFixture(rows)
