@@ -456,7 +456,16 @@ object FourMcVectorizedReader {
         // re-probes (catches mid-file selectivity shifts the block-stats
         // pruning didn't already absorb).
         private val ProbePeriod = 16
-        private val MinRefusals = BatchSize / 64 // < ~1.6% refused → skip
+        // Keep evaluation only when refusals BUY more than the row-major
+        // premium costs. A refused row saves ~nFields column decodes plus
+        // its batch slot; a kept row pays ~1-2 extra field-decodes of
+        // row-major parse premium (the value itself replays from the pred
+        // cache). Break-even refusal is therefore a double-digit
+        // percentage, not the old 1.6%: the r13 JFR run showed q1's
+        // ~3.5%-refusing shipdate filter keeping evaluation ON and
+        // bufferLine at 23% of all samples — pure loss. q6-class filters
+        // (>90% refused) sit far above any sane threshold either way.
+        private val MinRefusals = BatchSize / 8 // < 12.5% refused → skip
         private var batchOrd = 0
         private var evalOn = true // last probe's verdict
         // zero-copy lookahead: slices point into the decompressed block

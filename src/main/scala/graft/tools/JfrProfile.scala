@@ -38,6 +38,7 @@ object JfrProfile {
       case "mc-int" => mc().groupBy(col("l_linenumber")).agg(count(lit(1)))
       case "pq-int" => pq().groupBy(col("l_linenumber")).agg(count(lit(1)))
       case "mc-q1"  => Queries.q1Over(mc())
+      case "mz-q1"  => Queries.q1Over(RoundTrip.roundTrip(spark, dir, "lineitem", "zstd-3"))
       case _        => Queries.q1Over(pq())
     }
     df().count() // warm: JIT + caches
