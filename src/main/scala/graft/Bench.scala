@@ -532,7 +532,15 @@ object Bench {
           // 2.03x q1 pair was a warmth artifact — parquet's q1 ranged
           // 0.20-0.52 s depending on where in the run it was measured,
           // while isolated runs of the same binary sat at 0.72-0.92x.
-          // Ratios for the <2x gate come from THESE pairs.
+          // Ratios for the <2x gate come from THESE pairs. Before the
+          // block: drop accumulated heap debris (45 minutes of bench state)
+          // — the allocation-heavier container side pays old-gen pressure
+          // the parquet side doesn't, and r12/r13 end-of-run twin samples
+          // read 0.2-0.3 ratio points above fresh-JVM probes of the SAME
+          // binary. Stress ops already gc between measurements for the
+          // same reason; this makes the twins measure steady-state cost,
+          // not where in the run they happen to sit.
+          System.gc(); Thread.sleep(500)
           val twinPairs = Seq(
             "fourmc_lineitem_q1" -> "q1_pricing_summary",
             "fourmz_lineitem_q1" -> "q1_pricing_summary",
@@ -640,6 +648,7 @@ object Bench {
             name -> t
           }
         }
+        System.gc(); Thread.sleep(500) // see the sf1 twin-block note
         val twinPairs = Seq(
           "fourmc_lineitem_q1" -> "q1_pricing_summary",
           "fourmz_lineitem_q1" -> "q1_pricing_summary",
