@@ -571,8 +571,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       true
     // DecimalType up to the compact-long domain: the unscaled value rides
     // the same scaled-long parse/stats/pushdown machinery as longs. Wider
-    // precisions would need a two-longs or bytes encoding — refused.
-    case d: DecimalType => d.precision <= 18
+    // precisions would need a two-longs or bytes encoding — refused, as is
+    // a legacy negative scale (needs exponent notation).
+    case d: DecimalType => d.precision <= 18 && d.scale >= 0
     // numeric arrays in the csv payload (';'-joined elements, element nulls
     // as `\N`): the signature-table / embedding shapes. array<string> is
     // deliberately out (it would reopen the escaping interplay the numeric
@@ -1323,7 +1324,9 @@ object CsvPayload {
     case BooleanType                      => TagBoolean
     case TimestampType | TimestampNTZType => TagTimestamp
     case DateType                         => TagDate
-    case d: DecimalType if d.precision <= 18 => TagDecimal
+    // scale >= 0 only: a legacy negative-scale decimal would need exponent
+    // notation the scaled-long grammar deliberately excludes
+    case d: DecimalType if d.precision <= 18 && d.scale >= 0 => TagDecimal
     case ArrayType(LongType, _)           => TagArrLong
     case ArrayType(FloatType, _)          => TagArrFloat
     case ArrayType(DoubleType, _)         => TagArrDouble

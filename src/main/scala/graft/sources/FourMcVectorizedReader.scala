@@ -48,7 +48,7 @@ object FourMcVectorizedReader {
     schema.forall(f => f.dataType match {
       case StringType | BinaryType | LongType | IntegerType | DoubleType | FloatType |
           BooleanType | TimestampType | TimestampNTZType | DateType => true
-      case d: DecimalType => d.precision <= 18 // compact lane (int/long)
+      case d: DecimalType => d.precision <= 18 && d.scale >= 0 // compact lane (int/long)
       case ArrayType(LongType | FloatType | DoubleType, _) => true
       case MapType(StringType, StringType, _) => true // key/value child vectors
       case _ => false

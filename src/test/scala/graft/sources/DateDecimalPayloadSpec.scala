@@ -190,6 +190,38 @@ class DateDecimalPayloadSpec extends AnyFunSuite {
     assert(messages(err).exists(_.contains("array<long>")), messages(err).mkString(" | "))
   }
 
+  test("property: date and decimal codecs round-trip over random values") {
+    val rnd = new scala.util.Random(23)
+    val enc = new CsvPayload.LineEncoder(64)
+    // dates: the full int-days domain LocalDate supports, plus edges
+    val dayEdges = Seq(0, -1, 1, -719162, 2932896, -784353015, 784351576)
+    for (days <- dayEdges ++ (0 until 20000).map(_ => rnd.nextInt(4000000) - 2000000)) {
+      enc.reset()
+      enc.date(days)
+      val got = CsvPayload.parseDateDays(enc.bytes, 0, enc.length)
+      assert(got == days, s"days=$days -> '${new String(enc.bytes, 0, enc.length)}' -> $got")
+      // and the emitted form matches java.time's civil math
+      val iso = java.time.LocalDate.ofEpochDay(days.toLong)
+      assert(java.time.LocalDate.parse(new String(enc.bytes, 0, enc.length, "UTF-8")) == iso)
+    }
+    // decimals: random unscaled x scale, plus max-digit and tiny-fraction edges
+    val unEdges = Seq(0L, 1L, -1L, 5L, -5L, 999999999999999999L, -999999999999999999L)
+    for (_ <- 0 until 30000) {
+      val scale = rnd.nextInt(19)
+      val un =
+        if (rnd.nextInt(10) == 0) unEdges(rnd.nextInt(unEdges.length))
+        else rnd.nextLong() % 1000000000000000000L
+      enc.reset()
+      enc.decimal(un, scale)
+      val s = new String(enc.bytes, 0, enc.length, "UTF-8")
+      val got = CsvPayload.parseDecimalUnscaled(enc.bytes, 0, enc.length, scale)
+      assert(got == un, s"un=$un scale=$scale -> '$s' -> $got")
+      // emitted form equals BigDecimal's plain string at the same scale
+      assert(new java.math.BigDecimal(s) == java.math.BigDecimal.valueOf(un, scale),
+        s"un=$un scale=$scale -> '$s'")
+    }
+  }
+
   test("delimiter colliding with the value alphabet is rejected at setup") {
     val df = fixtureDf(10)
     for (bad <- Seq(";", "-", "+", ".", "5", "N", "e", " ", ":", "\\")) {
