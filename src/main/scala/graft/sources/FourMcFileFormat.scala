@@ -475,8 +475,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           require(i >= 0, s"bloomColumns: no such column '$name'")
           val tag = CsvPayload.tagOf(dataSchema.fields(i).dataType)
           require(tag == CsvPayload.TagLong || tag == CsvPayload.TagInt ||
-            tag == CsvPayload.TagString,
-            s"bloomColumns: '$name' must be an integer or string column")
+            tag == CsvPayload.TagString || tag == CsvPayload.TagDate ||
+            tag == CsvPayload.TagDecimal,
+            s"bloomColumns: '$name' must be an integer, string, date, or decimal column")
           i
         }.sorted
     }
@@ -916,6 +917,11 @@ final class FourMcCsvOutputWriter(
         val v = (tags(i): @scala.annotation.switch) match {
           case CsvPayload.TagLong => row.getLong(i)
           case CsvPayload.TagInt  => row.getInt(i).toLong
+          // long-domain additions probe through the same toLongLit the
+          // zone maps use: date = epoch days, decimal = unscaled value
+          case CsvPayload.TagDate => row.getInt(i).toLong
+          case CsvPayload.TagDecimal =>
+            row.getDecimal(i, decPrec(i), decScale(i)).toUnscaledLong
           case CsvPayload.TagString => // unescaped value bytes, probe hashes the same
             val b = row.getUTF8String(i).getBytes
             graft.format.FourMc.xxhash64(b, 0, b.length)

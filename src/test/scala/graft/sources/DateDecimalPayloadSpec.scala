@@ -190,6 +190,31 @@ class DateDecimalPayloadSpec extends AnyFunSuite {
     assert(messages(err).exists(_.contains("array<long>")), messages(err).mkString(" | "))
   }
 
+  test("date bloom filters refute blocks zone maps cannot (unsorted equality lookup)") {
+    // UNSORTED wide-range dates: every block's zone covers the probe, so
+    // only the per-block bloom can refute; a needle present in one block
+    // must read ~1 block, not the file
+    val rnd = new scala.util.Random(5)
+    val n = 60000
+    val needle = java.time.LocalDate.ofEpochDay(123456L)
+    val rows = (0 until n).map { i =>
+      val day = if (i == 31337) 123456L else 200000L + rnd.nextInt(700000) // disjoint from needle
+      Row(i.toLong, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day)),
+        null, null, null, s"r$i")
+    }
+    val dir = tmpDir()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (64 * 1024).toString).option("bloomColumns", "d").save(dir)
+    val table = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    val before = (FourMcScanMetrics.blocksRead.sum, FourMcScanMetrics.blocksSkipped.sum)
+    val got = table.filter(col("d") === lit(java.sql.Date.valueOf(needle))).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 31337L)
+    val read = FourMcScanMetrics.blocksRead.sum - before._1
+    val skipped = FourMcScanMetrics.blocksSkipped.sum - before._2
+    assert(skipped > read, s"bloom should refute most blocks (read=$read skipped=$skipped)")
+  }
+
   test("property: date and decimal codecs round-trip over random values") {
     val rnd = new scala.util.Random(23)
     val enc = new CsvPayload.LineEncoder(64)
