@@ -498,7 +498,10 @@ object Bench {
             // container twins over the same scaled tables (q1/q6 above are
             // their parquet twins)
             "fourmc_lineitem_q1", "fourmz_lineitem_q1", "fourmc_orders_selfjoin",
-            "fourmc_q6_selective", "fourmc_q6_skipped", "fourmc_count_star")
+            "fourmc_q6_selective", "fourmc_q6_skipped", "fourmc_count_star",
+            // r13 typed columns at scale: DATE shipdates + DECIMAL money
+            // through the container (zone-pruned date filter, decimal sums)
+            "fourmc_date_pricing")
           val rows = sf1Names.flatMap { name =>
             SparkEntry.queries.get(name).map { fn =>
               def run(): Double =
@@ -633,7 +636,9 @@ object Bench {
           "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
           "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
           "q19_disjunctive", "q20_promotion_suppliers", "q21_waiting_suppliers",
-          "q22_wealthy_inactive")
+          "q22_wealthy_inactive",
+          // r13 typed columns at 50x (date zone pruning + decimal sums)
+          "fourmc_date_pricing")
         val rows = sf5Names.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val t =
