@@ -244,7 +244,7 @@ class BlockBloomsSpec extends AnyFunSuite {
       df.write.format("4mc").option("payload", "csv")
         .option("bloomColumns", "nope").save(dir + "/a")
     }
-    failsWith("integer or string column") {
+    failsWith("integer, string, date, or decimal column") {
       df.write.format("4mc").option("payload", "csv")
         .option("bloomColumns", "score").save(dir + "/b")
     }
