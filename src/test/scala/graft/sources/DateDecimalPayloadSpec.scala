@@ -247,6 +247,36 @@ class DateDecimalPayloadSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DDL surface: CREATE TABLE with date/decimal/map columns, INSERT INTO, SELECT") {
+    val dir = tmpDir()
+    val tbl = "dd_sql_t13"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  id BIGINT, d DATE, m DECIMAL(12,2), props MAP<STRING,STRING>
+         |) USING 4mc OPTIONS (payload 'csv', codec 'zstd-1') LOCATION '$dir'""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $tbl VALUES
+         |  (1, DATE '1994-05-17', 12345.67, map('k', 'v', 'a=b', 'c;d')),
+         |  (2, NULL, -0.05, map()),
+         |  (3, DATE '0001-01-01', NULL, NULL)""".stripMargin)
+    val got = spark.sql(
+      s"""SELECT id, d, m, element_at(props, 'a=b') AS weird, size(props) AS n
+         |FROM $tbl ORDER BY id""".stripMargin).collect()
+    assert(got.length == 3)
+    assert(got(0).getDate(1).toString == "1994-05-17")
+    assert(got(0).getDecimal(2).toPlainString == "12345.67")
+    assert(got(0).getString(3) == "c;d" && got(0).getInt(4) == 2)
+    assert(got(1).isNullAt(1) && got(1).getDecimal(2).toPlainString == "-0.05" &&
+      got(1).getInt(4) == 0)
+    assert(got(2).getDate(1).toString == "0001-01-01" && got(2).isNullAt(2) && got(2).isNullAt(3))
+    // aggregate with a date predicate through SQL (zone-map path end to end)
+    val agg = spark.sql(
+      s"SELECT COUNT(*) AS n, MIN(d) AS mn FROM $tbl WHERE d >= DATE '1990-01-01'").head()
+    assert(agg.getLong(0) == 1L && agg.getDate(1).toString == "1994-05-17")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("delimiter colliding with the value alphabet is rejected at setup") {
     val df = fixtureDf(10)
     for (bad <- Seq(";", "-", "+", ".", "5", "N", "e", " ", ":", "\\")) {
