@@ -678,7 +678,8 @@ object McStatsPruning {
     if (stats.nCols != dataSchema.length) return None
     val c = dataSchema.fields.indexWhere(_.name == attr)
     if (c < 0) return None
-    if (stats.tags(c) != CsvPayload.TagLong && stats.tags(c) != CsvPayload.TagInt) return None
+    if (stats.tags(c) != CsvPayload.TagLong && stats.tags(c) != CsvPayload.TagInt &&
+      stats.tags(c) != CsvPayload.TagDate) return None
     if (sortedKeys.isEmpty) return Some(new Array[Boolean](stats.nBlocks)) // ∅ keys: drop all
     def lowerBound(mn: Long): Int = { // smallest index with key >= mn
       var lo = 0

@@ -152,6 +152,7 @@ object McInjectRuntimeKeyFilter extends Rule[LogicalPlan] {
         case (pa, ba)
             if probeOut.contains(pa) && buildOut.contains(ba) &&
               (pa.dataType == LongType || pa.dataType == IntegerType ||
+                pa.dataType == org.apache.spark.sql.types.DateType ||
                 pa.dataType == org.apache.spark.sql.types.StringType) &&
               ba.dataType == pa.dataType &&
               !partNames.contains(pa.name) &&
@@ -262,6 +263,10 @@ object McInjectRuntimeKeyFilter extends Rule[LogicalPlan] {
             // writer inserted (FourMcCsvOutputWriter.observeBlooms)
             val b = r.getString(0).getBytes("UTF-8")
             graft.format.FourMc.xxhash64(b, 0, b.length)
+          case org.apache.spark.sql.types.DateType =>
+            // epoch days — the same long domain the zone maps and blooms
+            // store for date columns
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(r.getDate(0)).toLong
           case _ => r.getInt(0).toLong
         }
       })
