@@ -265,8 +265,13 @@ object McInjectRuntimeKeyFilter extends Rule[LogicalPlan] {
             graft.format.FourMc.xxhash64(b, 0, b.length)
           case org.apache.spark.sql.types.DateType =>
             // epoch days — the same long domain the zone maps and blooms
-            // store for date columns
-            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(r.getDate(0)).toLong
+            // store for date columns; Row holds java.sql.Date or
+            // java.time.LocalDate depending on datetime.java8API.enabled
+            r.get(0) match {
+              case d: java.sql.Date =>
+                org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+              case l: java.time.LocalDate => l.toEpochDay
+            }
           case _ => r.getInt(0).toLong
         }
       })

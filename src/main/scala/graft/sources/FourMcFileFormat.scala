@@ -1062,20 +1062,21 @@ object CsvPayload {
     * written WITHOUT escaping, so a delimiter drawn from their alphabet
     * corrupts fields silently on write and mis-splits them on read — fail
     * fast at setup instead. Rejected: ASCII letters and digits, '+', '-',
-    * '.', ';' (array element separator), ':' and ' ' (timestamp layout),
-    * the escape '\', and line breaks. '|' (default), ',', tab, '#', '~'
-    * and the other punctuation bytes remain valid (string fields escape
-    * the delimiter, so any surviving choice is lossless).
+    * '.', ';' (array/map element separator), '=' (map key/value
+    * separator), ':' and ' ' (timestamp layout), the escape '\', and line
+    * breaks. '|' (default), ',', tab, '#', '~' and the other punctuation
+    * bytes remain valid (string fields escape the delimiter, so any
+    * surviving choice is lossless).
     */
   def delimiterOf(opt: String): Byte = {
     require(opt.length == 1 && opt.charAt(0) < 0x80,
       s"4mc csv delimiter must be a single ASCII byte, got '$opt'")
     val c = opt.charAt(0)
     val reserved = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
-      (c >= 'a' && c <= 'z') || "+-.;: \\\n\r".indexOf(c.toInt) >= 0
+      (c >= 'a' && c <= 'z') || "+-.;=: \\\n\r".indexOf(c.toInt) >= 0
     require(!reserved,
       s"4mc csv delimiter '$opt' collides with the unescaped value alphabet " +
-        "(digits, letters, '+', '-', '.', ';', ':', ' ', '\\', line breaks); " +
+        "(digits, letters, '+', '-', '.', ';', '=', ':', ' ', '\\', line breaks); " +
         "pick a punctuation byte like '|' or ','")
     c.toByte
   }
@@ -1958,6 +1959,7 @@ object CsvPayload {
     if (i >= e) throw new NumberFormatException(ascii(b, s0, e))
     var m = 0L
     var frac = -1
+    var sawDigit = false
     while (i < e) {
       val c = b(i)
       if (c == '.') {
@@ -1966,13 +1968,15 @@ object CsvPayload {
       } else {
         val d = c - '0'
         if (d < 0 || d > 9) throw new NumberFormatException(ascii(b, s0, e))
+        sawDigit = true
         if (frac >= 0) frac += 1
         if (m > (Long.MaxValue - d) / 10) throw new NumberFormatException(ascii(b, s0, e))
         m = m * 10 + d
       }
       i += 1
     }
-    if (frac > scale) throw new NumberFormatException(ascii(b, s0, e))
+    // digitless tokens ('.', '-', '+.') must fail, not read back as 0
+    if (!sawDigit || frac > scale) throw new NumberFormatException(ascii(b, s0, e))
     var pad = scale - math.max(frac, 0)
     while (pad > 0) {
       if (m > Long.MaxValue / 10) throw new NumberFormatException(ascii(b, s0, e))

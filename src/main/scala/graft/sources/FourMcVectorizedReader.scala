@@ -93,6 +93,7 @@ object FourMcVectorizedReader {
     // boundary scan popcount-skips delimiters of fields below this
     val firstField = if (fieldIdx.isEmpty) 1 else math.max(1, fieldIdx.min)
     val fieldScale: Array[Int] = requiredSchema.fields.map(f => CsvPayload.scaleOf(f.dataType))
+    val fieldPrec: Array[Int] = requiredSchema.fields.map(f => CsvPayload.precisionOf(f.dataType))
     // decimal precision <= 9 stores its unscaled value in the vector's INT
     // lane (Spark's compact-decimal vector layout); <= 18 in the long lane
     val intDecimal: Array[Boolean] =
@@ -227,7 +228,7 @@ object FourMcVectorizedReader {
               case CsvPayload.TagDecimal =>
                 val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
                 keep = fp.rangeOk(un) && (ps.length == 0 ||
-                  pass(ps, org.apache.spark.sql.types.Decimal(un, 18, fieldScale(k))))
+                  pass(ps, org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k))))
                 predLongs(slot) = un
               case _ =>
                 val x =

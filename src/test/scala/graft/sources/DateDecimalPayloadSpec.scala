@@ -266,6 +266,47 @@ class DateDecimalPayloadSpec extends AnyFunSuite {
       s"(read=$read skipped=$skipped)")
   }
 
+  test("DATE-key runtime filter fires under datetime.java8API (LocalDate rows)") {
+    // with java8API enabled the dim collect yields java.time.LocalDate, not
+    // java.sql.Date — the key conversion must handle both or the filter
+    // silently never fires
+    val factSchema = StructType(Seq(
+      StructField("fid", LongType), StructField("fd", DateType)))
+    val rows = (0 until 40000).map { i =>
+      Row(i.toLong, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(9000L + i / 20)))
+    }
+    val dir = tmpDir()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), factSchema)
+      .sortWithinPartitions("fid").coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (64 * 1024).toString).save(dir)
+    val dimDir = tmpDir()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(9005L)), "keep")) ++
+          (1 to 40).map(i => Row(java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(500000L + i)), "drop")), 1),
+      StructType(Seq(StructField("fd", DateType), StructField("cls", StringType))))
+      .write.parquet(dimDir)
+    val prev = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val fact = spark.read.format("4mc").option("payload", "csv").schema(factSchema).load(dir)
+      val dim = spark.read.parquet(dimDir).filter(col("cls") === "keep").select("fd")
+      val before = (FourMcScanMetrics.blocksRead.sum, FourMcScanMetrics.blocksSkipped.sum)
+      val q = fact.join(dim, "fd").agg(count(lit(1)).as("n"))
+      assert(q.head().getLong(0) == 20L)
+      val read = FourMcScanMetrics.blocksRead.sum - before._1
+      val skipped = FourMcScanMetrics.blocksSkipped.sum - before._2
+      assert(skipped > read, s"java8API date keys must still prune " +
+        s"(read=$read skipped=$skipped)")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+        case None    => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+      }
+    }
+  }
+
   test("property: date and decimal codecs round-trip over random values") {
     val rnd = new scala.util.Random(23)
     val enc = new CsvPayload.LineEncoder(64)
@@ -295,6 +336,13 @@ class DateDecimalPayloadSpec extends AnyFunSuite {
       // emitted form equals BigDecimal's plain string at the same scale
       assert(new java.math.BigDecimal(s) == java.math.BigDecimal.valueOf(un, scale),
         s"un=$un scale=$scale -> '$s'")
+    }
+    // digitless tokens fail like any malformed numeric, never read as 0
+    for (tok <- Seq(".", "-", "+", "+.", "-.", "")) {
+      val b = tok.getBytes("UTF-8")
+      intercept[NumberFormatException] {
+        CsvPayload.parseDecimalUnscaled(b, 0, b.length, 2)
+      }
     }
   }
 
@@ -330,7 +378,7 @@ class DateDecimalPayloadSpec extends AnyFunSuite {
 
   test("delimiter colliding with the value alphabet is rejected at setup") {
     val df = fixtureDf(10)
-    for (bad <- Seq(";", "-", "+", ".", "5", "N", "e", " ", ":", "\\")) {
+    for (bad <- Seq(";", "=", "-", "+", ".", "5", "N", "e", " ", ":", "\\")) {
       val err = intercept[Throwable] {
         df.write.format("4mc").option("payload", "csv").option("delimiter", bad)
           .save(tmpDir())
