@@ -213,6 +213,57 @@ object RoundTrip {
   def q1OverFourMz(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "zstd-3"))
 
+  /** Columnar-layout round-trip ([[graft.format.ColumnarBlocks]]): every
+    * block stores one compressed sub-stream per column, so a k-of-K
+    * projection decompresses only its k columns — the structural fix for
+    * the row layout's decompress-everything cost on wide tables. Cached
+    * like every round-trip fixture (separate key: the layouts must never
+    * share a directory).
+    */
+  def roundTripColumnar(
+      spark: SparkSession,
+      sfDir: String,
+      tableName: String,
+      codec: String = "lz4-fast"
+  ): DataFrame = {
+    val src = Queries.table(spark, sfDir, tableName)
+    val schema = src.schema
+    val dir = rtDir(sfDir, s"$tableName-columnar", codec, tsFmt)
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      val srcBytes = dataBytes(new java.io.File(s"$sfDir/$tableName.parquet"))
+      val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
+      src
+        .repartition(nFiles)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("layout", "columnar")
+        .option("timestampFormat", tsFmt)
+        .option("codec", codec)
+        .save(dir.getAbsolutePath)
+    }
+    spark.read
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", tsFmt)
+      .schema(schema)
+      .load(dir.getAbsolutePath)
+  }
+
+  /** Q1 over the COLUMNAR-layout lz4 round-trip — 7 of 16 columns
+    * decompressed instead of every byte; oracle identical to q1's.
+    */
+  def q1OverFourMcColumnar(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q1Over(roundTripColumnar(spark, sfDir, "lineitem", "lz4-fast"))
+
+  /** Q1 over the COLUMNAR-layout zstd round-trip — the fix for the sf5
+    * fourmz twin's structural gap (zstd-decompressing 16 columns' bytes for
+    * a 7-column projection).
+    */
+  def q1OverFourMzColumnar(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q1Over(roundTripColumnar(spark, sfDir, "lineitem", "zstd-3"))
+
   /** COUNT(*) over the container — the metadata-only fast path: an empty
     * projection with no filters is answered from the stats segment's
     * per-block owned-line counts, so the scan reads FOOTERS ONLY (zero

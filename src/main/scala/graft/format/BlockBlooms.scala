@@ -252,8 +252,15 @@ final class McBloomBuilder(
     java.util.Arrays.fill(bk.keys.asInstanceOf[Array[AnyRef]], null)
   }
 
-  def startLine(blockIdx: Int, offsetInBlock: Int): Unit = {
-    val owner = if (offsetInBlock == 0 && blockIdx > 0) blockIdx - 1 else blockIdx
+  /** Columnar-layout registration: owner is always the block itself (rows
+    * never span blocks) — see [[McStatsBuilder.startLineOwned]].
+    */
+  def startLineOwned(blockIdx: Int): Unit = startLineAt(blockIdx)
+
+  def startLine(blockIdx: Int, offsetInBlock: Int): Unit =
+    startLineAt(if (offsetInBlock == 0 && blockIdx > 0) blockIdx - 1 else blockIdx)
+
+  private def startLineAt(owner: Int): Unit = {
     if (owner != curIdx) {
       cur = blockAt(owner)
       curIdx = owner

@@ -60,6 +60,14 @@ import org.apache.spark.sql.types._
 object BlockStats {
   val StatsMagic: Int = 0x344d4353 // "4MCS"
   val StatsVersion: Int = 2
+  // Version 3 = v2 plus one LAYOUT byte right after the version field: how
+  // block payloads are organized. Row-layout files keep writing v2 (byte
+  // compatibility with every existing file and golden fixture); columnar
+  // files ([[ColumnarBlocks]]) write v3 with LayoutColumnar — the read-side
+  // dispatch point, since the container envelope is otherwise identical.
+  val StatsVersionColumnar: Int = 3
+  val LayoutRows: Int = 0
+  val LayoutColumnar: Int = 1
   val TrailerLen: Int = 12
   val MaxStrBytes: Int = 16
 
@@ -97,11 +105,13 @@ final class McBlockStats(
     val minExact: Array[Boolean],
     val maxExact: Array[Boolean],
     val hasSum: Array[Boolean] = Array.empty, // v2; empty for v1 segments
-    val sumLong: Array[Long] = Array.empty // long wrap-sum, or double sum as raw bits
+    val sumLong: Array[Long] = Array.empty, // long wrap-sum, or double sum as raw bits
+    val layout: Int = BlockStats.LayoutRows // v3; rows for v1/v2 segments
 ) extends Serializable {
   def nCols: Int = tags.length
   def nBlocks: Int = firstOwnedStart.length
   def sumAt(k: Int): Boolean = k < hasSum.length && hasSum(k)
+  def columnar: Boolean = layout == BlockStats.LayoutColumnar
 }
 
 /** Writer-side accumulator. The csv OutputWriter calls [[startLine]] once per
@@ -154,6 +164,18 @@ final class McStatsBuilder(schema: StructType) {
         if (owner == blockIdx) offsetInBlock // includes file-start (0, 0)
         else FirstAtNextBlock
     }
+  }
+
+  /** Columnar-layout registration: rows never span blocks and block b's
+    * first row starts at its own offset 0, so the owner is always b itself
+    * (no offset-0 rule). `firstOwnedStart` is stored as 0 — the row-layout
+    * pruned iterator never sees columnar files, so the value is only ever
+    * read as "has owned lines".
+    */
+  def startLineOwned(blockIdx: Int): Unit = {
+    cur = blockAt(blockIdx)
+    cur.lines += 1
+    if (cur.firstOwned == NoOwnedLines) cur.firstOwned = 0
   }
 
   def observeNull(col: Int): Unit = cur.nulls(col) += 1
@@ -210,9 +232,14 @@ final class McStatsBuilder(schema: StructType) {
 
   /** Serialize stats for exactly `nBlocks` container blocks (blocks beyond the
     * last observed line are all-empty entries). `version` = 1 writes the
-    * sum-less legacy layout (compat tests — old files must keep parsing).
+    * sum-less legacy layout (compat tests — old files must keep parsing);
+    * version 3 additionally writes the block-payload `layout` byte
+    * (columnar writers pass StatsVersionColumnar + LayoutColumnar).
     */
-  def serialize(nBlocks: Int, version: Int = StatsVersion): Array[Byte] = {
+  def serialize(nBlocks: Int, version: Int = StatsVersion,
+                layout: Int = LayoutRows): Array[Byte] = {
+    require(layout == LayoutRows || version >= StatsVersionColumnar,
+      "non-row layouts require a version-3 stats segment")
     val bos = new java.io.ByteArrayOutputStream(64 + nBlocks * (8 + nCols * 24))
     def w4(v: Int): Unit = {
       bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
@@ -221,6 +248,7 @@ final class McStatsBuilder(schema: StructType) {
     def w8(v: Long): Unit = { w4((v >>> 32).toInt); w4(v.toInt) }
     w4(StatsMagic)
     w4(version)
+    if (version >= StatsVersionColumnar) bos.write(layout)
     w4(nCols)
     tags.foreach(bos.write)
     w4(nBlocks)
@@ -287,7 +315,11 @@ object McBlockStats {
     def r8(): Long = { val hi = r4().toLong; val lo = r4().toLong & 0xffffffffL; (hi << 32) | lo }
     if (r4() != StatsMagic) throw new java.io.IOException("4mc stats segment magic mismatch")
     val version = r4()
-    if (version < 1 || version > StatsVersion) return None // forward-compat: ignore newer stats
+    if (version < 1 || version > StatsVersionColumnar) return None // forward-compat: ignore newer stats
+    val layout =
+      if (version >= StatsVersionColumnar) { val l = seg(p) & 0xff; p += 1; l }
+      else LayoutRows
+    if (layout > LayoutColumnar) return None // unknown payload layout: don't misread blocks
     val nCols = r4()
     if (nCols < 0 || nCols > 4096) throw new java.io.IOException(s"4mc stats nCols $nCols out of range")
     val tags = new Array[Int](nCols)
@@ -334,7 +366,7 @@ object McBlockStats {
       b += 1
     }
     Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX,
-      hasSum, sums))
+      hasSum, sums, layout))
   }
 }
 

@@ -102,6 +102,28 @@ final class FourMcWriter(out: OutputStream, codec: McCodec,
     bufLen = 0
   }
 
+  /** Write one PREASSEMBLED block (header + `payload[0, payloadLen)` verbatim,
+    * checksum computed here) and record its offset — the entry point for the
+    * columnar layout, whose payload is a directory + per-column sub-streams
+    * ([[ColumnarBlocks]]) rather than one codec stream. The caller owns the
+    * payload structure; the envelope (offsets, EOS, stats, footer) is shared
+    * with the classic path. Must not be interleaved with buffered `write`
+    * bytes in the same block (callers use exactly one mode per file).
+    */
+  def writeRawBlock(uncompressedLen: Int, payload: Array[Byte], payloadLen: Int): Unit = {
+    require(bufLen == 0, "writeRawBlock cannot follow buffered bytes in the same block")
+    require(uncompressedLen > 0 && uncompressedLen <= FourMc.MaxBlockSize,
+      s"raw block uncompressed size $uncompressedLen out of range")
+    require(payloadLen > 0 && payloadLen <= uncompressedLen,
+      s"raw block payload size $payloadLen out of range (uncompressed $uncompressedLen)")
+    blockOffsets += bytesOut
+    writeInt(uncompressedLen)
+    writeInt(payloadLen)
+    writeInt(FourMc.xxhash32(payload, 0, payloadLen))
+    out.write(payload, 0, payloadLen)
+    bytesOut += payloadLen
+  }
+
   override def flush(): Unit = out.flush()
 
   override def close(): Unit = {
@@ -151,6 +173,9 @@ final class FourMcWriter(out: OutputStream, codec: McCodec,
 
   def bytesWritten: Long = bytesOut
   def blockCount: Int = blockOffsets.length
+
+  /** The flush threshold this writer was configured with. */
+  def blockBytesThreshold: Int = blockBytes
 
   /** Bytes buffered for the current (unflushed) block. */
   def pendingBytes: Int = bufLen

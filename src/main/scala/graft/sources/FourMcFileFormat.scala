@@ -157,8 +157,19 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         // fast parser doesn't cover
         lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
           .withZone(java.time.ZoneOffset.UTC)
-        val lines = FourMcFileFormat.csvLines(
-          in, index, file, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+        val lines: graft.format.McLineStream =
+          if (index.stats.exists(_.columnar)) {
+            // columnar file on the row path: synthesize lines carrying only
+            // the needed columns' (already-escaped) bytes — one parse
+            // implementation for both layouts ([[McColumnarLineSynth]])
+            val fileCols = index.stats.get.tags.length
+            val needed = fieldIdx.filter(_ < fileCols).distinct.sorted
+            val cursor = FourMcFileFormat.columnarCursor(
+              in, index, file, needed, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+            new graft.format.McColumnarLineSynth(
+              cursor, math.min(totalFields, fileCols), needed, delim)
+          } else FourMcFileFormat.csvLines(
+            in, index, file, dataSchema, filters, statsEnabled, permissive, rkfOpt)
         val starts = new Array[Int](totalFields + 1)
         // One UnsafeRowWriter reused for every line (the same pattern as
         // Spark's text source): primitives land in the row buffer unboxed,
@@ -462,6 +473,18 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val blockBytes = options.get("blockBytes").map(_.toInt).getOrElse(graft.format.FourMc.MaxBlockSize)
     require(csv || !options.contains("blockBytes"),
       s"blockBytes is only supported for payload=csv (got payload=$payload)")
+    // block payload layout: 'rows' (classic delimited lines, default) or
+    // 'columnar' (per-column sub-streams, [[graft.format.ColumnarBlocks]] —
+    // projections decompress only their columns). Columnar requires the
+    // stats segment: its version-3 layout byte is how readers detect it.
+    val layout = options.getOrElse("layout", "rows")
+    require(layout == "rows" || layout == "columnar",
+      s"4mc layout must be 'rows' or 'columnar', got '$layout'")
+    val columnar = layout == "columnar"
+    require(!columnar || csv,
+      s"layout=columnar is only supported for payload=csv (got payload=$payload)")
+    require(!columnar || options.getOrElse("blockStats", "true").toBoolean,
+      "layout=columnar requires blockStats=true (readers detect the layout from the stats segment)")
     // per-block bloom filters over integer key columns ([[BlockBlooms]]):
     // comma-separated column names, validated eagerly on the driver
     val bloomCols: Array[Int] = options.get("bloomColumns") match {
@@ -490,7 +513,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           context: TaskAttemptContext
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
-          options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols)
+          options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols, columnar)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -652,6 +675,63 @@ object FourMcFileFormat {
     * scan metrics wired — SHARED by the row-based and vectorized readers so
     * the two paths cannot drift in pruning or corruption semantics.
     */
+  /** Per-block keep flags from stats/bloom pruning (static filters ∧ runtime
+    * key set); None = nothing to skip — shared by the row-layout line
+    * streams and the columnar cursor so pruning semantics are one
+    * implementation.
+    */
+  private[sources] def keepBlocksOpt(
+      index: FourMcIndex,
+      dataSchema: StructType,
+      filters: Seq[Filter],
+      statsEnabled: Boolean,
+      permissive: Boolean,
+      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean)]
+  ): Option[Array[Boolean]] =
+    if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
+      index.stats.flatMap { st =>
+        val fromFilters =
+          if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st, index.blooms)
+          else None
+        val fromKeys = rkfOpt.flatMap { case (c, bKeys, hashed) =>
+          if (hashed)
+            McStatsPruning.keepBlocksForHashedKeys(c, bKeys.value, dataSchema, st, index.blooms)
+          else
+            McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st, index.blooms)
+        }
+        (fromFilters, fromKeys) match {
+          case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
+          case (a, b)             => a.orElse(b)
+        }
+      }.filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
+    else None
+
+  /** Pruned, metrics-wired cursor over one split of a COLUMNAR csv file —
+    * the columnar twin of [[csvLines]], shared by the vectorized fast path
+    * and the row reader's synthesized-line fallback.
+    */
+  private[sources] def columnarCursor(
+      in: McInput,
+      index: FourMcIndex,
+      file: PartitionedFile,
+      needed: Array[Int],
+      dataSchema: StructType,
+      filters: Seq[Filter],
+      statsEnabled: Boolean,
+      permissive: Boolean,
+      rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean)]
+  ): McColumnarCursor = {
+    val keepOpt = keepBlocksOpt(index, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+    val cur = new McColumnarCursor(in, index, index.stats.get.tags.length, needed,
+      file.start, file.start + file.length, keepOpt.orNull, permissive)
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      FourMcScanMetrics.blocksRead.add(cur.blocksRead)
+      FourMcScanMetrics.blocksSkipped.add(cur.blocksSkipped)
+      if (permissive) FourMcScanMetrics.corruptSkipped.add(cur.corruptSkipped)
+    })
+    cur
+  }
+
   private[sources] def csvLines(
       in: McInput,
       index: FourMcIndex,
@@ -662,24 +742,7 @@ object FourMcFileFormat {
       permissive: Boolean,
       rkfOpt: Option[(String, org.apache.spark.broadcast.Broadcast[Array[Long]], Boolean)]
   ): McLineStream = {
-    val keepOpt: Option[Array[Boolean]] =
-      if (statsEnabled && !permissive && (filters.nonEmpty || rkfOpt.nonEmpty))
-        index.stats.flatMap { st =>
-          val fromFilters =
-            if (filters.nonEmpty) McStatsPruning.keepBlocks(filters, dataSchema, st, index.blooms)
-            else None
-          val fromKeys = rkfOpt.flatMap { case (c, bKeys, hashed) =>
-            if (hashed)
-              McStatsPruning.keepBlocksForHashedKeys(c, bKeys.value, dataSchema, st, index.blooms)
-            else
-              McStatsPruning.keepBlocksForKeys(c, bKeys.value, dataSchema, st, index.blooms)
-          }
-          (fromFilters, fromKeys) match {
-            case (Some(a), Some(b)) => Some(Array.tabulate(a.length)(i => a(i) && b(i)))
-            case (a, b)             => a.orElse(b)
-          }
-        }.filter(_.exists(k => !k)) // all-true: classic path, nothing to skip
-      else None
+    val keepOpt = keepBlocksOpt(index, dataSchema, filters, statsEnabled, permissive, rkfOpt)
     keepOpt match {
       case Some(keepArr) =>
         val it = new FourMcPrunedLineIterator(in, index, file.start, file.start + file.length, keepArr)
@@ -879,7 +942,8 @@ final class FourMcCsvOutputWriter(
     tsFmt: String,
     blockStats: Boolean = true,
     blockBytes: Int = graft.format.FourMc.MaxBlockSize,
-    bloomCols: Array[Int] = Array.empty
+    bloomCols: Array[Int] = Array.empty,
+    columnar: Boolean = false
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -896,11 +960,27 @@ final class FourMcCsvOutputWriter(
   private val decScale: Array[Int] = schema.fields.map(f => CsvPayload.scaleOf(f.dataType))
   private val decPrec: Array[Int] = schema.fields.map(f => CsvPayload.precisionOf(f.dataType))
 
+  // Columnar layout ([[graft.format.ColumnarBlocks]]): one encoder per
+  // column accumulates that column's values (newline-terminated, same field
+  // encoding as a row-layout line); a block flush compresses each column's
+  // bytes as its own sub-stream. Requires blockStats (the version-3 stats
+  // segment is how readers detect the layout).
+  require(!columnar || blockStats, "layout=columnar requires blockStats=true")
+  private val colEncs: Array[CsvPayload.LineEncoder] =
+    if (columnar) Array.fill(schema.length)(new CsvPayload.LineEncoder(256)) else null
+  private val colDirLen = graft.format.ColumnarBlocks.dirLen(schema.length)
+  private var colBytesPending = 0 // Σ column-encoder lengths (excl. dir)
+
   // Per-block column stats ([[BlockStats]]): observed values are exactly what
   // the reader will parse back — timestamps are floor-truncated to the
   // serialization precision first, so bounds never exclude a parsed value.
   private val statsBuilder = if (blockStats) new graft.format.McStatsBuilder(schema) else null
-  if (statsBuilder != null) out.statsProvider = n => statsBuilder.serialize(n)
+  if (statsBuilder != null)
+    out.statsProvider =
+      if (columnar)
+        n => statsBuilder.serialize(n, graft.format.BlockStats.StatsVersionColumnar,
+          graft.format.BlockStats.LayoutColumnar)
+      else n => statsBuilder.serialize(n)
   // Per-block bloom filters ([[BlockBlooms]]) over integer key columns; the
   // reader's segment detection requires the stats segment alongside.
   require(bloomCols.isEmpty || blockStats, "bloomColumns requires blockStats=true")
@@ -910,6 +990,10 @@ final class FourMcCsvOutputWriter(
 
   private def observeBlooms(row: InternalRow): Unit = {
     bloomBuilder.startLine(out.blockCount, out.pendingBytes)
+    observeBloomValues(row)
+  }
+
+  private def observeBloomValues(row: InternalRow): Unit = {
     var c = 0
     while (c < bloomCols.length) {
       val i = bloomCols(c)
@@ -936,6 +1020,10 @@ final class FourMcCsvOutputWriter(
 
   private def observeStats(row: InternalRow): Unit = {
     statsBuilder.startLine(out.blockCount, out.pendingBytes)
+    observeStatsValues(row)
+  }
+
+  private def observeStatsValues(row: InternalRow): Unit = {
     val tags = statsBuilder.tags
     var i = 0
     while (i < tags.length) {
@@ -965,15 +1053,117 @@ final class FourMcCsvOutputWriter(
     }
   }
 
-  override def write(row: InternalRow): Unit = {
-    if (statsBuilder != null) observeStats(row)
-    if (bloomBuilder != null) observeBlooms(row)
-    enc.reset()
+  override def write(row: InternalRow): Unit =
+    if (columnar) writeColumnar(row)
+    else {
+      if (statsBuilder != null) observeStats(row)
+      if (bloomBuilder != null) observeBlooms(row)
+      enc.reset()
+      var i = 0
+      while (i < tags.length) {
+        if (i > 0) enc.raw(delimByte)
+        encodeField(enc, row, i)
+        i += 1
+      }
+      enc.raw('\n')
+      out.write(enc.bytes, 0, enc.length)
+    }
+
+  /** Columnar write: the row's fields append to their column encoders; the
+    * block flushes once the pending column bytes pass the threshold. A row
+    * whose own bytes would push the block past the 4 MiB format maximum is
+    * moved whole into a fresh block (rows never span blocks).
+    */
+  private val beforeLens: Array[Int] = if (columnar) new Array[Int](schema.length) else null
+
+  private def writeColumnar(row: InternalRow): Unit = {
+    val n = tags.length
+    var rowBytes = 0
     var i = 0
-    while (i < tags.length) {
-      if (i > 0) enc.raw(delimByte)
-      if (row.isNullAt(i)) enc.raw2(CsvPayload.Esc, 'N')
-      else (tags(i): @scala.annotation.switch) match {
+    while (i < n) {
+      val ce = colEncs(i)
+      beforeLens(i) = ce.length
+      encodeField(ce, row, i)
+      ce.raw('\n')
+      rowBytes += ce.length - beforeLens(i)
+      i += 1
+    }
+    colBytesPending += rowBytes
+    if (colDirLen + colBytesPending > graft.format.FourMc.MaxBlockSize) {
+      // rare overflow: extract this row's bytes, flush the block without
+      // them, and seed the next block with the extracted row
+      if (colBytesPending == rowBytes)
+        throw new java.io.IOException(
+          s"columnar row of $rowBytes bytes exceeds the 4 MiB block maximum")
+      val rowSlices = new Array[Array[Byte]](n)
+      i = 0
+      while (i < n) {
+        val ce = colEncs(i)
+        rowSlices(i) = java.util.Arrays.copyOfRange(ce.bytes, beforeLens(i), ce.length)
+        ce.truncate(beforeLens(i))
+        i += 1
+      }
+      colBytesPending -= rowBytes
+      flushColumnarBlock()
+      i = 0
+      while (i < n) {
+        colEncs(i).rawBytes(rowSlices(i), 0, rowSlices(i).length)
+        i += 1
+      }
+      colBytesPending = rowBytes
+    }
+    if (statsBuilder != null) {
+      statsBuilder.startLineOwned(out.blockCount)
+      observeStatsValues(row)
+    }
+    if (bloomBuilder != null) {
+      bloomBuilder.startLineOwned(out.blockCount)
+      observeBloomValues(row)
+    }
+    if (colDirLen + colBytesPending >= out.blockBytesThreshold) flushColumnarBlock()
+  }
+
+  /** Compress + emit the pending column streams as one columnar block. */
+  private def flushColumnarBlock(): Unit = if (colBytesPending > 0) {
+    val n = tags.length
+    val stored = new Array[Array[Byte]](n) // null = plain (use encoder bytes)
+    var payloadLen = colDirLen
+    var uncompLen = colDirLen
+    var i = 0
+    while (i < n) {
+      val ce = colEncs(i)
+      stored(i) = if (ce.length == 0) null else codec.compress(ce.bytes, ce.length)
+      payloadLen += (if (stored(i) == null) ce.length else stored(i).length)
+      uncompLen += ce.length
+      i += 1
+    }
+    val payload = new Array[Byte](payloadLen)
+    var off = colDirLen
+    i = 0
+    while (i < n) {
+      val ce = colEncs(i)
+      val sLen = if (stored(i) == null) ce.length else stored(i).length
+      graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen, sLen)
+      graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 4, ce.length)
+      if (stored(i) == null) System.arraycopy(ce.bytes, 0, payload, off, sLen)
+      else System.arraycopy(stored(i), 0, payload, off, sLen)
+      graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 8,
+        graft.format.FourMc.xxhash32(payload, off, sLen))
+      off += sLen
+      ce.reset()
+      i += 1
+    }
+    out.writeRawBlock(uncompLen, payload, payloadLen)
+    colBytesPending = 0
+  }
+
+  /** One field of `row`, encoded exactly as the row layout encodes it
+    * (escaping, `\N` null marker, array/map element separators) — shared by
+    * the line writer and the columnar column writers.
+    */
+  private def encodeField(enc: CsvPayload.LineEncoder, row: InternalRow, i: Int): Unit = {
+    if (row.isNullAt(i)) enc.raw2(CsvPayload.Esc, 'N')
+    else (tags(i): @scala.annotation.switch) match {
         case CsvPayload.TagString  => enc.escaped(row.getUTF8String(i).getBytes, delimByte)
         case CsvPayload.TagLong    => enc.long(row.getLong(i))
         case CsvPayload.TagInt     => enc.long(row.getInt(i).toLong)
@@ -1040,14 +1230,13 @@ final class FourMcCsvOutputWriter(
           if (tsMicroDigits < 0 || !enc.timestampMicros(micros, tsMicroDigits))
             enc.string(fmt.format(java.time.Instant.ofEpochSecond(
               Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
-      }
-      i += 1
     }
-    enc.raw('\n')
-    out.write(enc.bytes, 0, enc.length)
   }
 
-  override def close(): Unit = out.close()
+  override def close(): Unit = {
+    if (columnar) flushColumnarBlock()
+    out.close()
+  }
 }
 
 /** Byte-level helpers for the typed csv payload: escaping, the `\N` null
@@ -1623,6 +1812,11 @@ object CsvPayload {
     }
     def raw(b: Byte): Unit = { ensure(1); buf(len) = b; len += 1 }
     def raw2(a: Byte, b: Byte): Unit = { ensure(2); buf(len) = a; buf(len + 1) = b; len += 2 }
+    def rawBytes(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, off, buf, len, n); len += n
+    }
+    /** Roll the encoder back to `n` bytes (columnar block-overflow path). */
+    def truncate(n: Int): Unit = { require(n >= 0 && n <= len); len = n }
 
     /** UTF-8 bytes with '\' escaping of '\\', '\n', '\r', and the delimiter. */
     def escaped(src: Array[Byte], delim: Byte): Unit = {

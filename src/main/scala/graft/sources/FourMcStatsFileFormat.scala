@@ -400,6 +400,22 @@ class FourMcStatsFileFormat(
           if (all) 0 else 1
         }
 
+        // Columnar files decode their fallback blocks through the cursor +
+        // synthesized lines ([[graft.format.McColumnarLineSynth]]) — the
+        // row-layout line iterators would feed multi-stream payloads to the
+        // codec as one stream. lineRow parses synthesized lines unchanged.
+        def columnarLines(keepArr: Array[Boolean]): Iterator[(Long, Array[Byte])] = {
+          val fileCols = index.stats.get.tags.length
+          val needed = neededCols.filter(_ < fileCols)
+          val cur = new graft.format.McColumnarCursor(in, index, fileCols, needed,
+            file.start, splitEnd, keepArr, permissive = false)
+          Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+            FourMcScanMetrics.blocksRead.add(cur.blocksRead)
+          })
+          new graft.format.McColumnarLineSynth(
+            cur, math.min(totalFields, fileCols), needed, delim)
+        }
+
         index.stats match {
           // the segment must describe THIS read schema: a file written with
           // a different column set (text-payload compaction of a csv dir,
@@ -433,6 +449,8 @@ class FourMcStatsFileFormat(
               (ordStart until ordEnd).iterator.filter(statsSet(_)).map(statsRow(st, _))
             val decoded: Iterator[InternalRow] =
               if (decodeBlocks == 0) Iterator.empty
+              else if (st.columnar)
+                columnarLines(keep).map { case (_, bytes) => lineRow(bytes) }.filter(_ != null)
               else {
                 val it = new FourMcPrunedLineIterator(in, index, file.start, splitEnd, keep)
                 Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
@@ -441,6 +459,11 @@ class FourMcStatsFileFormat(
                 it.map { case (_, bytes) => lineRow(bytes) }.filter(_ != null)
               }
             synthesized ++ decoded
+          case _ if index.stats.exists(_.columnar) =>
+            // schema-mismatched columnar file: decode every owned row via
+            // the cursor (stats bounds can't be trusted under this schema,
+            // but the synthesized lines parse value-exact)
+            columnarLines(null).map { case (_, bytes) => lineRow(bytes) }.filter(_ != null)
           case _ =>
             // stats-less or schema-mismatched file: decode every owned line
             // (predicates, if any, evaluate per line)

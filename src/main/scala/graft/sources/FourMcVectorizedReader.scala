@@ -135,6 +135,344 @@ object FourMcVectorizedReader {
             batch
           }
         })
+      } else if (index.stats.exists(_.columnar)) {
+      // ======= columnar layout fast path =======
+      // One field per line per stream: value slices come straight off the
+      // per-stream newline index — no boundary scan, no delimiter walk, and
+      // only the projected columns were ever decompressed. Pushed filters
+      // evaluate column-major first (no row-major premium, so no adaptive
+      // probe), then surviving rows late-materialize the remaining columns
+      // through a selection map.
+      lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
+        .withZone(java.time.ZoneOffset.UTC)
+      val fileCols = index.stats.get.tags.length
+      val neededOrds: Array[Int] = fieldIdx.filter(_ < fileCols).distinct.sorted
+      // required ordinal -> cursor slot (-1 = column absent from the file:
+      // reads as null / empty string, the missing-trailing-field semantics)
+      val slotOf: Array[Int] = fieldIdx.map(src =>
+        if (src < fileCols) java.util.Arrays.binarySearch(neededOrds, src) else -1)
+      val cursor = FourMcFileFormat.columnarCursor(
+        in, index, file, neededOrds, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+
+      val dataVectors = OnHeapColumnVector.allocateColumns(BatchSize, requiredSchema)
+      val allVectors: Array[ColumnVector] =
+        dataVectors.map(v => v: ColumnVector) ++ partitionVectors(partitionSchema, file.partitionValues)
+      val batch = new ColumnarBatch(allVectors)
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => batch.close()))
+
+      val nPred = predFields.length
+      val predLongs = new Array[Long](BatchSize * math.max(1, nPred))
+      val predObjs = new Array[AnyRef](BatchSize * math.max(1, nPred))
+      val predNulls = new Array[Boolean](BatchSize * math.max(1, nPred))
+      val predSlot: Array[Int] = Array.fill(nFields)(-1)
+      locally { var pi = 0; while (pi < nPred) { predSlot(predFields(pi)) = pi; pi += 1 } }
+      val keepArr = new Array[Boolean](BatchSize)
+      val selRel = new Array[Int](BatchSize) // surviving row offsets within the batch window
+
+      def pass(ps: Array[Any => Boolean], v: Any): Boolean = {
+        var pi = 0
+        while (pi < ps.length) { if (!ps(pi)(v)) return false; pi += 1 }
+        true
+      }
+
+      /** Evaluate the pushed filters over rows [r0, r0+n) of the current
+        * block, caching parsed values for replay; returns the survivor
+        * count with their offsets in `selRel`.
+        */
+      def evalPredicates(r0: Int, n: Int): Int = {
+        java.util.Arrays.fill(keepArr, 0, n, true)
+        var pi = 0
+        while (pi < nPred) {
+          val k = predFields(pi)
+          val fp = fieldPreds(k)
+          val ps = fp.rest
+          val tag = fieldTags(k)
+          val j = slotOf(k)
+          if (j < 0) {
+            // column absent from the file: every value is the
+            // missing-trailing-field value (null / empty string)
+            val keepMissing =
+              if (tag == CsvPayload.TagString)
+                pass(ps, org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8)
+              else fp.nullPasses
+            var r = 0
+            while (r < n) {
+              if (keepArr(r)) {
+                keepArr(r) = keepMissing
+                val slot = r * nPred + pi
+                if (tag == CsvPayload.TagString)
+                  predObjs(slot) = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else predNulls(slot) = true
+              }
+              r += 1
+            }
+          } else {
+            val bytes = cursor.colBytes(j)
+            var r = 0
+            while (r < n) {
+              if (keepArr(r)) {
+                val s = cursor.valStart(j, r0 + r)
+                val e = cursor.valEnd(j, r0 + r)
+                val slot = r * nPred + pi
+                var keep = true
+                if (CsvPayload.isNullMarker(bytes, s, e) ||
+                    (s >= e && tag != CsvPayload.TagString)) {
+                  keep = fp.nullPasses
+                  predNulls(slot) = true
+                } else {
+                  predNulls(slot) = false
+                  (tag: @scala.annotation.switch) match {
+                    case CsvPayload.TagString =>
+                      val u = if (s >= e) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                              else CsvPayload.unescape(bytes, s, e, delim)
+                      keep = pass(ps, u); predObjs(slot) = u
+                    case CsvPayload.TagLong =>
+                      val x = CsvPayload.parseLong(bytes, s, e)
+                      keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                      predLongs(slot) = x
+                    case CsvPayload.TagInt =>
+                      val x = CsvPayload.parseInt(bytes, s, e)
+                      keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                      predLongs(slot) = x.toLong
+                    case CsvPayload.TagDouble =>
+                      val x = CsvPayload.parseDouble(bytes, s, e)
+                      keep = pass(ps, x); predLongs(slot) = java.lang.Double.doubleToRawLongBits(x)
+                    case CsvPayload.TagFloat =>
+                      val x = CsvPayload.parseFloat(bytes, s, e)
+                      keep = pass(ps, x)
+                      predLongs(slot) = java.lang.Float.floatToRawIntBits(x).toLong
+                    case CsvPayload.TagBoolean =>
+                      val x = bytes(s) == 't' || bytes(s) == 'T'
+                      keep = pass(ps, x); predLongs(slot) = if (x) 1L else 0L
+                    case CsvPayload.TagDate =>
+                      val x = CsvPayload.parseDateDays(bytes, s, e)
+                      keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                      predLongs(slot) = x.toLong
+                    case CsvPayload.TagDecimal =>
+                      val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
+                      keep = fp.rangeOk(un) && (ps.length == 0 ||
+                        pass(ps, org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k))))
+                      predLongs(slot) = un
+                    case _ =>
+                      val x =
+                        if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
+                          CsvPayload.parseTimestampMicros(bytes, s, e)
+                        else {
+                          val inst =
+                            java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
+                          inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                        }
+                      keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                      predLongs(slot) = x
+                  }
+                }
+                keepArr(r) = keep
+              }
+              r += 1
+            }
+          }
+          pi += 1
+        }
+        var selN = 0
+        var r = 0
+        while (r < n) { if (keepArr(r)) { selRel(selN) = r; selN += 1 }; r += 1 }
+        selN
+      }
+
+      /** Decode the surviving rows into the vectors at positions
+        * [0, selN): column-major, pred-bound columns replay their cached
+        * values, selection indices resolve through selRel.
+        */
+      def fillColumns(r0: Int, selN: Int): Unit = {
+        var k = 0
+        while (k < nFields) {
+          val vec = dataVectors(k)
+          val tag = fieldTags(k)
+          val j = slotOf(k)
+          val slot0 = predSlot(k)
+          if (j < 0) {
+            var p = 0
+            if (tag == CsvPayload.TagString)
+              while (p < selN) { vec.putByteArray(p, Array.emptyByteArray, 0, 0); p += 1 }
+            else
+              while (p < selN) { vec.putNull(p); p += 1 }
+          } else if (CsvPayload.isArrayTag(tag)) {
+            val bytes = cursor.colBytes(j)
+            val child = vec.arrayData()
+            var off = 0
+            var p = 0
+            while (p < selN) {
+              val r = r0 + selRel(p)
+              val s = cursor.valStart(j, r)
+              val e = cursor.valEnd(j, r)
+              if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(p)
+              else {
+                var cnt = 0
+                if (s < e) {
+                  child.reserve(off + ((e - s) >> 1) + 1)
+                  var ts = s
+                  var more = true
+                  while (more) {
+                    var te = ts
+                    while (te < e && bytes(te) != CsvPayload.ElemSep) te += 1
+                    if (CsvPayload.isNullElem(bytes, ts, te)) child.putNull(off + cnt)
+                    else (tag: @scala.annotation.switch) match {
+                      case CsvPayload.TagArrLong =>
+                        child.putLong(off + cnt, CsvPayload.parseLong(bytes, ts, te))
+                      case CsvPayload.TagArrFloat =>
+                        child.putFloat(off + cnt, CsvPayload.parseFloat(bytes, ts, te))
+                      case _ =>
+                        child.putDouble(off + cnt, CsvPayload.parseDouble(bytes, ts, te))
+                    }
+                    cnt += 1
+                    if (te >= e) more = false else ts = te + 1
+                  }
+                }
+                vec.putArray(p, off, cnt)
+                off += cnt
+              }
+              p += 1
+            }
+          } else if (tag == CsvPayload.TagMap) {
+            val bytes = cursor.colBytes(j)
+            val keyChild = vec.getChild(0)
+            val valChild = vec.getChild(1)
+            var off = 0
+            var p = 0
+            while (p < selN) {
+              val r = r0 + selRel(p)
+              val s = cursor.valStart(j, r)
+              val e = cursor.valEnd(j, r)
+              if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(p)
+              else {
+                val cnt = CsvPayload.countEntries(bytes, s, e)
+                keyChild.reserve(off + cnt)
+                valChild.reserve(off + cnt)
+                var ts = s
+                var m = 0
+                while (m < cnt) {
+                  val te = CsvPayload.entryEnd(bytes, ts, e)
+                  val eq = CsvPayload.kvSplit(bytes, ts, te)
+                  val ke = if (eq < 0) te else eq
+                  if (ts >= ke) keyChild.putByteArray(off + m, Array.emptyByteArray, 0, 0)
+                  else {
+                    val u = CsvPayload.unescape(bytes, ts, ke, delim)
+                    keyChild.putByteArray(off + m, u.getBytes, 0, u.numBytes())
+                  }
+                  val vs0 = if (eq < 0) te else eq + 1
+                  if (eq >= 0 && CsvPayload.isNullMarker(bytes, vs0, te)) valChild.putNull(off + m)
+                  else if (vs0 >= te) valChild.putByteArray(off + m, Array.emptyByteArray, 0, 0)
+                  else {
+                    val u = CsvPayload.unescape(bytes, vs0, te, delim)
+                    valChild.putByteArray(off + m, u.getBytes, 0, u.numBytes())
+                  }
+                  ts = te + 1
+                  m += 1
+                }
+                vec.putArray(p, off, cnt)
+                off += cnt
+              }
+              p += 1
+            }
+          } else if (slot0 >= 0) {
+            var p = 0
+            while (p < selN) {
+              val slot = selRel(p) * nPred + slot0
+              if (predNulls(slot)) vec.putNull(p)
+              else (tag: @scala.annotation.switch) match {
+                case CsvPayload.TagString =>
+                  val u = predObjs(slot).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                  vec.putByteArray(p, u.getBytes, 0, u.numBytes())
+                case CsvPayload.TagLong      => vec.putLong(p, predLongs(slot))
+                case CsvPayload.TagInt       => vec.putInt(p, predLongs(slot).toInt)
+                case CsvPayload.TagDouble    =>
+                  vec.putDouble(p, java.lang.Double.longBitsToDouble(predLongs(slot)))
+                case CsvPayload.TagFloat     =>
+                  vec.putFloat(p, java.lang.Float.intBitsToFloat(predLongs(slot).toInt))
+                case CsvPayload.TagBoolean   => vec.putBoolean(p, predLongs(slot) == 1L)
+                case CsvPayload.TagDate      => vec.putInt(p, predLongs(slot).toInt)
+                case CsvPayload.TagDecimal   =>
+                  if (intDecimal(k)) vec.putInt(p, predLongs(slot).toInt)
+                  else vec.putLong(p, predLongs(slot))
+                case _                       => vec.putLong(p, predLongs(slot))
+              }
+              p += 1
+            }
+          } else {
+            val bytes = cursor.colBytes(j)
+            var p = 0
+            while (p < selN) {
+              val r = r0 + selRel(p)
+              val s = cursor.valStart(j, r)
+              val e = cursor.valEnd(j, r)
+              if (CsvPayload.isNullMarker(bytes, s, e) ||
+                  (s >= e && tag != CsvPayload.TagString))
+                vec.putNull(p)
+              else (tag: @scala.annotation.switch) match {
+                case CsvPayload.TagString =>
+                  if (s >= e) vec.putByteArray(p, Array.emptyByteArray, 0, 0)
+                  else if (CsvPayload.escapeFree(bytes, s, e))
+                    vec.putByteArray(p, bytes, s, e - s)
+                  else {
+                    val u = CsvPayload.unescape(bytes, s, e, delim)
+                    vec.putByteArray(p, u.getBytes, 0, u.numBytes())
+                  }
+                case CsvPayload.TagLong    => vec.putLong(p, CsvPayload.parseLong(bytes, s, e))
+                case CsvPayload.TagInt     => vec.putInt(p, CsvPayload.parseInt(bytes, s, e))
+                case CsvPayload.TagDouble  => vec.putDouble(p, CsvPayload.parseDouble(bytes, s, e))
+                case CsvPayload.TagFloat   => vec.putFloat(p, CsvPayload.parseFloat(bytes, s, e))
+                case CsvPayload.TagBoolean => vec.putBoolean(p, bytes(s) == 't' || bytes(s) == 'T')
+                case CsvPayload.TagDate    => vec.putInt(p, CsvPayload.parseDateDays(bytes, s, e))
+                case CsvPayload.TagDecimal =>
+                  val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
+                  if (intDecimal(k)) vec.putInt(p, un.toInt) else vec.putLong(p, un)
+                case _ =>
+                  val x =
+                    if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
+                      CsvPayload.parseTimestampMicros(bytes, s, e)
+                    else {
+                      val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                    }
+                  vec.putLong(p, x)
+              }
+              p += 1
+            }
+          }
+          k += 1
+        }
+      }
+
+      erase(new Iterator[ColumnarBatch] {
+        private var r0 = 0
+        private var inBlock = false
+        private def ensureRows(): Boolean = {
+          while (!inBlock || r0 >= cursor.rows) {
+            if (!cursor.nextBlock()) return false
+            inBlock = true
+            r0 = 0
+          }
+          true
+        }
+        private var pending = ensureRows()
+        override def hasNext: Boolean = pending
+        override def next(): ColumnarBatch = {
+          var k = 0
+          while (k < nFields) { dataVectors(k).reset(); k += 1 }
+          val n = math.min(BatchSize, cursor.rows - r0)
+          val selN =
+            if (nPred == 0) {
+              var r = 0
+              while (r < n) { selRel(r) = r; r += 1 }
+              n
+            } else evalPredicates(r0, n)
+          fillColumns(r0, selN)
+          r0 += n
+          pending = ensureRows()
+          batch.setNumRows(selN)
+          batch
+        }
+      })
       } else {
       lazy val fmt = java.time.format.DateTimeFormatter.ofPattern(tsFmt)
         .withZone(java.time.ZoneOffset.UTC)

@@ -34,6 +34,8 @@ object ProbeSf5Twins {
     val twinPairs = Seq(
       "fourmc_lineitem_q1" -> "q1_pricing_summary",
       "fourmz_lineitem_q1" -> "q1_pricing_summary",
+      "fourmc_columnar_q1" -> "q1_pricing_summary",
+      "fourmz_columnar_q1" -> "q1_pricing_summary",
       "fourmc_q6_selective" -> "q6_forecast",
       "fourmc_q6_skipped" -> "q6_forecast")
     for (r <- 1 to rounds) {
