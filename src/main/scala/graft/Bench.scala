@@ -498,6 +498,7 @@ object Bench {
             // container twins over the same scaled tables (q1/q6 above are
             // their parquet twins)
             "fourmc_lineitem_q1", "fourmz_lineitem_q1", "fourmc_orders_selfjoin",
+            "fourmc_columnar_q1", "fourmz_columnar_q1",
             "fourmc_q6_selective", "fourmc_q6_skipped", "fourmc_count_star",
             // r13 typed columns at scale: DATE shipdates + DECIMAL money
             // through the container (zone-pruned date filter, decimal sums)
@@ -547,6 +548,10 @@ object Bench {
           val twinPairs = Seq(
             "fourmc_lineitem_q1" -> "q1_pricing_summary",
             "fourmz_lineitem_q1" -> "q1_pricing_summary",
+            // r14: columnar layout — q1's 7-column projection decompresses
+            // 7 sub-streams instead of all 16 columns' bytes
+            "fourmc_columnar_q1" -> "q1_pricing_summary",
+            "fourmz_columnar_q1" -> "q1_pricing_summary",
             "fourmc_q6_selective" -> "q6_forecast",
             "fourmc_q6_skipped" -> "q6_forecast")
           val twins: Seq[(String, (Double, Double))] = twinPairs.flatMap { case (cn, pn) =>
@@ -657,6 +662,10 @@ object Bench {
         val twinPairs = Seq(
           "fourmc_lineitem_q1" -> "q1_pricing_summary",
           "fourmz_lineitem_q1" -> "q1_pricing_summary",
+          // r14: the structural fourmz fix measured where it was stalled —
+          // the columnar twins decompress only the 7 projected columns
+          "fourmc_columnar_q1" -> "q1_pricing_summary",
+          "fourmz_columnar_q1" -> "q1_pricing_summary",
           "fourmc_q6_selective" -> "q6_forecast",
           "fourmc_q6_skipped" -> "q6_forecast")
         val twins = twinPairs.flatMap { case (cn, pn) =>
