@@ -171,6 +171,39 @@ object RoundTrip {
         count(col("l_shipdate")).as("n_ship"))
   }
 
+  /** Footer-stats SUM over DECIMAL columns (round 14): blocks store exact
+    * unscaled long sums (overflow-poisoned blocks decode), the stats
+    * relation emits DecimalType(p+10, s) partials, and the rewritten
+    * aggregate re-sums them under the original eval context — SUM(money)
+    * joins the metadata-only lake-ops set with zero blocks decompressed.
+    * Output types are Sum's own (DECIMAL(22,2)); the oracle casts to match.
+    */
+  def decimalSumMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // bare Alias(Sum) outputs keep the Aggregate pushdown-eligible; the
+    // double casts live in a Project ABOVE it (oracle type parity — exact
+    // decimal totals at these magnitudes are double-representable)
+    typedLineitem(spark, sfDir)
+      .agg(
+        sum(col("l_quantity")).as("sq"),
+        sum(col("l_extendedprice")).as("sp"),
+        sum(col("l_discount")).as("sd"),
+        count(col("l_extendedprice")).as("n_price"),
+        count(lit(1)).as("n"))
+      .select(
+        col("sq").cast(DoubleType).as("sum_qty"),
+        col("sp").cast(DoubleType).as("sum_price"),
+        col("sd").cast(DoubleType).as("sum_disc"),
+        col("n_price"), col("n"))
+  }
+
+  val decimalSumMetaSql: String =
+    """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc,
+      |       COUNT(l_extendedprice) AS n_price, COUNT(*) AS n
+      |FROM lineitem""".stripMargin
+
   /** q_json_props re-expressed over a NATIVE `map<string,string>` column
     * (round 13: the csv payload's map type, SURVEY §1.4's `props` shape):
     * events round-trip with props parsed from the JSON string into a real

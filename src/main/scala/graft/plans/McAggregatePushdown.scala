@@ -182,14 +182,19 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
           // refused (null-on-overflow needs the scan's own TrySum). Old v1
           // segments have no sums — those blocks decode per line
           // (statsUsable gates on FlagHasSum), staying value-exact.
+          // Decimal children (r13 verdict #3): blocks store EXACT unscaled
+          // long sums (overflow-poisoned blocks decode instead), emitted by
+          // the stats relation as DecimalType(p+10, s) partials — always
+          // representable, since a block's sum has at most p+7 digits. The
+          // rewrite re-sums the partials under the original eval context and
+          // casts back to Sum's own result type DecimalType(p+10, s): the
+          // cast overflows (ANSI error / LEGACY null) exactly when the plain
+          // scan's Sum would have.
           case s: Sum if s.evalContext.evalMode !=
               org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
             colOf(s.child).filter { i =>
               val t = graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType)
-              // decimal blocks DO store unscaled long sums, but Sum's result
-              // domain for a decimal child is DecimalType(p+10, s) with its
-              // own overflow semantics — refuse rather than re-type
-              graft.format.BlockStats.sumKindOf(t) != 0 && t != graft.sources.CsvPayload.TagDecimal
+              graft.format.BlockStats.sumKindOf(t) != 0
             }.map(i => Agg(al, ReqSum(i, s.evalContext))).getOrElse(return None)
           // AVG over a double/float column decomposes into Sum(_sum)/Sum(_nn)
           // — the SAME Divide-of-double-sum-by-count Average's own
@@ -259,7 +264,19 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
             // for int/long columns, double for double/float), so re-summing
             // the per-block partials under the ORIGINAL eval context is the
             // same arithmetic a plain scan's partial aggregation runs.
-            AggregateExpression(Sum(attr(s"_sum_$i"), ctx), Complete, isDistinct = false)
+            // Decimal partials ride DecimalType(p+10, s); the outer Sum
+            // widens 10 more digits, so cast back to the original result
+            // type — overflow there (ANSI error / LEGACY null) reproduces
+            // the plain scan's own overflow point.
+            val inner = AggregateExpression(Sum(attr(s"_sum_$i"), ctx), Complete, isDistinct = false)
+            if (dataSchema.fields(i).dataType
+                .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                inner, al.child.dataType, None,
+                if (ctx.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+                  org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI
+                else org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+            else inner
           case ReqAvg(i) =>
             // Average(double) evaluates as Divide(double sum, count, LEGACY)
             // internally — mirror it over the block partials. All-null input:

@@ -189,13 +189,14 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           }
           true
         }
-        // map columns can't ride the reused UnsafeRowWriter (UnsafeMapData
-        // has no incremental writer); map-bearing projections take a boxed
-        // GenericInternalRow fallback — correct and total (pushed filters
-        // are re-applied by Spark's own post-scan Filter), while every
-        // map-free schema keeps the zero-allocation unsafe path below. The
-        // vectorized reader (the default batch path) decodes maps natively.
-        val hasMap = fieldTags.contains(CsvPayload.TagMap)
+        // map columns write straight into the row buffer in UnsafeMapData's
+        // layout — [keyArrayNumBytes(8)][key UnsafeArrayData][value
+        // UnsafeArrayData] — exactly the sequence GenerateUnsafeProjection's
+        // writeMapToBuffer emits (grow 8, write keys, backfill the size,
+        // write values, setOffsetAndSizeFromPreviousCursor), so map-bearing
+        // projections keep the zero-allocation unsafe path (r13 advice: the
+        // old fallback boxed EVERY column of the row into a
+        // GenericInternalRow whenever a map was projected)
         def parseSliceGeneric(bytes: Array[Byte], from: Int, to: Int): InternalRow = {
           CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to,
             firstField)
@@ -261,7 +262,6 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
         // zero-copy slice mode (see McLineStream): parse runs in place on
         // the decompressed block buffer — no per-line array or tuple
         def parseSlice(bytes: Array[Byte], from: Int, to: Int): InternalRow = {
-          if (hasMap) return parseSliceGeneric(bytes, from, to)
           CsvPayload.scanBoundaries(bytes, delim, starts, 0, neededFields, totalFields, from, to,
             firstField)
           writer.reset()
@@ -277,7 +277,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val ps = fp.rest
             val tag = fieldTags(k)
             if (CsvPayload.isNullMarker(bytes, s, e) ||
-              (s >= e && tag != CsvPayload.TagString && !CsvPayload.isArrayTag(tag))) {
+              (s >= e && tag != CsvPayload.TagString && tag != CsvPayload.TagMap &&
+                !CsvPayload.isArrayTag(tag))) {
               keep = fp.nullPasses // empty pred set precomputes to true
               if (keep) writer.setNullAt(k)
             } else {
@@ -325,6 +326,47 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                     writer.write(k,
                       org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k)),
                       fieldPrec(k), fieldScale(k))
+                // map<string,string>: UnsafeMapData layout written in place
+                // — 8-byte key-array size, key UnsafeArrayData, value
+                // UnsafeArrayData (two passes over the ';'-split entries:
+                // keys first, values second — the layout stores the arrays
+                // contiguously, not interleaved). Maps are never
+                // filter-bound (compileFilters refuses them).
+                case CsvPayload.TagMap =>
+                  val cnt = CsvPayload.countEntries(bytes, s, e)
+                  val prev = writer.cursor()
+                  writer.grow(8)
+                  writer.increaseCursor(8)
+                  val keysStart = writer.cursor()
+                  arrWriter8.initialize(cnt)
+                  var ts = s
+                  var j = 0
+                  while (j < cnt) {
+                    val te = CsvPayload.entryEnd(bytes, ts, e)
+                    val eq = CsvPayload.kvSplit(bytes, ts, te)
+                    val ke = if (eq < 0) te else eq
+                    if (ts >= ke) arrWriter8.write(j, UTF8String.EMPTY_UTF8)
+                    else arrWriter8.write(j, CsvPayload.unescape(bytes, ts, ke, delim))
+                    ts = te + 1
+                    j += 1
+                  }
+                  org.apache.spark.unsafe.Platform.putLong(
+                    writer.getBuffer, keysStart - 8, (writer.cursor() - keysStart).toLong)
+                  arrWriter8.initialize(cnt)
+                  ts = s
+                  j = 0
+                  while (j < cnt) {
+                    val te = CsvPayload.entryEnd(bytes, ts, e)
+                    val eq = CsvPayload.kvSplit(bytes, ts, te)
+                    val vs0 = if (eq < 0) te else eq + 1
+                    if (eq >= 0 && CsvPayload.isNullMarker(bytes, vs0, te))
+                      arrWriter8.setNull8Bytes(j)
+                    else if (vs0 >= te) arrWriter8.write(j, UTF8String.EMPTY_UTF8)
+                    else arrWriter8.write(j, CsvPayload.unescape(bytes, vs0, te, delim))
+                    ts = te + 1
+                    j += 1
+                  }
+                  writer.setOffsetAndSizeFromPreviousCursor(k, prev)
                 // arrays: elements parse in place, ';'-split, straight into
                 // the row buffer's array region. No predicates ever compile
                 // for array fields (compileFilters refuses them), so `keep`

@@ -194,6 +194,9 @@ class FourMcStatsFileFormat(
         def statSum(st: McBlockStats, b: Int, c: Int): Any = {
           val k = b * st.nCols + c
           if (st.lineCount(b) - st.nullCount(k) == 0) null
+          else if (origTags(c) == CsvPayload.TagDecimal)
+            org.apache.spark.sql.types.Decimal(
+              st.sumLong(k), math.min(38, origPrec(c) + 10), origScale(c))
           else if (graft.format.BlockStats.sumKindOf(origTags(c)) == 2)
             java.lang.Double.longBitsToDouble(st.sumLong(k))
           else st.sumLong(k)
@@ -328,6 +331,9 @@ class FourMcStatsFileFormat(
                   case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue)
                   case d: java.lang.Double  => d
                   case f: java.lang.Float   => java.lang.Double.valueOf(f.doubleValue)
+                  case d: org.apache.spark.sql.types.Decimal =>
+                    org.apache.spark.sql.types.Decimal(d.toUnscaledLong,
+                      math.min(38, origPrec(sp.col) + 10), origScale(sp.col))
                 }
               case _ => parsed(colPos(sp.col))
             }
@@ -512,9 +518,18 @@ object FourMcStatsFileFormat {
         (if (wantMax) Seq(StructField(s"_max_$i", dt, nullable = true)) else Nil)
     } ++ nnCols.map(i => StructField(s"_nn_$i", LongType, nullable = false)) ++
       sumCols.map { i =>
-        val kind = graft.format.BlockStats.sumKindOf(
-          CsvPayload.tagOf(origSchema.fields(i).dataType))
-        StructField(s"_sum_$i", if (kind == 2) DoubleType else LongType, nullable = true)
+        val dt = origSchema.fields(i).dataType
+        val kind = graft.format.BlockStats.sumKindOf(CsvPayload.tagOf(dt))
+        // decimal partials ride Sum's own result domain DecimalType(p+10, s):
+        // a block's unscaled long sum always fits (values ≤ p digits, blocks
+        // < 10^7 rows ⇒ sums < p+7 digits), so every stored sum converts
+        // losslessly and re-summing partials is Sum's partial-then-combine
+        val sumType = dt match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.types.DecimalType(math.min(38, d.precision + 10), d.scale)
+          case _ => if (kind == 2) DoubleType else LongType
+        }
+        StructField(s"_sum_$i", sumType, nullable = true)
       } :+ StructField("_cnt", LongType, nullable = false)
     StructType(fields)
   }

@@ -566,4 +566,72 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(mm.getLong(0) == 1L && mm.getLong(1) == 5000L)
     assert(FourMcScanMetrics.blocksRead.sum() == 0L, "v1 bounds stay usable without decode")
   }
+
+  test("SUM(decimal) answers from unscaled block sums: zero blocks decompressed, ANSI + LEGACY") {
+    val dir = tmpDir()
+    val dSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("m", DecimalType(12, 2)),
+      StructField("m0", DecimalType(7, 0))))
+    val rows = (1 to 5000).map { i =>
+      org.apache.spark.sql.Row(
+        i.toLong,
+        if (i % 13 == 2) null else java.math.BigDecimal.valueOf(i.toLong * 104729L - 5000000L, 2),
+        if (i % 17 == 3) null else java.math.BigDecimal.valueOf(i.toLong * 31L - 80000L, 0))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), dSchema).coalesce(1)
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(dSchema).load(dir)
+    def agg(df: DataFrame): DataFrame =
+      df.agg(sum(col("m")).as("sm"), sum(col("m0")).as("s0"),
+        count(col("m")).as("nm"), count(lit(1)).as("n"))
+    for (ansi <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val q = agg(sc)
+        assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+          s"ansi=$ansi: SUM(decimal) must rewrite:\n" +
+            q.queryExecution.executedPlan.toString.take(1200))
+        // result type must be untouched by the rewrite: DecimalType(p+10, s)
+        assert(q.schema("sm").dataType == DecimalType(22, 2))
+        assert(q.schema("s0").dataType == DecimalType(17, 0))
+        spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+        val expect =
+          try agg(sc).collect().head
+          finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+        FourMcScanMetrics.reset()
+        val got = q.collect().head
+        assert(got == expect, s"ansi=$ansi: pushdown $got != scan $expect")
+        assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+          s"ansi=$ansi: decimal sum-from-stats must decompress zero blocks")
+        assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L)
+      } finally spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("SUM(decimal) long-overflow-poisoned blocks decode and stay exact") {
+    // DECIMAL(18,0) values of 18 digits: ~11 of them overflow a LONG during
+    // block accumulation, so the writer stores NO sum for those blocks and
+    // the reader decodes them; the final DecimalType(28,0) total is exact
+    val dir = tmpDir()
+    val dSchema = StructType(Seq(
+      StructField("k", LongType), StructField("m", DecimalType(18, 0))))
+    val rows = (1 to 400).map { i =>
+      org.apache.spark.sql.Row(i.toLong, java.math.BigDecimal.valueOf(900000000000000000L + i, 0))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), dSchema).coalesce(1)
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (2 * 1024).toString).mode("overwrite").save(dir)
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(dSchema).load(dir)
+    val q = sc.agg(sum(col("m")).as("sm"))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    FourMcScanMetrics.reset()
+    val got = q.collect().head.getDecimal(0)
+    val expect = rows.map(r => new java.math.BigDecimal(r.getDecimal(1).toPlainString))
+      .reduce(_.add(_))
+    assert(got.compareTo(expect) == 0, s"$got != $expect")
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L,
+      "overflow-poisoned blocks must decode (no stored sum)")
+  }
 }
