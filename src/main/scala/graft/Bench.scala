@@ -706,6 +706,61 @@ object Bench {
       }
     }
 
+    // ---- sf10-class relational scale: ~100x facts, slow quartet only ------
+    // r13 verdict #6: the r13 plan audit PREDICTED the q21/q18/q17/q5 join
+    // flips hold at the next scale step; measure instead. Times plus the
+    // executed (post-AQE) join strategies per query, so a shape regression
+    // (BHJ→BNLJ, SMJ→cartesian) is visible in the artifact, not just a
+    // slowdown. SPARK_GRAFT_SF10=0 skips; any other int overrides 100.
+    if (!sys.env.get("SPARK_GRAFT_SF10").contains("0")) {
+      val factor = sys.env.get("SPARK_GRAFT_SF10")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100)
+      val budget = sys.env.get("SPARK_GRAFT_SF10_BUDGET")
+        .flatMap(_.toLongOption).getOrElse(900L)
+      try {
+        val tGen = System.nanoTime()
+        val dir = tools.RelationalScale.ensureScaled(spark, sfDir, factor)
+        val genSecs = (System.nanoTime() - tGen) / 1e9
+        val deadline = System.nanoTime() + budget * 1000000000L
+        val names = Seq("q5_local_supplier", "q17_small_quantity",
+          "q18_large_orders", "q21_waiting_suppliers")
+        val joinKinds = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin", "CartesianProduct")
+        val results = names.map { name =>
+          val fn = SparkEntry.queries(name)
+          if (System.nanoTime() > deadline) (name, -2.0, "")
+          else try {
+            val df = fn(spark, dir)
+            val t0 = System.nanoTime()
+            df.count() // warm + finalize the adaptive plan
+            val warm = (System.nanoTime() - t0) / 1e9
+            val plan = df.queryExecution.executedPlan.toString
+            val joins = joinKinds.flatMap(k =>
+              Option(plan.linesIterator.count(_.contains(k))).filter(_ > 0).map(n => s"$k:$n"))
+              .mkString(",")
+            val t =
+              if (System.nanoTime() > deadline) warm
+              else math.min(warm, {
+                val t1 = System.nanoTime()
+                fn(spark, dir).count()
+                (System.nanoTime() - t1) / 1e9
+              })
+            (name, t, joins)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] sf10 $name: ${e.getMessage}"); (name, -1.0, "")
+          }
+        }
+        val qjson = results.map { case (n, t, _) => "\"" + n + f"\":$t%.3f" }.mkString("{", ",", "}")
+        val jjson = results.map { case (n, _, j) => "\"" + n + "\":\"" + j + "\"" }.mkString("{", ",", "}")
+        emitSection("sf10",
+          f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson,"joins":$jjson}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
+      }
+    }
+
     // ---- final summary line + full-artifact file ---------------------------
     // The summary is the LAST stdout line and stays well under the driver's
     // 2000-char archive tail, so it ALWAYS survives whole and parses: total,

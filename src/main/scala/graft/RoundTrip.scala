@@ -351,14 +351,17 @@ object RoundTrip {
       codec: String,
       sortCol: String,
       timestampFormat: String = tsFmt,
-      blockBytes: Int = SortedBlockBytes
+      blockBytes: Int = SortedBlockBytes,
+      tsMicros: Boolean = false
   ): (String, StructType) = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
     // the block size is a write-layout knob, so it is part of the cache key
     // (same rule as timestampFormat): a dir written at another block size
     // must not be silently reused as evidence for this one
-    val dir = rtDir(sfDir, s"$tableName-by-$sortCol-b${blockBytes >> 10}k", codec, timestampFormat)
+    val enc = if (tsMicros) "-tsmicros" else ""
+    val dir = rtDir(sfDir, s"$tableName-by-$sortCol-b${blockBytes >> 10}k$enc", codec,
+      timestampFormat)
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) {
       // Fewer, bigger files than the unsorted round-trip (~32 MiB of source
@@ -381,6 +384,7 @@ object RoundTrip {
         // to the true predicate range — worth the small ratio cost on a
         // sorted file
         .option("blockBytes", blockBytes.toString)
+        .option("timestampEncoding", if (tsMicros) "micros" else "text")
         .save(dir.getAbsolutePath)
     }
     (dir.getAbsolutePath, schema)
@@ -487,6 +491,86 @@ object RoundTrip {
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 12:00:00'
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** The same time-range retention scan over MICROS-encoded timestamps
+    * (round 14, `timestampEncoding=micros`): raw int64 tokens instead of
+    * formatted text — precision-exact round-trip, allocation-free long
+    * parse, and the SAME zone-map pruning (the stats store micros in both
+    * encodings; readers detect the tag per file from the stats segment).
+    * Oracle identical to [[eventsWindowSkipped]]'s.
+    */
+  def eventsWindowMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (dir, schema) = ensureRoundTripSorted(
+      spark, sfDir, "events", "zstd-1", "ts", blockBytes = 128 * 1024, tsMicros = true)
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .schema(schema).load(dir)
+    back
+      .filter($"ts" >= lit("2024-01-10 00:00:00").cast(TimestampType) &&
+        $"ts" < lit("2024-01-11 12:00:00").cast(TimestampType))
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value")
+      )
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** Lineitem grouped into HASH BUCKETS of `l_shipmode` (round 14, the
+    * dictionary-pruning fixture): each output file holds 1–2 of the 7 modes,
+    * so a block's [min, max] STRING RANGE still spans other modes lexically
+    * ('MAIL' sits inside [AIR, TRUCK]) and zone maps cannot refute an
+    * equality — but the complete per-block value DICTIONARY
+    * ([[graft.format.BlockStats.FlagHasDict]]) can. This is the layout a
+    * real warehouse gets from any non-sorted partitioning of a
+    * low-cardinality column.
+    */
+  private def ensureFlagBuckets(spark: SparkSession, sfDir: String): (String, StructType) = {
+    import org.apache.spark.sql.functions._
+    val src = Queries.table(spark, sfDir, "lineitem")
+    val dir = rtDir(sfDir, "lineitem-flagbuckets", "lz4-fast", tsFmt)
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      // the A/R file's blocks have zone [A, R] which CONTAINS 'N'
+      // lexically — only the complete dictionary {A, R} can refute the
+      // equality; the N file's blocks are the survivors
+      src.filter(col("l_returnflag") =!= "N").coalesce(1)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", tsFmt)
+        .option("blockBytes", (128 * 1024).toString)
+        .save(dir.getAbsolutePath)
+      src.filter(col("l_returnflag") === "N").coalesce(1)
+        .write.mode("append").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", tsFmt)
+        .option("blockBytes", (128 * 1024).toString)
+        .save(dir.getAbsolutePath)
+    }
+    (dir.getAbsolutePath, src.schema)
+  }
+
+  /** Equality on a dictionary column over the mixed layout: blocks whose
+    * dictionary lacks 'N' are skipped before decompression — the
+    * refutation zone maps can't make (their [A, R] range contains 'N')
+    * and blooms needn't (no hashing, exact membership). Oracle: same
+    * filter+aggregate over the original parquet.
+    */
+  def dictReturnflag(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dir, schema) = ensureFlagBuckets(spark, sfDir)
+    spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+      .filter(col("l_returnflag") === "N")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val dictReturnflagSql: String =
+    """SELECT l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'N'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).

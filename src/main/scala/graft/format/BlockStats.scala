@@ -79,6 +79,17 @@ object BlockStats {
   private[format] final val FlagMinExact = 2
   private[format] final val FlagMaxExact = 4
   private[format] final val FlagHasSum = 8 // v2: 8-byte sum follows bounds
+  // round 14: a complete per-block VALUE DICTIONARY for a low-cardinality
+  // string column — count(1) then count × (len(1) + bytes) after the sum.
+  // Entries are EXACT (never truncated) and cover every non-null value the
+  // block owns, so equality/IN/prefix predicates prune by membership where
+  // zone ranges (domain-spanning on unsorted data) and blooms (hash-only)
+  // can't or needn't. Written only when the block stays within
+  // [[DictMaxEntries]] distinct values of ≤ [[DictMaxValueLen]] bytes
+  // (returnflag/linestatus/shipmode-class columns).
+  private[format] final val FlagHasDict = 16
+  final val DictMaxEntries = 32
+  final val DictMaxValueLen = 32
 
   /** Sum domain per parse tag: 0 = none, 1 = wrapping long, 2 = double.
     * Decimals sum their UNSCALED values in the long domain (the consumer
@@ -106,22 +117,30 @@ final class McBlockStats(
     val maxExact: Array[Boolean],
     val hasSum: Array[Boolean] = Array.empty, // v2; empty for v1 segments
     val sumLong: Array[Long] = Array.empty, // long wrap-sum, or double sum as raw bits
-    val layout: Int = BlockStats.LayoutRows // v3; rows for v1/v2 segments
+    val layout: Int = BlockStats.LayoutRows, // v3; rows for v1/v2 segments
+    val dicts: Array[Array[Array[Byte]]] = Array.empty // r14; null entry = no dict
 ) extends Serializable {
   def nCols: Int = tags.length
   def nBlocks: Int = firstOwnedStart.length
   def sumAt(k: Int): Boolean = k < hasSum.length && hasSum(k)
   def columnar: Boolean = layout == BlockStats.LayoutColumnar
+  /** Complete value dictionary of block-col `k`, or null when none stored. */
+  def dictAt(k: Int): Array[Array[Byte]] = if (k < dicts.length) dicts(k) else null
 }
 
 /** Writer-side accumulator. The csv OutputWriter calls [[startLine]] once per
   * row (before serializing it) and one typed observe per column, then hands
   * [[serialize]] to the container writer to emit just before the footer.
   */
-final class McStatsBuilder(schema: StructType) {
+final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
   import BlockStats._
 
-  val tags: Array[Int] = schema.fields.map(f => CsvPayload.tagOf(f.dataType))
+  // the serialized tag bytes are the read-side source of truth for the
+  // per-column encoding — micros-encoded timestamps must persist tag 14
+  val tags: Array[Int] = schema.fields.map { f =>
+    val t = CsvPayload.tagOf(f.dataType)
+    if (tsMicros && t == CsvPayload.TagTimestamp) CsvPayload.TagTimestampMicros else t
+  }
   private val nCols = tags.length
 
   private val sumKind: Array[Int] = tags.map(BlockStats.sumKindOf)
@@ -141,6 +160,10 @@ final class McStatsBuilder(schema: StructType) {
     val sumL = new Array[Long](nCols) // long sums, overflow-poisoned
     val sumOver = new Array[Boolean](nCols) // long sum overflowed: no sum stored
     val sumD = new Array[Double](nCols) // double sums, row order
+    // string dictionaries: exact distinct values, capped; over = abandoned
+    val dict = new Array[scala.collection.mutable.ArrayBuffer[Array[Byte]]](nCols)
+    val dictOver = new Array[Boolean](nCols)
+    val dictLastHit = new Array[Int](nCols) // repeat-heavy data hits the same slot
   }
 
   private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockAcc]
@@ -216,6 +239,32 @@ final class McStatsBuilder(schema: StructType) {
   }
 
   def observeString(col: Int, bytes: Array[Byte]): Unit = {
+    // dictionary accumulation: exact values, capped count and length. The
+    // last-hit probe makes the common case (runs of repeated values,
+    // low-cardinality columns) one byte-compare per row.
+    if (!cur.dictOver(col)) {
+      if (bytes.length > DictMaxValueLen) { cur.dictOver(col) = true; cur.dict(col) = null }
+      else {
+        var d = cur.dict(col)
+        if (d == null) { d = scala.collection.mutable.ArrayBuffer.empty; cur.dict(col) = d }
+        val lastHit = cur.dictLastHit(col)
+        if (d.isEmpty || lastHit >= d.length ||
+            !java.util.Arrays.equals(d(lastHit), bytes)) {
+          var i = 0
+          var found = -1
+          while (found < 0 && i < d.length) {
+            if (java.util.Arrays.equals(d(i), bytes)) found = i
+            i += 1
+          }
+          if (found >= 0) cur.dictLastHit(col) = found
+          else if (d.length >= DictMaxEntries) { cur.dictOver(col) = true; cur.dict(col) = null }
+          else {
+            d += java.util.Arrays.copyOf(bytes, bytes.length)
+            cur.dictLastHit(col) = d.length - 1
+          }
+        }
+      }
+    }
     val (trunc, exact) =
       if (bytes.length <= MaxStrBytes) (bytes, true)
       else (java.util.Arrays.copyOf(bytes, MaxStrBytes), false)
@@ -263,6 +312,10 @@ final class McStatsBuilder(schema: StructType) {
         w4(acc.nulls(c))
         val bounds = acc.bounded(c) && !acc.noBounds(c)
         val hasSum = version >= 2 && sumKind(c) != 0 && !acc.sumOver(c)
+        val dict =
+          if (version >= 2 && tags(c) == CsvPayload.TagString && !acc.dictOver(c) &&
+              acc.dict(c) != null && acc.dict(c).nonEmpty) acc.dict(c)
+          else null
         var flags = 0
         if (bounds) {
           flags |= FlagBounds
@@ -272,6 +325,7 @@ final class McStatsBuilder(schema: StructType) {
           if (xx) flags |= FlagMaxExact
         }
         if (hasSum) flags |= FlagHasSum
+        if (dict != null) flags |= FlagHasDict
         bos.write(flags)
         if (bounds) {
           if (tags(c) == CsvPayload.TagString) {
@@ -281,6 +335,10 @@ final class McStatsBuilder(schema: StructType) {
         }
         if (hasSum)
           w8(if (sumKind(c) == 2) java.lang.Double.doubleToLongBits(acc.sumD(c)) else acc.sumL(c))
+        if (dict != null) {
+          bos.write(dict.length)
+          dict.foreach { v => bos.write(v.length); bos.write(v, 0, v.length) }
+        }
         c += 1
       }
       b += 1
@@ -340,6 +398,7 @@ object McBlockStats {
     val maxX = new Array[Boolean](n)
     val hasSum = new Array[Boolean](n)
     val sums = new Array[Long](n)
+    val dicts = new Array[Array[Array[Byte]]](n)
     var b = 0
     while (b < nBlocks) {
       first(b) = r4()
@@ -361,12 +420,24 @@ object McBlockStats {
           } else { minL(k) = r8(); maxL(k) = r8() }
         }
         if (version >= 2 && (flags & FlagHasSum) != 0) { hasSum(k) = true; sums(k) = r8() }
+        if (version >= 2 && (flags & FlagHasDict) != 0) {
+          val cnt = seg(p) & 0xff; p += 1
+          if (cnt > DictMaxEntries) throw new java.io.IOException(s"4mc stats dict size $cnt")
+          val d = new Array[Array[Byte]](cnt)
+          var i2 = 0
+          while (i2 < cnt) {
+            val l = seg(p) & 0xff; p += 1
+            d(i2) = java.util.Arrays.copyOfRange(seg, p, p + l); p += l
+            i2 += 1
+          }
+          dicts(k) = d
+        }
         c += 1
       }
       b += 1
     }
     Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX,
-      hasSum, sums, layout))
+      hasSum, sums, layout, dicts))
   }
 }
 
@@ -417,7 +488,7 @@ object McStatsPruning {
         v match { case n: java.lang.Number => Some(n.longValue); case _ => None }
       case CsvPayload.TagBoolean =>
         v match { case b: java.lang.Boolean => Some(if (b) 1L else 0L); case _ => None }
-      case CsvPayload.TagTimestamp =>
+      case CsvPayload.TagTimestamp | CsvPayload.TagTimestampMicros =>
         v match {
           case t: java.sql.Timestamp      => Some(DateTimeUtils.fromJavaTimestamp(t))
           case i: java.time.Instant       => Some(DateTimeUtils.instantToMicros(i))
@@ -496,12 +567,19 @@ object McStatsPruning {
           blk => {
             val k = blk * nCols + c
             if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
-            else if (!stats.hasBounds(k)) true
             else {
-              // matching strings form the range [p, p·∞); intersect with [min,max]
-              val aboveMin = prefixCompare(stats.maxBytes(k), p) >= 0
-              val belowMax = prefixCompare(stats.minBytes(k), p) <= 0
-              aboveMin && belowMax
+              val dict = stats.dictAt(k)
+              if (dict != null)
+                // complete dictionary: definitive membership, not a range proof
+                dict.exists(v => v.length >= p.length && prefixCompare(v, p) == 0 &&
+                  java.util.Arrays.equals(java.util.Arrays.copyOf(v, p.length), p))
+              else if (!stats.hasBounds(k)) true
+              else {
+                // matching strings form the range [p, p·∞); intersect with [min,max]
+                val aboveMin = prefixCompare(stats.maxBytes(k), p) >= 0
+                val belowMax = prefixCompare(stats.minBytes(k), p) <= 0
+                aboveMin && belowMax
+              }
             }
           }
         }
@@ -534,6 +612,19 @@ object McStatsPruning {
           blk => {
             val k = blk * nCols + c
             if (stats.lineCount(blk) - stats.nullCount(k) <= 0) false
+            else if (stats.dictAt(k) != null) {
+              // complete value dictionary (r14): ∃-membership answers every
+              // comparison mode EXACTLY — keep iff some stored value
+              // satisfies it (no bloom needed, no truncation subtleties)
+              val dict = stats.dictAt(k)
+              (mode: @scala.annotation.switch) match {
+                case ModeEq => dict.exists(byteCompare(_, vb) == 0)
+                case ModeGt => dict.exists(byteCompare(_, vb) > 0)
+                case ModeGe => dict.exists(byteCompare(_, vb) >= 0)
+                case ModeLt => dict.exists(byteCompare(_, vb) < 0)
+                case _      => dict.exists(byteCompare(_, vb) <= 0)
+              }
+            }
             else if (!stats.hasBounds(k))
               bloomOrd < 0 || blooms.get.mayContain(blk, bloomOrd, bloomKey)
             else {

@@ -108,6 +108,33 @@ object Fsck {
           in.readFully(off + FourMc.BlockHeaderLen, payload, 0, comp)
           if (FourMc.xxhash32(payload, 0, comp) != sum)
             throw new java.io.IOException(s"block checksum mismatch at $off")
+          // columnar payloads (stats layout byte): verify the directory's
+          // structure AND each column stream's own checksum — a selective
+          // reader trusts these per-stream sums, so fsck must too
+          if (index.stats.exists(_.columnar)) {
+            val nCols = index.stats.get.tags.length
+            val dl = graft.format.ColumnarBlocks.dirLen(nCols)
+            if (comp < dl)
+              throw new java.io.IOException(s"columnar payload smaller than directory at $off")
+            var o2 = dl
+            var totalU = dl
+            var c = 0
+            while (c < nCols) {
+              val e = c * graft.format.ColumnarBlocks.DirEntryLen
+              val sLen = graft.format.ColumnarBlocks.getBE(payload, e)
+              val uLen = graft.format.ColumnarBlocks.getBE(payload, e + 4)
+              val want = graft.format.ColumnarBlocks.getBE(payload, e + 8)
+              if (sLen < 0 || uLen < 0 || sLen > uLen || o2 + sLen > comp)
+                throw new java.io.IOException(s"columnar stream $c sizes out of range at $off")
+              if (FourMc.xxhash32(payload, o2, sLen) != want)
+                throw new java.io.IOException(s"columnar stream $c checksum mismatch at $off")
+              o2 += sLen
+              totalU += uLen
+              c += 1
+            }
+            if (o2 != comp || totalU != uncomp)
+              throw new java.io.IOException(s"columnar directory disagrees with block sizes at $off")
+          }
         } catch {
           case e: Exception =>
             corrupt += 1

@@ -170,6 +170,9 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
               cursor, math.min(totalFields, fileCols), needed, delim)
           } else FourMcFileFormat.csvLines(
             in, index, file, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+        // per-FILE parse tags: timestamp columns written as micros carry
+        // tag 14 in the file's stats segment (see CsvPayload.fileTags)
+        val tags = CsvPayload.fileTags(fieldTags, fieldIdx, index.stats)
         val starts = new Array[Int](totalFields + 1)
         // One UnsafeRowWriter reused for every line (the same pattern as
         // Spark's text source): primitives land in the row buffer unboxed,
@@ -206,7 +209,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val src = fieldIdx(k)
             val s = starts(src)
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields, to)
-            val tag = fieldTags(k)
+            val tag = tags(k)
             vals(k) =
               if (CsvPayload.isNullMarker(bytes, s, e) ||
                   (s >= e && tag != CsvPayload.TagString && tag != CsvPayload.TagMap &&
@@ -224,6 +227,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                   org.apache.spark.sql.types.Decimal(
                     CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k)),
                     fieldPrec(k), fieldScale(k))
+                case CsvPayload.TagTimestampMicros =>
+                  java.lang.Long.valueOf(CsvPayload.parseLong(bytes, s, e))
                 case CsvPayload.TagMap => CsvPayload.parseMap(bytes, s, e, delim)
                 case CsvPayload.TagArrLong | CsvPayload.TagArrFloat | CsvPayload.TagArrDouble =>
                   val cnt = CsvPayload.countElems(bytes, s, e)
@@ -275,7 +280,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields, to)
             val fp = fieldPreds(k)
             val ps = fp.rest
-            val tag = fieldTags(k)
+            val tag = tags(k)
             if (CsvPayload.isNullMarker(bytes, s, e) ||
               (s >= e && tag != CsvPayload.TagString && tag != CsvPayload.TagMap &&
                 !CsvPayload.isArrayTag(tag))) {
@@ -326,6 +331,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
                     writer.write(k,
                       org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k)),
                       fieldPrec(k), fieldScale(k))
+                case CsvPayload.TagTimestampMicros =>
+                  val x = CsvPayload.parseLong(bytes, s, e)
+                  keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                  if (keep) writer.write(k, x)
                 // map<string,string>: UnsafeMapData layout written in place
                 // — 8-byte key-array size, key UnsafeArrayData, value
                 // UnsafeArrayData (two passes over the ';'-split entries:
@@ -527,6 +536,18 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       s"layout=columnar is only supported for payload=csv (got payload=$payload)")
     require(!columnar || options.getOrElse("blockStats", "true").toBoolean,
       "layout=columnar requires blockStats=true (readers detect the layout from the stats segment)")
+    // timestamp encoding: 'text' (default, the fixed-layout pattern) or
+    // 'micros' (raw int64 micros tokens, precision-exact). Micros requires
+    // the stats segment — its stored tag bytes are the read-side detection.
+    val tsEncoding = options.getOrElse("timestampEncoding", "text")
+    require(tsEncoding == "text" || tsEncoding == "micros",
+      s"timestampEncoding must be 'text' or 'micros', got '$tsEncoding'")
+    val tsMicros = tsEncoding == "micros"
+    require(!tsMicros || csv,
+      s"timestampEncoding=micros is only supported for payload=csv (got payload=$payload)")
+    require(!tsMicros || options.getOrElse("blockStats", "true").toBoolean,
+      "timestampEncoding=micros requires blockStats=true (readers detect the encoding " +
+        "from the stats segment's tag bytes)")
     // per-block bloom filters over integer key columns ([[BlockBlooms]]):
     // comma-separated column names, validated eagerly on the driver
     val bloomCols: Array[Int] = options.get("bloomColumns") match {
@@ -555,7 +576,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           context: TaskAttemptContext
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
-          options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols, columnar)
+          options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols, columnar,
+          tsMicros)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -985,7 +1007,8 @@ final class FourMcCsvOutputWriter(
     blockStats: Boolean = true,
     blockBytes: Int = graft.format.FourMc.MaxBlockSize,
     bloomCols: Array[Int] = Array.empty,
-    columnar: Boolean = false
+    columnar: Boolean = false,
+    tsMicros: Boolean = false
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -998,7 +1021,10 @@ final class FourMcCsvOutputWriter(
     .ofPattern(tsFmt)
     .withZone(java.time.ZoneOffset.UTC)
   private val enc = new CsvPayload.LineEncoder(256)
-  private val tags: Array[Int] = schema.fields.map(f => CsvPayload.tagOf(f.dataType))
+  private val tags: Array[Int] = schema.fields.map { f =>
+    val t = CsvPayload.tagOf(f.dataType)
+    if (tsMicros && t == CsvPayload.TagTimestamp) CsvPayload.TagTimestampMicros else t
+  }
   private val decScale: Array[Int] = schema.fields.map(f => CsvPayload.scaleOf(f.dataType))
   private val decPrec: Array[Int] = schema.fields.map(f => CsvPayload.precisionOf(f.dataType))
 
@@ -1016,7 +1042,8 @@ final class FourMcCsvOutputWriter(
   // Per-block column stats ([[BlockStats]]): observed values are exactly what
   // the reader will parse back — timestamps are floor-truncated to the
   // serialization precision first, so bounds never exclude a parsed value.
-  private val statsBuilder = if (blockStats) new graft.format.McStatsBuilder(schema) else null
+  private val statsBuilder =
+    if (blockStats) new graft.format.McStatsBuilder(schema, tsMicros) else null
   if (statsBuilder != null)
     out.statsProvider =
       if (columnar)
@@ -1080,6 +1107,9 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDate    => statsBuilder.observeLong(i, row.getInt(i).toLong)
         case CsvPayload.TagDecimal =>
           statsBuilder.observeLong(i, row.getDecimal(i, decPrec(i), decScale(i)).toUnscaledLong)
+        // micros-encoded timestamps round-trip exactly — observe the raw
+        // micros, no pattern-precision truncation
+        case CsvPayload.TagTimestampMicros => statsBuilder.observeLong(i, row.getLong(i))
         // arrays have no bounds and no sums — only the null count (tracked
         // by the isNullAt branch above) is meaningful; the block-col entry
         // serializes as hasBounds=false, which every stats consumer already
@@ -1215,6 +1245,7 @@ final class FourMcCsvOutputWriter(
         case CsvPayload.TagDate    => enc.date(row.getInt(i))
         case CsvPayload.TagDecimal =>
           enc.decimal(row.getDecimal(i, decPrec(i), decScale(i)).toUnscaledLong, decScale(i))
+        case CsvPayload.TagTimestampMicros => enc.long(row.getLong(i))
         case CsvPayload.TagMap =>
           val m = row.getMap(i)
           val mk = m.keyArray()
@@ -1451,9 +1482,42 @@ object CsvPayload {
   // 'N', so a literal "N" value is 1 byte and literal "\N" content is 3 —
   // the same disambiguation as the field-level marker).
   final val TagMap = 13
+  // TIMESTAMP stored as a raw int64 micros-since-epoch token (round 14,
+  // `option("timestampEncoding", "micros")`): precision-exact (the text
+  // encoding floor-truncates to the pattern's fraction digits) and parsed
+  // by the allocation-free long parser. The WRITE option picks the tag;
+  // readers detect it PER FILE from the stats segment's stored tag bytes
+  // (micros files therefore require blockStats), so text and micros files
+  // mix freely in one directory under one read schema.
+  final val TagTimestampMicros = 14
 
   @inline def isArrayTag(tag: Int): Boolean =
     (tag >= TagArrLong && tag <= TagArrDouble) || tag == TagArrInt
+
+  /** Per-FILE effective parse tags: schema-derived `fieldTags` with
+    * TagTimestamp swapped to [[TagTimestampMicros]] wherever the file's
+    * stats segment says the column was written as micros. `fieldIdx` maps
+    * required ordinals to data-schema (= stats) ordinals.
+    */
+  def fileTags(
+      fieldTags: Array[Int],
+      fieldIdx: Array[Int],
+      stats: Option[graft.format.McBlockStats]): Array[Int] = stats match {
+    case Some(st) =>
+      var out = fieldTags
+      var k = 0
+      while (k < fieldTags.length) {
+        val src = fieldIdx(k)
+        if (fieldTags(k) == TagTimestamp && src < st.tags.length &&
+            st.tags(src) == TagTimestampMicros) {
+          if (out eq fieldTags) out = fieldTags.clone()
+          out(k) = TagTimestampMicros
+        }
+        k += 1
+      }
+      out
+    case None => fieldTags
+  }
 
   /** Element separator inside array fields. Never escaped: array fields hold
     * only numeric tokens / `N`, and ';' is not special anywhere else.

@@ -139,6 +139,11 @@ class FourMcStatsFileFormat(
           if (splitEnd >= index.eosPos) index.eosPos else index.nextBlockAt(splitEnd)
         val ordStart = index.ordAt(alignedStart)
         val ordEnd = index.ordAt(alignedEnd) // exclusive
+        // per-FILE effective tags: micros-encoded timestamps carry tag 14
+        // in this file's stats segment (identity mapping — origTags indexes
+        // data-schema ordinals directly)
+        val effTags = CsvPayload.fileTags(
+          origTags, Array.tabulate(origTags.length)(identity), index.stats)
 
         /** Can block `b`'s stats answer every requested bound EXACTLY?
           * (nn-only columns impose no condition: nullCount is stored
@@ -152,7 +157,7 @@ class FourMcStatsFileFormat(
             val nonNull = st.lineCount(b) - st.nullCount(k)
             if (isBoundsCol(ci) && nonNull > 0) {
               if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
-              if (origTags(c) == CsvPayload.TagString) {
+              if (effTags(c) == CsvPayload.TagString) {
                 if (needMin.contains(c) && !st.minExact(k)) return false
                 if (needMax.contains(c) && !st.maxExact(k)) return false
               }
@@ -167,10 +172,11 @@ class FourMcStatsFileFormat(
         def statBound(st: McBlockStats, b: Int, c: Int, isMax: Boolean): Any = {
           val k = b * st.nCols + c
           if (st.lineCount(b) - st.nullCount(k) == 0 || !st.hasBounds(k)) null
-          else (origTags(c): @scala.annotation.switch) match {
+          else (effTags(c): @scala.annotation.switch) match {
             case CsvPayload.TagString =>
               UTF8String.fromBytes(if (isMax) st.maxBytes(k) else st.minBytes(k))
-            case CsvPayload.TagLong | CsvPayload.TagTimestamp =>
+            case CsvPayload.TagLong | CsvPayload.TagTimestamp |
+                CsvPayload.TagTimestampMicros =>
               if (isMax) st.maxLong(k) else st.minLong(k)
             case CsvPayload.TagInt =>
               (if (isMax) st.maxLong(k) else st.minLong(k)).toInt
@@ -194,10 +200,10 @@ class FourMcStatsFileFormat(
         def statSum(st: McBlockStats, b: Int, c: Int): Any = {
           val k = b * st.nCols + c
           if (st.lineCount(b) - st.nullCount(k) == 0) null
-          else if (origTags(c) == CsvPayload.TagDecimal)
+          else if (effTags(c) == CsvPayload.TagDecimal)
             org.apache.spark.sql.types.Decimal(
               st.sumLong(k), math.min(38, origPrec(c) + 10), origScale(c))
-          else if (graft.format.BlockStats.sumKindOf(origTags(c)) == 2)
+          else if (graft.format.BlockStats.sumKindOf(effTags(c)) == 2)
             java.lang.Double.longBitsToDouble(st.sumLong(k))
           else st.sumLong(k)
         }
@@ -284,7 +290,7 @@ class FourMcStatsFileFormat(
             val c = neededCols(ci)
             val s = starts(c)
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, c, s, neededFields, totalFields)
-            val tag = origTags(c)
+            val tag = effTags(c)
             val isNull =
               CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)
             nonNull(ci) = !isNull
@@ -304,6 +310,7 @@ class FourMcStatsFileFormat(
                   org.apache.spark.sql.types.Decimal(
                     CsvPayload.parseDecimalUnscaled(bytes, s, e, origScale(c)),
                     origPrec(c), origScale(c))
+                case CsvPayload.TagTimestampMicros => CsvPayload.parseLong(bytes, s, e)
                 case _ =>
                   if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
                     CsvPayload.parseTimestampMicros(bytes, s, e)
@@ -432,7 +439,7 @@ class FourMcStatsFileFormat(
           // (The data scan's pruning has the same guard in
           // McStatsPruning.keepBlocks; this is the aggregate twin.)
           case Some(st) if st.nCols == totalFields &&
-              java.util.Arrays.equals(st.tags, origTags) =>
+              java.util.Arrays.equals(st.tags, effTags) =>
             // split blocks into stats-answered, decode-fallback, and (with
             // pushed predicates) refuted sets
             val keep = new Array[Boolean](index.numBlocks) // true = must decode

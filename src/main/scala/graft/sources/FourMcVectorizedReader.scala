@@ -153,6 +153,8 @@ object FourMcVectorizedReader {
         if (src < fileCols) java.util.Arrays.binarySearch(neededOrds, src) else -1)
       val cursor = FourMcFileFormat.columnarCursor(
         in, index, file, neededOrds, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+      // per-FILE parse tags (micros-encoded timestamps carry tag 14)
+      val tags = CsvPayload.fileTags(fieldTags, fieldIdx, index.stats)
 
       val dataVectors = OnHeapColumnVector.allocateColumns(BatchSize, requiredSchema)
       val allVectors: Array[ColumnVector] =
@@ -186,7 +188,7 @@ object FourMcVectorizedReader {
           val k = predFields(pi)
           val fp = fieldPreds(k)
           val ps = fp.rest
-          val tag = fieldTags(k)
+          val tag = tags(k)
           val j = slotOf(k)
           if (j < 0) {
             // column absent from the file: every value is the
@@ -253,6 +255,10 @@ object FourMcVectorizedReader {
                       keep = fp.rangeOk(un) && (ps.length == 0 ||
                         pass(ps, org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k))))
                       predLongs(slot) = un
+                    case CsvPayload.TagTimestampMicros =>
+                      val x = CsvPayload.parseLong(bytes, s, e)
+                      keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                      predLongs(slot) = x
                     case _ =>
                       val x =
                         if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
@@ -287,7 +293,7 @@ object FourMcVectorizedReader {
         var k = 0
         while (k < nFields) {
           val vec = dataVectors(k)
-          val tag = fieldTags(k)
+          val tag = tags(k)
           val j = slotOf(k)
           val slot0 = predSlot(k)
           if (j < 0) {
@@ -426,6 +432,8 @@ object FourMcVectorizedReader {
                 case CsvPayload.TagDecimal =>
                   val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
                   if (intDecimal(k)) vec.putInt(p, un.toInt) else vec.putLong(p, un)
+                case CsvPayload.TagTimestampMicros =>
+                  vec.putLong(p, CsvPayload.parseLong(bytes, s, e))
                 case _ =>
                   val x =
                     if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
@@ -478,6 +486,8 @@ object FourMcVectorizedReader {
         .withZone(java.time.ZoneOffset.UTC)
       val lines = FourMcFileFormat.csvLines(
         in, index, file, dataSchema, filters, statsEnabled, permissive, rkfOpt)
+      // per-FILE parse tags (micros-encoded timestamps carry tag 14)
+      val tags = CsvPayload.fileTags(fieldTags, fieldIdx, index.stats)
 
       val dataVectors = OnHeapColumnVector.allocateColumns(BatchSize, requiredSchema)
       val allVectors: Array[ColumnVector] =
@@ -529,7 +539,7 @@ object FourMcVectorizedReader {
           val src = fieldIdx(k)
           val s = starts(base + src)
           val e = fieldEnd(bytes, base, src, s, to)
-          val tag = fieldTags(k)
+          val tag = tags(k)
           val slot = r * nPred + pi
           var keep = true
           if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)) {
@@ -568,6 +578,10 @@ object FourMcVectorizedReader {
                 keep = fp.rangeOk(un) && (ps.length == 0 ||
                   pass(ps, org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k))))
                 predLongs(slot) = un
+              case CsvPayload.TagTimestampMicros =>
+                val x = CsvPayload.parseLong(bytes, s, e)
+                keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                predLongs(slot) = x
               case _ =>
                 val x =
                   if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
@@ -607,7 +621,7 @@ object FourMcVectorizedReader {
         while (k < nFields) {
           val vec = dataVectors(k)
           val src = fieldIdx(k)
-          val tag = fieldTags(k)
+          val tag = tags(k)
           val slot0 = if (replay) predSlot(k) else -1
           if (CsvPayload.isArrayTag(tag)) {
             // dedicated column loop: elements land in the CHILD vector at
@@ -765,6 +779,8 @@ object FourMcVectorizedReader {
                 // fills); precision picks the lane
                 val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
                 if (intDecimal(k)) vec.putInt(r, un.toInt) else vec.putLong(r, un)
+              case CsvPayload.TagTimestampMicros =>
+                vec.putLong(r, CsvPayload.parseLong(bytes, s, e))
               case _ =>
                 val x =
                   if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))

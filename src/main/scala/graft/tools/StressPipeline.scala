@@ -43,7 +43,10 @@ object StressPipeline {
     */
   final case class OpResult(name: String, secs: Double, rows: Long, shuffleWriteMb: Double,
                             canaryMs: Double = -1.0, tasks: Long = -1L, attempts: Long = -1L,
-                            firstAttemptShuffleMb: Double = -1.0)
+                            firstAttemptShuffleMb: Double = -1.0,
+                            measuredAt: Long = 0L) // epoch seconds; sentinel rows carry the
+                                                   // ROTATION's last-measured time so staleness
+                                                   // is visible in the artifact (r13 verdict #8)
 
   /** 5e7-round spin (~80 ms unloaded): the per-op load calibration. Same
     * ALU-only mix as [[graft.Bench.spinCanaryMs]] at a quarter of the work,
@@ -307,11 +310,15 @@ object StressPipeline {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     // section-start load baseline for the canary-gated retry below
     val baseCanaryMs = quickCanaryMs()
+    // rotation timestamps double as the staleness stamp on sentinel rows
+    lazy val rotationStamps = loadRotation()
+    def lastMeasured(name: String): Long = rotationStamps.getOrElse(name, 0L) / 1000L
     def guarded(name: String)(action: => Long): OpResult =
-      if (onlyOps.exists(!_.contains(name))) OpResult(name, -3.0, -1L, 0.0)
+      if (onlyOps.exists(!_.contains(name)))
+        OpResult(name, -3.0, -1L, 0.0, measuredAt = lastMeasured(name))
       else if (System.nanoTime() > deadline) {
         System.err.println(s"[stress] $name skipped: section budget (${budgetSecs}s) exhausted")
-        OpResult(name, -2.0, -1L, 0.0)
+        OpResult(name, -2.0, -1L, 0.0, measuredAt = lastMeasured(name))
       } else {
         val r1 = timed(spark, name)(action)
         // canary-gated retry (r10 verdict #4): when the pre-op spin canary
@@ -522,13 +529,15 @@ object StressPipeline {
     val measured = scala.collection.mutable.Map.empty[String, OpResult]
     val repeated = scala.collection.mutable.ArrayBuffer.empty[OpResult]
     ordered.foreach(_.foreach { case (name, action) =>
-      val r = guarded(name)(action())
+      val r0 = guarded(name)(action())
+      val r = if (r0.secs >= 0) r0.copy(measuredAt = System.currentTimeMillis() / 1000L) else r0
       measured(name) = r
       if (r.secs >= 0) state = state.updated(name, System.currentTimeMillis())
       var rep = 2
       while (rep <= repeat && r.secs >= 0) {
         val rr = guarded(name)(action())
-        repeated += rr.copy(name = s"$name#$rep")
+        repeated += rr.copy(name = s"$name#$rep",
+          measuredAt = if (rr.secs >= 0) System.currentTimeMillis() / 1000L else rr.measuredAt)
         rep += 1
       }
     })
@@ -557,7 +566,7 @@ object StressPipeline {
 
   def toJson(r: StressReport): String = {
     val ops = r.ops.map(o =>
-      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f}""")
+      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f,"measured_at":${o.measuredAt}}""")
       .mkString("{", ",", "}")
     val conf = r.conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"budget_secs":${r.budgetSecs},"conf":$conf,"ops":$ops}"""
