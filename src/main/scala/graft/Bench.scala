@@ -499,7 +499,8 @@ object Bench {
             // their parquet twins)
             "fourmc_lineitem_q1", "fourmz_lineitem_q1", "fourmc_orders_selfjoin",
             "fourmc_columnar_q1", "fourmz_columnar_q1",
-            "fourmc_q6_selective", "fourmc_q6_skipped", "fourmc_count_star",
+            "fourmc_q6_selective", "fourmc_q6_skipped",
+            "fourmc_columnar_q6", "fourmz_columnar_q6", "fourmc_count_star",
             // r13 typed columns at scale: DATE shipdates + DECIMAL money
             // through the container (zone-pruned date filter, decimal sums)
             "fourmc_date_pricing")
@@ -553,7 +554,11 @@ object Bench {
             "fourmc_columnar_q1" -> "q1_pricing_summary",
             "fourmz_columnar_q1" -> "q1_pricing_summary",
             "fourmc_q6_selective" -> "q6_forecast",
-            "fourmc_q6_skipped" -> "q6_forecast")
+            "fourmc_q6_skipped" -> "q6_forecast",
+            // r14: sorted + columnar compose — blocks skip on shipdate zone
+            // maps, survivors decompress only q6's 4 column streams
+            "fourmc_columnar_q6" -> "q6_forecast",
+            "fourmz_columnar_q6" -> "q6_forecast")
           val twins: Seq[(String, (Double, Double))] = twinPairs.flatMap { case (cn, pn) =>
             for {
               cf <- SparkEntry.queries.get(cn)
@@ -667,7 +672,10 @@ object Bench {
           "fourmc_columnar_q1" -> "q1_pricing_summary",
           "fourmz_columnar_q1" -> "q1_pricing_summary",
           "fourmc_q6_selective" -> "q6_forecast",
-          "fourmc_q6_skipped" -> "q6_forecast")
+          "fourmc_q6_skipped" -> "q6_forecast",
+          // r14: the selective-scan analog of the columnar q1 twins
+          "fourmc_columnar_q6" -> "q6_forecast",
+          "fourmz_columnar_q6" -> "q6_forecast")
         val twins = twinPairs.flatMap { case (cn, pn) =>
           for {
             cf <- SparkEntry.queries.get(cn)

@@ -352,14 +352,15 @@ object RoundTrip {
       sortCol: String,
       timestampFormat: String = tsFmt,
       blockBytes: Int = SortedBlockBytes,
-      tsMicros: Boolean = false
+      tsMicros: Boolean = false,
+      columnar: Boolean = false
   ): (String, StructType) = {
     val src = Queries.table(spark, sfDir, tableName)
     val schema = src.schema
     // the block size is a write-layout knob, so it is part of the cache key
     // (same rule as timestampFormat): a dir written at another block size
     // must not be silently reused as evidence for this one
-    val enc = if (tsMicros) "-tsmicros" else ""
+    val enc = (if (tsMicros) "-tsmicros" else "") + (if (columnar) "-col" else "")
     val dir = rtDir(sfDir, s"$tableName-by-$sortCol-b${blockBytes >> 10}k$enc", codec,
       timestampFormat)
     val success = new java.io.File(dir, "_SUCCESS")
@@ -385,15 +386,18 @@ object RoundTrip {
         // sorted file
         .option("blockBytes", blockBytes.toString)
         .option("timestampEncoding", if (tsMicros) "micros" else "text")
+        .option("layout", if (columnar) "columnar" else "rows")
         .save(dir.getAbsolutePath)
     }
     (dir.getAbsolutePath, schema)
   }
 
   private def readSorted(
-      spark: SparkSession, sfDir: String, tableName: String, codec: String, sortCol: String
+      spark: SparkSession, sfDir: String, tableName: String, codec: String, sortCol: String,
+      columnar: Boolean = false
   ): DataFrame = {
-    val (dir, schema) = ensureRoundTripSorted(spark, sfDir, tableName, codec, sortCol)
+    val (dir, schema) =
+      ensureRoundTripSorted(spark, sfDir, tableName, codec, sortCol, columnar = columnar)
     spark.read.format("4mc").option("payload", "csv")
       .option("timestampFormat", tsFmt).schema(schema).load(dir)
   }
@@ -412,6 +416,25 @@ object RoundTrip {
     */
   def q6OverFourMcSkipped(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q6Over(readSorted(spark, sfDir, "lineitem", "zstd-1", "l_shipdate"))
+
+  /** Q6 over a SORT-CLUSTERED COLUMNAR file — the two pruning levels
+    * compose: the stats segment skips whole blocks against the shipdate
+    * zone maps, and within surviving blocks the columnar cursor
+    * decompresses only q6's 4 of 16 column streams, evaluating the pushed
+    * range column-major with late materialization. This is the full
+    * warehouse read path (sort key + columnar layout + selective I/O) in
+    * one oracle-checked query.
+    */
+  def q6OverFourMcColumnar(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q6Over(readSorted(spark, sfDir, "lineitem", "lz4-fast", "l_shipdate",
+      columnar = true))
+
+  /** The zstd twin of [[q6OverFourMcColumnar]] — pruning + selective
+    * decompression on the high-ratio codec family.
+    */
+  def q6OverFourMzColumnar(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q6Over(readSorted(spark, sfDir, "lineitem", "zstd-1", "l_shipdate",
+      columnar = true))
 
   /** Documents through 4mz: per-language doc count + exact char sum. The text
     * itself crosses the container, not just the metadata.
