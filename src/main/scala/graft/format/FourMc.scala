@@ -68,7 +68,24 @@ sealed trait McCodec extends Serializable {
     * smaller than the input — the caller then stores the block PLAIN
     * (`compressedSize == uncompressedSize` convention, 4mc-format-spec:26).
     */
-  def compress(src: Array[Byte], len: Int): Array[Byte]
+  def compress(src: Array[Byte], len: Int): Array[Byte] = {
+    val dst = new Array[Byte](maxCompressedLength(len))
+    val n = compressInto(src, len, dst, 0)
+    if (n < 0) null else java.util.Arrays.copyOf(dst, n)
+  }
+
+  /** Worst-case compressed size of a `len`-byte input (scratch sizing). */
+  def maxCompressedLength(len: Int): Int
+
+  /** Zero-allocation variant: compress src[0,len) into dst at dstOff (which
+    * must have [[maxCompressedLength]] room). Returns the compressed length,
+    * or -1 when the result would not be strictly smaller than the input
+    * (store-plain convention, same as [[compress]] returning null). The
+    * columnar writer compresses K sub-streams per block through this — the
+    * boxed path's per-call output allocation and (for zstd) per-call native
+    * context setup priced at K× per block, measured 1.26-1.40× write time.
+    */
+  def compressInto(src: Array[Byte], len: Int, dst: Array[Byte], dstOff: Int): Int
 }
 
 object McCodec {
@@ -76,23 +93,28 @@ object McCodec {
 
   final case class Lz4(name: String, level: Int) extends McCodec {
     def zstd = false
-    def compress(src: Array[Byte], len: Int): Array[Byte] = {
+    def maxCompressedLength(len: Int): Int =
+      lz4.fastCompressor().maxCompressedLength(len)
+    def compressInto(src: Array[Byte], len: Int, dst: Array[Byte], dstOff: Int): Int = {
       val c =
         if (level <= 0) lz4.fastCompressor()
         else lz4.highCompressor(level)
-      val max = c.maxCompressedLength(len)
-      val out = new Array[Byte](max)
-      val n = c.compress(src, 0, len, out, 0, max)
-      if (n >= len) null else java.util.Arrays.copyOf(out, n)
+      val n = c.compress(src, 0, len, dst, dstOff, dst.length - dstOff)
+      if (n >= len) -1 else n
     }
   }
 
   final case class ZstdC(name: String, level: Int) extends McCodec {
     def zstd = true
-    def compress(src: Array[Byte], len: Int): Array[Byte] = {
-      val in = if (len == src.length) src else java.util.Arrays.copyOf(src, len)
-      val out = Zstd.compress(in, level)
-      if (out.length >= len) null else out
+    def maxCompressedLength(len: Int): Int =
+      Zstd.compressBound(len.toLong).toInt
+    def compressInto(src: Array[Byte], len: Int, dst: Array[Byte], dstOff: Int): Int = {
+      // per-thread reusable CCtx (the compression mirror of zstdDCtx below):
+      // the static Zstd.compress allocates and frees a native context per
+      // call, which the columnar layout pays once PER SUB-STREAM
+      val ctx = McCodec.zstdCCtx.get().setLevel(level)
+      val n = ctx.compressByteArray(dst, dstOff, dst.length - dstOff, src, 0, len)
+      if (n >= len) -1 else n
     }
   }
 
@@ -141,6 +163,12 @@ object McCodec {
   // obsolete).
   private val zstdDCtx = new ThreadLocal[com.github.luben.zstd.ZstdDecompressCtx] {
     override def initialValue() = new com.github.luben.zstd.ZstdDecompressCtx()
+  }
+
+  // The compression mirror: one reusable CCtx per writer thread, re-leveled
+  // per call (setLevel is a cheap parameter set, not a context rebuild).
+  private[format] val zstdCCtx = new ThreadLocal[com.github.luben.zstd.ZstdCompressCtx] {
+    override def initialValue() = new com.github.luben.zstd.ZstdCompressCtx()
   }
 
   /** Decompression is magic-driven, not codec-driven: any 4mc reader decodes

@@ -1195,17 +1195,40 @@ final class FourMcCsvOutputWriter(
     if (colDirLen + colBytesPending >= out.blockBytesThreshold) flushColumnarBlock()
   }
 
-  /** Compress + emit the pending column streams as one columnar block. */
+  /** Compress + emit the pending column streams as one columnar block.
+    * Streams compress through [[graft.format.McCodec.compressInto]] into a
+    * writer-owned scratch (worst-case-sized once per flush, reused across
+    * blocks): zero per-stream output allocations and, for zstd, one reused
+    * native CCtx instead of K context builds per block — the measured
+    * columnar write amplification (1.26-1.40× the row layout) was mostly
+    * this per-sub-stream boxing, not the compression itself.
+    */
   private def flushColumnarBlock(): Unit = if (colBytesPending > 0) {
     val n = tags.length
-    val stored = new Array[Array[Byte]](n) // null = plain (use encoder bytes)
-    var payloadLen = colDirLen
-    var uncompLen = colDirLen
+    // worst-case scratch for ALL streams, so the loop never reallocates
+    var required = 0
     var i = 0
     while (i < n) {
+      if (colEncs(i).length > 0) required += codec.maxCompressedLength(colEncs(i).length)
+      i += 1
+    }
+    if (colScratch == null || colScratch.length < required)
+      colScratch = new Array[Byte](math.max(required, 1 << 16))
+    val storedOff = colStoredOff // [i] = offset in scratch, or -1 = plain
+    val storedLen = colStoredLen
+    var payloadLen = colDirLen
+    var uncompLen = colDirLen
+    var sOff = 0
+    i = 0
+    while (i < n) {
       val ce = colEncs(i)
-      stored(i) = if (ce.length == 0) null else codec.compress(ce.bytes, ce.length)
-      payloadLen += (if (stored(i) == null) ce.length else stored(i).length)
+      if (ce.length == 0) { storedOff(i) = -1; storedLen(i) = 0 }
+      else {
+        val m = codec.compressInto(ce.bytes, ce.length, colScratch, sOff)
+        if (m < 0) { storedOff(i) = -1; storedLen(i) = ce.length } // store plain
+        else { storedOff(i) = sOff; storedLen(i) = m; sOff += m }
+      }
+      payloadLen += storedLen(i)
       uncompLen += ce.length
       i += 1
     }
@@ -1214,11 +1237,11 @@ final class FourMcCsvOutputWriter(
     i = 0
     while (i < n) {
       val ce = colEncs(i)
-      val sLen = if (stored(i) == null) ce.length else stored(i).length
+      val sLen = storedLen(i)
       graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen, sLen)
       graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 4, ce.length)
-      if (stored(i) == null) System.arraycopy(ce.bytes, 0, payload, off, sLen)
-      else System.arraycopy(stored(i), 0, payload, off, sLen)
+      if (storedOff(i) < 0) System.arraycopy(ce.bytes, 0, payload, off, sLen)
+      else System.arraycopy(colScratch, storedOff(i), payload, off, sLen)
       graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 8,
         graft.format.FourMc.xxhash32(payload, off, sLen))
       off += sLen
@@ -1228,6 +1251,10 @@ final class FourMcCsvOutputWriter(
     out.writeRawBlock(uncompLen, payload, payloadLen)
     colBytesPending = 0
   }
+
+  private var colScratch: Array[Byte] = null
+  private val colStoredOff: Array[Int] = if (columnar) new Array[Int](schema.length) else null
+  private val colStoredLen: Array[Int] = if (columnar) new Array[Int](schema.length) else null
 
   /** One field of `row`, encoded exactly as the row layout encodes it
     * (escaping, `\N` null marker, array/map element separators) — shared by
