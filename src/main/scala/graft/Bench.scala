@@ -761,8 +761,36 @@ object Bench {
         }
         val qjson = results.map { case (n, t, _) => "\"" + n + f"\":$t%.3f" }.mkString("{", ",", "}")
         val jjson = results.map { case (n, _, j) => "\"" + n + "\":\"" + j + "\"" }.mkString("{", ",", "}")
+        // r14: the columnar q1 twins at 100x facts — the structural scan fix
+        // measured at the largest bench scale (median-of-5 interleaved; the
+        // sf5 protocol with fewer samples, each sample ~1 s here)
+        System.gc(); Thread.sleep(500)
+        def timed10(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val twins10 = Seq(
+          "fourmc_columnar_q1" -> "q1_pricing_summary",
+          "fourmz_columnar_q1" -> "q1_pricing_summary").map { case (cn, pn) =>
+          if (System.nanoTime() > deadline) cn -> ((-2.0, -2.0))
+          else try {
+            val cf = SparkEntry.queries(cn); val pf = SparkEntry.queries(pn)
+            timed10(cf); timed10(pf)
+            val samples = (1 to 5).map(_ => (timed10(cf), timed10(pf)))
+            cn -> ((Bench.median(samples.map(_._1)), Bench.median(samples.map(_._2))))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] sf10 twin $cn: ${e.getMessage}")
+              cn -> ((-1.0, -1.0))
+          }
+        }
+        val twin10Json = twins10.map { case (n, (c, p)) =>
+          val ratio = if (c > 0 && p > 0) c / p else -1.0
+          "\"" + n + f"""\":{"c":$c%.3f,"p":$p%.3f,"ratio":$ratio%.2f}"""
+        }.mkString("{", ",", "}")
         emitSection("sf10",
-          f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson,"joins":$jjson}""")
+          f"""{"factor":$factor,"gen_secs":$genSecs%.1f,"canary_ms":${spinCanaryMs()}%.0f,"queries":$qjson,"joins":$jjson,"twins":$twin10Json}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")

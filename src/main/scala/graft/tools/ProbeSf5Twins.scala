@@ -37,7 +37,9 @@ object ProbeSf5Twins {
       "fourmc_columnar_q1" -> "q1_pricing_summary",
       "fourmz_columnar_q1" -> "q1_pricing_summary",
       "fourmc_q6_selective" -> "q6_forecast",
-      "fourmc_q6_skipped" -> "q6_forecast")
+      "fourmc_q6_skipped" -> "q6_forecast",
+      "fourmc_columnar_q6" -> "q6_forecast",
+      "fourmz_columnar_q6" -> "q6_forecast")
     for (r <- 1 to rounds) {
       for ((cn, pn) <- twinPairs) {
         val cf = SparkEntry.queries(cn)
