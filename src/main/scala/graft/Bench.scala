@@ -502,8 +502,9 @@ object Bench {
             "fourmc_q6_selective", "fourmc_q6_skipped",
             "fourmc_columnar_q6", "fourmz_columnar_q6", "fourmc_count_star",
             // r13 typed columns at scale: DATE shipdates + DECIMAL money
-            // through the container (zone-pruned date filter, decimal sums)
-            "fourmc_date_pricing")
+            // through the container (zone-pruned date filter, decimal sums);
+            // r14 adds the full-stack variant (typed + sorted + columnar)
+            "fourmc_date_pricing", "fourmc_columnar_date_pricing")
           val rows = sf1Names.flatMap { name =>
             SparkEntry.queries.get(name).map { fn =>
               def run(): Double =
@@ -647,8 +648,9 @@ object Bench {
           "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
           "q19_disjunctive", "q20_promotion_suppliers", "q21_waiting_suppliers",
           "q22_wealthy_inactive",
-          // r13 typed columns at 50x (date zone pruning + decimal sums)
-          "fourmc_date_pricing")
+          // r13 typed columns at 50x (date zone pruning + decimal sums);
+          // r14: the full warehouse stack (typed + sorted + columnar)
+          "fourmc_date_pricing", "fourmc_columnar_date_pricing")
         val rows = sf5Names.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val t =

@@ -139,13 +139,55 @@ object RoundTrip {
     spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir.getAbsolutePath)
   }
 
+  /** The typed lineitem CLUSTERED on `l_shipdate` and written COLUMNAR —
+    * the full warehouse stack in one fixture: declared types (DATE epoch
+    * days, DECIMAL unscaled longs), a sort key so the stats segment's zone
+    * maps actually separate blocks, and per-column sub-streams so surviving
+    * blocks decompress only the projected columns.
+    */
+  def typedLineitemSortedColumnar(
+      spark: SparkSession, sfDir: String, codec: String = "lz4-fast"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = rtDir(sfDir, "lineitem-typed-by-l_shipdate-col", codec, tsFmt)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_quantity", DecimalType(12, 2)),
+      StructField("l_extendedprice", DecimalType(12, 2)),
+      StructField("l_discount", DecimalType(12, 2)),
+      StructField("l_tax", DecimalType(12, 2)),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", DateType)
+    ))
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val li = Queries.table(spark, sfDir, "lineitem")
+      li.select(
+          col("l_orderkey"),
+          col("l_quantity").cast(DecimalType(12, 2)).as("l_quantity"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("l_extendedprice"),
+          col("l_discount").cast(DecimalType(12, 2)).as("l_discount"),
+          col("l_tax").cast(DecimalType(12, 2)).as("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast(DateType).as("l_shipdate"))
+        .repartitionByRange(
+          math.max(1, spark.sparkContext.defaultParallelism / 8), col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv").option("codec", codec)
+        .option("layout", "columnar")
+        .option("blockBytes", SortedBlockBytes.toString)
+        .save(dir.getAbsolutePath)
+    }
+    spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir.getAbsolutePath)
+  }
+
   /** Q1-shaped pricing summary over the DATE/DECIMAL-typed container: the
     * date filter prunes by zone map, the decimal sums aggregate exact
     * unscaled longs (oracle: DuckDB computes the same casts from parquet).
     */
-  def datePricingOverFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+  private def datePricingOver(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    typedLineitem(spark, sfDir)
+    df
       .filter(col("l_shipdate") <= lit(java.sql.Date.valueOf("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -156,6 +198,17 @@ object RoundTrip {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  def datePricingOverFourMc(spark: SparkSession, sfDir: String): DataFrame =
+    datePricingOver(typedLineitem(spark, sfDir))
+
+  /** The same pricing summary over the typed + sorted + COLUMNAR fixture —
+    * every scan feature at once: the shipdate range prunes whole blocks by
+    * the DATE zone maps, surviving blocks decompress only the 7 projected
+    * column streams, and the decimal sums ride exact unscaled longs.
+    */
+  def datePricingColumnar(spark: SparkSession, sfDir: String): DataFrame =
+    datePricingOver(typedLineitemSortedColumnar(spark, sfDir))
 
   /** Footer-stats MIN/MAX over the typed container's date and decimal
     * columns — the metadata-only aggregate shape, no block decompression.

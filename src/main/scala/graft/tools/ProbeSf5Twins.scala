@@ -39,7 +39,11 @@ object ProbeSf5Twins {
       "fourmc_q6_selective" -> "q6_forecast",
       "fourmc_q6_skipped" -> "q6_forecast",
       "fourmc_columnar_q6" -> "q6_forecast",
-      "fourmz_columnar_q6" -> "q6_forecast")
+      "fourmz_columnar_q6" -> "q6_forecast",
+      // q1-SHAPED, not q1 (typed date/decimal pricing): the ratio is an
+      // informal absolute comparison against parquet q1, as in r13
+      "fourmc_date_pricing" -> "q1_pricing_summary",
+      "fourmc_columnar_date_pricing" -> "q1_pricing_summary")
     for (r <- 1 to rounds) {
       for ((cn, pn) <- twinPairs) {
         val cf = SparkEntry.queries(cn)
