@@ -559,7 +559,10 @@ object Bench {
             // r14: sorted + columnar compose — blocks skip on shipdate zone
             // maps, survivors decompress only q6's 4 column streams
             "fourmc_columnar_q6" -> "q6_forecast",
-            "fourmz_columnar_q6" -> "q6_forecast")
+            "fourmz_columnar_q6" -> "q6_forecast",
+            // q1-SHAPED (typed date/decimal pricing), not q1: informal
+            // absolute comparison of the full stack vs parquet q1
+            "fourmc_columnar_date_pricing" -> "q1_pricing_summary")
           val twins: Seq[(String, (Double, Double))] = twinPairs.flatMap { case (cn, pn) =>
             for {
               cf <- SparkEntry.queries.get(cn)
@@ -677,7 +680,9 @@ object Bench {
           "fourmc_q6_skipped" -> "q6_forecast",
           // r14: the selective-scan analog of the columnar q1 twins
           "fourmc_columnar_q6" -> "q6_forecast",
-          "fourmz_columnar_q6" -> "q6_forecast")
+          "fourmz_columnar_q6" -> "q6_forecast",
+          // q1-SHAPED (typed date/decimal pricing), not q1 — see sf1 note
+          "fourmc_columnar_date_pricing" -> "q1_pricing_summary")
         val twins = twinPairs.flatMap { case (cn, pn) =>
           for {
             cf <- SparkEntry.queries.get(cn)
