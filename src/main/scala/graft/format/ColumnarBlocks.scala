@@ -195,6 +195,12 @@ final class McColumnarCursor(
   /** File offset of the current block's header. */
   var blockOff: Long = 0L
 
+  /** File-wide ordinal of the current block (valid after a true
+    * [[nextBlock]]) — lets the reader consult per-block side tables
+    * (e.g. the certain-blocks predicate-elision mask).
+    */
+  var blockOrd: Int = -1
+
   private val colData = new Array[Array[Byte]](math.max(1, needed.length))
   private val colNl = new Array[Array[Int]](math.max(1, needed.length))
   // scratch reused across blocks
@@ -238,6 +244,7 @@ final class McColumnarCursor(
     val off = index.blockOffsets(o)
     if (off >= index.eosPos) throw new IOException(s"4mc block $o starts past EOS")
     blockOff = off
+    blockOrd = o
     in.readFully(off, hdr, 0, FourMc.BlockHeaderLen)
     val uncompLen = getBE(hdr, 0)
     val compLen = getBE(hdr, 4)

@@ -699,9 +699,21 @@ object FourMcScanMetrics {
     * ([[FourMcStatsFileFormat]]) — no read, no decompression.
     */
   val statsAggBlocks = new java.util.concurrent.atomic.LongAdder
+  /** Blocks whose per-row pushed-filter evaluation was ELIDED because the
+    * zone maps prove every owned line satisfies every pushed predicate
+    * ([[graft.format.McStatsPruning.certainBlocks]]) — the all-pass dual
+    * of `blocksSkipped`.
+    */
+  val predElidedBlocks = new java.util.concurrent.atomic.LongAdder
+  /** Columnar batches that EVALUATED pushed filters vs batches that skipped
+    * evaluation (zone-certain block or adaptive low-refusal verdict).
+    */
+  val predEvalBatches = new java.util.concurrent.atomic.LongAdder
+  val predSkipBatches = new java.util.concurrent.atomic.LongAdder
   def reset(): Unit = {
     blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset()
     footerReads.reset(); metadataCountRows.reset(); statsAggBlocks.reset()
+    predElidedBlocks.reset(); predEvalBatches.reset(); predSkipBatches.reset()
   }
 }
 

@@ -155,6 +155,15 @@ object FourMcVectorizedReader {
         in, index, file, neededOrds, dataSchema, filters, statsEnabled, permissive, rkfOpt)
       // per-FILE parse tags (micros-encoded timestamps carry tag 14)
       val tags = CsvPayload.fileTags(fieldTags, fieldIdx, index.stats)
+      // all-pass elision mask: blocks whose zone maps prove every pushed
+      // predicate holds for every owned line skip per-row evaluation (and
+      // the pred-value cache) entirely — Spark re-evaluates data filters
+      // above the scan, so this only removes a provably-no-op pre-filter
+      val certainArr: Array[Boolean] =
+        if (filters.isEmpty || !statsEnabled) null
+        else index.stats
+          .flatMap(st => graft.format.McStatsPruning.certainBlocks(filters, dataSchema, st))
+          .orNull
 
       val dataVectors = OnHeapColumnVector.allocateColumns(BatchSize, requiredSchema)
       val allVectors: Array[ColumnVector] =
@@ -287,9 +296,10 @@ object FourMcVectorizedReader {
 
       /** Decode the surviving rows into the vectors at positions
         * [0, selN): column-major, pred-bound columns replay their cached
-        * values, selection indices resolve through selRel.
+        * values (when `replay` — an elided block has no cache and parses
+        * directly), selection indices resolve through selRel.
         */
-      def fillColumns(r0: Int, selN: Int): Unit = {
+      def fillColumns(r0: Int, selN: Int, replay: Boolean): Unit = {
         var k = 0
         while (k < nFields) {
           val vec = dataVectors(k)
@@ -380,7 +390,7 @@ object FourMcVectorizedReader {
               }
               p += 1
             }
-          } else if (slot0 >= 0) {
+          } else if (replay && slot0 >= 0) {
             var p = 0
             while (p < selN) {
               val slot = selRel(p) * nPred + slot0
@@ -454,11 +464,27 @@ object FourMcVectorizedReader {
       erase(new Iterator[ColumnarBatch] {
         private var r0 = 0
         private var inBlock = false
+        private var blockCertain = false
+        // ADAPTIVE fail-fast, the columnar mirror of the row path's probe:
+        // column-major eval is cheaper than row-major, but its bookkeeping
+        // (pred-cache writes, keep/selection maps, closure dispatch) is
+        // still pure overhead when a filter keeps ~everything — the r14
+        // JFR run put evalPredicates at 24% of columnar q1 samples against
+        // a 98%-keeping shipdate range the UNSORTED blocks can't prove
+        // certain. Probe batches measure refusals; low-refusal stretches
+        // skip evaluation (always sound: Spark's post-scan Filter
+        // re-applies every pushed predicate), one batch per period
+        // re-probes. Zone-certain blocks skip without probing at all.
+        private val ProbePeriod = 16
+        private var batchOrd = 0
+        private var evalOn = true // last evaluated batch's verdict
         private def ensureRows(): Boolean = {
           while (!inBlock || r0 >= cursor.rows) {
             if (!cursor.nextBlock()) return false
             inBlock = true
             r0 = 0
+            blockCertain = certainArr != null && certainArr(cursor.blockOrd)
+            if (blockCertain && nPred > 0) FourMcScanMetrics.predElidedBlocks.add(1)
           }
           true
         }
@@ -468,13 +494,23 @@ object FourMcVectorizedReader {
           var k = 0
           while (k < nFields) { dataVectors(k).reset(); k += 1 }
           val n = math.min(BatchSize, cursor.rows - r0)
+          val evalThis = nPred > 0 && !blockCertain &&
+            (evalOn || batchOrd % ProbePeriod == 0)
           val selN =
-            if (nPred == 0) {
+            if (!evalThis) {
+              if (nPred > 0) FourMcScanMetrics.predSkipBatches.add(1)
               var r = 0
               while (r < n) { selRel(r) = r; r += 1 }
               n
-            } else evalPredicates(r0, n)
-          fillColumns(r0, selN)
+            } else {
+              FourMcScanMetrics.predEvalBatches.add(1)
+              val s = evalPredicates(r0, n)
+              // keep evaluating only when refusals clear ~12.5% of the batch
+              evalOn = (n - s).toLong * 8 >= n.toLong
+              s
+            }
+          fillColumns(r0, selN, replay = evalThis)
+          batchOrd += 1
           r0 += n
           pending = ensureRows()
           batch.setNumRows(selN)

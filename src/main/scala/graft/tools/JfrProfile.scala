@@ -39,6 +39,8 @@ object JfrProfile {
       case "pq-int" => pq().groupBy(col("l_linenumber")).agg(count(lit(1)))
       case "mc-q1"  => Queries.q1Over(mc())
       case "mz-q1"  => Queries.q1Over(RoundTrip.roundTrip(spark, dir, "lineitem", "zstd-3"))
+      case "mc-col-q1" => Queries.q1Over(RoundTrip.roundTripColumnar(spark, dir, "lineitem", "lz4-fast"))
+      case "mz-col-q1" => Queries.q1Over(RoundTrip.roundTripColumnar(spark, dir, "lineitem", "zstd-3"))
       case _        => Queries.q1Over(pq())
     }
     df().count() // warm: JIT + caches

@@ -336,4 +336,58 @@ class ColumnarPayloadSpec extends AnyFunSuite {
     }
     assert(messages(e3).exists(_.contains("columnar")))
   }
+
+  test("predicate elision: all-pass blocks skip per-row eval, results exact") {
+    val n = 60000
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, if (i >= 59000 && i % 5 == 0) null else s"g${i % 7}", i * 3 - 1000)
+    }
+    val s = StructType(Seq(StructField("k", LongType), StructField("t", StringType),
+      StructField("v", IntegerType)))
+    val dir = tmpDir()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), s)
+      .sortWithinPartitions("k").coalesce(1)
+      .write.format("4mc").option("payload", "csv").option("layout", "columnar")
+      .option("blockBytes", (16 * 1024).toString).save(dir)
+    val table = spark.read.format("4mc").option("payload", "csv").schema(s).load(dir)
+
+    // k <= 59999 holds for EVERY row: every block is provably all-pass, so
+    // per-row pushed-filter evaluation is elided everywhere
+    FourMcScanMetrics.reset()
+    // (sum of v*2 defeats the footer aggregate pushdown, which would
+    // otherwise answer a plain filtered COUNT/SUM with ZERO blocks read)
+    val all = table.filter(col("k") <= 59999L)
+      .agg(count(col("t")).as("n"), sum(col("v") * lit(2)).as("sv")).head()
+    assert(all.getLong(0) == rows.count(_.getString(1) != null).toLong)
+    assert(all.getLong(1) == rows.map(_.getInt(2).toLong * 2).sum)
+    val elidedAll = FourMcScanMetrics.predElidedBlocks.sum
+    val readAll = FourMcScanMetrics.blocksRead.sum
+    assert(elidedAll == readAll && readAll > 1,
+      s"all-pass range must elide every read block (read=$readAll elided=$elidedAll)")
+
+    // boundary range: interior blocks elide, the straddling block still
+    // evaluates per row - counts stay exact
+    FourMcScanMetrics.reset()
+    val part = table.filter(col("k") < 30010L)
+      .agg(sum(col("v") * lit(2))).head().getLong(0)
+    assert(part == rows.take(30010).map(_.getInt(2).toLong * 2).sum)
+    val elidedPart = FourMcScanMetrics.predElidedBlocks.sum
+    val readPart = FourMcScanMetrics.blocksRead.sum
+    assert(elidedPart > 0 && elidedPart < readPart + FourMcScanMetrics.blocksSkipped.sum,
+      s"boundary range: interior elides, straddler evaluates (read=$readPart elided=$elidedPart)")
+
+    // null-rejecting predicate over a column WITH nulls in the tail blocks:
+    // those blocks must NOT elide (null rows must drop), result exact
+    FourMcScanMetrics.reset()
+    val nn = table.filter(col("t") <= "g9")
+      .agg(sum(when(col("t").isNotNull, 1L).otherwise(0L))).head().getLong(0)
+    assert(nn == rows.count(_.getString(1) != null).toLong,
+      "null rows must not leak through an elided null-rejecting predicate")
+
+    // row-path (vectorized=false) takes no elision but must agree
+    val rowPath = spark.read.format("4mc").option("payload", "csv")
+      .option("vectorized", "false").schema(s).load(dir)
+      .filter(col("k") <= 59999L).agg(sum(col("v") * lit(2))).head().getLong(0)
+    assert(rowPath == rows.map(_.getInt(2).toLong * 2).sum)
+  }
 }
