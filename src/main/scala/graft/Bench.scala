@@ -497,8 +497,11 @@ object Bench {
             "q22_wealthy_inactive",
             // container twins over the same scaled tables (q1/q6 above are
             // their parquet twins)
+            // container twins: lineitem_q1 rides the DEFAULT write path
+            // (columnar since r15); rows_q1 is the explicit legacy layout
             "fourmc_lineitem_q1", "fourmz_lineitem_q1", "fourmc_orders_selfjoin",
             "fourmc_columnar_q1", "fourmz_columnar_q1",
+            "fourmc_rows_q1", "fourmz_rows_q1",
             "fourmc_q6_selective", "fourmc_q6_skipped",
             "fourmc_columnar_q6", "fourmz_columnar_q6", "fourmc_count_star",
             // r13 typed columns at scale: DATE shipdates + DECIMAL money
@@ -548,12 +551,18 @@ object Bench {
           // not where in the run they happen to sit.
           System.gc(); Thread.sleep(500)
           val twinPairs = Seq(
+            // the DEFAULT write path (columnar since r15) — these are the
+            // gate rows a user's un-optioned write actually gets
             "fourmc_lineitem_q1" -> "q1_pricing_summary",
             "fourmz_lineitem_q1" -> "q1_pricing_summary",
             // r14: columnar layout — q1's 7-column projection decompresses
             // 7 sub-streams instead of all 16 columns' bytes
             "fourmc_columnar_q1" -> "q1_pricing_summary",
             "fourmz_columnar_q1" -> "q1_pricing_summary",
+            // the legacy row layout, explicitly opted into — kept measured
+            // so the read path both layouts share stays regression-visible
+            "fourmc_rows_q1" -> "q1_pricing_summary",
+            "fourmz_rows_q1" -> "q1_pricing_summary",
             "fourmc_q6_selective" -> "q6_forecast",
             "fourmc_q6_skipped" -> "q6_forecast",
             // r14: sorted + columnar compose — blocks skip on shipdate zone
@@ -670,12 +679,16 @@ object Bench {
         }
         System.gc(); Thread.sleep(500) // see the sf1 twin-block note
         val twinPairs = Seq(
+          // DEFAULT write path (columnar since r15) — the user-facing gate
           "fourmc_lineitem_q1" -> "q1_pricing_summary",
           "fourmz_lineitem_q1" -> "q1_pricing_summary",
           // r14: the structural fourmz fix measured where it was stalled —
           // the columnar twins decompress only the 7 projected columns
           "fourmc_columnar_q1" -> "q1_pricing_summary",
           "fourmz_columnar_q1" -> "q1_pricing_summary",
+          // the legacy row layout, explicitly opted into
+          "fourmc_rows_q1" -> "q1_pricing_summary",
+          "fourmz_rows_q1" -> "q1_pricing_summary",
           "fourmc_q6_selective" -> "q6_forecast",
           "fourmc_q6_skipped" -> "q6_forecast",
           // r14: the selective-scan analog of the columnar q1 twins
@@ -697,7 +710,13 @@ object Bench {
               // side catches the luckiest sample, and round-12 probes showed
               // even median-of-5 swinging 1.68–2.03 across runs on identical
               // code; 9 samples cost ~5 s and cut the median's spread ~√2
-              val samples = (1 to 9).map(_ => (timed(cf), timed(pf)))
+              // deadline re-checked between samples (not just per pair):
+              // at 50× one sample can run multi-second, and 18 unguarded
+              // executions would blow the section budget on a slow box —
+              // the medians fall back to whatever samples were gathered
+              val samples = (1 to 9).iterator
+                .takeWhile(i => i == 1 || System.nanoTime() <= deadline)
+                .map(_ => (timed(cf), timed(pf))).toSeq
               cn -> ((Bench.median(samples.map(_._1)), Bench.median(samples.map(_._2))))
             } catch {
               case e: Throwable =>
@@ -784,7 +803,13 @@ object Bench {
           else try {
             val cf = SparkEntry.queries(cn); val pf = SparkEntry.queries(pn)
             timed10(cf); timed10(pf)
-            val samples = (1 to 5).map(_ => (timed10(cf), timed10(pf)))
+            // deadline re-checked between samples: each sample is ~1 s at
+            // 100× on a healthy box but unbounded on a pressured one — 12
+            // unguarded executions must not overshoot SF10_BUDGET (r14
+            // advice); partial samples still yield a median
+            val samples = (1 to 5).iterator
+              .takeWhile(i => i == 1 || System.nanoTime() <= deadline)
+              .map(_ => (timed10(cf), timed10(pf))).toSeq
             cn -> ((Bench.median(samples.map(_._1)), Bench.median(samples.map(_._2))))
           } catch {
             case e: Throwable =>

@@ -41,7 +41,10 @@ object RoundTrip {
     val fkey = java.lang.Integer.toHexString(tsFormat.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft-rt2/$key/$tableName-$codec-$fkey"
+      // rt3: the csv payload defaults to the columnar layout since round
+      // 15 — a fresh cache root so dirs written under the old default are
+      // never silently reused as evidence for the new one
+      s"graft-rt3/$key/$tableName-$codec-$fkey"
     )
   }
 
@@ -336,6 +339,52 @@ object RoundTrip {
       .schema(schema)
       .load(dir.getAbsolutePath)
   }
+
+  /** ROW-layout round-trip, explicitly opted out of the columnar default
+    * (round 15 flipped csv payloads to `layout=columnar`; `layout=rows` is
+    * the opt-out). Kept as a first-class fixture so the legacy layout stays
+    * oracle-checked and bench-measured — a reader must handle both layouts
+    * per file forever.
+    */
+  def roundTripRows(
+      spark: SparkSession,
+      sfDir: String,
+      tableName: String,
+      codec: String = "lz4-fast"
+  ): DataFrame = {
+    val src = Queries.table(spark, sfDir, tableName)
+    val schema = src.schema
+    val dir = rtDir(sfDir, s"$tableName-rows", codec, tsFmt)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val srcBytes = dataBytes(new java.io.File(s"$sfDir/$tableName.parquet"))
+      val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
+      src
+        .repartition(nFiles)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("layout", "rows")
+        .option("timestampFormat", tsFmt)
+        .option("codec", codec)
+        .save(dir.getAbsolutePath)
+    }
+    spark.read
+      .format("4mc")
+      .option("payload", "csv")
+      .option("timestampFormat", tsFmt)
+      .schema(schema)
+      .load(dir.getAbsolutePath)
+  }
+
+  /** Q1 over the explicit ROW-layout lz4 round-trip — the legacy layout's
+    * regression row now that the default is columnar.
+    */
+  def q1OverFourMcRows(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q1Over(roundTripRows(spark, sfDir, "lineitem", "lz4-fast"))
+
+  /** Q1 over the explicit ROW-layout zstd round-trip. */
+  def q1OverFourMzRows(spark: SparkSession, sfDir: String): DataFrame =
+    Queries.q1Over(roundTripRows(spark, sfDir, "lineitem", "zstd-3"))
 
   /** Q1 over the COLUMNAR-layout lz4 round-trip — 7 of 16 columns
     * decompressed instead of every byte; oracle identical to q1's.

@@ -727,10 +727,13 @@ object McStatsPruning {
     * to the (vectorized, codegen'd) upstream filter — and on such blocks
     * that filter keeps everything.
     *
-    * Conservative by construction: certainty needs EXACT bounds (truncated
-    * string bounds → not certain) and null-freedom for null-rejecting
-    * predicates; any unsupported filter shape makes the block not-certain,
-    * never wrong. Timestamp zone maps hold pattern-quantized micros — the
+    * Conservative by construction: certainty needs EXACT bounds wherever
+    * truncation weakens the test — a truncated string MAX is a strict
+    * prefix below the true max, so Lt/Le/Eq demand maxExact; a truncated
+    * MIN is still a valid lower bound (storedMin <= trueMin), so Gt/Ge
+    * stay usable on truncated mins (r14 advice). Null-freedom is required
+    * for null-rejecting predicates; any unsupported filter shape makes the
+    * block not-certain, never wrong. Timestamp zone maps hold pattern-quantized micros — the
     * same values the text round-trip produces — so bound comparisons are
     * against the actual decoded domain. `None` when the stats don't apply.
     */
@@ -836,15 +839,21 @@ object McStatsPruning {
               }
               else if (!stats.hasBounds(k)) false
               else {
-                // certainty needs the EXACT end: min-side tests need
-                // minExact, max-side tests need maxExact
+                // Certainty needs an exact bound only where truncation
+                // weakens the test's direction. A truncated MIN is a strict
+                // prefix of the true min, so storedMin <= trueMin always
+                // (the keepBlocks invariant) — storedMin > v already proves
+                // every value > v, no minExact needed on the Gt/Ge arms. A
+                // truncated MAX is a strict prefix BELOW the true max, so
+                // storedMax <= v proves nothing about the tail: Lt/Le (and
+                // Eq's max side) still demand maxExact.
                 val minB = stats.minBytes(k); val maxB = stats.maxBytes(k)
                 (mode: @scala.annotation.switch) match {
                   case ModeEq =>
                     stats.minExact(k) && stats.maxExact(k) &&
                       byteCompare(minB, vb) == 0 && byteCompare(maxB, vb) == 0
-                  case ModeGt => stats.minExact(k) && byteCompare(minB, vb) > 0
-                  case ModeGe => stats.minExact(k) && byteCompare(minB, vb) >= 0
+                  case ModeGt => byteCompare(minB, vb) > 0
+                  case ModeGe => byteCompare(minB, vb) >= 0
                   case ModeLt => stats.maxExact(k) && byteCompare(maxB, vb) < 0
                   case _      => stats.maxExact(k) && byteCompare(maxB, vb) <= 0
                 }

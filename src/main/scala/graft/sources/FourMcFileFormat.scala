@@ -524,11 +524,15 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val blockBytes = options.get("blockBytes").map(_.toInt).getOrElse(graft.format.FourMc.MaxBlockSize)
     require(csv || !options.contains("blockBytes"),
       s"blockBytes is only supported for payload=csv (got payload=$payload)")
-    // block payload layout: 'rows' (classic delimited lines, default) or
-    // 'columnar' (per-column sub-streams, [[graft.format.ColumnarBlocks]] —
-    // projections decompress only their columns). Columnar requires the
-    // stats segment: its version-3 layout byte is how readers detect it.
-    val layout = options.getOrElse("layout", "rows")
+    // block payload layout: 'columnar' (per-column sub-streams,
+    // [[graft.format.ColumnarBlocks]] — projections decompress only their
+    // columns; the DEFAULT for csv payloads since round 15: it met or beat
+    // the row layout on every measured scan shape) or 'rows' (classic
+    // delimited lines — the opt-out, and the only layout for non-csv
+    // payloads). Columnar requires the stats segment (its version-3 layout
+    // byte is how readers detect it), so blockStats=false implies rows.
+    val blockStatsOn = options.getOrElse("blockStats", "true").toBoolean
+    val layout = options.getOrElse("layout", if (csv && blockStatsOn) "columnar" else "rows")
     require(layout == "rows" || layout == "columnar",
       s"4mc layout must be 'rows' or 'columnar', got '$layout'")
     val columnar = layout == "columnar"

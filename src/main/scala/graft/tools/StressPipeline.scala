@@ -44,6 +44,14 @@ object StressPipeline {
   final case class OpResult(name: String, secs: Double, rows: Long, shuffleWriteMb: Double,
                             canaryMs: Double = -1.0, tasks: Long = -1L, attempts: Long = -1L,
                             firstAttemptShuffleMb: Double = -1.0,
+                            // r15: shuffle RECORDS over first attempts — the
+                            // truly plan-determined currency. Cross-process
+                            // runs of identical pinned plans repeat byte
+                            // volumes only to ~±15% (lz4 shuffle-block framing
+                            // is sensitive to map-side content ordering, which
+                            // scheduling order changes), while record counts
+                            // are a pure function of the plan + data
+                            firstAttemptShuffleRecords: Long = -1L,
                             measuredAt: Long = 0L) // epoch seconds; sentinel rows carry the
                                                    // ROTATION's last-measured time so staleness
                                                    // is visible in the artifact (r13 verdict #8)
@@ -183,6 +191,7 @@ object StressPipeline {
   private def timed(spark: SparkSession, name: String)(action: => Long): OpResult = {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val firstShuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val firstShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
     val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
     val attempts = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
@@ -196,7 +205,10 @@ object StressPipeline {
         val m = te.taskMetrics
         if (m != null) {
           shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          if (first) firstShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (first) {
+            firstShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            firstShuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
         }
       }
     }
@@ -212,14 +224,16 @@ object StressPipeline {
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       OpResult(name, secs, rows, shuffleBytes.get() / 1e6, can,
-        tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6)
+        tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6,
+        firstShuffleRecords.get())
     } catch {
       // a failed op must be VISIBLE in the report (secs = -1), not abort the
       // remaining ops or silently vanish from the JSON
       case e: Throwable =>
         System.err.println(s"[stress] $name failed: ${e.getMessage}")
         OpResult(name, -1.0, -1L, shuffleBytes.get() / 1e6, -1.0,
-          tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6)
+          tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6,
+          firstShuffleRecords.get())
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       // each op checkpoints multi-GB intermediates (postings, signatures, CC
@@ -566,7 +580,7 @@ object StressPipeline {
 
   def toJson(r: StressReport): String = {
     val ops = r.ops.map(o =>
-      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f,"measured_at":${o.measuredAt}}""")
+      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f,"first_attempt_shuffle_records":${o.firstAttemptShuffleRecords},"measured_at":${o.measuredAt}}""")
       .mkString("{", ",", "}")
     val conf = r.conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"budget_secs":${r.budgetSecs},"conf":$conf,"ops":$ops}"""

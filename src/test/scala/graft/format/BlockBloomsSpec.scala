@@ -90,8 +90,10 @@ class BlockBloomsSpec extends AnyFunSuite {
       },
       schema
     )
+    // explicit ROW layout: the soundness check walks the file with the
+    // row-path FourMcPrunedLineIterator (csv defaults to columnar since r15)
     df.coalesce(1).write.format("4mc").option("payload", "csv")
-      .option("bloomColumns", "key").save(dir)
+      .option("layout", "rows").option("bloomColumns", "key").save(dir)
   }
 
   test("container tail carries bloom + stats; eosPos stays at the last block end") {

@@ -42,8 +42,12 @@ class BlockStatsSpec extends AnyFunSuite {
       },
       schema
     )
+    // explicit ROW layout: this suite drives the row-path machinery
+    // directly (FourMcReader.readBlock whole-payload decode, the pruned
+    // line iterator) — the csv default is columnar since r15
     df.sortWithinPartitions("id").write.format("4mc")
-      .option("payload", "csv").option("codec", codec).options(extra).save(dir)
+      .option("payload", "csv").option("codec", codec).option("layout", "rows")
+      .options(extra).save(dir)
   }
 
   test("stats segment round-trips through the container tail and keeps eosPos correct") {
@@ -151,6 +155,40 @@ class BlockStatsSpec extends AnyFunSuite {
     assert(read.filter($"s" === f"prefix-that-is-long-${123456L}%09d").count() == 1L)
     assert(read.filter($"s" startsWith "prefix-that").count() == 150000L)
     assert(read.filter($"s" < "prefix-that-is-long-000060000").count() == 10000L)
+  }
+
+  test("certainBlocks: truncated string MIN still certifies Gt/Ge; Lt stays uncertain") {
+    // >16-byte strings truncate the stored bounds (minExact=false), but a
+    // truncated min is still a lower bound — storedMin > v proves every
+    // value > v (r14 advice). The max side has no such property: a
+    // truncated max is a strict prefix BELOW the true max.
+    val dir = tmpDir()
+    val strSchema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    // unique long values (dict suppressed: far over 32 distinct per block)
+    val rows = (0L until 200000L).map(i => Row(f"prefix-that-is-long-$i%09d"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
+      .sortWithinPartitions("s").write.format("4mc")
+      .option("payload", "csv").option("layout", "rows").save(dir)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+    val in = McInput.local(f.toPath)
+    try {
+      val idx = FourMcReader.readIndex(in)
+      val st = idx.stats.get
+      assert(st.nBlocks > 1)
+      assert(!st.minExact(0), "fixture must exercise TRUNCATED min bounds")
+      import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+      // literal below every stored (truncated) min → all blocks certain
+      val gt = McStatsPruning.certainBlocks(
+        Seq(GreaterThan("s", "prefix-that")), strSchema, st).get
+      assert(gt.forall(identity),
+        "storedMin > literal must certify Gt even with a truncated min")
+      // literal above every value, but the max bounds are truncated → the
+      // analysis must refuse certainty on the max side
+      val lt = McStatsPruning.certainBlocks(
+        Seq(LessThan("s", "prefix-that-is-m")), strSchema, st).get
+      assert(!lt.exists(identity),
+        "a truncated max must never certify Lt")
+    } finally in.close()
   }
 
   test("small-block writes (blockBytes option) round-trip and prune at finer granularity") {

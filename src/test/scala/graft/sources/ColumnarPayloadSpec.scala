@@ -383,6 +383,14 @@ class ColumnarPayloadSpec extends AnyFunSuite {
       .agg(sum(when(col("t").isNotNull, 1L).otherwise(0L))).head().getLong(0)
     assert(nn == rows.count(_.getString(1) != null).toLong,
       "null rows must not leak through an elided null-rejecting predicate")
+    // result exactness alone cannot catch a certainty regression here
+    // (Spark's post-scan Filter re-drops the nulls either way) — pin the
+    // METRICS: the null-free interior blocks elide, but the null-bearing
+    // tail blocks must keep evaluating per row
+    val elidedNn = FourMcScanMetrics.predElidedBlocks.sum
+    val readNn = FourMcScanMetrics.blocksRead.sum
+    assert(elidedNn > 0 && elidedNn < readNn,
+      s"null-bearing blocks must not be certain (read=$readNn elided=$elidedNn)")
 
     // row-path (vectorized=false) takes no elision but must agree
     val rowPath = spark.read.format("4mc").option("payload", "csv")
