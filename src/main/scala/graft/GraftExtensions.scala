@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // job, and a fixpoint batch would re-execute it on every iteration
     // (measured 21 jobs vs 5 on a refused injection in r10).
     ext.injectPreCBORule(_ => graft.plans.McInjectRuntimeKeyFilter)
+    // option("sortBy", "col"): sort-clustered 4mc writes via a range
+    // shuffle + local sort injected into the V1 write command; disable
+    // with spark.graft.fourmc.sortedWrite.enabled=false
+    ext.injectPreCBORule(_ => graft.plans.McSortedWrite)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

@@ -538,6 +538,33 @@ object RoundTrip {
     Queries.q6Over(readSorted(spark, sfDir, "lineitem", "zstd-1", "l_shipdate",
       columnar = true))
 
+  /** Q6 over a file sorted by the PUBLIC writer option
+    * (`option("sortBy", "l_shipdate")`, [[graft.plans.McSortedWrite]],
+    * round 15) rather than the fixtures' hand-rolled `repartitionByRange` +
+    * `sortWithinPartitions`: the one-option path a user actually takes to
+    * the zone-map/elision composition. McSortedWriteSpec pins the skip and
+    * elision metrics; this row pins end-to-end correctness under the
+    * DuckDB oracle.
+    */
+  def q6OverFourMcSortBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Queries.table(spark, sfDir, "lineitem")
+    val schema = src.schema
+    val dir = rtDir(sfDir, "lineitem-sortby-opt", "lz4-fast", tsFmt)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      src.write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", tsFmt)
+        .option("sortBy", "l_shipdate")
+        .option("sortPartitions",
+          math.max(1, spark.sparkContext.defaultParallelism / 8).toString)
+        .option("blockBytes", SortedBlockBytes.toString)
+        .save(dir.getAbsolutePath)
+    }
+    Queries.q6Over(
+      spark.read.format("4mc").option("payload", "csv")
+        .option("timestampFormat", tsFmt).schema(schema).load(dir.getAbsolutePath))
+  }
+
   /** Documents through 4mz: per-language doc count + exact char sum. The text
     * itself crosses the container, not just the metadata.
     */
