@@ -294,6 +294,58 @@ object RoundTrip {
       .orderBy(col("k_bucket"))
   }
 
+  /** Positional schema evolution end-to-end (round 15): a directory whose
+    * OLD generation (even event_ids) was written WITHOUT the trailing
+    * `props` column and whose NEW generation (odd event_ids) carries it.
+    * Reading with the full 6-column schema gives NULL props on old rows
+    * (the parquet added-column semantics); per-file pruning stays active —
+    * predicates on `props` refute old-generation blocks outright
+    * (SchemaEvolutionSpec pins the metrics; this row pins values under the
+    * DuckDB oracle, where the CASE WHEN reproduces the generation split).
+    */
+  def schemaEvolutionOverFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = rtDir(sfDir, "events-twogen", "lz4-fast", tsFmt)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val ev = Queries.events(spark, sfDir)
+      val nFiles = math.max(1, spark.sparkContext.defaultParallelism / 16)
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(nFiles)
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .option("timestampFormat", tsFmt).save(dir.getAbsolutePath)
+      ev.filter(col("event_id") % 2 === 1)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(nFiles)
+        .write.mode("append").format("4mc").option("payload", "csv")
+        .option("timestampFormat", tsFmt).save(dir.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("props")).as("n_props"),
+        sum(length(col("props"))).as("props_len"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT event_type,
+      |       COUNT(*) AS n,
+      |       COUNT(CASE WHEN event_id % 2 = 1 THEN props END) AS n_props,
+      |       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN LENGTH(props) END) AS BIGINT) AS props_len,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q1 over lineitem round-tripped through LZ4 — oracle identical to q1's. */
   def q1OverFourMc(spark: SparkSession, sfDir: String): DataFrame =
     Queries.q1Over(roundTrip(spark, sfDir, "lineitem", "lz4-fast"))

@@ -12,7 +12,10 @@ import java.nio.file.{Files, Path, Paths}
   * Switches aggregate exactly like the reference's char-walk parser
   * (`4mccli.c:206-224`): `-zf4` == `-z -f -4`, and any digit run is a level
   * (`-12` clamps to ultra). `-l` (Linux-kernel legacy LZ4 frames,
-  * `4mccli.c:232-234`) is explicitly unsupported and errors out.
+  * `4mccli.c:232-234`) is accepted like the reference — whose flag is
+  * DEAD code: its encoder always writes the container — and this tool
+  * additionally DECODES legacy frames for real, auto-detected by magic
+  * (`-d old.lz4` just works; round 15).
   *
   * Usage:
   *   graft.Tool [-z] [-s] [-1|-2|-3|-4] [-d] [-t] [-f] [-c] [-v|-q] input [output]
@@ -39,6 +42,7 @@ object Tool {
       |  -z zstd container (.4mz)   -s zstd full-frame stream (.zst)
       |  -1..-4 compression level   -d decompress   -t test integrity (full decode)
       |  -i integrity scan only (checksum walk, no decompression)
+      |  -l accept legacy kernel-LZ4 flag (decode auto-detects legacy frames)
       |  -f force overwrite         -c force stdout
       |  -v verbose                 -q quiet        -V version   -h help""".stripMargin
 
@@ -50,7 +54,7 @@ object Tool {
   def run(args: Array[String]): Int = {
     var zstd = false; var level = 1; var decode = false; var testOnly = false
     var zstStream = false; var force = false; var toStdout = false; var quiet = false
-    var integrityOnly = false
+    var integrityOnly = false; var legacyFlag = false
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       // Char-walk parser mirroring the reference CLI (`4mccli.c:206-255`):
@@ -85,10 +89,14 @@ object Tool {
               case 'V' => System.out.println(Version); return 0
               case 'h' | 'H' => System.out.println(Usage); return 0
               case 'l' =>
-                // reference `-l` selects the Linux-kernel legacy LZ4 frame
-                // (`4mccli.c:232-234`) — explicitly unsupported here rather
-                // than silently producing a non-legacy file
-                fail("legacy (Linux-kernel LZ4) format (-l) is not supported")
+                // reference `-l` parses the Linux-kernel legacy-LZ4 flag but
+                // never USES it (`4mccli.c:172,234` — the variable is dead;
+                // its encoder always writes the 4mc container). We match
+                // accept-on-compress (with a note instead of silence) and go
+                // one better on DECODE: legacy frames are auto-detected by
+                // magic, so `-d`/`-t` read old `.lz4` kernel-format archives
+                // with or without the flag ([[legacyLz4Decode]]).
+                legacyFlag = true
               case other => fail(s"unknown flag -$other")
             }
             i += 1
@@ -127,7 +135,13 @@ object Tool {
         return if (rep.footer_ok && rep.n_corrupt_blocks == 0) 0 else 1
       }
       if (decode || testOnly) decompress(in, outArg.map(Paths.get(_)), testOnly, force, quiet)
-      else compress(in, outArg.map(Paths.get(_)), zstd, level, force, quiet)
+      else {
+        if (legacyFlag && !quiet)
+          System.err.println(
+            "4mc: note: -l (legacy kernel LZ4) encode is not a 4mc format; " +
+              "writing the standard container (the reference CLI does the same)")
+        compress(in, outArg.map(Paths.get(_)), zstd, level, force, quiet)
+      }
       0
     } catch {
       case e: CliError => System.err.println(s"4mc: ${e.getMessage}"); 1
@@ -171,12 +185,18 @@ object Tool {
       val isZstFrame = got == 4 &&
         (head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
         (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd
-      val src: java.io.InputStream =
-        if (isZstFrame) new com.github.luben.zstd.ZstdInputStream(pin)
-        else new graft.hadoop.FourMcCompressionInputStream(pin)
-      var n = src.read(buf, 0, buf.length)
-      while (n > 0) { rawOut.write(buf, 0, n); total += n; n = src.read(buf, 0, buf.length) }
-      src.close()
+      if (isLegacyHead(head, got)) {
+        // consume the sniffed magic, then stream legacy frames
+        pin.skipNBytes(4)
+        total = legacyLz4Decode(pin, rawOut)
+      } else {
+        val src: java.io.InputStream =
+          if (isZstFrame) new com.github.luben.zstd.ZstdInputStream(pin)
+          else new graft.hadoop.FourMcCompressionInputStream(pin)
+        var n = src.read(buf, 0, buf.length)
+        while (n > 0) { rawOut.write(buf, 0, n); total += n; n = src.read(buf, 0, buf.length) }
+        src.close()
+      }
     } else {
       val w = new FourMcWriter(rawOut, codecFor(zstd, level))
       var n = in.read(buf)
@@ -256,15 +276,87 @@ object Tool {
       f"(ratio ${total.toDouble / math.max(1, outLen)}%.3f, ${total / 1e6 / secs}%.1f MB/s)")
   }
 
+  /** Legacy (Linux-kernel) LZ4 frame magic, little-endian on disk:
+    * `02 21 4C 18`. Public format (lz4 frame spec, "legacy frame"):
+    * magic, then blocks of [LE32 compressedSize][LZ4 block bytes], each
+    * decompressing to at most 8 MiB; frames may concatenate (a new magic
+    * where a size word would be starts the next frame); EOF ends the
+    * stream.
+    */
+  private val LegacyMagic = 0x184C2102
+  private val LegacyBlockSize = 8 << 20
+
+  private def isLegacyHead(head: Array[Byte], got: Int): Boolean =
+    got >= 4 &&
+      (head(0) & 0xff) == 0x02 && (head(1) & 0xff) == 0x21 &&
+      (head(2) & 0xff) == 0x4c && (head(3) & 0xff) == 0x18
+
+  /** Decode a legacy LZ4 frame stream (positioned AFTER the first magic);
+    * returns decompressed byte count. lz4-java's safe decompressor is the
+    * same library the container blocks decode through.
+    */
+  private def legacyLz4Decode(in: java.io.InputStream, out: java.io.OutputStream): Long = {
+    val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+    val word = new Array[Byte](4)
+    val dst = new Array[Byte](LegacyBlockSize)
+    var src = new Array[Byte](1 << 16)
+    var total = 0L
+    var done = false
+    while (!done) {
+      val got = in.readNBytes(word, 0, 4)
+      if (got == 0) done = true
+      else if (got < 4) fail("legacy lz4: truncated block size word")
+      else {
+        val v = (word(0) & 0xff) | ((word(1) & 0xff) << 8) |
+          ((word(2) & 0xff) << 16) | ((word(3) & 0xff) << 24)
+        if (v == LegacyMagic) () // concatenated frame: next word is a size
+        else {
+          // compressBound(8 MiB) ≈ 8.03 MiB — anything larger is corrupt
+          if (v <= 0 || v > LegacyBlockSize + (LegacyBlockSize / 255) + 16)
+            fail(f"legacy lz4: implausible block size $v%d")
+          if (src.length < v) src = new Array[Byte](v)
+          if (in.readNBytes(src, 0, v) != v) fail("legacy lz4: truncated block")
+          val n = dec.decompress(src, 0, v, dst, 0)
+          out.write(dst, 0, n)
+          total += n
+        }
+      }
+    }
+    total
+  }
+
   private def decompress(in: Path, outOpt: Option[Path], testOnly: Boolean,
                          force: Boolean, quiet: Boolean): Unit = {
     val out = outOpt.getOrElse {
       val s = in.toString
-      if (s.endsWith(".4mc") || s.endsWith(".4mz")) Paths.get(s.dropRight(4))
+      if (s.endsWith(".4mc") || s.endsWith(".4mz") || s.endsWith(".lz4")) Paths.get(s.dropRight(4))
       else Paths.get(s + ".out")
     }
     if (!testOnly) checkOverwrite(out, force)
     val t0 = System.nanoTime()
+    // magic-dispatch BEFORE the container reader: legacy kernel-LZ4 frames
+    // (old `.lz4` archives) have no footer index and decode sequentially
+    locally {
+      val probe = Files.newInputStream(in)
+      val head = new Array[Byte](4)
+      val got = probe.readNBytes(head, 0, 4)
+      if (isLegacyHead(head, got)) {
+        try {
+          val os =
+            if (testOnly) java.io.OutputStream.nullOutputStream()
+            else new java.io.BufferedOutputStream(Files.newOutputStream(out), 1 << 16)
+          val total = legacyLz4Decode(new java.io.BufferedInputStream(probe, 1 << 16), os)
+          os.close()
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (quiet) ()
+          else if (testOnly)
+            System.out.println(f"$in: OK (legacy lz4, $total bytes, ${total / 1e6 / secs}%.1f MB/s)")
+          else System.out.println(f"$in -> $out $total bytes (legacy lz4, ${total / 1e6 / secs}%.1f MB/s)")
+        } finally probe.close()
+        return
+      }
+      probe.close()
+    }
     val mcIn = McInput.local(in)
     try {
       val idx = FourMcReader.readIndex(mcIn)

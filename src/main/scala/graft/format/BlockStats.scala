@@ -517,12 +517,37 @@ object McStatsPruning {
   private def toDoubleLit(v: Any): Option[Double] =
     v match { case n: java.lang.Number => Some(n.doubleValue); case _ => None }
 
-  /** keep(b) for every block; `None` when the stats don't apply (schema
-    * mismatch) — caller then scans unpruned. When the file carries a bloom
-    * segment ([[BlockBlooms]]), equality and IN predicates on bloom columns
-    * additionally probe the per-block filter — the refutation that works
-    * where zone maps don't (point lookups on columns uncorrelated with file
-    * order, whose every [min, max] zone spans the domain).
+  /** Column status under POSITIONAL schema evolution (read-schema width may
+    * differ from the file's; the csv payload is positional, so evolution =
+    * appending columns). 0 = the file's stats column describes this read
+    * column (tags agree); 1 = the column is ABSENT from the file (ordinal
+    * beyond the file width — every row reads null, a strong fact: value
+    * predicates refute, IsNull certifies); 2 = tag mismatch (a same-width
+    * different-type generation: no information, never prune).
+    *
+    * The stats stride is the FILE's nCols either way, so prefix ordinals
+    * index correctly whether the read schema is wider or narrower.
+    */
+  private def evolveStatus(stats: McBlockStats, dataSchema: StructType, c: Int): Int =
+    if (c >= stats.nCols) 1
+    else {
+      val want = CsvPayload.tagOf(dataSchema.fields(c).dataType)
+      val got = stats.tags(c)
+      // micros-encoded timestamps carry their own tag in the segment
+      if (got == want ||
+        (want == CsvPayload.TagTimestamp && got == CsvPayload.TagTimestampMicros)) 0
+      else 2
+    }
+
+  /** keep(b) for every block; `None` when the stats don't apply. Schema
+    * evolution is handled per column via [[evolveStatus]] — a prefix-true
+    * column prunes as always, an absent column prunes HARD on value
+    * predicates (all rows null), a tag-mismatched column never prunes.
+    * When the file carries a bloom segment ([[BlockBlooms]]), equality and
+    * IN predicates on bloom columns additionally probe the per-block
+    * filter — the refutation that works where zone maps don't (point
+    * lookups on columns uncorrelated with file order, whose every
+    * [min, max] zone spans the domain).
     */
   def keepBlocks(
       filters: Seq[Filter],
@@ -530,10 +555,10 @@ object McStatsPruning {
       stats: McBlockStats,
       blooms: Option[McBlockBlooms] = None
   ): Option[Array[Boolean]] = {
-    if (stats.nCols != dataSchema.length) return None
     val nCols = stats.nCols
 
     def colOf(attr: String): Int = dataSchema.fields.indexWhere(_.name == attr)
+    def status(c: Int): Int = evolveStatus(stats, dataSchema, c)
 
     // possible(f)(b): may any owned line of block b satisfy f?  true = keep-safe
     def possible(f: Filter): Int => Boolean = f match {
@@ -545,12 +570,16 @@ object McStatsPruning {
         blk => pa(blk) || pb(blk)
       case IsNull(attr) =>
         val c = colOf(attr)
-        if (c < 0) _ => true
+        if (c < 0 || status(c) != 0) _ => true // absent column: all null
         else blk => stats.nullCount(blk * nCols + c) > 0
       case IsNotNull(attr) =>
         val c = colOf(attr)
         if (c < 0) _ => true
-        else blk => stats.lineCount(blk) - stats.nullCount(blk * nCols + c) > 0
+        else status(c) match {
+          case 1 => _ => false // absent from this file: every row null
+          case 2 => _ => true
+          case _ => blk => stats.lineCount(blk) - stats.nullCount(blk * nCols + c) > 0
+        }
       case EqualTo(attr, v)            => rangeTest(attr, v, ModeEq)
       case GreaterThan(attr, v)        => rangeTest(attr, v, ModeGt)
       case GreaterThanOrEqual(attr, v) => rangeTest(attr, v, ModeGe)
@@ -561,7 +590,9 @@ object McStatsPruning {
         blk => tests.isEmpty || tests.exists(_(blk))
       case StringStartsWith(attr, prefix) =>
         val c = colOf(attr)
-        if (c < 0 || stats.tags(c) != CsvPayload.TagString) _ => true
+        if (c < 0) _ => true
+        else if (status(c) == 1) _ => false // absent: null never startsWith
+        else if (status(c) == 2 || stats.tags(c) != CsvPayload.TagString) _ => true
         else {
           val p = prefix.getBytes("UTF-8")
           blk => {
@@ -598,6 +629,11 @@ object McStatsPruning {
     def rangeTest(attr: String, v: Any, mode: Int): Int => Boolean = {
       val c = colOf(attr)
       if (c < 0) return _ => true
+      status(c) match {
+        case 1 => return _ => false // absent column: null satisfies no range
+        case 2 => return _ => true
+        case _ =>
+      }
       val tag = stats.tags(c)
       tag match {
         case CsvPayload.TagString =>
@@ -742,10 +778,10 @@ object McStatsPruning {
       dataSchema: StructType,
       stats: McBlockStats
   ): Option[Array[Boolean]] = {
-    if (stats.nCols != dataSchema.length) return None
     val nCols = stats.nCols
 
     def colOf(attr: String): Int = dataSchema.fields.indexWhere(_.name == attr)
+    def status(c: Int): Int = evolveStatus(stats, dataSchema, c)
 
     // every(f)(b): does every owned line of block b satisfy f?  false = unsure
     def every(f: Filter): Int => Boolean = f match {
@@ -759,10 +795,14 @@ object McStatsPruning {
       case IsNull(attr) =>
         val c = colOf(attr)
         if (c < 0) _ => false
-        else blk => stats.nullCount(blk * nCols + c) == stats.lineCount(blk)
+        else status(c) match {
+          case 1 => _ => true // absent from this file: every row IS null
+          case 2 => _ => false
+          case _ => blk => stats.nullCount(blk * nCols + c) == stats.lineCount(blk)
+        }
       case IsNotNull(attr) =>
         val c = colOf(attr)
-        if (c < 0) _ => false
+        if (c < 0 || status(c) != 0) _ => false
         else blk => stats.nullCount(blk * nCols + c) == 0
       case EqualTo(attr, v)            => certainRange(attr, v, ModeEq)
       case GreaterThan(attr, v)        => certainRange(attr, v, ModeGt)
@@ -771,7 +811,7 @@ object McStatsPruning {
       case LessThanOrEqual(attr, v)    => certainRange(attr, v, ModeLe)
       case In(attr, vs) =>
         val c = colOf(attr)
-        if (c < 0 || vs == null || vs.isEmpty) _ => false
+        if (c < 0 || status(c) != 0 || vs == null || vs.isEmpty) _ => false
         else if (stats.tags(c) == CsvPayload.TagString) {
           val vbs = vs.flatMap {
             case s: String => Some(s.getBytes("UTF-8")); case _ => None
@@ -790,7 +830,8 @@ object McStatsPruning {
         }
       case StringStartsWith(attr, prefix) =>
         val c = colOf(attr)
-        if (c < 0 || stats.tags(c) != CsvPayload.TagString || prefix == null) _ => false
+        if (c < 0 || status(c) != 0 || stats.tags(c) != CsvPayload.TagString ||
+          prefix == null) _ => false
         else {
           val p = prefix.getBytes("UTF-8")
           def startsWith(v: Array[Byte]): Boolean =
@@ -819,7 +860,9 @@ object McStatsPruning {
       */
     def certainRange(attr: String, v: Any, mode: Int): Int => Boolean = {
       val c = colOf(attr)
-      if (c < 0) return _ => false
+      // absent column (status 1): all-null rows never satisfy a range —
+      // not certain (the DUAL keepBlocks arm already refutes such blocks)
+      if (c < 0 || status(c) != 0) return _ => false
       val tag = stats.tags(c)
       tag match {
         case CsvPayload.TagString =>
@@ -993,9 +1036,15 @@ object McStatsPruning {
       stats: McBlockStats,
       blooms: Option[McBlockBlooms] = None
   ): Option[Array[Boolean]] = {
-    if (stats.nCols != dataSchema.length) return None
     val c = dataSchema.fields.indexWhere(_.name == attr)
     if (c < 0) return None
+    // positional evolution: a join-key column absent from this file reads
+    // all-null, and null never equals a key — drop every block
+    evolveStatus(stats, dataSchema, c) match {
+      case 1 => return Some(new Array[Boolean](stats.nBlocks))
+      case 2 => return None
+      case _ =>
+    }
     if (stats.tags(c) != CsvPayload.TagLong && stats.tags(c) != CsvPayload.TagInt &&
       stats.tags(c) != CsvPayload.TagDate) return None
     if (sortedKeys.isEmpty) return Some(new Array[Boolean](stats.nBlocks)) // ∅ keys: drop all

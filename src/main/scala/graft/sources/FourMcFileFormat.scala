@@ -211,7 +211,10 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, src, s, neededFields, totalFields, to)
             val tag = tags(k)
             vals(k) =
-              if (CsvPayload.isNullMarker(bytes, s, e) ||
+              // s > to: the field is MISSING (not merely empty) — the line
+              // has fewer fields than the read schema, i.e. an older-
+              // generation file under positional schema evolution → null
+              if (s > to || CsvPayload.isNullMarker(bytes, s, e) ||
                   (s >= e && tag != CsvPayload.TagString && tag != CsvPayload.TagMap &&
                     !CsvPayload.isArrayTag(tag))) null
               else tag match {
@@ -281,9 +284,11 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
             val fp = fieldPreds(k)
             val ps = fp.rest
             val tag = tags(k)
-            if (CsvPayload.isNullMarker(bytes, s, e) ||
+            if (s > to || CsvPayload.isNullMarker(bytes, s, e) ||
               (s >= e && tag != CsvPayload.TagString && tag != CsvPayload.TagMap &&
                 !CsvPayload.isArrayTag(tag))) {
+              // s > to = MISSING trailing field (older-generation file
+              // under positional schema evolution): null, not empty
               keep = fp.nullPasses // empty pred set precomputes to true
               if (keep) writer.setNullAt(k)
             } else {

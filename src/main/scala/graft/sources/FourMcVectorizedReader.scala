@@ -200,20 +200,15 @@ object FourMcVectorizedReader {
           val tag = tags(k)
           val j = slotOf(k)
           if (j < 0) {
-            // column absent from the file: every value is the
-            // missing-trailing-field value (null / empty string)
-            val keepMissing =
-              if (tag == CsvPayload.TagString)
-                pass(ps, org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8)
-              else fp.nullPasses
+            // column absent from the file (positional schema evolution,
+            // r15): every value is NULL — same semantics every type,
+            // matching what a parquet reader gives for an added column
+            val keepMissing = fp.nullPasses
             var r = 0
             while (r < n) {
               if (keepArr(r)) {
                 keepArr(r) = keepMissing
-                val slot = r * nPred + pi
-                if (tag == CsvPayload.TagString)
-                  predObjs(slot) = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-                else predNulls(slot) = true
+                predNulls(r * nPred + pi) = true
               }
               r += 1
             }
@@ -307,11 +302,9 @@ object FourMcVectorizedReader {
           val j = slotOf(k)
           val slot0 = predSlot(k)
           if (j < 0) {
+            // absent column: null for every type (schema evolution, r15)
             var p = 0
-            if (tag == CsvPayload.TagString)
-              while (p < selN) { vec.putByteArray(p, Array.emptyByteArray, 0, 0); p += 1 }
-            else
-              while (p < selN) { vec.putNull(p); p += 1 }
+            while (p < selN) { vec.putNull(p); p += 1 }
           } else if (CsvPayload.isArrayTag(tag)) {
             val bytes = cursor.colBytes(j)
             val child = vec.arrayData()
@@ -578,7 +571,11 @@ object FourMcVectorizedReader {
           val tag = tags(k)
           val slot = r * nPred + pi
           var keep = true
-          if (CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)) {
+          // s > to: MISSING trailing field (an older-generation file under
+          // positional schema evolution) — null for every type, unlike a
+          // present-but-empty field (empty string for TagString)
+          if (s > to || CsvPayload.isNullMarker(bytes, s, e) ||
+              (s >= e && tag != CsvPayload.TagString)) {
             keep = fp.nullPasses
             predNulls(slot) = true
           } else {
@@ -673,7 +670,8 @@ object FourMcVectorizedReader {
               val base = r * stride
               val s = starts(base + src)
               val e = fieldEnd(bytes, base, src, s, rowEnds(r))
-              if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
+              // s > rowEnds(r): missing trailing field (schema evolution) -> null
+              if (s > rowEnds(r) || CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
               else {
                 // single-pass split+parse: tokens ≤ (len+1)/2 bounds the
                 // reserve (1-byte token + separator repeating), so no
@@ -720,7 +718,8 @@ object FourMcVectorizedReader {
               val base = r * stride
               val s = starts(base + src)
               val e = fieldEnd(bytes, base, src, s, rowEnds(r))
-              if (CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
+              // s > rowEnds(r): missing trailing field (schema evolution) -> null
+              if (s > rowEnds(r) || CsvPayload.isNullMarker(bytes, s, e)) vec.putNull(r)
               else {
                 val cnt = CsvPayload.countEntries(bytes, s, e) // empty field = empty map
                 keyChild.reserve(off + cnt)
@@ -786,7 +785,7 @@ object FourMcVectorizedReader {
             val e = fieldEnd(bytes, base, src, s, rowEnds(r))
             // (no array-tag clause: array columns are captured by the
             // dedicated branch above and never reach this scalar loop)
-            if (CsvPayload.isNullMarker(bytes, s, e) ||
+            if (s > rowEnds(r) || CsvPayload.isNullMarker(bytes, s, e) ||
                 (s >= e && tag != CsvPayload.TagString))
               vec.putNull(r)
             else (tag: @scala.annotation.switch) match {

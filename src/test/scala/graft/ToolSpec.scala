@@ -40,10 +40,14 @@ class ToolSpec extends AnyFunSuite {
     // reference compressor mapping (4mc.c:411-419)
     assert(Tool.run(Array("-q", "-zf12", in.toString)) == 0)
     assert(Files.readAllBytes(out).toSeq == agg.toSeq)
-    // -l (Linux-kernel legacy LZ4 frame) is explicitly unsupported
-    val (rcL, _, errL) = capturingStd(Tool.run(Array("-l", in.toString)))
-    assert(rcL == 1)
-    assert(errL.contains("legacy"), s"expected a clear legacy-format error, got: $errL")
+    // -l (Linux-kernel legacy LZ4): accepted like the reference (whose
+    // flag is dead code — the encoder always writes the container); a
+    // non-quiet compress notes the substitution on stderr
+    val (rcL, _, errL) = capturingStd(Tool.run(Array("-lf", in.toString)))
+    assert(rcL == 0)
+    assert(errL.contains("legacy"), s"expected a legacy substitution note, got: $errL")
+    assert(Files.exists(in.resolveSibling("data.txt.4mc")),
+      "-l compress must produce the standard container like the reference")
     // unknown flag inside an aggregate still errors
     val (rcX, _, errX) = capturingStd(Tool.run(Array("-zfx", in.toString)))
     assert(rcX == 1 && errX.contains("unknown flag"))
@@ -106,6 +110,45 @@ class ToolSpec extends AnyFunSuite {
     assert(rcH == 0 && new String(outH).contains("usage"))
     val (rcX, _, errX) = capturingStd(Tool.run(Array("-x", "nope")))
     assert(rcX == 1 && errX.contains("unknown flag"))
+  }
+
+  test("legacy kernel-LZ4 frames decode by magic (interop with the system lz4 -l)") {
+    // fixture generated by the standard lz4 CLI's legacy mode — gated on
+    // the binary being installed, like the .zst interop test
+    val lz4Available =
+      try { new ProcessBuilder("lz4", "-V").start().waitFor() == 0 }
+      catch { case _: java.io.IOException => false }
+    assume(lz4Available, "system lz4 binary not installed; skipping legacy interop")
+    val dir = Files.createTempDirectory("toolspec-legacy")
+    val plain = dir.resolve("plain.txt")
+    // > 8 MiB so the legacy frame carries MULTIPLE blocks (fixed 8 MiB
+    // decompressed block size), exercising the block loop
+    val sb = new StringBuilder
+    var i = 0
+    while (sb.length < 9 * 1024 * 1024) { sb.append(s"legacy-line-$i-${i * 2654435761L}\n"); i += 1 }
+    Files.writeString(plain, sb.toString)
+    val lz4File = dir.resolve("plain.txt.lz4")
+    assert(new ProcessBuilder("lz4", "-l", "-q", plain.toString, lz4File.toString)
+      .inheritIO().start().waitFor() == 0)
+    // -t test decode
+    val (rcT, outT, _) = capturingStd(Tool.run(Array("-t", lz4File.toString)))
+    assert(rcT == 0 && new String(outT).contains("legacy"))
+    // -d full decode, default output name drops .lz4
+    val decoded = dir.resolve("plain.txt.dec")
+    assert(Tool.run(Array("-q", "-d", lz4File.toString, decoded.toString)) == 0)
+    assert(java.util.Arrays.equals(Files.readAllBytes(plain), Files.readAllBytes(decoded)),
+      "legacy decode must round-trip the system lz4 -l output byte-exactly")
+    // stdin pipe decode too (magic-sniffed, no extension available)
+    val (rcP, outP, _) = capturingStd {
+      val prevIn = System.in
+      try {
+        System.setIn(Files.newInputStream(lz4File))
+        Tool.run(Array("-q", "-d", "-", "-"))
+      } finally System.setIn(prevIn)
+    }
+    assert(rcP == 0)
+    assert(java.util.Arrays.equals(outP, Files.readAllBytes(plain)),
+      "stdin legacy decode must match")
   }
 
   test("-q silences status output; default prints it") {
