@@ -41,10 +41,10 @@ object RoundTrip {
     val fkey = java.lang.Integer.toHexString(tsFormat.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      // rt3: the csv payload defaults to the columnar layout since round
-      // 15 — a fresh cache root so dirs written under the old default are
-      // never silently reused as evidence for the new one
-      s"graft-rt3/$key/$tableName-$codec-$fkey"
+      // rt4: columnar streams dictionary-encode low-cardinality columns
+      // since round 15 — a fresh cache root so dirs written before the
+      // encoding land are never silently reused as evidence for it
+      s"graft-rt4/$key/$tableName-$codec-$fkey"
     )
   }
 

@@ -48,6 +48,156 @@ object ColumnarBlocks {
 
   def dirLen(nCols: Int): Int = nCols * DirEntryLen
 
+  /** Bit 30 of the DIR's uncompLen word marks a DICTIONARY-ENCODED stream
+    * (r15). Uncompressed stream lengths are ≤ 4 MiB (bit 22), so the flag
+    * never collides with a length; pre-r15 readers see an out-of-range
+    * length and fail LOUDLY rather than misparse.
+    *
+    * Dict stream layout (the flagged stream's UNCOMPRESSED bytes):
+    * {{{
+    * nEntries(1, unsigned, 1..DictMaxEntries)
+    * entries : len(1, unsigned) | value bytes(len)   -- × nEntries
+    * codes   : 1 byte per row, each < nEntries
+    * }}}
+    * Entry bytes are the exact field encoding of the row/columnar layouts
+    * (same escaping, `\N` null marker), so decode is pure byte substitution
+    * — every consumer (parse, predicates, unescape) behaves as if the plain
+    * `value\n` stream had been stored. The win on a low-cardinality column
+    * is structural, not just ratio: 1 code byte/row replaces the value
+    * bytes AND the per-row newline scan, and a vectorized reader can serve
+    * the column through Spark's dictionary-id lane (the same mechanism
+    * parquet uses for dictionary-encoded pages).
+    */
+  val DictFlag: Int = 0x40000000
+  // 64 entries (not the stats segment's 32): a TPC-H `l_quantity`-class
+  // column with ~50 distinct small values is exactly the shape that wants
+  // codes; codes stay 1 byte up to 255, the cap bounds write-side search
+  val DictMaxEntries: Int = 64
+  val DictMaxValueLen: Int = 64
+
+  /** Attempt to dictionary-encode the plain column stream `raw[0, len)`
+    * (newline-terminated values). Returns the encoded bytes, or null when
+    * the stream is ineligible: more than [[DictMaxEntries]] distinct
+    * values, a value longer than [[DictMaxValueLen]], or an encoding that
+    * is not STRICTLY smaller than the plain stream (dict encoding must
+    * never grow a block).
+    */
+  def tryDictEncode(raw: Array[Byte], len: Int): Array[Byte] = {
+    if (len <= 0) return null
+    val entS = new Array[Int](DictMaxEntries)
+    val entE = new Array[Int](DictMaxEntries)
+    var nEnt = 0
+    var dictBytes = 0
+    var rows = 0
+    var lastHit = 0
+    var s = 0
+    while (s < len) {
+      var e = s
+      while (e < len && raw(e) != '\n') e += 1
+      if (e >= len) return null // not newline-terminated: not a value stream
+      val vl = e - s
+      if (vl > DictMaxValueLen) return null
+      // find (last-hit memo first: repeat-heavy data is the whole point)
+      var found = -1
+      if (nEnt > 0 && entE(lastHit) - entS(lastHit) == vl &&
+          java.util.Arrays.equals(raw, s, e, raw, entS(lastHit), entE(lastHit)))
+        found = lastHit
+      else {
+        var i = 0
+        while (found < 0 && i < nEnt) {
+          if (entE(i) - entS(i) == vl && java.util.Arrays.equals(raw, s, e, raw, entS(i), entE(i)))
+            found = i
+          i += 1
+        }
+      }
+      if (found < 0) {
+        if (nEnt >= DictMaxEntries) return null
+        entS(nEnt) = s; entE(nEnt) = e
+        dictBytes += 1 + vl
+        found = nEnt
+        nEnt += 1
+      }
+      lastHit = found
+      rows += 1
+      s = e + 1
+    }
+    if (nEnt == 0) return null
+    val encLen = 1 + dictBytes + rows
+    if (encLen >= len) return null
+    val out = new Array[Byte](encLen)
+    out(0) = nEnt.toByte
+    var o = 1
+    var i = 0
+    while (i < nEnt) {
+      val vl = entE(i) - entS(i)
+      out(o) = vl.toByte
+      System.arraycopy(raw, entS(i), out, o + 1, vl)
+      o += 1 + vl
+      i += 1
+    }
+    // second pass: codes (values resolve against the now-final entry table)
+    lastHit = 0
+    s = 0
+    while (s < len) {
+      var e = s
+      while (raw(e) != '\n') e += 1
+      var found = -1
+      if (entE(lastHit) - entS(lastHit) == e - s &&
+          java.util.Arrays.equals(raw, s, e, raw, entS(lastHit), entE(lastHit)))
+        found = lastHit
+      else {
+        var k = 0
+        while (found < 0) { // always terminates: pass 1 saw every value
+          if (entE(k) - entS(k) == e - s && java.util.Arrays.equals(raw, s, e, raw, entS(k), entE(k)))
+            found = k
+          k += 1
+        }
+      }
+      lastHit = found
+      out(o) = found.toByte
+      o += 1
+      s = e + 1
+    }
+    out
+  }
+
+  /** Parsed view of a dict-encoded stream: entry byte ranges within the
+    * stream buffer, the codes region, and the row count. Throws on any
+    * structural violation (bad counts, overruns, out-of-range codes) — the
+    * cursor converts to block-level corruption handling.
+    */
+  final class DictStream(val data: Array[Byte], uLen: Int, ctx: String) {
+    if (uLen < 2) fail(s"dict stream too short ($uLen)")
+    val nEntries: Int = data(0) & 0xff
+    if (nEntries < 1 || nEntries > DictMaxEntries) fail(s"dict entry count $nEntries")
+    val entryStart = new Array[Int](nEntries)
+    val entryEnd = new Array[Int](nEntries)
+    private var o = 1
+    private var i = 0
+    while (i < nEntries) {
+      if (o >= uLen) fail("dict entry table overruns stream")
+      val vl = data(o) & 0xff
+      if (vl > DictMaxValueLen) fail(s"dict entry length $vl")
+      entryStart(i) = o + 1
+      entryEnd(i) = o + 1 + vl
+      o += 1 + vl
+      i += 1
+    }
+    if (o > uLen) fail("dict entry table overruns stream")
+    val codesOff: Int = o
+    val rows: Int = uLen - o
+    locally {
+      var r = codesOff
+      while (r < uLen) {
+        if ((data(r) & 0xff) >= nEntries) fail(s"dict code ${data(r) & 0xff} out of range")
+        r += 1
+      }
+    }
+    @inline def code(r: Int): Int = data(codesOff + r) & 0xff
+    private def fail(msg: String): Nothing =
+      throw new IOException(s"4mc columnar $msg $ctx")
+  }
+
   @inline private[graft] def getBE(a: Array[Byte], off: Int): Int =
     ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
       ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
@@ -203,6 +353,7 @@ final class McColumnarCursor(
 
   private val colData = new Array[Array[Byte]](math.max(1, needed.length))
   private val colNl = new Array[Array[Int]](math.max(1, needed.length))
+  private val colDict = new Array[ColumnarBlocks.DictStream](math.max(1, needed.length))
   // scratch reused across blocks
   private val hdr = new Array[Byte](FourMc.BlockHeaderLen)
   private val dir = new Array[Byte](dirLen(fileCols))
@@ -210,12 +361,27 @@ final class McColumnarCursor(
 
   def colBytes(j: Int): Array[Byte] = colData(j)
 
+  /** Dict view of needed-column `j`'s current stream, or null when the
+    * stream is plain (vectorized readers use it for the dictionary-id
+    * lane; [[valStart]]/[[valEnd]] already resolve through it, so row-path
+    * consumers never need to look).
+    */
+  def dictOf(j: Int): ColumnarBlocks.DictStream = colDict(j)
+
   /** Start of row `r`'s value in needed-column `j` (inclusive). */
-  @inline def valStart(j: Int, r: Int): Int =
-    if (r == 0) 0 else colNl(j)(r) + 1
+  @inline def valStart(j: Int, r: Int): Int = {
+    val d = colDict(j)
+    if (d != null) d.entryStart(d.code(r))
+    else if (r == 0) 0
+    else colNl(j)(r) + 1
+  }
 
   /** End of row `r`'s value in needed-column `j` (exclusive). */
-  @inline def valEnd(j: Int, r: Int): Int = colNl(j)(r + 1)
+  @inline def valEnd(j: Int, r: Int): Int = {
+    val d = colDict(j)
+    if (d != null) d.entryEnd(d.code(r))
+    else colNl(j)(r + 1)
+  }
 
   /** Advance to the next owned, kept, readable block; false when the split
     * is exhausted.
@@ -261,7 +427,7 @@ final class McColumnarCursor(
     var c = 0
     while (c < fileCols) {
       val sLen = getBE(dir, c * DirEntryLen)
-      val uLen = getBE(dir, c * DirEntryLen + 4)
+      val uLen = getBE(dir, c * DirEntryLen + 4) & ~DictFlag
       if (uLen < 0 || uLen > FourMc.MaxBlockSize)
         throw new IOException(s"4mc columnar stream $c uncompressed size $uLen out of range at $off")
       if (sLen < 0 || sLen > uLen)
@@ -285,7 +451,8 @@ final class McColumnarCursor(
         var best = 0
         var c2 = 1
         while (c2 < fileCols) {
-          if (getBE(dir, c2 * DirEntryLen + 4) < getBE(dir, best * DirEntryLen + 4)) best = c2
+          if ((getBE(dir, c2 * DirEntryLen + 4) & ~DictFlag) <
+              (getBE(dir, best * DirEntryLen + 4) & ~DictFlag)) best = c2
           c2 += 1
         }
         Array(best)
@@ -308,7 +475,9 @@ final class McColumnarCursor(
       while (m <= k) {
         val col = cols(m)
         val sLen = storedOff(col + 1) - storedOff(col)
-        val uLen = getBE(dir, col * DirEntryLen + 4)
+        val uLenRaw = getBE(dir, col * DirEntryLen + 4)
+        val uLen = uLenRaw & ~DictFlag
+        val dictEnc = (uLenRaw & DictFlag) != 0
         val want = getBE(dir, col * DirEntryLen + 8)
         val bOff = storedOff(col) - lo
         if (FourMc.xxhash32(ioBuf, bOff, sLen) != want)
@@ -316,13 +485,24 @@ final class McColumnarCursor(
         val data =
           if (sLen == uLen) java.util.Arrays.copyOfRange(ioBuf, bOff, bOff + uLen)
           else McCodec.decompress(index.zstd, ioBuf, bOff, sLen, uLen)
-        if (uLen > 0 && data(uLen - 1) != '\n')
-          throw new IOException(s"4mc columnar stream $col not newline-terminated at $off")
         val slot = if (needed.isEmpty) 0 else m
         colData(slot) = data
-        colNl(slot) = graft.sources.SwarScan.collect(
-          data, 0, uLen, '\n'.toByte, if (colNl(slot) == null) new Array[Int](4096) else colNl(slot))
-        val r = colNl(slot)(0) - 1
+        val r =
+          if (dictEnc) {
+            // dict stream: per-row slices resolve code -> entry range; no
+            // newline index is built (there are no newlines to scan)
+            val d = new ColumnarBlocks.DictStream(data, uLen, s"(stream $col at $off)")
+            colDict(slot) = d
+            colNl(slot) = null
+            d.rows
+          } else {
+            if (uLen > 0 && data(uLen - 1) != '\n')
+              throw new IOException(s"4mc columnar stream $col not newline-terminated at $off")
+            colDict(slot) = null
+            colNl(slot) = graft.sources.SwarScan.collect(
+              data, 0, uLen, '\n'.toByte, if (colNl(slot) == null) new Array[Int](4096) else colNl(slot))
+            colNl(slot)(0) - 1
+          }
         if (rowsSeen < 0) rowsSeen = r
         else if (rowsSeen != r)
           throw new IOException(

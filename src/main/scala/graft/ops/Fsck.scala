@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.format.{FourMc, FourMcReader, McInput}
+import graft.format.{FourMc, FourMcReader, McCodec, McInput}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Distributed integrity sweep over a directory of 4mc/4mz files — the
@@ -9,8 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Per file: verify the header, the footer (magic/size/version/checksum,
   * via the normal index read), and EVERY block's xxhash32 over its
-  * compressed payload — WITHOUT decompressing anything, so the sweep is
-  * pure sequential I/O (~the file's on-disk size), not codec CPU. Block
+  * compressed payload — WITHOUT decompressing anything (except the tiny
+  * dictionary streams of columnar blocks, whose entry/code structure
+  * selective readers trust), so the sweep is pure sequential I/O (~the
+  * file's on-disk size), not codec CPU. Block
   * structure errors (sizes out of range, premature EOS vs the index) count
   * as corrupt too.
   *
@@ -122,12 +124,22 @@ object Fsck {
             while (c < nCols) {
               val e = c * graft.format.ColumnarBlocks.DirEntryLen
               val sLen = graft.format.ColumnarBlocks.getBE(payload, e)
-              val uLen = graft.format.ColumnarBlocks.getBE(payload, e + 4)
+              val uLenRaw = graft.format.ColumnarBlocks.getBE(payload, e + 4)
+              val uLen = uLenRaw & ~graft.format.ColumnarBlocks.DictFlag
               val want = graft.format.ColumnarBlocks.getBE(payload, e + 8)
               if (sLen < 0 || uLen < 0 || sLen > uLen || o2 + sLen > comp)
                 throw new java.io.IOException(s"columnar stream $c sizes out of range at $off")
               if (FourMc.xxhash32(payload, o2, sLen) != want)
                 throw new java.io.IOException(s"columnar stream $c checksum mismatch at $off")
+              // dict-encoded stream (r15): selective readers trust the
+              // entry table + code bounds, so fsck validates the full
+              // decoded structure (entries parse, every code in range)
+              if ((uLenRaw & graft.format.ColumnarBlocks.DictFlag) != 0) {
+                val data =
+                  if (sLen == uLen) java.util.Arrays.copyOfRange(payload, o2, o2 + uLen)
+                  else McCodec.decompress(index.zstd, payload, o2, sLen, uLen)
+                new graft.format.ColumnarBlocks.DictStream(data, uLen, s"(stream $c at $off)")
+              }
               o2 += sLen
               totalU += uLen
               c += 1

@@ -557,6 +557,15 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     require(!tsMicros || options.getOrElse("blockStats", "true").toBoolean,
       "timestampEncoding=micros requires blockStats=true (readers detect the encoding " +
         "from the stats segment's tag bytes)")
+    // per-stream dictionary encoding inside columnar blocks (r15): a
+    // low-cardinality column stream (≤32 distinct values of ≤64 bytes)
+    // stores codes + an inline dictionary instead of repeated values when
+    // that is STRICTLY smaller ([[graft.format.ColumnarBlocks.DictFlag]]).
+    // Pure win on disk and decode, so on by default; the option is the
+    // escape hatch for byte-level reproducibility against pre-r15 readers.
+    val dictEncode = options.getOrElse("dictEncode", "true").toBoolean
+    require(!options.contains("dictEncode") || columnar,
+      "dictEncode applies only to layout=columnar")
     // per-block bloom filters over integer key columns ([[BlockBlooms]]):
     // comma-separated column names, validated eagerly on the driver
     val bloomCols: Array[Int] = options.get("bloomColumns") match {
@@ -586,7 +595,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
           options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols, columnar,
-          tsMicros)
+          tsMicros, columnar && dictEncode)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -1029,7 +1038,8 @@ final class FourMcCsvOutputWriter(
     blockBytes: Int = graft.format.FourMc.MaxBlockSize,
     bloomCols: Array[Int] = Array.empty,
     columnar: Boolean = false,
-    tsMicros: Boolean = false
+    tsMicros: Boolean = false,
+    dictEncode: Boolean = false
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -1226,11 +1236,28 @@ final class FourMcCsvOutputWriter(
     */
   private def flushColumnarBlock(): Unit = if (colBytesPending > 0) {
     val n = tags.length
-    // worst-case scratch for ALL streams, so the loop never reallocates
-    var required = 0
+    // per-stream dictionary pass (r15): a low-cardinality stream swaps its
+    // `value\n` bytes for codes + an inline dictionary BEFORE compression
+    // when strictly smaller; the DIR's uncompLen carries the flag bit
+    val streamBytes = colStreamBytes
+    val streamLen = colStreamLen
     var i = 0
     while (i < n) {
-      if (colEncs(i).length > 0) required += codec.maxCompressedLength(colEncs(i).length)
+      val ce = colEncs(i)
+      streamBytes(i) = ce.bytes
+      streamLen(i) = ce.length
+      colDictFlag(i) = false
+      if (dictEncode && ce.length > 0) {
+        val d = graft.format.ColumnarBlocks.tryDictEncode(ce.bytes, ce.length)
+        if (d != null) { streamBytes(i) = d; streamLen(i) = d.length; colDictFlag(i) = true }
+      }
+      i += 1
+    }
+    // worst-case scratch for ALL streams, so the loop never reallocates
+    var required = 0
+    i = 0
+    while (i < n) {
+      if (streamLen(i) > 0) required += codec.maxCompressedLength(streamLen(i))
       i += 1
     }
     if (colScratch == null || colScratch.length < required)
@@ -1242,31 +1269,31 @@ final class FourMcCsvOutputWriter(
     var sOff = 0
     i = 0
     while (i < n) {
-      val ce = colEncs(i)
-      if (ce.length == 0) { storedOff(i) = -1; storedLen(i) = 0 }
+      if (streamLen(i) == 0) { storedOff(i) = -1; storedLen(i) = 0 }
       else {
-        val m = codec.compressInto(ce.bytes, ce.length, colScratch, sOff)
-        if (m < 0) { storedOff(i) = -1; storedLen(i) = ce.length } // store plain
+        val m = codec.compressInto(streamBytes(i), streamLen(i), colScratch, sOff)
+        if (m < 0) { storedOff(i) = -1; storedLen(i) = streamLen(i) } // store plain
         else { storedOff(i) = sOff; storedLen(i) = m; sOff += m }
       }
       payloadLen += storedLen(i)
-      uncompLen += ce.length
+      uncompLen += streamLen(i)
       i += 1
     }
     val payload = new Array[Byte](payloadLen)
     var off = colDirLen
     i = 0
     while (i < n) {
-      val ce = colEncs(i)
       val sLen = storedLen(i)
       graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen, sLen)
-      graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 4, ce.length)
-      if (storedOff(i) < 0) System.arraycopy(ce.bytes, 0, payload, off, sLen)
+      graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 4,
+        if (colDictFlag(i)) streamLen(i) | graft.format.ColumnarBlocks.DictFlag else streamLen(i))
+      if (storedOff(i) < 0) System.arraycopy(streamBytes(i), 0, payload, off, sLen)
       else System.arraycopy(colScratch, storedOff(i), payload, off, sLen)
       graft.format.ColumnarBlocks.putBE(payload, i * graft.format.ColumnarBlocks.DirEntryLen + 8,
         graft.format.FourMc.xxhash32(payload, off, sLen))
       off += sLen
-      ce.reset()
+      colEncs(i).reset()
+      streamBytes(i) = null
       i += 1
     }
     out.writeRawBlock(uncompLen, payload, payloadLen)
@@ -1276,6 +1303,10 @@ final class FourMcCsvOutputWriter(
   private var colScratch: Array[Byte] = null
   private val colStoredOff: Array[Int] = if (columnar) new Array[Int](schema.length) else null
   private val colStoredLen: Array[Int] = if (columnar) new Array[Int](schema.length) else null
+  private val colStreamBytes: Array[Array[Byte]] =
+    if (columnar) new Array[Array[Byte]](schema.length) else null
+  private val colStreamLen: Array[Int] = if (columnar) new Array[Int](schema.length) else null
+  private val colDictFlag: Array[Boolean] = if (columnar) new Array[Boolean](schema.length) else null
 
   /** One field of `row`, encoded exactly as the row layout encodes it
     * (escaping, `\N` null marker, array/map element separators) — shared by

@@ -39,6 +39,22 @@ object FourMcVectorizedReader {
 
   val BatchSize = 4096
 
+  /** Spark dictionary over a columnar block's dict-encoded string stream
+    * ([[graft.format.ColumnarBlocks.DictFlag]]): the batch carries 1-int
+    * codes in the vector's dictionary-id lane and values decode lazily at
+    * read time — the same mechanism Spark's parquet reader uses for
+    * dictionary-encoded pages, so a group-by key column never copies its
+    * bytes per row at fill time.
+    */
+  private final class McColumnDictionary(entries: Array[Array[Byte]])
+      extends org.apache.spark.sql.execution.vectorized.Dictionary {
+    override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+    override def decodeToInt(id: Int): Int = throw new UnsupportedOperationException
+    override def decodeToLong(id: Int): Long = throw new UnsupportedOperationException
+    override def decodeToFloat(id: Int): Float = throw new UnsupportedOperationException
+    override def decodeToDouble(id: Int): Double = throw new UnsupportedOperationException
+  }
+
   /** Can every column of `schema` be decoded into our vectors? Matches the
     * writer's `supportDataType` set plus DateType (partition columns).
     * Numeric arrays decode into OnHeapColumnVector CHILD vectors (elements
@@ -180,6 +196,71 @@ object FourMcVectorizedReader {
       val keepArr = new Array[Boolean](BatchSize)
       val selRel = new Array[Int](BatchSize) // surviving row offsets within the batch window
 
+      // Per-column decode tables for DICT-ENCODED streams, rebuilt when the
+      // block's DictStream changes: strings feed the vector's dictionary-id
+      // lane through [[McColumnDictionary]]; primitives parse each of the
+      // ≤64 entries ONCE per block and fill rows by table lookup — a
+      // low-cardinality numeric column (l_discount, l_tax) stops paying a
+      // per-row parse entirely.
+      val dictStreams = new Array[graft.format.ColumnarBlocks.DictStream](nFields)
+      val dictNulls = new Array[Array[Boolean]](nFields)
+      val dictLongs = new Array[Array[Long]](nFields) // primitive lanes, raw bits
+      val dictSpark = new Array[McColumnDictionary](nFields)
+
+      def refreshDict(k: Int, tag: Int, d: graft.format.ColumnarBlocks.DictStream): Unit = {
+        dictStreams(k) = d
+        val nE = d.nEntries
+        val nulls = new Array[Boolean](nE)
+        if (tag == CsvPayload.TagString) {
+          val ents = new Array[Array[Byte]](nE)
+          var e = 0
+          while (e < nE) {
+            val s = d.entryStart(e)
+            val en = d.entryEnd(e)
+            if (CsvPayload.isNullMarker(d.data, s, en)) { nulls(e) = true; ents(e) = Array.emptyByteArray }
+            else if (s >= en) ents(e) = Array.emptyByteArray
+            else ents(e) = CsvPayload.unescape(d.data, s, en, delim).getBytes
+            e += 1
+          }
+          dictSpark(k) = new McColumnDictionary(ents)
+          dictLongs(k) = null
+        } else {
+          val longs = new Array[Long](nE)
+          var e = 0
+          while (e < nE) {
+            val s = d.entryStart(e)
+            val en = d.entryEnd(e)
+            val bytes = d.data
+            if (CsvPayload.isNullMarker(bytes, s, en) || s >= en) nulls(e) = true
+            else (tag: @scala.annotation.switch) match {
+              case CsvPayload.TagLong    => longs(e) = CsvPayload.parseLong(bytes, s, en)
+              case CsvPayload.TagInt     => longs(e) = CsvPayload.parseInt(bytes, s, en).toLong
+              case CsvPayload.TagDouble  =>
+                longs(e) = java.lang.Double.doubleToRawLongBits(CsvPayload.parseDouble(bytes, s, en))
+              case CsvPayload.TagFloat   =>
+                longs(e) = java.lang.Float.floatToRawIntBits(CsvPayload.parseFloat(bytes, s, en)).toLong
+              case CsvPayload.TagBoolean => longs(e) = if (bytes(s) == 't' || bytes(s) == 'T') 1L else 0L
+              case CsvPayload.TagDate    => longs(e) = CsvPayload.parseDateDays(bytes, s, en).toLong
+              case CsvPayload.TagDecimal =>
+                longs(e) = CsvPayload.parseDecimalUnscaled(bytes, s, en, fieldScale(k))
+              case CsvPayload.TagTimestampMicros => longs(e) = CsvPayload.parseLong(bytes, s, en)
+              case _ =>
+                longs(e) =
+                  if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, en))
+                    CsvPayload.parseTimestampMicros(bytes, s, en)
+                  else {
+                    val inst = java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, en)))
+                    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                  }
+            }
+            e += 1
+          }
+          dictLongs(k) = longs
+          dictSpark(k) = null
+        }
+        dictNulls(k) = nulls
+      }
+
       def pass(ps: Array[Any => Boolean], v: Any): Boolean = {
         var pi = 0
         while (pi < ps.length) { if (!ps(pi)(v)) return false; pi += 1 }
@@ -301,6 +382,9 @@ object FourMcVectorizedReader {
           val tag = tags(k)
           val j = slotOf(k)
           val slot0 = predSlot(k)
+          // a dictionary set by a previous batch survives reset(); clear it
+          // unless this batch's dict lane re-sets it below
+          if (vec.hasDictionary) vec.setDictionary(null)
           if (j < 0) {
             // absent column: null for every type (schema evolution, r15)
             var p = 0
@@ -406,6 +490,42 @@ object FourMcVectorizedReader {
                 case _                       => vec.putLong(p, predLongs(slot))
               }
               p += 1
+            }
+          } else if (cursor.dictOf(j) != null) {
+            // dict-encoded stream: per-entry decode tables, per-row lookups
+            val d = cursor.dictOf(j)
+            if (dictStreams(k) ne d) refreshDict(k, tag, d)
+            val nulls = dictNulls(k)
+            if (tag == CsvPayload.TagString) {
+              vec.setDictionary(dictSpark(k))
+              val ids = vec.reserveDictionaryIds(BatchSize)
+              var p = 0
+              while (p < selN) {
+                val c = d.code(r0 + selRel(p))
+                if (nulls(c)) vec.putNull(p) else ids.putInt(p, c)
+                p += 1
+              }
+            } else {
+              val longs = dictLongs(k)
+              var p = 0
+              while (p < selN) {
+                val c = d.code(r0 + selRel(p))
+                if (nulls(c)) vec.putNull(p)
+                else (tag: @scala.annotation.switch) match {
+                  case CsvPayload.TagLong    => vec.putLong(p, longs(c))
+                  case CsvPayload.TagInt     => vec.putInt(p, longs(c).toInt)
+                  case CsvPayload.TagDouble  =>
+                    vec.putDouble(p, java.lang.Double.longBitsToDouble(longs(c)))
+                  case CsvPayload.TagFloat   =>
+                    vec.putFloat(p, java.lang.Float.intBitsToFloat(longs(c).toInt))
+                  case CsvPayload.TagBoolean => vec.putBoolean(p, longs(c) == 1L)
+                  case CsvPayload.TagDate    => vec.putInt(p, longs(c).toInt)
+                  case CsvPayload.TagDecimal =>
+                    if (intDecimal(k)) vec.putInt(p, longs(c).toInt) else vec.putLong(p, longs(c))
+                  case _                     => vec.putLong(p, longs(c))
+                }
+                p += 1
+              }
             }
           } else {
             val bytes = cursor.colBytes(j)
