@@ -293,6 +293,91 @@ object FourMcVectorizedReader {
               }
               r += 1
             }
+          } else if (cursor.dictOf(j) != null) {
+            // dict-encoded stream: evaluate each of the ≤64 ENTRIES once,
+            // then the row loop is two table lookups — a q6-class
+            // predicate over a low-cardinality column stops parsing rows
+            val d = cursor.dictOf(j)
+            val nE = d.nEntries
+            val eKeep = new Array[Boolean](nE)
+            val eNull = new Array[Boolean](nE)
+            val eLong = new Array[Long](nE)
+            val eObj = new Array[AnyRef](nE)
+            val bytes = d.data
+            var en = 0
+            while (en < nE) {
+              val s = d.entryStart(en)
+              val e = d.entryEnd(en)
+              var keep = true
+              if (CsvPayload.isNullMarker(bytes, s, e) ||
+                  (s >= e && tag != CsvPayload.TagString)) {
+                keep = fp.nullPasses
+                eNull(en) = true
+              } else {
+                (tag: @scala.annotation.switch) match {
+                  case CsvPayload.TagString =>
+                    val u = if (s >= e) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                            else CsvPayload.unescape(bytes, s, e, delim)
+                    keep = pass(ps, u); eObj(en) = u
+                  case CsvPayload.TagLong =>
+                    val x = CsvPayload.parseLong(bytes, s, e)
+                    keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                    eLong(en) = x
+                  case CsvPayload.TagInt =>
+                    val x = CsvPayload.parseInt(bytes, s, e)
+                    keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                    eLong(en) = x.toLong
+                  case CsvPayload.TagDouble =>
+                    val x = CsvPayload.parseDouble(bytes, s, e)
+                    keep = pass(ps, x); eLong(en) = java.lang.Double.doubleToRawLongBits(x)
+                  case CsvPayload.TagFloat =>
+                    val x = CsvPayload.parseFloat(bytes, s, e)
+                    keep = pass(ps, x)
+                    eLong(en) = java.lang.Float.floatToRawIntBits(x).toLong
+                  case CsvPayload.TagBoolean =>
+                    val x = bytes(s) == 't' || bytes(s) == 'T'
+                    keep = pass(ps, x); eLong(en) = if (x) 1L else 0L
+                  case CsvPayload.TagDate =>
+                    val x = CsvPayload.parseDateDays(bytes, s, e)
+                    keep = fp.rangeOk(x.toLong) && (ps.length == 0 || pass(ps, x))
+                    eLong(en) = x.toLong
+                  case CsvPayload.TagDecimal =>
+                    val un = CsvPayload.parseDecimalUnscaled(bytes, s, e, fieldScale(k))
+                    keep = fp.rangeOk(un) && (ps.length == 0 ||
+                      pass(ps, org.apache.spark.sql.types.Decimal(un, fieldPrec(k), fieldScale(k))))
+                    eLong(en) = un
+                  case CsvPayload.TagTimestampMicros =>
+                    val x = CsvPayload.parseLong(bytes, s, e)
+                    keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                    eLong(en) = x
+                  case _ =>
+                    val x =
+                      if (tsMicroDigits >= 0 && CsvPayload.isFixedLayout(bytes, s, e))
+                        CsvPayload.parseTimestampMicros(bytes, s, e)
+                      else {
+                        val inst =
+                          java.time.Instant.from(fmt.parse(CsvPayload.ascii(bytes, s, e)))
+                        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                      }
+                    keep = fp.rangeOk(x) && (ps.length == 0 || pass(ps, x))
+                    eLong(en) = x
+                }
+              }
+              eKeep(en) = keep
+              en += 1
+            }
+            var r = 0
+            while (r < n) {
+              if (keepArr(r)) {
+                val c = d.code(r0 + r)
+                val slot = r * nPred + pi
+                predNulls(slot) = eNull(c)
+                predLongs(slot) = eLong(c)
+                predObjs(slot) = eObj(c)
+                keepArr(r) = eKeep(c)
+              }
+              r += 1
+            }
           } else {
             val bytes = cursor.colBytes(j)
             var r = 0
