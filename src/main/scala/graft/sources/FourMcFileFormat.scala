@@ -1247,10 +1247,23 @@ final class FourMcCsvOutputWriter(
       streamBytes(i) = ce.bytes
       streamLen(i) = ce.length
       colDictFlag(i) = false
-      if (dictEncode && ce.length > 0) {
-        val d = graft.format.ColumnarBlocks.tryDictEncode(ce.bytes, ce.length)
-        if (d != null) { streamBytes(i) = d; streamLen(i) = d.length; colDictFlag(i) = true }
-      }
+      // retry backoff: a column that failed eligibility twice in a row
+      // (the expensive refusals are full-scan-then-not-smaller; the
+      // over-cardinality bail is cheap) re-tries only every 8th block —
+      // consistently high-cardinality columns stop paying the scan while
+      // mixed files regain the encoding within a few blocks
+      if (dictEncode && ce.length > 0 && colDictSkip(i) == 0) {
+        if (dictCodesScratch == null || dictCodesScratch.length < ce.length)
+          dictCodesScratch = new Array[Byte](math.max(ce.length, 1 << 16))
+        val d = graft.format.ColumnarBlocks.tryDictEncode(ce.bytes, ce.length, dictCodesScratch)
+        if (d != null) {
+          streamBytes(i) = d; streamLen(i) = d.length; colDictFlag(i) = true
+          colDictFails(i) = 0
+        } else {
+          colDictFails(i) += 1
+          if (colDictFails(i) >= 2) colDictSkip(i) = 8
+        }
+      } else if (colDictSkip(i) > 0) colDictSkip(i) -= 1
       i += 1
     }
     // worst-case scratch for ALL streams, so the loop never reallocates
@@ -1307,6 +1320,9 @@ final class FourMcCsvOutputWriter(
     if (columnar) new Array[Array[Byte]](schema.length) else null
   private val colStreamLen: Array[Int] = if (columnar) new Array[Int](schema.length) else null
   private val colDictFlag: Array[Boolean] = if (columnar) new Array[Boolean](schema.length) else null
+  private val colDictFails: Array[Int] = if (columnar) new Array[Int](schema.length) else null
+  private val colDictSkip: Array[Int] = if (columnar) new Array[Int](schema.length) else null
+  private var dictCodesScratch: Array[Byte] = null
 
   /** One field of `row`, encoded exactly as the row layout encodes it
     * (escaping, `\N` null marker, array/map element separators) — shared by

@@ -31,12 +31,14 @@ object ProfileColumnarWrite {
     def sizeOf(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
       else f.length()
-    def one(layout: String, codec: String): (Double, Long) = {
+    def one(layout: String, codec: String, dict: Boolean): (Double, Long) = {
       val out = java.nio.file.Files.createTempDirectory("colwrite").toFile
       out.delete()
       val t0 = System.nanoTime()
-      src.write.format("4mc").option("payload", "csv").option("codec", codec)
-        .option("layout", layout).save(out.getAbsolutePath)
+      val w = src.write.format("4mc").option("payload", "csv").option("codec", codec)
+        .option("layout", layout)
+      (if (layout == "columnar") w.option("dictEncode", dict.toString) else w)
+        .save(out.getAbsolutePath)
       val secs = (System.nanoTime() - t0) / 1e9
       val bytes = sizeOf(out)
       org.apache.commons.io.FileUtils.deleteQuietly(out)
@@ -45,11 +47,12 @@ object ProfileColumnarWrite {
     println(s"[colwrite] table=$table rows=$srcRows dir=$dir")
     for (codec <- Seq("lz4-fast", "zstd-3")) {
       // warm one small write so JIT/codegen cost lands outside the timing
-      val (rowS, rowB) = { one("rows", codec); one("rows", codec) }
-      val (colS, colB) = { one("columnar", codec); one("columnar", codec) }
+      val (rowS, rowB) = { one("rows", codec, dict = false); one("rows", codec, dict = false) }
+      val (ncS, ncB) = { one("columnar", codec, dict = false); one("columnar", codec, dict = false) }
+      val (colS, colB) = { one("columnar", codec, dict = true); one("columnar", codec, dict = true) }
       println(f"[colwrite] $codec%-8s rows: $rowS%6.2f s ${rowB / 1e6}%9.1f MB   " +
-        f"columnar: $colS%6.2f s ${colB / 1e6}%9.1f MB   " +
-        f"size ratio=${colB.toDouble / rowB}%.3f  time ratio=${colS / rowS}%.2f")
+        f"columnar: $ncS%6.2f s ${ncB / 1e6}%9.1f MB (${ncB.toDouble / rowB}%.3f size, ${ncS / rowS}%.2f time)   " +
+        f"columnar+dict: $colS%6.2f s ${colB / 1e6}%9.1f MB (${colB.toDouble / rowB}%.3f size, ${colS / rowS}%.2f time)")
     }
     spark.stop()
   }
