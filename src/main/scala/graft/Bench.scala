@@ -810,7 +810,11 @@ object Bench {
         }
         val twins10 = Seq(
           "fourmc_columnar_q1" -> "q1_pricing_summary",
-          "fourmz_columnar_q1" -> "q1_pricing_summary").map { case (cn, pn) =>
+          "fourmz_columnar_q1" -> "q1_pricing_summary",
+          // r15: the sorted+columnar+dict q6 composition at the largest
+          // scale — the 50× ratio is 0.62×; watch whether it holds at 100×
+          "fourmc_columnar_q6" -> "q6_forecast",
+          "fourmz_columnar_q6" -> "q6_forecast").map { case (cn, pn) =>
           if (System.nanoTime() > deadline) cn -> ((-2.0, -2.0))
           else try {
             val cf = SparkEntry.queries(cn); val pf = SparkEntry.queries(pn)
