@@ -481,10 +481,12 @@ final class McColumnarCursor(
         val r =
           if (dictEnc) {
             // dict stream: per-row slices resolve code -> entry range; no
-            // newline index is built (there are no newlines to scan)
+            // newline index is built (there are no newlines to scan).
+            // colNl(slot) is left as-is — valStart/valEnd dispatch on
+            // colDict first, and keeping the array preserves the grown
+            // scratch for the next plain block of an alternating column
             val d = new ColumnarBlocks.DictStream(data, uLen, s"(stream $col at $off)")
             colDict(slot) = d
-            colNl(slot) = null
             d.rows
           } else {
             if (uLen > 0 && data(uLen - 1) != '\n')

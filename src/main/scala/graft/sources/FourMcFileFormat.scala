@@ -558,7 +558,8 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       "timestampEncoding=micros requires blockStats=true (readers detect the encoding " +
         "from the stats segment's tag bytes)")
     // per-stream dictionary encoding inside columnar blocks (r15): a
-    // low-cardinality column stream (≤32 distinct values of ≤64 bytes)
+    // low-cardinality column stream (≤ [[graft.format.ColumnarBlocks.DictMaxEntries]]
+    // = 64 distinct values of ≤64 bytes)
     // stores codes + an inline dictionary instead of repeated values when
     // that is STRICTLY smaller ([[graft.format.ColumnarBlocks.DictFlag]]).
     // Pure win on disk and decode, so on by default; the option is the

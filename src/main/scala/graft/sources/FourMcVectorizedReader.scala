@@ -195,6 +195,14 @@ object FourMcVectorizedReader {
       locally { var pi = 0; while (pi < nPred) { predSlot(predFields(pi)) = pi; pi += 1 } }
       val keepArr = new Array[Boolean](BatchSize)
       val selRel = new Array[Int](BatchSize) // surviving row offsets within the batch window
+      // per-predicate dict-entry verdict caches, keyed on the block's
+      // DictStream instance — the entry table is constant for the whole
+      // block, so rebuild per BLOCK, not per 4096-row batch (r15 advice)
+      val predDict = new Array[graft.format.ColumnarBlocks.DictStream](math.max(1, nPred))
+      val predEKeep = new Array[Array[Boolean]](math.max(1, nPred))
+      val predENull = new Array[Array[Boolean]](math.max(1, nPred))
+      val predELong = new Array[Array[Long]](math.max(1, nPred))
+      val predEObj = new Array[Array[AnyRef]](math.max(1, nPred))
 
       // Per-column decode tables for DICT-ENCODED streams, rebuilt when the
       // block's DictStream changes: strings feed the vector's dictionary-id
@@ -299,12 +307,13 @@ object FourMcVectorizedReader {
             // predicate over a low-cardinality column stops parsing rows
             val d = cursor.dictOf(j)
             val nE = d.nEntries
-            val eKeep = new Array[Boolean](nE)
-            val eNull = new Array[Boolean](nE)
-            val eLong = new Array[Long](nE)
-            val eObj = new Array[AnyRef](nE)
+            val fresh = predDict(pi) ne d
+            val eKeep = if (fresh) new Array[Boolean](nE) else predEKeep(pi)
+            val eNull = if (fresh) new Array[Boolean](nE) else predENull(pi)
+            val eLong = if (fresh) new Array[Long](nE) else predELong(pi)
+            val eObj = if (fresh) new Array[AnyRef](nE) else predEObj(pi)
             val bytes = d.data
-            var en = 0
+            var en = if (fresh) 0 else nE // cached: skip the build loop
             while (en < nE) {
               val s = d.entryStart(en)
               val e = d.entryEnd(en)
@@ -365,6 +374,11 @@ object FourMcVectorizedReader {
               }
               eKeep(en) = keep
               en += 1
+            }
+            if (fresh) {
+              predDict(pi) = d
+              predEKeep(pi) = eKeep; predENull(pi) = eNull
+              predELong(pi) = eLong; predEObj(pi) = eObj
             }
             var r = 0
             while (r < n) {
