@@ -41,10 +41,10 @@ object RoundTrip {
     val fkey = java.lang.Integer.toHexString(tsFormat.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      // rt4: columnar streams dictionary-encode low-cardinality columns
-      // since round 15 — a fresh cache root so dirs written before the
-      // encoding land are never silently reused as evidence for it
-      s"graft-rt4/$key/$tableName-$codec-$fkey"
+      // rt5: stats segments carry v4 dict histograms since round 16 — a
+      // fresh cache root so dirs written before the counts land are never
+      // silently reused as evidence for the dict-group pushdown
+      s"graft-rt5/$key/$tableName-$codec-$fkey"
     )
   }
 
@@ -775,6 +775,43 @@ object RoundTrip {
     """SELECT l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
       |FROM lineitem WHERE l_returnflag = 'N'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `GROUP BY` a dict-covered low-cardinality column answered from footer
+    * HISTOGRAMS (r16): v4 stats segments ([[graft.format.BlockStats
+    * .StatsVersionDictCounts]]) store per-block entry counts alongside the
+    * r14 value dictionaries, so [[graft.plans.McAggregatePushdown]]'s
+    * dict-group mode turns this whole aggregate into a footer sweep — one
+    * relation row per (block, value) instead of one per data row, ZERO
+    * blocks decompressed (asserted in McAggPushdownSpec; the oracle here
+    * pins the values at driver scale).
+    */
+  def dictGroupBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    roundTrip(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), count(col("l_returnflag")).as("nn"),
+        max(col("l_returnflag")).as("mx"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val dictGroupBySql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, COUNT(l_returnflag) AS nn,
+      |       MAX(l_returnflag) AS mx
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `COUNT(DISTINCT col)` from the same v4 entry tables: the distinct count
+    * runs over the per-block dictionary entries (≤32 per block), never the
+    * rows. Paired with COUNT(*) so the rewrite's row/histogram composition
+    * is pinned in one result.
+    */
+  def dictCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    roundTrip(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_returnflag")).as("d_flags"), count(lit(1)).as("n"))
+  }
+
+  val dictCountDistinctSql: String =
+    "SELECT COUNT(DISTINCT l_returnflag) AS d_flags, COUNT(*) AS n FROM lineitem"
 
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).

@@ -66,6 +66,14 @@ object BlockStats {
   // files ([[ColumnarBlocks]]) write v3 with LayoutColumnar — the read-side
   // dispatch point, since the container envelope is otherwise identical.
   val StatsVersionColumnar: Int = 3
+  // Version 4 = v3 plus per-entry COUNTS after each stored dictionary (4
+  // bytes per entry): the block's exact value histogram. With counts, a
+  // `GROUP BY low_card_col` / `COUNT(DISTINCT col)` aggregate is answerable
+  // from the footer alone — [[graft.plans.McAggregatePushdown]]'s dict-group
+  // mode — without decompressing a single block. The layout byte is written
+  // for every v≥3 segment; row-layout files move from v2 to v4 too (their
+  // dicts gain counts the same way). v1–v3 files keep parsing count-less.
+  val StatsVersionDictCounts: Int = 4
   val LayoutRows: Int = 0
   val LayoutColumnar: Int = 1
   val TrailerLen: Int = 12
@@ -118,7 +126,8 @@ final class McBlockStats(
     val hasSum: Array[Boolean] = Array.empty, // v2; empty for v1 segments
     val sumLong: Array[Long] = Array.empty, // long wrap-sum, or double sum as raw bits
     val layout: Int = BlockStats.LayoutRows, // v3; rows for v1/v2 segments
-    val dicts: Array[Array[Array[Byte]]] = Array.empty // r14; null entry = no dict
+    val dicts: Array[Array[Array[Byte]]] = Array.empty, // r14; null entry = no dict
+    val dictCounts: Array[Array[Int]] = Array.empty // v4; parallel to dicts
 ) extends Serializable {
   def nCols: Int = tags.length
   def nBlocks: Int = firstOwnedStart.length
@@ -126,6 +135,8 @@ final class McBlockStats(
   def columnar: Boolean = layout == BlockStats.LayoutColumnar
   /** Complete value dictionary of block-col `k`, or null when none stored. */
   def dictAt(k: Int): Array[Array[Byte]] = if (k < dicts.length) dicts(k) else null
+  /** v4 per-entry counts (parallel to [[dictAt]]), or null (v1–v3 files). */
+  def dictCountsAt(k: Int): Array[Int] = if (k < dictCounts.length) dictCounts(k) else null
 }
 
 /** Writer-side accumulator. The csv OutputWriter calls [[startLine]] once per
@@ -162,6 +173,7 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
     val sumD = new Array[Double](nCols) // double sums, row order
     // string dictionaries: exact distinct values, capped; over = abandoned
     val dict = new Array[scala.collection.mutable.ArrayBuffer[Array[Byte]]](nCols)
+    val dictN = new Array[scala.collection.mutable.ArrayBuffer[Int]](nCols) // per-entry counts (v4)
     val dictOver = new Array[Boolean](nCols)
     val dictLastHit = new Array[Int](nCols) // repeat-heavy data hits the same slot
   }
@@ -243,23 +255,31 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
     // last-hit probe makes the common case (runs of repeated values,
     // low-cardinality columns) one byte-compare per row.
     if (!cur.dictOver(col)) {
-      if (bytes.length > DictMaxValueLen) { cur.dictOver(col) = true; cur.dict(col) = null }
-      else {
+      if (bytes.length > DictMaxValueLen) {
+        cur.dictOver(col) = true; cur.dict(col) = null; cur.dictN(col) = null
+      } else {
         var d = cur.dict(col)
-        if (d == null) { d = scala.collection.mutable.ArrayBuffer.empty; cur.dict(col) = d }
+        if (d == null) {
+          d = scala.collection.mutable.ArrayBuffer.empty; cur.dict(col) = d
+          cur.dictN(col) = scala.collection.mutable.ArrayBuffer.empty
+        }
         val lastHit = cur.dictLastHit(col)
-        if (d.isEmpty || lastHit >= d.length ||
-            !java.util.Arrays.equals(d(lastHit), bytes)) {
+        if (!d.isEmpty && lastHit < d.length &&
+            java.util.Arrays.equals(d(lastHit), bytes)) {
+          cur.dictN(col)(lastHit) += 1
+        } else {
           var i = 0
           var found = -1
           while (found < 0 && i < d.length) {
             if (java.util.Arrays.equals(d(i), bytes)) found = i
             i += 1
           }
-          if (found >= 0) cur.dictLastHit(col) = found
-          else if (d.length >= DictMaxEntries) { cur.dictOver(col) = true; cur.dict(col) = null }
-          else {
+          if (found >= 0) { cur.dictLastHit(col) = found; cur.dictN(col)(found) += 1 }
+          else if (d.length >= DictMaxEntries) {
+            cur.dictOver(col) = true; cur.dict(col) = null; cur.dictN(col) = null
+          } else {
             d += java.util.Arrays.copyOf(bytes, bytes.length)
+            cur.dictN(col) += 1
             cur.dictLastHit(col) = d.length - 1
           }
         }
@@ -338,6 +358,11 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
         if (dict != null) {
           bos.write(dict.length)
           dict.foreach { v => bos.write(v.length); bos.write(v, 0, v.length) }
+          if (version >= StatsVersionDictCounts) {
+            val counts = acc.dictN(c)
+            var di = 0
+            while (di < dict.length) { w4(counts(di)); di += 1 }
+          }
         }
         c += 1
       }
@@ -373,7 +398,7 @@ object McBlockStats {
     def r8(): Long = { val hi = r4().toLong; val lo = r4().toLong & 0xffffffffL; (hi << 32) | lo }
     if (r4() != StatsMagic) throw new java.io.IOException("4mc stats segment magic mismatch")
     val version = r4()
-    if (version < 1 || version > StatsVersionColumnar) return None // forward-compat: ignore newer stats
+    if (version < 1 || version > StatsVersionDictCounts) return None // forward-compat: ignore newer stats
     val layout =
       if (version >= StatsVersionColumnar) { val l = seg(p) & 0xff; p += 1; l }
       else LayoutRows
@@ -399,6 +424,7 @@ object McBlockStats {
     val hasSum = new Array[Boolean](n)
     val sums = new Array[Long](n)
     val dicts = new Array[Array[Array[Byte]]](n)
+    val dictCnts = new Array[Array[Int]](n)
     var b = 0
     while (b < nBlocks) {
       first(b) = r4()
@@ -431,13 +457,19 @@ object McBlockStats {
             i2 += 1
           }
           dicts(k) = d
+          if (version >= StatsVersionDictCounts) {
+            val dn = new Array[Int](cnt)
+            var i3 = 0
+            while (i3 < cnt) { dn(i3) = r4(); i3 += 1 }
+            dictCnts(k) = dn
+          }
         }
         c += 1
       }
       b += 1
     }
     Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX,
-      hasSum, sums, layout, dicts))
+      hasSum, sums, layout, dicts, dictCnts))
   }
 }
 

@@ -69,6 +69,161 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.fourmc.aggPushdown", "true").toBoolean
 
+  private def dictEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.fourmc.dictAggPushdown", "true").toBoolean
+
+  /** One-footer driver probe: does the FIRST data file's stats segment carry
+    * v4 dict histograms for `col` on at least half of its value-bearing
+    * blocks?  O(1) per query (not per file), cached on the file's identity;
+    * refusal keeps the vectorized scan — a high-cardinality column would
+    * otherwise decode every block through the slower per-line fallback.
+    */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), java.lang.Boolean]
+
+  private def probeDictCoverage(fsRel: HadoopFsRelation, col: Int): Boolean = {
+    try {
+      val acceptAny = fsRel.options.get("acceptAnyExtension").exists(_.toBoolean)
+      val status = fsRel.location.listFiles(Nil, Nil).iterator
+        .flatMap(_.files.iterator)
+        .find { f =>
+          val n = f.getPath.getName
+          acceptAny || n.endsWith(".4mc") || n.endsWith(".4mz")
+        }
+        .getOrElse(return false)
+      val key = (status.getPath.toString, status.getLen, status.getModificationTime, col)
+      val cached = probeCache.get(key)
+      if (cached != null) return cached.booleanValue()
+      if (probeCache.size > 4096) probeCache.clear()
+      val conf = fsRel.sparkSession.sessionState.newHadoopConfWithOptions(fsRel.options)
+      val path = status.getPath
+      val fs = path.getFileSystem(conf) match {
+        case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+        case other                                        => other
+      }
+      val stream = fs.open(path)
+      val ok =
+        try {
+          val len = status.getLen
+          val in = new graft.format.McInput {
+            def length: Long = len
+            def readFully(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
+              stream.readFully(pos, buf, off, n)
+            def close(): Unit = stream.close()
+          }
+          graft.sources.FourMcScanMetrics.footerReads.increment()
+          val idx = graft.format.FourMcReader.readIndex(in)
+          idx.stats match {
+            case Some(st) if st.nCols == fsRel.dataSchema.length =>
+              var covered = 0
+              var withVals = 0
+              var b = 0
+              while (b < st.nBlocks) {
+                val k = b * st.nCols + col
+                if (st.lineCount(b) - st.nullCount(k) > 0) {
+                  withVals += 1
+                  if (st.dictCountsAt(k) != null) covered += 1
+                }
+                b += 1
+              }
+              withVals > 0 && covered * 2 >= withVals
+            case _ => false
+          }
+        } finally stream.close()
+      probeCache.put(key, java.lang.Boolean.valueOf(ok))
+      ok
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Rewrite `Aggregate` over a dict-covered string column to the stats
+    * relation's dict-group mode: count(*) → Sum(_cnt), count(g) →
+    * Sum(_nn_g), min/max(g) → Min/Max(g), count(distinct g) stays a
+    * distinct count — all multiplicity-insensitive over the per-(block,
+    * entry) rows, so blocks answered from histograms and blocks decoded
+    * per line compose exactly.
+    */
+  private def tryDictGroupRewrite(
+      groups: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression],
+      lr: LogicalRelation,
+      fsRel: HadoopFsRelation,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      origPartAttrs: Seq[AttributeReference],
+      partFilter: Option[Expression],
+      dictCol: Int): Option[LogicalPlan] = {
+    val groupSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(groups)
+    val gName = dataSchema.fields(dictCol).name
+    val gOrig: AttributeReference = lr.output.collectFirst {
+      case a: AttributeReference if a.name == gName => a
+    }.getOrElse(return None)
+
+    sealed trait GReq
+    case object GCnt extends GReq      // count(*) / count(non-null literal)
+    case object GNn extends GReq       // count(g)
+    case object GMin extends GReq
+    case object GMax extends GReq
+    case object GDistinct extends GReq // count(distinct g)
+    sealed trait Out
+    case class Pass(ne: NamedExpression) extends Out
+    case class Agg(al: Alias, req: GReq) extends Out
+    def isG(c: Expression): Boolean = c match {
+      case a: AttributeReference => a.exprId == gOrig.exprId
+      case _                     => false
+    }
+    val outs: Seq[Out] = aggExprs.map {
+      case a: AttributeReference if groupSet.contains(a) => Pass(a)
+      case al @ Alias(a: AttributeReference, _) if groupSet.contains(a) => Pass(al)
+      case al @ Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(c)) if ae.isDistinct && isG(c) => Agg(al, GDistinct)
+          case _ if ae.isDistinct                       => return None
+          case Count(Seq(Literal(v, _))) if v != null   => Agg(al, GCnt)
+          case Count(Seq(c)) if isG(c)                  => Agg(al, GNn)
+          case Min(c) if isG(c)                         => Agg(al, GMin)
+          case Max(c) if isG(c)                         => Agg(al, GMax)
+          case _                                        => return None
+        }
+      case _ => return None
+    }
+    val reqs = outs.collect { case a: Agg => a }
+    if (reqs.isEmpty) return None
+
+    val schema = FourMcStatsFileFormat.groupSchema(dataSchema, dictCol)
+    val newRel = fsRel.copy(
+      dataSchema = schema,
+      fileFormat = new FourMcStatsFileFormat(dataSchema, Nil, dictCol))(fsRel.sparkSession)
+    val nnAttr = AttributeReference(s"_nn_$dictCol", LongType, nullable = false)()
+    val cntAttr = AttributeReference("_cnt", LongType, nullable = false)()
+    // the group field reuses the ORIGINAL attribute (same exprId), so the
+    // Aggregate's grouping keys and value aggregates resolve untouched
+    val newLr = LogicalRelation(newRel, Seq(gOrig, nnAttr, cntAttr) ++ origPartAttrs, None,
+      isStreaming = false, stream = None)
+
+    val newAggs: Seq[NamedExpression] = outs.map {
+      case Pass(ne) => ne
+      case Agg(al, req) =>
+        val rewritten: Expression = req match {
+          case GCnt =>
+            Coalesce(Seq(
+              AggregateExpression(Sum(cntAttr), Complete, isDistinct = false),
+              Literal(0L, LongType)))
+          case GNn =>
+            Coalesce(Seq(
+              AggregateExpression(Sum(nnAttr), Complete, isDistinct = false),
+              Literal(0L, LongType)))
+          case GMin => AggregateExpression(Min(gOrig), Complete, isDistinct = false)
+          case GMax => AggregateExpression(Max(gOrig), Complete, isDistinct = false)
+          case GDistinct =>
+            AggregateExpression(Count(Seq(gOrig)), Complete, isDistinct = true)
+        }
+        Alias(rewritten, al.name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = Some(al.metadata))
+    }
+    val newChild: LogicalPlan = partFilter.map(Filter(_, newLr)).getOrElse(newLr)
+    Some(Aggregate(groups, newAggs, newChild))
+  }
+
   /** Strip attr-only Projects and deterministic Filters off the scan;
     * collects at most the conjunction of the filters seen (all must later
     * prove partition-only).
@@ -118,6 +273,54 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     val origPartAttrs: Seq[AttributeReference] =
       lr.output.collect { case a: AttributeReference if partNames.contains(a.name) => a }
     val partAttrSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(origPartAttrs)
+
+    // Dict-group mode (r16): grouping may additionally include ONE data
+    // column — a STRING column whose per-block v4 dict histograms (entry
+    // values + exact counts, [[graft.format.BlockStats.StatsVersionDictCounts]])
+    // answer `GROUP BY col` + COUNT/MIN/MAX shapes, and `COUNT(DISTINCT col)`,
+    // from the footer alone: one relation row per (block, entry) instead of
+    // one per data row, zero blocks decompressed on covered files. Gated by
+    // a one-footer driver probe so high-cardinality columns (no dicts) keep
+    // the vectorized scan.
+    val dataGroups = groups.filterNot(partAttrSet.contains)
+    if (dataGroups.length > 1) return None
+    def stringColOf(a: AttributeReference): Option[Int] =
+      if (partNames.contains(a.name)) None
+      else {
+        val i = dataSchema.fieldNames.indexOf(a.name)
+        if (i < 0) None
+        else scala.util.Try(graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType))
+          .toOption.filter(_ == graft.sources.CsvPayload.TagString).map(_ => i)
+      }
+    val groupColOpt: Option[Int] = dataGroups.headOption match {
+      case Some(a) => Some(stringColOf(a).getOrElse(return None))
+      case None    => None
+    }
+    // any DISTINCT aggregate forces dict mode (the non-group path refuses
+    // them): only unfiltered COUNT(DISTINCT strcol) on a single shared
+    // column is supported
+    val distinctCols: Seq[Int] = aggExprs.flatMap {
+      case Alias(ae: AggregateExpression, _) if ae.isDistinct =>
+        if (ae.filter.nonEmpty) return None
+        ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) =>
+            Seq(stringColOf(a).getOrElse(return None))
+          case _ => return None
+        }
+      case _ => Nil
+    }
+    val dictColOpt: Option[Int] = groupColOpt.orElse(distinctCols.headOption)
+    if (distinctCols.exists(c => !dictColOpt.contains(c))) return None
+    dictColOpt match {
+      case Some(dictCol) =>
+        val conjuncts0 = filterCond.map(splitConjunction).getOrElse(Nil)
+        if (!conjuncts0.forall(_.references.subsetOf(partAttrSet))) return None
+        if (!dictEnabled) return None
+        if (!probeDictCoverage(fsRel, dictCol)) return None
+        return tryDictGroupRewrite(groups, aggExprs, lr, fsRel, dataSchema,
+          origPartAttrs, conjuncts0.reduceOption(And.apply), dictCol)
+      case None =>
+    }
 
     // grouping only by partition columns
     if (!groups.forall(partAttrSet.contains)) return None

@@ -1079,9 +1079,10 @@ final class FourMcCsvOutputWriter(
   if (statsBuilder != null)
     out.statsProvider =
       if (columnar)
-        n => statsBuilder.serialize(n, graft.format.BlockStats.StatsVersionColumnar,
+        n => statsBuilder.serialize(n, graft.format.BlockStats.StatsVersionDictCounts,
           graft.format.BlockStats.LayoutColumnar)
-      else n => statsBuilder.serialize(n)
+      else n => statsBuilder.serialize(n, graft.format.BlockStats.StatsVersionDictCounts,
+        graft.format.BlockStats.LayoutRows)
   // Per-block bloom filters ([[BlockBlooms]]) over integer key columns; the
   // reader's segment detection requires the stats segment alongside.
   require(bloomCols.isEmpty || blockStats, "bloomColumns requires blockStats=true")

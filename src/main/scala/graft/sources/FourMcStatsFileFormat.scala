@@ -47,7 +47,8 @@ import org.apache.spark.util.SerializableConfiguration
   */
 class FourMcStatsFileFormat(
     origSchema: StructType,
-    preds: Seq[FourMcStatsFileFormat.StatsPred] = Nil
+    preds: Seq[FourMcStatsFileFormat.StatsPred] = Nil,
+    groupCol: Int = -1
 ) extends FileFormat with Serializable {
 
   override def toString: String = "4MC-STATS"
@@ -92,10 +93,13 @@ class FourMcStatsFileFormat(
     val origPrec: Array[Int] = origSchema.fields.map(f => CsvPayload.precisionOf(f.dataType))
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
 
-    // decode the synthetic field names: _min_<i>/_max_<i>/_nn_<i>/_sum_<i>/_cnt
-    final case class FieldSpec(kind: Int, col: Int) // 0=min 1=max 2=cnt 3=non-null cnt 4=sum
+    // decode the synthetic field names: _min_<i>/_max_<i>/_nn_<i>/_sum_<i>/_cnt,
+    // plus (dict-group mode) the GROUP column itself under its original name
+    final case class FieldSpec(kind: Int, col: Int) // 0=min 1=max 2=cnt 3=non-null cnt 4=sum 5=group value
+    val groupName: String = if (groupCol >= 0) origSchema.fields(groupCol).name else null
     val specs: Array[FieldSpec] = requiredSchema.fields.map { f =>
       f.name match {
+        case n if groupName != null && n == groupName => FieldSpec(5, groupCol)
         case "_cnt"                           => FieldSpec(2, -1)
         case n if n.startsWith("_min_")       => FieldSpec(0, n.stripPrefix("_min_").toInt)
         case n if n.startsWith("_max_")       => FieldSpec(1, n.stripPrefix("_max_").toInt)
@@ -105,6 +109,7 @@ class FourMcStatsFileFormat(
           throw new IllegalArgumentException(s"unexpected stats-relation field $other")
       }
     }
+    val groupMode = groupCol >= 0
     val needMin: Set[Int] = specs.filter(_.kind == 0).map(_.col).toSet
     val needMax: Set[Int] = specs.filter(_.kind == 1).map(_.col).toSet
     val needNn: Set[Int] = specs.filter(_.kind == 3).map(_.col).toSet
@@ -117,11 +122,14 @@ class FourMcStatsFileFormat(
     // exactness condition — classification already consulted their zones.
     val boundsCols: Set[Int] = needMin ++ needMax
     val predCols: Set[Int] = preds.map(_.col).toSet
-    val neededCols: Array[Int] = (boundsCols ++ needNn ++ needSum ++ predCols).toArray.sorted
+    val groupCols: Set[Int] = if (groupMode) Set(groupCol) else Set.empty
+    val neededCols: Array[Int] =
+      (boundsCols ++ needNn ++ needSum ++ predCols ++ groupCols).toArray.sorted
     val isBoundsCol: Array[Boolean] = neededCols.map(boundsCols.contains)
     val isSumCol: Array[Boolean] = neededCols.map(needSum.contains)
-    val needsValue: Array[Boolean] =
-      neededCols.map(c => boundsCols.contains(c) || needSum.contains(c) || predCols.contains(c))
+    val needsValue: Array[Boolean] = neededCols.map(c =>
+      boundsCols.contains(c) || needSum.contains(c) || predCols.contains(c) ||
+        groupCols.contains(c))
     val neededFields = if (neededCols.isEmpty) 0 else neededCols.max + 1
     val predArr: Array[FourMcStatsFileFormat.StatsPred] = preds.toArray
 
@@ -150,6 +158,15 @@ class FourMcStatsFileFormat(
           * exactly for every column whenever the stats segment exists.)
           */
         def statsUsable(st: McBlockStats, b: Int): Boolean = {
+          if (groupMode) {
+            // dict-group mode: the block's exact value histogram (v4 dict
+            // counts) must cover the group column — or the block has no
+            // non-null group values at all (only the null-group row, whose
+            // count is the always-exact nullCount)
+            val k = b * st.nCols + groupCol
+            if (st.lineCount(b) - st.nullCount(k) > 0 && st.dictCountsAt(k) == null)
+              return false
+          }
           var ci = 0
           while (ci < neededCols.length) {
             val c = neededCols(ci)
@@ -206,6 +223,39 @@ class FourMcStatsFileFormat(
           else if (graft.format.BlockStats.sumKindOf(effTags(c)) == 2)
             java.lang.Double.longBitsToDouble(st.sumLong(k))
           else st.sumLong(k)
+        }
+
+        /** Dict-group mode: one row per dictionary entry of block `b`'s
+          * group column — `(value, count, count)` straight from the v4
+          * histogram — plus a `(null, 0, nullCount)` row for the block's
+          * null group. Exact: Σ counts + nullCount == lineCount by
+          * construction (every non-null value passed through the builder's
+          * dict, or the block wouldn't be stats-usable).
+          */
+        def groupRows(st: McBlockStats, b: Int): Iterator[InternalRow] = {
+          val k = b * st.nCols + groupCol
+          val dict = st.dictAt(k)
+          val counts = st.dictCountsAt(k)
+          val nulls = st.nullCount(k)
+          val nEnt = if (counts == null) 0 else dict.length
+          val total = nEnt + (if (nulls > 0) 1 else 0)
+          (0 until total).iterator.map { e =>
+            val isNullRow = e >= nEnt
+            val vals = new Array[Any](specs.length)
+            var i = 0
+            while (i < specs.length) {
+              val s = specs(i)
+              vals(i) = (s.kind: @scala.annotation.switch) match {
+                case 2 => if (isNullRow) nulls.toLong else counts(e).toLong
+                case 3 => if (isNullRow) 0L else counts(e).toLong
+                case 5 => if (isNullRow) null else UTF8String.fromBytes(dict(e))
+                case other =>
+                  throw new IllegalStateException(s"spec kind $other in dict-group mode")
+              }
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
         }
 
         def statsRow(st: McBlockStats, b: Int): InternalRow = {
@@ -342,7 +392,7 @@ class FourMcStatsFileFormat(
                     org.apache.spark.sql.types.Decimal(d.toUnscaledLong,
                       math.min(38, origPrec(sp.col) + 10), origScale(sp.col))
                 }
-              case _ => parsed(colPos(sp.col))
+              case _ => parsed(colPos(sp.col)) // kinds 0/1/5: the value itself
             }
             i += 1
           }
@@ -459,7 +509,10 @@ class FourMcStatsFileFormat(
             FourMcScanMetrics.statsAggBlocks.add(statsBlocks)
             if (skippedBlocks > 0) FourMcScanMetrics.blocksSkipped.add(skippedBlocks)
             val synthesized: Iterator[InternalRow] =
-              (ordStart until ordEnd).iterator.filter(statsSet(_)).map(statsRow(st, _))
+              if (groupMode)
+                (ordStart until ordEnd).iterator.filter(statsSet(_)).flatMap(groupRows(st, _))
+              else
+                (ordStart until ordEnd).iterator.filter(statsSet(_)).map(statsRow(st, _))
             val decoded: Iterator[InternalRow] =
               if (decodeBlocks == 0) Iterator.empty
               else if (st.columnar)
@@ -514,6 +567,21 @@ object FourMcStatsFileFormat {
     * (long for int/long columns, double for double/float — Sum's own result
     * domain), plus the `_cnt` line-count column.
     */
+  /** Schema for dict-group mode: the group column under its ORIGINAL name
+    * (so the rewritten Aggregate's grouping attribute resolves against the
+    * relation unchanged), its per-(block, value) non-null count, and the
+    * per-(block, value) row count. One relation row per dictionary entry
+    * per block (+ one per block's null group); `GROUP BY g` aggregates
+    * become `Sum(_cnt)` / `Sum(_nn_g)` / `Min/Max(g)` / `Count(DISTINCT g)`
+    * over these — all insensitive to the per-block row multiplicity.
+    */
+  def groupSchema(origSchema: StructType, groupCol: Int): StructType =
+    StructType(Seq(
+      StructField(origSchema.fields(groupCol).name,
+        origSchema.fields(groupCol).dataType, nullable = true),
+      StructField(s"_nn_$groupCol", LongType, nullable = false),
+      StructField("_cnt", LongType, nullable = false)))
+
   def statsSchema(
       origSchema: StructType,
       targets: Seq[(Int, Boolean, Boolean)],

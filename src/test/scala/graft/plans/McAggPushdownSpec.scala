@@ -610,6 +610,116 @@ class McAggPushdownSpec extends AnyFunSuite {
     }
   }
 
+  // ---- dict-group mode (r16): GROUP BY / COUNT(DISTINCT) over v4 dict
+  // histograms ----
+
+  private val gSchema = StructType(Seq(
+    StructField("k", LongType), StructField("g", StringType),
+    StructField("v", DoubleType)))
+
+  private def writeGrouped(dir: String): Unit = {
+    import spark.implicits._
+    val df = (1 to 5000).map { i =>
+      (i.toLong, if (i % 11 == 0) null else s"g${i % 5}", i / 7.0)
+    }.toDF("k", "g", "v")
+    df.repartition(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+  }
+
+  private def gScan(dir: String): DataFrame =
+    spark.read.format("4mc").option("payload", "csv").schema(gSchema).load(dir)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("GROUP BY dict column answers from footer histograms: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeGrouped(dir)
+    def q(df: DataFrame): DataFrame =
+      df.groupBy("g").agg(count(lit(1)).as("n"), count(col("g")).as("nn"),
+        min(col("g")).as("mn"), max(col("g")).as("mx"))
+    val plan = q(gScan(dir)).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"expected dict-group rewrite:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val (expect, offPlan) =
+      try (sortedRows(q(gScan(dir))), q(gScan(dir)).queryExecution.executedPlan.toString)
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    assert(!offPlan.contains("4MC-STATS"), "dict conf off must keep the data scan")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(gScan(dir))) == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      s"dict-covered group-by must decompress zero blocks, read ${FourMcScanMetrics.blocksRead.sum()}")
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L)
+  }
+
+  test("COUNT(DISTINCT dictcol) answers from entry tables: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeGrouped(dir)
+    def q(df: DataFrame): DataFrame =
+      df.agg(countDistinct(col("g")).as("d"), count(lit(1)).as("n"))
+    val plan = q(gScan(dir)).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"expected dict-group rewrite:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try q(gScan(dir)).collect().head
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(q(gScan(dir)).collect().head == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+  }
+
+  test("partial dict coverage: covered blocks stay footer-only, over-cap blocks decode") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // write order: first ~80% of rows low-cardinality (dict per block), the
+    // tail high-cardinality (dict abandoned per block) — small blocks give
+    // several of each; the probe (first file, majority coverage) accepts
+    val df = ((1 to 4000).map(i => (i.toLong, s"g${i % 5}")) ++
+      (1 to 1000).map(i => (10000 + i.toLong, s"u$i"))) // > DictMaxEntries distinct
+      .toDF("k", "g")
+    df.coalesce(1).sortWithinPartitions("k")
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (8 * 1024).toString).mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("g", StringType)))
+    def scan2(): DataFrame =
+      spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def q(df: DataFrame): DataFrame = df.groupBy("g").agg(count(lit(1)).as("n"))
+    val plan = q(scan2()).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"majority coverage must rewrite:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(scan2()))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(scan2())) == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L, "over-cap blocks must decode")
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L, "covered blocks must stay footer-only")
+  }
+
+  test("high-cardinality group column keeps the vectorized data scan (probe refuses)") {
+    val dir = tmpDir()
+    writeSample(dir) // s has 97 distinct values per block: no stats dict
+    val q = scan(dir).groupBy("s").agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("4MC-STATS"),
+      s"no dict coverage: the rewrite must refuse\n${plan.take(1500)}")
+    assert(q.collect().length == 97)
+  }
+
+  test("dict-group refuses data filters and non-group aggregates") {
+    val dir = tmpDir()
+    writeGrouped(dir)
+    // data filter below the aggregate: keep the normal scan
+    val f = gScan(dir).filter(col("k") > 100L).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(!f.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    // aggregate over a non-group column: keep the normal scan
+    val m = gScan(dir).groupBy("g").agg(max(col("k")).as("mx"))
+    assert(!m.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    // correctness of both on the normal path
+    assert(f.collect().map(_.getLong(1)).sum == 4900L) // rows 101..5000, null group included
+    assert(m.collect().length == 6)
+  }
+
   test("SUM(decimal) long-overflow-poisoned blocks decode and stay exact") {
     // DECIMAL(18,0) values of 18 digits: ~11 of them overflow a LONG during
     // block accumulation, so the writer stores NO sum for those blocks and
