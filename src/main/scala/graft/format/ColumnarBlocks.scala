@@ -55,10 +55,19 @@ object ColumnarBlocks {
     *
     * Dict stream layout (the flagged stream's UNCOMPRESSED bytes):
     * {{{
-    * nEntries(1, unsigned, 1..DictMaxEntries)
+    * header  : 1 byte — bit 7 = RLE codes (r16), bits 0..6 = nEntries
+    *           (1..DictMaxEntries)
     * entries : len(1, unsigned) | value bytes(len)   -- × nEntries
-    * codes   : 1 byte per row, each < nEntries
+    * codes   : plain — 1 byte per row, each < nEntries
+    *           RLE   — (code(1), runLen varint-LEB128 ≥ 1)* covering all
+    *           rows in order; chosen at write time iff strictly smaller
     * }}}
+    * RLE framing is the sorted-file composition win: a `sortBy`-clustered
+    * block's code stream is a handful of runs, so the codes region drops
+    * from one byte per ROW to a few bytes per RUN before the codec even
+    * sees it. Pre-r16 readers see bit 7 as an entry count > 64 and fail
+    * LOUDLY rather than misparse (the same forward-compat posture as the
+    * DIR's DictFlag bit).
     * Entry bytes are the exact field encoding of the row/columnar layouts
     * (same escaping, `\N` null marker), so decode is pure byte substitution
     * — every consumer (parse, predicates, unescape) behaves as if the plain
@@ -131,10 +140,26 @@ object ColumnarBlocks {
       s = e + 1
     }
     if (nEnt == 0) return null
-    val encLen = 1 + dictBytes + rows
+    // RLE framing (r16): size the run encoding; use it iff strictly smaller
+    // than plain codes (sorted/clustered blocks collapse to a few runs)
+    var rleLen = 0
+    locally {
+      var i = 0
+      while (i < rows) {
+        var j = i + 1
+        while (j < rows && codesScratch(j) == codesScratch(i)) j += 1
+        var run = j - i
+        rleLen += 1 // code byte
+        while (run != 0) { rleLen += 1; run >>>= 7 } // LEB128 run length
+        i = j
+      }
+    }
+    val useRle = rleLen < rows
+    val codesLen = if (useRle) rleLen else rows
+    val encLen = 1 + dictBytes + codesLen
     if (encLen >= len) return null
     val out = new Array[Byte](encLen)
-    out(0) = nEnt.toByte
+    out(0) = (nEnt | (if (useRle) 0x80 else 0)).toByte
     var o = 1
     var i = 0
     while (i < nEnt) {
@@ -144,7 +169,18 @@ object ColumnarBlocks {
       o += 1 + vl
       i += 1
     }
-    System.arraycopy(codesScratch, 0, out, o, rows)
+    if (useRle) {
+      var r = 0
+      while (r < rows) {
+        var j = r + 1
+        while (j < rows && codesScratch(j) == codesScratch(r)) j += 1
+        out(o) = codesScratch(r); o += 1
+        var run = j - r
+        while ((run & ~0x7f) != 0) { out(o) = ((run & 0x7f) | 0x80).toByte; o += 1; run >>>= 7 }
+        out(o) = run.toByte; o += 1
+        r = j
+      }
+    } else System.arraycopy(codesScratch, 0, out, o, rows)
     out
   }
 
@@ -159,7 +195,8 @@ object ColumnarBlocks {
     */
   final class DictStream(val data: Array[Byte], uLen: Int, ctx: String) {
     if (uLen < 2) fail(s"dict stream too short ($uLen)")
-    val nEntries: Int = data(0) & 0xff
+    private val rle: Boolean = (data(0) & 0x80) != 0
+    val nEntries: Int = data(0) & 0x7f
     if (nEntries < 1 || nEntries > DictMaxEntries) fail(s"dict entry count $nEntries")
     val entryStart = new Array[Int](nEntries)
     val entryEnd = new Array[Int](nEntries)
@@ -176,15 +213,63 @@ object ColumnarBlocks {
     }
     if (o > uLen) fail("dict entry table overruns stream")
     val codesOff: Int = o
-    val rows: Int = uLen - o
-    locally {
+    // RLE codes (r16) materialize to one byte per row at parse — same
+    // memory as a plain stream, so every consumer (entry resolution, the
+    // vectorized dictionary-id lane) stays a flat table lookup; the win is
+    // on-disk bytes and decompress work, not decode-side branching.
+    private val rleCodes: Array[Byte] =
+      if (!rle) null
+      else {
+        var rows0 = 0
+        var p = codesOff
+        while (p < uLen) { // pass 1: validate framing, count rows
+          if ((data(p) & 0xff) >= nEntries) fail(s"dict code ${data(p) & 0xff} out of range")
+          p += 1
+          var run = 0
+          var shift = 0
+          var more = true
+          while (more) {
+            if (p >= uLen || shift > 28) fail("dict run length overruns stream")
+            val b = data(p) & 0xff
+            run |= (b & 0x7f) << shift
+            shift += 7
+            more = (b & 0x80) != 0
+            p += 1
+          }
+          if (run < 1 || run > FourMc.MaxBlockSize - rows0) fail(s"dict run length $run out of range")
+          rows0 += run
+        }
+        val out = new Array[Byte](rows0)
+        p = codesOff
+        var w = 0
+        while (p < uLen) { // pass 2: fill
+          val c = data(p)
+          p += 1
+          var run = 0
+          var shift = 0
+          var more = true
+          while (more) {
+            val b = data(p) & 0xff
+            run |= (b & 0x7f) << shift
+            shift += 7
+            more = (b & 0x80) != 0
+            p += 1
+          }
+          java.util.Arrays.fill(out, w, w + run, c)
+          w += run
+        }
+        out
+      }
+    val rows: Int = if (rle) rleCodes.length else uLen - o
+    if (!rle) locally {
       var r = codesOff
       while (r < uLen) {
         if ((data(r) & 0xff) >= nEntries) fail(s"dict code ${data(r) & 0xff} out of range")
         r += 1
       }
     }
-    @inline def code(r: Int): Int = data(codesOff + r) & 0xff
+    @inline def code(r: Int): Int =
+      (if (rleCodes != null) rleCodes(r) else data(codesOff + r)) & 0xff
     private def fail(msg: String): Nothing =
       throw new IOException(s"4mc columnar $msg $ctx")
   }

@@ -72,8 +72,11 @@ class DictStreamSpec extends AnyFunSuite {
   }
 
   test("DictStream rejects structural corruption") {
-    val out = enc(Seq.fill(50)("aa") ++ Seq.fill(50)("bb"))
+    // alternating values: RLE (2 bytes/run × 100 runs) is NOT smaller than
+    // 100 plain code bytes, so this fixture pins the PLAIN framing
+    val out = enc((0 until 100).map(i => if (i % 2 == 0) "aa" else "bb"))
     assert(out != null)
+    assert((out(0) & 0x80) == 0, "alternating codes must stay plain-framed")
     // out-of-range code
     val bad = out.clone()
     bad(bad.length - 1) = 7 // only 2 entries exist
@@ -84,6 +87,43 @@ class DictStreamSpec extends AnyFunSuite {
     // entry table overrun
     val over = out.clone(); over(1) = 127
     intercept[java.io.IOException] { new ColumnarBlocks.DictStream(over, over.length, "(t)") }
+  }
+
+  test("RLE code framing: chosen for runs, round-trips, rejects corruption") {
+    // run-heavy: 3 runs — RLE must be chosen and be much smaller
+    val vals = Seq.fill(400)("aa") ++ Seq.fill(300)("bb") ++ Seq.fill(300)("aa")
+    val out = enc(vals)
+    assert(out != null)
+    assert((out(0) & 0x80) != 0, "run-heavy codes must be RLE-framed")
+    assert(out.length < 1 + 2 * 3 + 20, s"3 runs should encode in a few bytes, got ${out.length}")
+    val d = new ColumnarBlocks.DictStream(out, out.length, "(t)")
+    assert(d.rows == 1000)
+    assert(d.nEntries == 2)
+    val got = (0 until d.rows).map { r =>
+      new String(out, d.entryStart(d.code(r)), d.entryEnd(d.code(r)) - d.entryStart(d.code(r)), "UTF-8")
+    }
+    assert(got == vals)
+    // multi-byte varint run length round-trips (>127 repeats in one run)
+    val big = enc(Seq.fill(20000)("zz") ++ Seq.fill(5)("yy"))
+    assert(big != null && (big(0) & 0x80) != 0)
+    val db = new ColumnarBlocks.DictStream(big, big.length, "(t)")
+    assert(db.rows == 20005 && db.code(0) == 0 && db.code(20004) == 1)
+    // corruption probes over a fixture whose runs are < 128 (single-byte
+    // varints, so each pair is exactly code(1) + runLen(1))
+    val small = enc(Seq.fill(100)("aa") ++ Seq.fill(100)("bb") ++ Seq.fill(100)("aa"))
+    assert(small != null && (small(0) & 0x80) != 0)
+    // out-of-range code in the last run pair
+    val badCode = small.clone()
+    badCode(small.length - 2) = 9 // only 2 entries exist
+    intercept[java.io.IOException] { new ColumnarBlocks.DictStream(badCode, badCode.length, "(t)") }
+    // truncated varint (continuation bit on the final byte)
+    val trunc = small.clone()
+    trunc(small.length - 1) = (trunc(small.length - 1) | 0x80).toByte
+    intercept[java.io.IOException] { new ColumnarBlocks.DictStream(trunc, trunc.length, "(t)") }
+    // zero run length
+    val zeroRun = small.clone()
+    zeroRun(small.length - 1) = 0
+    intercept[java.io.IOException] { new ColumnarBlocks.DictStream(zeroRun, zeroRun.length, "(t)") }
   }
 
   // ---- integration: write/read --------------------------------------------
