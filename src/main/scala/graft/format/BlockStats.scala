@@ -1017,14 +1017,22 @@ object McStatsPruning {
   /** Join-driven pruning for a STRING key column through a HASHED domain:
     * `sortedHashes` are xxhash64 values of the build side's distinct keys
     * (UTF-8 bytes — the same hash the bloom writer inserted). Hashes carry
-    * no order, so zone maps can't narrow anything: pruning is bloom
-    * membership alone, budget-capped like the integer path. `None` when the
-    * file has no bloom for the column (or the column isn't a string) — the
-    * scan stays unpruned, never wrong.
+    * no order, so zone maps can't narrow anything: pruning is membership.
+    *
+    * Two membership sources, strongest first (r16): a block carrying a
+    * COMPLETE value dictionary ([[BlockStats.FlagHasDict]]) is kept iff
+    * some entry's hash is in the key set — exact refutation with no bloom
+    * false-positive floor, and it needs no bloom segment at all (dicts are
+    * written unconditionally for low-cardinality columns). Dict-less
+    * blocks fall back to the per-block bloom, budget-capped like the
+    * integer path. `None` when the file has neither source for the column
+    * (or it isn't a string) — the scan stays unpruned, never wrong.
     *
     * Same caller contract as [[keepBlocksForKeys]]: downstream keeps only
     * rows whose `attr` ∈ the original key set (inner/semi equi-join), so
     * all-null blocks are refutable and false positives only KEEP blocks.
+    * (Hash collisions only ever ADD a kept block — two distinct strings
+    * colliding means the entry's hash IS in the set, so the block stays.)
     */
   def keepBlocksForHashedKeys(
       attr: String,
@@ -1037,18 +1045,34 @@ object McStatsPruning {
     val c = dataSchema.fields.indexWhere(_.name == attr)
     if (c < 0 || stats.tags(c) != CsvPayload.TagString) return None
     val bloomOrd = blooms.map(_.ordOf(c)).getOrElse(-1)
-    if (bloomOrd < 0) return None
+    val anyDict = {
+      var b = 0
+      var found = false
+      while (!found && b < stats.nBlocks) {
+        found = stats.dictAt(b * stats.nCols + c) != null
+        b += 1
+      }
+      found
+    }
+    if (bloomOrd < 0 && !anyDict) return None
     if (sortedHashes.isEmpty) return Some(new Array[Boolean](stats.nBlocks)) // ∅: drop all
-    val bl = blooms.get
+    def inKeys(h: Long): Boolean =
+      java.util.Arrays.binarySearch(sortedHashes, h) >= 0
     val keep = new Array[Boolean](stats.nBlocks)
     var b = 0
     while (b < stats.nBlocks) {
       val k = b * stats.nCols + c
+      val dict = stats.dictAt(k)
       keep(b) =
         if (stats.lineCount(b) - stats.nullCount(k) <= 0) false
-        else if (!bl.present(b, bloomOrd)) true
+        else if (dict != null)
+          // complete dictionary: exact membership (≤32 entries × one
+          // binary search), no probe budget needed
+          dict.exists(v => inKeys(FourMc.xxhash64(v, 0, v.length)))
+        else if (bloomOrd < 0 || !blooms.get.present(b, bloomOrd)) true
         else if (sortedHashes.length > BloomProbeCap) true
         else {
+          val bl = blooms.get
           var i = 0
           var hit = false
           while (!hit && i < sortedHashes.length) {

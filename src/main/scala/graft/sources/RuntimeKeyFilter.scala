@@ -63,8 +63,10 @@ object RuntimeKeyFilter {
     * xxhash64 of each key's UTF-8 bytes (what the bloom segment's writer
     * inserted — [[graft.format.BlockBlooms]]). Hashes carry no order
     * information about the underlying strings, so the reader prunes by
-    * per-block BLOOM membership only ([[graft.format.McStatsPruning
-    * .keepBlocksForHashedKeys]]); files without blooms scan unpruned.
+    * membership ([[graft.format.McStatsPruning.keepBlocksForHashedKeys]]):
+    * blocks with a COMPLETE value dictionary refute exactly (r16, no bloom
+    * needed), dict-less blocks probe the per-block bloom; files with
+    * neither scan unpruned.
     * Marked with a `#` after the column separator ('#' is not a base64
     * character, so old and new specs are unambiguous).
     */

@@ -178,6 +178,40 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(skipped > 0, s"bloom-hashed key filter must skip blocks: read=$read")
   }
 
+  test("hashed runtime filter prunes through complete dicts where no bloom exists") {
+    import graft.sources.FourMcScanMetrics
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("rkf-dict").toString + "/t"
+    val n = 200000L
+    val schema = StructType(Seq(StructField("skey", StringType), StructField("pad", StringType)))
+    // clustered low-cardinality key, NO bloomColumns: every block carries a
+    // complete value dictionary in the stats segment instead — membership
+    // refutation must work where the bloom path has nothing to probe
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(0L until n, 1).map { i =>
+        org.apache.spark.sql.Row(s"m${i / 20000}", "y" * 40)
+      }, schema)
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (256 * 1024).toString).save(dir)
+    val fact = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    import spark.implicits._
+    val dim = Queries.table(spark, sf, "nation")
+      .filter($"n_nationkey" === 3)
+      .select(concat(lit("m"), ($"n_nationkey" * 2).cast(StringType)).as("dk")) // "m6"
+    val q = fact.join(broadcast(dim), fact("skey") === dim("dk"))
+      .agg(count(lit(1)).as("n"))
+    val spec = fourMcScanOptions(q)
+      .flatMap(_.get(graft.sources.RuntimeKeyFilter.OptionKey)).headOption
+    assert(spec.exists(graft.sources.RuntimeKeyFilter.isHashed),
+      "hashed spec must be injected for the string join")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head.getLong(0) == 20000L)
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    val read = FourMcScanMetrics.blocksRead.sum()
+    assert(skipped > read,
+      s"dict membership must refute most blocks with no bloom segment: read=$read skipped=$skipped")
+  }
+
   test("key-collect runs EXACTLY ONCE per query; unselective builds run zero") {
     import graft.plans.McInjectRuntimeKeyFilter
     // (a) the eligible join: plan + execute must pay exactly one eager
