@@ -813,6 +813,50 @@ object RoundTrip {
   val dictCountDistinctSql: String =
     "SELECT COUNT(DISTINCT l_returnflag) AS d_flags, COUNT(*) AS n FROM lineitem"
 
+  /** Two-generation lineitem dir under TYPE WIDENING (r16): generation 1
+    * stores the line number as INT and quantity as DECIMAL(10,2),
+    * generation 2 as BIGINT / DECIMAL(14,2). Read with the widened schema:
+    * int text parses as long, same-scale decimals parse across precision
+    * growth, and the old generation's INT-tagged zone maps keep pruning
+    * and aggregate pushdown (SchemaEvolutionSpec pins the mechanics; this
+    * row pins values at driver scale). DATE→TIMESTAMP is the refused
+    * counterpart — a loud, actionable error instead of a misparse.
+    */
+  def typeWideningOverFourMc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = rtDir(sfDir, "lineitem-widened", "lz4-fast", tsFmt)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val li = Queries.table(spark, sfDir, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast(IntegerType).as("ln"),
+          col("l_quantity").cast(DecimalType(10, 2)).as("qty"))
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .save(dir.getAbsolutePath)
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("ln"),
+          col("l_quantity").cast(DecimalType(14, 2)).as("qty"))
+        .write.mode("append").format("4mc").option("payload", "csv")
+        .save(dir.getAbsolutePath)
+    }
+    val widened = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("ln", LongType),
+      StructField("qty", DecimalType(14, 2))))
+    spark.read.format("4mc").option("payload", "csv").schema(widened)
+      .load(dir.getAbsolutePath)
+      .groupBy(col("ln"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_ok"))
+      .orderBy(col("ln"))
+  }
+
+  val typeWideningSql: String =
+    """SELECT CAST(l_linenumber AS BIGINT) AS ln, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).
     */

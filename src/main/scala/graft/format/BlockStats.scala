@@ -565,9 +565,13 @@ object McStatsPruning {
     else {
       val want = CsvPayload.tagOf(dataSchema.fields(c).dataType)
       val got = stats.tags(c)
-      // micros-encoded timestamps carry their own tag in the segment
+      // micros-encoded timestamps carry their own tag in the segment;
+      // int→long is the supported TYPE WIDENING (r16): the file's int text
+      // parses as long and its stats already live in the long domain, so
+      // bounds/nulls/sums stay exact under the widened read schema
       if (got == want ||
-        (want == CsvPayload.TagTimestamp && got == CsvPayload.TagTimestampMicros)) 0
+        (want == CsvPayload.TagTimestamp && got == CsvPayload.TagTimestampMicros) ||
+        (want == CsvPayload.TagLong && got == CsvPayload.TagInt)) 0
       else 2
     }
 

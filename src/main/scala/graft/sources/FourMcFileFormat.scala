@@ -1610,6 +1610,18 @@ object CsvPayload {
           if (out eq fieldTags) out = fieldTags.clone()
           out(k) = TagTimestampMicros
         }
+        // refused type change, loud and actionable: DATE text ("2024-01-02")
+        // cannot parse under a timestamp read schema — without this guard
+        // the task dies in an inscrutable DateTimeParseException. The
+        // supported widenings (int→long, decimal precision growth at the
+        // same scale) parse transparently and keep pruning; DATE→TIMESTAMP
+        // needs an explicit cast instead.
+        if (fieldTags(k) == TagTimestamp && src < st.tags.length &&
+            st.tags(src) == TagDate)
+          throw new java.io.IOException(
+            s"4mc schema evolution: column ordinal $src was written as DATE but the read " +
+              "schema declares TIMESTAMP; the text layout does not widen DATE to TIMESTAMP " +
+              "— read the column as DATE and cast(col AS timestamp) instead")
         k += 1
       }
       out

@@ -488,8 +488,13 @@ class FourMcStatsFileFormat(
           // files degrade to the per-line decode branch, value-exact.
           // (The data scan's pruning has the same guard in
           // McStatsPruning.keepBlocks; this is the aggregate twin.)
-          case Some(st) if st.nCols == totalFields &&
-              java.util.Arrays.equals(st.tags, effTags) =>
+          // int→long type widening (r16) keeps the stats path: int-tagged
+          // zone bounds, null counts, and sums already live in the long
+          // domain, so they answer a LongType read column exactly.
+          case Some(st) if st.nCols == totalFields && st.tags.indices.forall { i =>
+              st.tags(i) == effTags(i) ||
+                (st.tags(i) == CsvPayload.TagInt && effTags(i) == CsvPayload.TagLong)
+            } =>
             // split blocks into stats-answered, decode-fallback, and (with
             // pushed predicates) refuted sets
             val keep = new Array[Boolean](index.numBlocks) // true = must decode
