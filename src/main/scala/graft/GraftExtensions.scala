@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // job, and a fixpoint batch would re-execute it on every iteration
     // (measured 21 jobs vs 5 on a refused injection in r10).
     ext.injectPreCBORule(_ => graft.plans.McInjectRuntimeKeyFilter)
+    // driver-side FILE pruning from the _graft_manifest sidecar: tasks
+    // become proportional to surviving files on selective predicates;
+    // disable with spark.graft.fourmc.manifestPruning=false
+    ext.injectPreCBORule(_ => graft.plans.McApplyManifest)
     // option("sortBy", "col"): sort-clustered 4mc writes via a range
     // shuffle + local sort injected into the V1 write command; disable
     // with spark.graft.fourmc.sortedWrite.enabled=false

@@ -857,6 +857,41 @@ object RoundTrip {
       |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Selective scan over a MANIFESTED many-file dir (r16): lineitem is
+    * range-partitioned into 8 files on `l_orderkey`, the directory gets a
+    * `_graft_manifest` ([[graft.format.McManifest]]), and the planner's
+    * [[graft.sources.ManifestFileIndex]] drops the out-of-range FILES
+    * before any task launches — driver-side pruning on a non-partition
+    * key, one level above the executor-side block pruning that then
+    * handles the surviving files' interiors. ManifestSpec pins the
+    * task-count mechanics; this row pins values at driver scale.
+    */
+  def manifestPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = Queries.table(spark, sfDir, "lineitem")
+    val dir = rtDir(sfDir, "lineitem-manifested", "lz4-fast", tsFmt)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      src.repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").format("4mc").option("payload", "csv")
+        .option("timestampFormat", tsFmt).save(dir.getAbsolutePath)
+      graft.format.McManifest.write(
+        dir.getAbsolutePath, spark.sessionState.newHadoopConf())
+    }
+    spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(src.schema)
+      .load(dir.getAbsolutePath)
+      .filter(col("l_orderkey") < 1000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val manifestPrunedSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).
     */

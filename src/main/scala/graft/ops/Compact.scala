@@ -53,6 +53,10 @@ object Compact {
       .format("4mc").option("payload", "csv").option("codec", codec)
       .option("timestampFormat", timestampFormat)
     bloomColumns.fold(base)(bc => base.option("bloomColumns", bc)).save(outDir)
+    // compaction is the natural manifest commit point: fresh stats exist
+    // for every output file, so the directory gets driver-side FILE
+    // pruning ([[graft.format.McManifest]]) along with its new zone maps
+    graft.format.McManifest.write(outDir, spark.sessionState.newHadoopConf())
     val rows = spark.read.format("4mc").option("payload", "csv")
       .option("timestampFormat", timestampFormat).schema(schema).load(outDir).count()
     (nIn, countFiles(spark, outDir), rows)

@@ -439,8 +439,27 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       case ReqAvg(i) => i
     }.distinct.sorted
     val schema = FourMcStatsFileFormat.statsSchema(dataSchema, targets, nnCols, sumCols)
+    // compose with directory-manifest FILE pruning: the stats relation
+    // evaluates its data predicates inside the format, so the scan has no
+    // plan-level filters to hand the index — carry the compiled conjuncts
+    // statically instead ([[graft.sources.ManifestFileIndex]]). Fully
+    // refuted files never launch a task, pushdown or not.
+    val manifestLoc = {
+      val underlying = fsRel.location match {
+        case m: graft.sources.ManifestFileIndex => m.underlying
+        case other                              => other
+      }
+      val pruningOn = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.fourmc.manifestPruning", "true").toBoolean
+      if (!pruningOn) underlying
+      else {
+        val extra = dataConj.flatMap(graft.sources.ManifestFileIndex.translate)
+        new graft.sources.ManifestFileIndex(underlying, dataSchema, fsRel.sparkSession, extra)
+      }
+    }
     val newRel = fsRel.copy(
       dataSchema = schema,
+      location = manifestLoc,
       fileFormat = new FourMcStatsFileFormat(dataSchema, dataPreds))(fsRel.sparkSession)
     val dataAttrs: Seq[AttributeReference] =
       schema.fields.map(f => AttributeReference(f.name, f.dataType, f.nullable)()).toSeq

@@ -729,10 +729,15 @@ object FourMcScanMetrics {
     */
   val predEvalBatches = new java.util.concurrent.atomic.LongAdder
   val predSkipBatches = new java.util.concurrent.atomic.LongAdder
+  /** Whole FILES dropped at planning by the directory manifest
+    * ([[ManifestFileIndex]]) — no task was launched for these.
+    */
+  val manifestFilesPruned = new java.util.concurrent.atomic.LongAdder
   def reset(): Unit = {
     blocksRead.reset(); blocksSkipped.reset(); corruptSkipped.reset()
     footerReads.reset(); metadataCountRows.reset(); statsAggBlocks.reset()
     predElidedBlocks.reset(); predEvalBatches.reset(); predSkipBatches.reset()
+    manifestFilesPruned.reset()
   }
 }
 

@@ -102,5 +102,12 @@ object FourMcBatchCommit {
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
     fs.delete(tmp, true)
+    // refresh the directory pruning manifest ([[graft.format.McManifest]]):
+    // incremental — entries for untouched files are reused byte-for-byte,
+    // so the steady-state cost is one footer read per file THIS batch
+    // published. Best-effort: a failed refresh leaves a stale manifest,
+    // which readers treat as partial coverage (new files always kept).
+    try { graft.format.McManifest.write(out, conf); () }
+    catch { case scala.util.control.NonFatal(_) => }
   }
 }

@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Directory manifest pruning ([[graft.format.McManifest]] +
+  * [[ManifestFileIndex]]): whole files dropped at the DRIVER before task
+  * launch, degradation to the plain listing on missing/stale entries.
+  */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("manifest")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // one task per file regardless of size: file-count assertions below
+      // are really task-count assertions
+      .config("spark.sql.files.openCostInBytes", (64L * 1024 * 1024).toString)
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("fourmc-manifest").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cat", StringType, nullable = true),
+    StructField("v", DoubleType, nullable = true)))
+
+  /** nFiles files, file i holding ids [i*5000, (i+1)*5000) and category
+    * "c<i>" — id ranges and categories are file-disjoint, the layout
+    * manifest pruning exists for.
+    */
+  private def writeFiles(dir: String, nFiles: Int): Unit = {
+    for (i <- 0 until nFiles) {
+      val rows = (i * 5000 until (i + 1) * 5000).map { j =>
+        Row(j.toLong, s"c$i", j / 7.0)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .format("4mc").option("payload", "csv").save(dir)
+    }
+  }
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def scan(dir: String): DataFrame =
+    spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+
+  private def numFilesRead(df: DataFrame): Long = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => unwrap(q.plan)
+        case other => other +: other.children.flatMap(unwrap)
+      }
+    unwrap(df.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+    }.getOrElse(-1L)
+  }
+
+  test("selective range predicate prunes whole files; tasks follow surviving files") {
+    val dir = tmpDir()
+    writeFiles(dir, 8)
+    val n = graft.format.McManifest.write(dir, hconf)
+    assert(n == 8, s"manifest must cover all 8 files, got $n")
+    // ground truth without pruning
+    spark.conf.set("spark.graft.fourmc.manifestPruning", "false")
+    val (expect, baseFiles) =
+      try {
+        val q = scan(dir).filter(col("id") >= 15000L && col("id") < 20000L)
+          .agg(count(lit(1)), sum(col("id")))
+        (q.collect().head, numFilesRead(scan(dir).filter(col("id") >= 15000L && col("id") < 20000L)
+          .agg(count(lit(1)), sum(col("id")))))
+      } finally spark.conf.set("spark.graft.fourmc.manifestPruning", "true")
+    assert(baseFiles == 8L, s"without pruning all files list, got $baseFiles")
+    FourMcScanMetrics.reset()
+    val q = scan(dir).filter(col("id") >= 15000L && col("id") < 20000L)
+      .agg(count(lit(1)), sum(col("id")))
+    assert(q.collect().head == expect)
+    assert(numFilesRead(scan(dir).filter(col("id") >= 15000L && col("id") < 20000L)
+      .agg(count(lit(1)), sum(col("id")))) == 1L,
+      "only the one id-range-matching file may reach the scan")
+    assert(FourMcScanMetrics.manifestFilesPruned.sum() > 0L)
+  }
+
+  test("string dict refutation prunes files on equality and IN") {
+    val dir = tmpDir()
+    writeFiles(dir, 6)
+    graft.format.McManifest.write(dir, hconf)
+    val q = scan(dir).filter(col("cat") === "c2").agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 5000L)
+    assert(numFilesRead(scan(dir).filter(col("cat") === "c2").agg(count(lit(1)))) == 1L,
+      "file-level dict membership must refute the other categories' files")
+    assert(numFilesRead(scan(dir).filter(col("cat").isin("c1", "c4"))
+      .agg(count(lit(1)))) == 2L)
+  }
+
+  test("missing manifest degrades to the plain listing, values identical") {
+    val dir = tmpDir()
+    writeFiles(dir, 4)
+    val q = scan(dir).filter(col("id") < 5000L).agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 5000L)
+    assert(numFilesRead(scan(dir).filter(col("id") < 5000L).agg(count(lit(1)))) == 4L,
+      "no manifest: every file lists (block pruning still applies executor-side)")
+  }
+
+  test("stale manifest: files written after it stay unpruned and readable") {
+    val dir = tmpDir()
+    writeFiles(dir, 3)
+    graft.format.McManifest.write(dir, hconf)
+    // a 4th file lands AFTER the manifest: absent entry → always kept
+    val rows = (90000 until 95000).map(j => Row(j.toLong, "late", j / 7.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("append").format("4mc").option("payload", "csv").save(dir)
+    val q = scan(dir).filter(col("id") >= 90000L).agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 5000L,
+      "rows of a post-manifest file must never be lost")
+    // the 3 manifested files prune; the unmanifested one is kept
+    assert(numFilesRead(scan(dir).filter(col("id") >= 90000L).agg(count(lit(1)))) == 1L)
+    // refresh picks the late file up incrementally
+    val n = graft.format.McManifest.write(dir, hconf)
+    assert(n == 4)
+    assert(numFilesRead(scan(dir).filter(col("cat") === "late").agg(count(lit(1)))) == 1L)
+  }
+
+  test("mixed-generation dirs group by tag vector and prune within each") {
+    val dir = tmpDir()
+    writeFiles(dir, 2) // 3-column generation
+    val wide = StructType(schema.fields :+ StructField("extra", LongType, nullable = true))
+    val rows = (50000 until 55000).map(j => Row(j.toLong, "w", j / 7.0, j * 2L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), wide)
+      .coalesce(1).write.mode("append").format("4mc").option("payload", "csv").save(dir)
+    graft.format.McManifest.write(dir, hconf)
+    val t = spark.read.format("4mc").option("payload", "csv").schema(wide).load(dir)
+    assert(t.count() == 15000L)
+    // id predicate prunes across BOTH generations' groups
+    assert(numFilesRead(t.filter(col("id") >= 50000L).agg(count(lit(1)))) == 1L)
+    // absent-column predicate refutes the old generation's files entirely
+    assert(numFilesRead(t.filter(col("extra").isNotNull).agg(count(lit(1)))) == 1L)
+  }
+
+  test("conf off keeps the plain listing") {
+    val dir = tmpDir()
+    writeFiles(dir, 3)
+    graft.format.McManifest.write(dir, hconf)
+    spark.conf.set("spark.graft.fourmc.manifestPruning", "false")
+    try {
+      assert(numFilesRead(scan(dir).filter(col("id") < 100L).agg(count(lit(1)))) == 3L)
+    } finally spark.conf.set("spark.graft.fourmc.manifestPruning", "true")
+  }
+
+  test("manifest round-trip: serialize/parse preserves entries; corruption detected") {
+    val dir = tmpDir()
+    writeFiles(dir, 2)
+    graft.format.McManifest.write(dir, hconf)
+    val p = new java.io.File(dir, graft.format.McManifest.FileName)
+    val bytes = java.nio.file.Files.readAllBytes(p.toPath)
+    val m = graft.format.McManifest.parse(bytes).get
+    assert(m.entries.length == 2)
+    assert(m.entries.forall(_.tags.length == 3))
+    assert(m.groups.length == 1)
+    val bad = bytes.clone(); bad(20) = (bad(20) ^ 0x7f).toByte
+    intercept[java.io.IOException] { graft.format.McManifest.parse(bad) }
+    // a corrupt on-disk manifest degrades to the plain listing
+    java.nio.file.Files.write(p.toPath, bad)
+    assert(numFilesRead(scan(dir).filter(col("id") < 100L).agg(count(lit(1)))) == 2L)
+    assert(scan(dir).count() == 10000L)
+  }
+}
