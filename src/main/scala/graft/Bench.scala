@@ -283,8 +283,52 @@ object Bench {
             val r = dfC4.count()
             (p, r, (System.nanoTime() - tS2) / 1e9)
           } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPB)
+        // r16: directory-manifest FILE pruning at many-file scale — a
+        // selective non-partition-key predicate over a range-keyed 1000-file
+        // csv dir, A/B with the conf toggled. Tasks (scan RDD partitions)
+        // and wall time must track SURVIVING files, not directory size.
+        // The aggregate is deliberately un-pushable (sum(k*2)) so this
+        // measures the data-scan path, not the stats relation.
+        val mfDir = new java.io.File(root, "manifested")
+        val mfFiles = 1000
+        val mfSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pad",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        if (count4mc(mfDir) != mfFiles) {
+          spark.range(0, 10000000L)
+            .select(col("id").as("k"), lit("y" * 24).as("pad"))
+            .repartitionByRange(mfFiles, col("k"))
+            .write.mode("overwrite").format("4mc").option("payload", "csv")
+            .save(mfDir.getAbsolutePath)
+          graft.format.McManifest.write(
+            mfDir.getAbsolutePath, spark.sessionState.newHadoopConf())
+        }
+        def mfScan() = spark.read.format("4mc").option("payload", "csv")
+          .schema(mfSchema).load(mfDir.getAbsolutePath)
+          .filter(col("k") >= 5000000L && col("k") < 5010000L)
+        def mfMeasure(): (Int, Double, Long) = {
+          // task count from the SCAN stage (the filter-only plan), not the
+          // aggregate's post-shuffle RDD (always 1 under AQE)
+          val parts = mfScan().queryExecution.toRdd.partitions.length
+          val q = mfScan().agg(sum(col("k") * lit(2)))
+          val t0 = System.nanoTime()
+          val v = q.collect().head.getLong(0)
+          (parts, (System.nanoTime() - t0) / 1e9, v)
+        }
+        val (mfPartsOff, mfSecsOff, mfValOff) =
+          try {
+            spark.conf.set("spark.graft.fourmc.manifestPruning", "false")
+            mfMeasure(); mfMeasure() // warm
+            mfMeasure()
+          } finally spark.conf.set("spark.graft.fourmc.manifestPruning", "true")
+        metrics.manifestFilesPruned.reset()
+        mfMeasure() // warm the pruned path
+        val (mfPartsOn, mfSecsOn, mfValOn) = mfMeasure()
+        val mfPruned = metrics.manifestFilesPruned.sum()
         Some(
-          f"""{"small_files":$nIn,"small_files_plan_secs":$planSecs%.2f,"small_files_plan_partitions":$planParts,"footer_reads_during_plan":$footersDuringPlan,"small_files_scan_secs":$scanSecs%.2f,"rows":$rows,"compact_secs":$compactSecs%.2f,"compacted_files":$nOut,"compacted_plan_secs":$planSecsC%.2f,"compacted_plan_partitions":$planPartsC,"compacted_scan_secs":$scanSecsC%.2f,"compacted_scan_4mib_partitions":$planPartsC4,"compacted_scan_4mib_secs":$scanSecsC4%.2f,"rows_preserved":${rows == outRows && rows == rowsC && rows == rowsC4}}""")
+          f"""{"small_files":$nIn,"small_files_plan_secs":$planSecs%.2f,"small_files_plan_partitions":$planParts,"footer_reads_during_plan":$footersDuringPlan,"small_files_scan_secs":$scanSecs%.2f,"rows":$rows,"compact_secs":$compactSecs%.2f,"compacted_files":$nOut,"compacted_plan_secs":$planSecsC%.2f,"compacted_plan_partitions":$planPartsC,"compacted_scan_secs":$scanSecsC%.2f,"compacted_scan_4mib_partitions":$planPartsC4,"compacted_scan_4mib_secs":$scanSecsC4%.2f,"rows_preserved":${rows == outRows && rows == rowsC && rows == rowsC4},"manifest_files":$mfFiles,"manifest_tasks_off":$mfPartsOff,"manifest_tasks_on":$mfPartsOn,"manifest_scan_secs_off":$mfSecsOff%.3f,"manifest_scan_secs_on":$mfSecsOn%.3f,"manifest_files_pruned":$mfPruned,"manifest_values_equal":${mfValOff == mfValOn}}""")
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] small_files gate failed: ${e.getMessage}")
@@ -814,7 +858,11 @@ object Bench {
           // r15: the sorted+columnar+dict q6 composition at the largest
           // scale — the 50× ratio is 0.62×; watch whether it holds at 100×
           "fourmc_columnar_q6" -> "q6_forecast",
-          "fourmz_columnar_q6" -> "q6_forecast").map { case (cn, pn) =>
+          "fourmz_columnar_q6" -> "q6_forecast",
+          // r16: the FULL composed stack (typed DATE/DECIMAL + sortBy +
+          // dict) at 100× — until now its scale trend was extrapolated
+          // from the 50× row (≤1.2 band there)
+          "fourmc_columnar_date_pricing" -> "q1_pricing_summary").map { case (cn, pn) =>
           if (System.nanoTime() > deadline) cn -> ((-2.0, -2.0))
           else try {
             val cf = SparkEntry.queries(cn); val pf = SparkEntry.queries(pn)
