@@ -175,8 +175,12 @@ class FourMcStatsFileFormat(
             if (isBoundsCol(ci) && nonNull > 0) {
               if (!st.hasBounds(k)) return false // NaN-poisoned / custom-ts
               if (effTags(c) == CsvPayload.TagString) {
-                if (needMin.contains(c) && !st.minExact(k)) return false
-                if (needMax.contains(c) && !st.maxExact(k)) return false
+                // truncated (inexact) bounds are still answerable EXACTLY
+                // when the block carries a complete value dictionary
+                // (r16): min/max over its ≤32 exact entries
+                val dictless = st.dictAt(k) == null
+                if (needMin.contains(c) && !st.minExact(k) && dictless) return false
+                if (needMax.contains(c) && !st.maxExact(k) && dictless) return false
               }
             }
             // v1 segments carry no sums: decode those blocks instead
@@ -191,7 +195,23 @@ class FourMcStatsFileFormat(
           if (st.lineCount(b) - st.nullCount(k) == 0 || !st.hasBounds(k)) null
           else (effTags(c): @scala.annotation.switch) match {
             case CsvPayload.TagString =>
-              UTF8String.fromBytes(if (isMax) st.maxBytes(k) else st.minBytes(k))
+              val exact = if (isMax) st.maxExact(k) else st.minExact(k)
+              if (!exact) {
+                // statsUsable admitted this block because a complete dict
+                // exists: the true bound is the extreme ENTRY (entries are
+                // exact and cover every non-null value the block owns)
+                val dict = st.dictAt(k)
+                var best: Array[Byte] = null
+                var i = 0
+                while (i < dict.length) {
+                  val v = dict(i)
+                  if (best == null ||
+                      (if (isMax) McStatsPruning.byteCompare(v, best) > 0
+                       else McStatsPruning.byteCompare(v, best) < 0)) best = v
+                  i += 1
+                }
+                UTF8String.fromBytes(best)
+              } else UTF8String.fromBytes(if (isMax) st.maxBytes(k) else st.minBytes(k))
             case CsvPayload.TagLong | CsvPayload.TagTimestamp |
                 CsvPayload.TagTimestampMicros =>
               if (isMax) st.maxLong(k) else st.minLong(k)

@@ -156,6 +156,30 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(FourMcScanMetrics.blocksRead.sum() == 0L)
   }
 
+  test("inexact string bounds WITH a complete dict answer exactly: zero blocks decompressed") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 20 distinct 28-byte values: bounds truncate at 16 bytes (inexact),
+    // but every block carries a complete dictionary — the r16 path answers
+    // min/max from the extreme entries instead of decoding
+    val df = (1 to 2000).map { i =>
+      (i.toLong, "a-very-long-shared-prefix-" + "%02d".format(i % 20))
+    }.toDF("k", "pad")
+    df.write.format("4mc").option("payload", "csv").mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("pad", StringType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def q = sc.agg(min(col("pad")).as("mn"), max(col("pad")).as("mx"), count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.aggPushdown", "false")
+    val expect =
+      try q.collect().head
+      finally spark.conf.set("spark.graft.fourmc.aggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(q.collect().head == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      "dict-covered inexact bounds must answer from the footer")
+  }
+
   test("empty directory: count 0, null bounds") {
     val dir = tmpDir()
     new java.io.File(dir).mkdirs()
