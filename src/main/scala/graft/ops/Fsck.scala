@@ -36,16 +36,51 @@ object Fsck {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = {
+    val filesFull = {
       val it = fs.listFiles(root, true)
-      val b = Seq.newBuilder[(String, Long)]
+      val b = Seq.newBuilder[(String, Long, Long)]
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
         if ((n.endsWith(".4mc") || n.endsWith(".4mz")) && !n.startsWith("_") && !n.startsWith("."))
-          b += ((st.getPath.toString, st.getLen))
+          b += ((st.getPath.toString, st.getLen, st.getModificationTime))
       }
       b.result()
+    }
+    val files = filesFull.map { case (p, l, _) => (p, l) }
+    // the directory pruning manifest, when present, gets its own report
+    // row: checksum/parse validation plus a STALE-entry count (entries
+    // whose (path, len, modTime) no longer matches a listed file — those
+    // are dead weight, never consulted, but flag a missed refresh)
+    val manifestRows: Seq[FileReport] = {
+      val mPath = new org.apache.hadoop.fs.Path(root, graft.format.McManifest.FileName)
+      if (!fs.exists(mPath)) Nil
+      else {
+        val st = fs.getFileStatus(mPath)
+        try {
+          val buf = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(mPath)
+          try in.readFully(0, buf) finally in.close()
+          graft.format.McManifest.parse(buf) match {
+            case Some(m) =>
+              val rootUri = fs.makeQualified(root).toUri
+              val live = filesFull.map { case (p, l, t) =>
+                (rootUri.relativize(new org.apache.hadoop.fs.Path(p).toUri).getPath, l, t)
+              }.toSet
+              val stale = m.entries.count(e => !live.contains((e.path, e.fileLen, e.modTime)))
+              Seq(FileReport(mPath.toString, st.getLen, footer_ok = true,
+                n_blocks = m.entries.length, n_corrupt_blocks = stale,
+                error = if (stale == 0) "" else s"$stale stale entries (refresh the manifest)"))
+            case None =>
+              Seq(FileReport(mPath.toString, st.getLen, footer_ok = false, 0, 0,
+                "unknown manifest version"))
+          }
+        } catch {
+          case e: Exception =>
+            Seq(FileReport(mPath.toString, st.getLen, footer_ok = false, 0, 0,
+              s"manifest unreadable: ${e.getMessage}"))
+        }
+      }
     }
     val par = if (parallelism > 0) parallelism
       else math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
@@ -56,6 +91,7 @@ object Fsck {
       .parallelize(files, math.max(par, 1))
       .map { case (path, len) => checkFile(path, len, confB.value.value) }
       .toDF()
+      .union(spark.createDataFrame(manifestRows))
       .orderBy($"file")
   }
 

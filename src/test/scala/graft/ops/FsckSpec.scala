@@ -64,6 +64,33 @@ class FsckSpec extends AnyFunSuite {
     assert(r2.getBoolean(2) && r2.getInt(4) == 0, s"file2 must stay clean: $r2")
   }
 
+  test("manifest sidecar: validated, stale entries counted, corruption surfaced") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0 until 5000).map(i => (i.toLong, f"m-$i%05d")).toDF("k", "v")
+      .repartition(3).write.format("4mc").option("payload", "csv").save(dir)
+    graft.format.McManifest.write(dir, spark.sessionState.newHadoopConf())
+    def manifestRow() = Fsck.fsck(spark, dir).collect()
+      .find(_.getString(0).endsWith(graft.format.McManifest.FileName)).get
+    val fresh = manifestRow()
+    assert(fresh.getBoolean(2) && fresh.getInt(3) == 3 && fresh.getInt(4) == 0,
+      s"fresh manifest must report 3 entries, 0 stale: $fresh")
+    // delete a data file without refreshing: its entry goes stale
+    val victim = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".4mc")).head
+    assert(victim.delete())
+    val stale = manifestRow()
+    assert(stale.getBoolean(2) && stale.getInt(4) == 1, s"one stale entry expected: $stale")
+    // corrupt the manifest: unreadable, data files still fsck clean
+    val mf = new java.io.File(dir, graft.format.McManifest.FileName)
+    val bytes = java.nio.file.Files.readAllBytes(mf.toPath)
+    bytes(12) = (bytes(12) ^ 0x55).toByte
+    java.nio.file.Files.write(mf.toPath, bytes)
+    val rep = Fsck.fsck(spark, dir).collect()
+    val bad = rep.find(_.getString(0).endsWith(graft.format.McManifest.FileName)).get
+    assert(!bad.getBoolean(2) && bad.getString(5).nonEmpty)
+    assert(rep.filterNot(_ eq bad).forall(_.getBoolean(2)))
+  }
+
   test("corrupt bloom/stats segments surface as unreadable metadata, payload still clean") {
     import org.apache.spark.sql.types._
     val dir = freshDir()
