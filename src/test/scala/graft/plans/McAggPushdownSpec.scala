@@ -720,6 +720,30 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L, "covered blocks must stay footer-only")
   }
 
+  test("dict group-by composes with partition columns and partition filters") {
+    val dir = tmpDir()
+    import spark.implicits._
+    (1 to 6000).map { i =>
+      (i.toLong, s"g${i % 4}", s"p${i % 3}")
+    }.toDF("k", "g", "p")
+      .write.format("4mc").option("payload", "csv")
+      .partitionBy("p").mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("g", StringType)))
+    def scanP(): DataFrame =
+      spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def q(df: DataFrame): DataFrame =
+      df.filter(col("p") =!= "p2").groupBy(col("p"), col("g")).agg(count(lit(1)).as("n"))
+    val plan = q(scanP()).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"partition+dict grouping must rewrite:\n${plan.take(1200)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(scanP()))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(scanP())) == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+  }
+
   test("high-cardinality group column keeps the vectorized data scan (probe refuses)") {
     val dir = tmpDir()
     writeSample(dir) // s has 97 distinct values per block: no stats dict
