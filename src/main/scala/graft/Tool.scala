@@ -43,6 +43,7 @@ object Tool {
       |  -1..-4 compression level   -d decompress   -t test integrity (full decode)
       |  -i integrity scan only (checksum walk, no decompression)
       |  -l accept legacy kernel-LZ4 flag (decode auto-detects legacy frames)
+      |  -m write/refresh a directory's _graft_manifest (input is a DIR)
       |  -f force overwrite         -c force stdout
       |  -v verbose                 -q quiet        -V version   -h help""".stripMargin
 
@@ -54,7 +55,7 @@ object Tool {
   def run(args: Array[String]): Int = {
     var zstd = false; var level = 1; var decode = false; var testOnly = false
     var zstStream = false; var force = false; var toStdout = false; var quiet = false
-    var integrityOnly = false; var legacyFlag = false
+    var integrityOnly = false; var legacyFlag = false; var manifestOnly = false
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       // Char-walk parser mirroring the reference CLI (`4mccli.c:206-255`):
@@ -82,6 +83,7 @@ object Tool {
               case 'd' => decode = true
               case 't' => testOnly = true
               case 'i' => integrityOnly = true
+              case 'm' => manifestOnly = true
               case 'f' => force = true
               case 'c' => toStdout = true
               case 'v' => quiet = false
@@ -122,6 +124,15 @@ object Tool {
       val in = Paths.get(paths.head)
       if (!Files.exists(in)) fail(s"input not found: $in")
 
+      if (manifestOnly) {
+        // write/refresh the directory pruning manifest — the CLI twin of
+        // the compaction/batch-commit integration (graft.format.McManifest)
+        if (!Files.isDirectory(in)) fail(s"-m expects a directory: $in")
+        val n = graft.format.McManifest.write(
+          in.toAbsolutePath.toString, new org.apache.hadoop.conf.Configuration())
+        if (!quiet) System.err.println(s"manifest: $n entries -> $in/${graft.format.McManifest.FileName}")
+        return 0
+      }
       if (integrityOnly) {
         // checksum-only walk (no decompression) — the single-file twin of
         // the distributed graft.ops.Fsck sweep; corrupt => exit 1

@@ -103,6 +103,22 @@ class ToolSpec extends AnyFunSuite {
     assert(rc1 == 1 && err1.contains("corrupt=1"), err1)
   }
 
+  test("-m writes a directory manifest; non-dir input fails") {
+    val in = tmpInput()
+    val dir = in.getParent
+    assert(Tool.run(Array("-q", "-f", in.toString)) == 0)
+    val (rc, _, _) = capturingStd(Tool.run(Array("-m", dir.toString)))
+    assert(rc == 0)
+    val mf = dir.resolve(graft.format.McManifest.FileName)
+    assert(java.nio.file.Files.exists(mf))
+    // text-payload files carry no stats segment: a valid, empty manifest
+    val m = graft.format.McManifest.parse(java.nio.file.Files.readAllBytes(mf)).get
+    assert(m.entries.isEmpty)
+    // -m on a FILE is a usage error
+    val (rcBad, _, _) = capturingStd(Tool.run(Array("-m", in.toString)))
+    assert(rcBad == 1)
+  }
+
   test("-V and -h exit 0 and print; unknown flag exits 1") {
     val (rcV, outV, _) = capturingStd(Tool.run(Array("-V")))
     assert(rcV == 0 && new String(outV).contains("4mc"))
