@@ -310,4 +310,53 @@ class DictStreamSpec extends AnyFunSuite {
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     }
   }
+  test("sorted writes RLE-frame the clustered column's codes on disk") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    // sortBy the low-cardinality column: its code stream per block is a
+    // handful of runs -> the writer must pick the RLE framing (bit 7),
+    // while an uncorrelated dict column (qty) stays plain-coded
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtureRows(30000), 1), schema).coalesce(1)
+      .sortWithinPartitions("flag", "id")
+    df.write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (64 * 1024).toString).save(dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".4mc")).head
+    val in = graft.format.McInput.local(part.toPath)
+    try {
+      val idx = graft.format.FourMcReader.readIndex(in)
+      val nCols = idx.stats.get.tags.length
+      var rleFlag = 0; var plainQty = 0; var dictQty = 0
+      for (b <- 0 until idx.numBlocks) {
+        val dirBytes = new Array[Byte](ColumnarBlocks.dirLen(nCols))
+        in.readFully(idx.blockOffsets(b) + graft.format.FourMc.BlockHeaderLen,
+          dirBytes, 0, dirBytes.length)
+        var stored = ColumnarBlocks.dirLen(nCols)
+        for (c <- 0 until nCols) {
+          val sLen = ((dirBytes(c*12)&0xff)<<24)|((dirBytes(c*12+1)&0xff)<<16)|((dirBytes(c*12+2)&0xff)<<8)|(dirBytes(c*12+3)&0xff)
+          val uRaw = ((dirBytes(c*12+4)&0xff)<<24)|((dirBytes(c*12+5)&0xff)<<16)|((dirBytes(c*12+6)&0xff)<<8)|(dirBytes(c*12+7)&0xff)
+          val uLen = uRaw & ~ColumnarBlocks.DictFlag
+          if ((uRaw & ColumnarBlocks.DictFlag) != 0) {
+            val data = new Array[Byte](sLen)
+            in.readFully(idx.blockOffsets(b) + graft.format.FourMc.BlockHeaderLen + stored, data, 0, sLen)
+            val raw = if (sLen == uLen) data
+                      else graft.format.McCodec.decompress(idx.zstd, data, 0, sLen, uLen)
+            val rle = (raw(0) & 0x80) != 0
+            if (c == 1 && rle) rleFlag += 1
+            if (c == 2) { dictQty += 1; if (!rle) plainQty += 1 }
+          }
+          stored += sLen
+        }
+      }
+      assert(rleFlag > 0, "the sort-clustered flag column must RLE-frame its codes")
+      assert(dictQty > 0 && plainQty == dictQty,
+        s"uncorrelated qty codes must stay plain ($plainQty of $dictQty)")
+    } finally in.close()
+    // and the file reads back exactly, including fsck over the run framing
+    val back = spark.read.format("4mc").option("payload", "csv").schema(schema).load(dir)
+    assert(back.count() == 30000L)
+    assert(back.filter(col("flag") === "N|R").count() == fixtureRows(30000).count(_.getString(1) == "N|R"))
+    val rep = graft.ops.Fsck.fsck(spark, dir).collect()
+    assert(rep.forall(r => r.getBoolean(2) && r.getInt(4) == 0), rep.mkString(";"))
+  }
 }
