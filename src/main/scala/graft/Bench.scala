@@ -302,9 +302,11 @@ object Bench {
             .repartitionByRange(mfFiles, col("k"))
             .write.mode("overwrite").format("4mc").option("payload", "csv")
             .save(mfDir.getAbsolutePath)
-          graft.format.McManifest.write(
-            mfDir.getAbsolutePath, spark.sessionState.newHadoopConf())
         }
+        // always refresh: incremental (entries reused by identity), and it
+        // upgrades cached dirs across manifest format versions
+        graft.format.McManifest.write(
+          mfDir.getAbsolutePath, spark.sessionState.newHadoopConf())
         def mfScan() = spark.read.format("4mc").option("payload", "csv")
           .schema(mfSchema).load(mfDir.getAbsolutePath)
           .filter(col("k") >= 5000000L && col("k") < 5010000L)

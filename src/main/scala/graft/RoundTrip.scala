@@ -41,10 +41,10 @@ object RoundTrip {
     val fkey = java.lang.Integer.toHexString(tsFormat.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      // rt5: stats segments carry v4 dict histograms since round 16 — a
-      // fresh cache root so dirs written before the counts land are never
-      // silently reused as evidence for the dict-group pushdown
-      s"graft-rt5/$key/$tableName-$codec-$fkey"
+      // rt6: v2 manifests (exact line counts) since round 16 — a fresh
+      // cache root so dirs written before a format change are never
+      // silently reused as evidence for the features built on it
+      s"graft-rt6/$key/$tableName-$codec-$fkey"
     )
   }
 
@@ -866,7 +866,7 @@ object RoundTrip {
     * handles the surviving files' interiors. ManifestSpec pins the
     * task-count mechanics; this row pins values at driver scale.
     */
-  def manifestPruned(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ensureManifested(spark: SparkSession, sfDir: String): (String, StructType) = {
     import org.apache.spark.sql.functions._
     val src = Queries.table(spark, sfDir, "lineitem")
     val dir = rtDir(sfDir, "lineitem-manifested", "lz4-fast", tsFmt)
@@ -877,9 +877,15 @@ object RoundTrip {
       graft.format.McManifest.write(
         dir.getAbsolutePath, spark.sessionState.newHadoopConf())
     }
+    (dir.getAbsolutePath, src.schema)
+  }
+
+  def manifestPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dir, schema) = ensureManifested(spark, sfDir)
     spark.read.format("4mc").option("payload", "csv")
-      .option("timestampFormat", tsFmt).schema(src.schema)
-      .load(dir.getAbsolutePath)
+      .option("timestampFormat", tsFmt).schema(schema)
+      .load(dir)
       .filter(col("l_orderkey") < 1000L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -891,6 +897,22 @@ object RoundTrip {
     """SELECT l_returnflag, COUNT(*) AS n,
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `COUNT(*)` over the fully-manifested dir (r16): the v2 manifest holds
+    * each file's EXACT line total, so a covered count plans as a literal
+    * over OneRowRelation — ZERO tasks, zero footer reads (ManifestSpec pins
+    * the plan shape; coverage breaks fall back to the per-file
+    * metadata-count path, value-identical).
+    */
+  def manifestCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dir, schema) = ensureManifested(spark, sfDir)
+    spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val manifestCountSql: String = "SELECT COUNT(*) AS n FROM lineitem"
 
   /** Orders joined against its own 4mz round-trip — every column of every row
     * must survive (count mismatch or null join keys would change the result).

@@ -30,13 +30,14 @@ import graft.sources.CsvPayload
   *
   * Layout (all integers big-endian):
   * {{{
-  * magic "4MCM"(4) version(4)=1 nFiles(4)
+  * magic "4MCM"(4) version(4)=2 nFiles(4)
   * per file:
   *   pathLen(2) path(UTF-8, relative to the manifest's directory)
   *   fileLen(8) modTime(8)
   *   nCols(2) tag(1)×nCols
-  *   nonNullTotal+nullTotal saturate to Int.MaxValue/2 each (only zero /
-  *   non-zero matter to pruning): lineCount(4)
+  *   lineCountExact(8) — the file's exact owned-line total (v2: feeds the
+  *   zero-task COUNT(*) rewrite); the per-column pruning arrays saturate
+  *   to Int.MaxValue/2 (only zero / non-zero matter there): lineCount(4)
   *   per col: nullCount(4) flags(1)
   *            [bounds: string → minLen(1) minBytes maxLen(1) maxBytes
   *                     else   → min(8) max(8)]
@@ -47,7 +48,7 @@ import graft.sources.CsvPayload
 object McManifest {
   val FileName = "_graft_manifest"
   val Magic: Int = 0x344d434d // "4MCM"
-  val Version: Int = 1
+  val Version: Int = 2
   private val SatCap: Int = Int.MaxValue / 2
 
   // col flags (mirroring BlockStats semantics)
@@ -62,6 +63,7 @@ object McManifest {
       fileLen: Long,
       modTime: Long,
       tags: Array[Int],
+      lineCountExact: Long, // exact owned-line total (drives COUNT(*) pushdown)
       lineCount: Int, // saturated; zero iff the file owns no lines
       nullCount: Array[Int], // saturated with non-null preservation
       hasBounds: Array[Boolean],
@@ -236,7 +238,7 @@ object McManifest {
       else if (nulls(c2) >= lineSat) nulls(c2) = lineSat - 1 // keep non-nulls visible
       c2 += 1
     }
-    FileEntry(path, fileLen, modTime, st.tags, lineSat,
+    FileEntry(path, fileLen, modTime, st.tags, lineTotal, lineSat,
       nulls, hasB, minL, maxL, minBy, maxBy, minX, maxX, dicts)
   }
 
@@ -258,6 +260,7 @@ object McManifest {
       w8(e.fileLen); w8(e.modTime)
       require(e.tags.length <= 4096)
       w2(e.tags.length); e.tags.foreach(bos.write)
+      w8(e.lineCountExact)
       w4(e.lineCount)
       var c = 0
       while (c < e.tags.length) {
@@ -320,6 +323,7 @@ object McManifest {
       val tags = new Array[Int](nCols)
       var i = 0
       while (i < nCols) { tags(i) = bytes(p) & 0xff; p += 1; i += 1 }
+      val lineCountExact = r8()
       val lineCount = r4()
       val nulls = new Array[Int](nCols)
       val hasB = new Array[Boolean](nCols)
@@ -358,7 +362,7 @@ object McManifest {
         }
         c += 1
       }
-      FileEntry(path, fileLen, modTime, tags, lineCount, nulls, hasB,
+      FileEntry(path, fileLen, modTime, tags, lineCountExact, lineCount, nulls, hasB,
         minL, maxL, minBy, maxBy, minX, maxX, dicts)
     }
     Some(new Manifest(entries))

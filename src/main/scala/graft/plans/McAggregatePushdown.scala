@@ -69,6 +69,42 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.fourmc.aggPushdown", "true").toBoolean
 
+  private def manifestCountEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.fourmc.manifestCount", "true").toBoolean
+
+  /** Exact row total of the relation from its directory manifests, or None
+    * unless EVERY listed data file is matched by identity — stale or
+    * partial coverage (new files, stats-less files) refuses, keeping the
+    * per-file metadata-count path.
+    */
+  private def manifestExactCount(fsRel: HadoopFsRelation): Option[Long] = {
+    try {
+      val roots = fsRel.location.rootPaths
+      if (roots.isEmpty) return None
+      val manifests = roots.flatMap(r =>
+        graft.sources.ManifestFileIndex.load(r, fsRel.sparkSession))
+      if (manifests.isEmpty) return None
+      val byKeyAll = manifests.map(_.byKey)
+      val rootUris = roots.map(_.toUri)
+      var total = 0L
+      fsRel.location.listFiles(Nil, Nil).foreach(_.files.foreach { f =>
+        val name = f.getPath.getName
+        if (name.endsWith(".4mc") || name.endsWith(".4mz")) {
+          val uri = f.getPath.toUri
+          val rel = rootUris.iterator.map(_.relativize(uri)).collectFirst {
+            case r if !r.isAbsolute && r.getPath.nonEmpty => r.getPath
+          }.getOrElse(return None)
+          val entry = byKeyAll.iterator
+            .flatMap(_.get((rel, f.getLen, f.getModificationTime)))
+            .nextOption().getOrElse(return None)
+          total += entry.lineCountExact
+        }
+      })
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private def dictEnabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.fourmc.dictAggPushdown", "true").toBoolean
@@ -422,7 +458,26 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     // partition-filtered forms — empty projection + constant partition
     // vectors). With a data filter the fast path doesn't apply, and the
     // stats route still skips decoding every wholly-inside block.
-    if (dataPreds.isEmpty && reqs.forall(_._2 == ReqCnt)) return None
+    if (dataPreds.isEmpty && reqs.forall(_._2 == ReqCnt)) {
+      // r16: a bare, unfiltered, ungrouped COUNT(*) collapses further when
+      // a directory manifest FULLY covers the listed files — from one
+      // footer task per file to ZERO tasks: Σ exact per-file line totals,
+      // matched by (path, len, modTime) so any content change refuses.
+      if (groups.isEmpty && filterCond.isEmpty && manifestCountEnabled &&
+          !fsRel.options.get("acceptAnyExtension").exists(_.toBoolean)) {
+        manifestExactCount(fsRel).foreach { total =>
+          val newOut: Seq[NamedExpression] = outs.map {
+            case Agg(al, ReqCnt) =>
+              Alias(Literal(total, LongType), al.name)(exprId = al.exprId,
+                qualifier = al.qualifier, explicitMetadata = Some(al.metadata))
+            case _ => return None
+          }
+          return Some(org.apache.spark.sql.catalyst.plans.logical.Project(newOut,
+            org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+        }
+      }
+      return None
+    }
 
     // build the synthetic stats relation
     val boundReqs = reqs.map(_._2).collect { case ReqMin(i) => i; case ReqMax(i) => i }

@@ -161,7 +161,7 @@ object ManifestFileIndex {
   /** Load `root/_graft_manifest` if present and parseable; None otherwise.
     * One `getFileStatus` per call; parse cached on (path, len, modTime).
     */
-  private[sources] def load(root: Path, session: SparkSession): Option[McManifest.Manifest] =
+  private[graft] def load(root: Path, session: SparkSession): Option[McManifest.Manifest] =
     try {
       val conf = session.sessionState.newHadoopConf()
       val fs = root.getFileSystem(conf) match {

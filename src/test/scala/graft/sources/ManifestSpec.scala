@@ -162,6 +162,36 @@ class ManifestSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.fourmc.manifestPruning", "true")
   }
 
+  test("fully-covered manifest answers COUNT(*) with zero tasks") {
+    val dir = tmpDir()
+    writeFiles(dir, 4)
+    graft.format.McManifest.write(dir, hconf)
+    def q() = scan(dir).agg(count(lit(1)).as("n"))
+    // numFilesRead returns -1 when NO file scan exists in the plan — the
+    // count came from the manifest via Project(literal, OneRowRelation)
+    assert(q().collect().head.getLong(0) == 20000L)
+    assert(numFilesRead(q()) == -1L,
+      "covered count must plan with no file scan at all")
+    assert(scan(dir).count() == 20000L) // Dataset.count() takes the same path
+    // a file landing after the manifest: coverage breaks -> metadata-count
+    // path per file, value still exact
+    val rows = (90000 until 92000).map(j => Row(j.toLong, "late", j / 7.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("append").format("4mc").option("payload", "csv").save(dir)
+    assert(q().collect().head.getLong(0) == 22000L)
+    assert(numFilesRead(q()) == 5L, "uncovered dir must fall back to the file scan")
+    // refresh restores the zero-task plan
+    graft.format.McManifest.write(dir, hconf)
+    assert(q().collect().head.getLong(0) == 22000L)
+    assert(numFilesRead(q()) == -1L)
+    // conf off keeps the scan
+    spark.conf.set("spark.graft.fourmc.manifestCount", "false")
+    try assert(numFilesRead(q()) == 5L)
+    finally spark.conf.set("spark.graft.fourmc.manifestCount", "true")
+    // grouped / filtered counts never take the shortcut
+    assert(numFilesRead(scan(dir).filter(col("id") >= 0L).agg(count(lit(1)))) >= 1L)
+  }
+
   test("manifest round-trip: serialize/parse preserves entries; corruption detected") {
     val dir = tmpDir()
     writeFiles(dir, 2)
