@@ -361,7 +361,11 @@ class FourMcStatsFileFormat(
             val s = starts(c)
             val e = CsvPayload.fieldEnd(bytes, delim, starts, 0, c, s, neededFields, totalFields)
             val tag = effTags(c)
-            val isNull =
+            // s > line length = the field is MISSING, not empty (an
+            // older-generation file under positional schema evolution —
+            // starts slots for absent trailing fields hold to+1): NULL for
+            // every type, string included, matching the data readers
+            val isNull = s > bytes.length ||
               CsvPayload.isNullMarker(bytes, s, e) || (s >= e && tag != CsvPayload.TagString)
             nonNull(ci) = !isNull
             parsed(ci) =

@@ -754,6 +754,32 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(q.collect().length == 97)
   }
 
+  test("dict group-by over a two-generation dir: absent-column rows land in the null group") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // generation 1 lacks the group column entirely (positional evolution)
+    (1 to 2000).map(i => i.toLong).toDF("k")
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .mode("overwrite").save(dir)
+    (1 to 3000).map(i => (2000L + i, s"g${i % 3}")).toDF("k", "g")
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .mode("append").save(dir)
+    def q(df: DataFrame): DataFrame = df.groupBy("g").agg(count(lit(1)).as("n"))
+    def scan2(): DataFrame =
+      spark.read.format("4mc").option("payload", "csv").schema(StructType(gSchema.fields.take(2))).load(dir)
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(scan2()))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    // whether or not the probe (first file by listing order) admits the
+    // rewrite, values must match: old-generation rows read g as NULL and
+    // belong to the null group either way
+    assert(sortedRows(q(scan2())) == expect)
+    val nullGroup = q(scan2()).filter(col("g").isNull).collect()
+    assert(nullGroup.length == 1 && nullGroup.head.getLong(1) == 2000L,
+      s"gen-1 rows must form the null group: ${nullGroup.mkString}")
+  }
+
   test("dict-group refuses data filters and non-group aggregates") {
     val dir = tmpDir()
     writeGrouped(dir)
