@@ -192,6 +192,38 @@ class ManifestSpec extends AnyFunSuite {
     assert(numFilesRead(scan(dir).filter(col("id") >= 0L).agg(count(lit(1)))) >= 1L)
   }
 
+  test("hive-partitioned layout: manifest prunes within partitions, count stays zero-task") {
+    val dir = tmpDir()
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 30000).map { j =>
+      Row(j.toLong, s"c${j / 10000}", j / 7.0)
+    }
+    // 3 partition dirs (p=c0/c1/c2), each range-written as 2+ files so the
+    // manifest's RELATIVE paths carry the partition subdirs
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .withColumnRenamed("cat", "p")
+      .repartitionByRange(6, col("id"))
+      .write.format("4mc").option("payload", "csv")
+      .partitionBy("p").mode("overwrite").save(dir)
+    graft.format.McManifest.write(dir, hconf)
+    val readSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    def scanP(): DataFrame =
+      spark.read.format("4mc").option("payload", "csv").schema(readSchema).load(dir)
+    // partition filter composes with manifest range pruning on id
+    val q = scanP().filter(col("p") === "c1" && col("id") < 12000L)
+      .agg(count(lit(1)).as("n"), sum(col("id") * lit(2)).as("s"))
+    assert(q.collect().head.getLong(0) == 2000L) // ids 10000..11999 in c1
+    val files = numFilesRead(scanP().filter(col("p") === "c1" && col("id") < 12000L)
+      .agg(count(lit(1)), sum(col("id") * lit(2))))
+    assert(files >= 1L && files <= 2L,
+      s"partition pruning + manifest range pruning must compose, read $files files")
+    // a bare count over the whole partitioned dir: zero-task literal
+    assert(scanP().count() == 30000L)
+    assert(numFilesRead(scanP().agg(count(lit(1)))) == -1L,
+      "covered partitioned count must plan with no file scan")
+  }
+
   test("manifest round-trip: serialize/parse preserves entries; corruption detected") {
     val dir = tmpDir()
     writeFiles(dir, 2)
