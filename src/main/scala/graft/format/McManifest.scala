@@ -400,31 +400,15 @@ object McManifest {
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (st.isFile && (name.endsWith(".4mc") || name.endsWith(".4mz")) &&
-          !name.startsWith("_") && !name.startsWith(".")) {
+      if (st.isFile && (name.endsWith(".4mc") || name.endsWith(".4mz"))) {
         val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
-        val key = (rel, st.getLen, st.getModificationTime)
-        existing.get(key) match {
-          case Some(e) => entries += e
-          case None =>
-            try {
-              val stream = fs.open(st.getPath)
-              val in = new McInput {
-                def length: Long = st.getLen
-                def readFully(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
-                  stream.readFully(pos, buf, off, n)
-                def close(): Unit = stream.close()
-              }
-              try {
-                val idx = FourMcReader.readIndex(in)
-                idx.stats.foreach { s =>
-                  entries += summarize(rel, st.getLen, st.getModificationTime, s)
-                }
-              } finally stream.close()
-            } catch {
-              case scala.util.control.NonFatal(_) => // unreadable: omit (kept by readers)
-            }
-        }
+        // Skip any path with a hidden COMPONENT ('_'/'.' prefix), matching
+        // Spark's InMemoryFileIndex path filter — the recursive listing
+        // descends into _temporary/.staging dirs, and a refresh racing an
+        // in-flight write must not record uncommitted task-attempt files as
+        // permanent stale entries (r16 advice).
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          addEntry(fs, st, rel, existing, entries)
       }
     }
     val bytes = serialize(entries.toSeq)
@@ -437,5 +421,35 @@ object McManifest {
         throw new IOException(s"4mc manifest: cannot move $tmp into place")
     }
     entries.length
+  }
+
+  private def addEntry(
+      fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus,
+      rel: String,
+      existing: Map[(String, Long, Long), FileEntry],
+      entries: scala.collection.mutable.ArrayBuffer[FileEntry]): Unit = {
+    val key = (rel, st.getLen, st.getModificationTime)
+    existing.get(key) match {
+      case Some(e) => entries += e
+      case None =>
+        try {
+          val stream = fs.open(st.getPath)
+          val in = new McInput {
+            def length: Long = st.getLen
+            def readFully(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
+              stream.readFully(pos, buf, off, n)
+            def close(): Unit = stream.close()
+          }
+          try {
+            val idx = FourMcReader.readIndex(in)
+            idx.stats.foreach { s =>
+              entries += summarize(rel, st.getLen, st.getModificationTime, s)
+            }
+          } finally stream.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => // unreadable: omit (kept by readers)
+        }
+    }
   }
 }

@@ -69,6 +69,20 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.fourmc.aggPushdown", "true").toBoolean
 
+  /** Gate for the zero-task COUNT(*) rewrite from manifest exact line
+    * totals. IDENTITY ASSUMPTION (r16 advice): a manifest entry matches a
+    * file by `(relative path, length, modification time)` — the same
+    * convention Spark's own file index and every incremental system on HDFS
+    * relies on. Every OTHER manifest consumer is self-correcting under a
+    * stale match (pruning verdicts are re-checked by Spark's filters above
+    * the scan), but THIS path turns a stale match into a wrong answer: a
+    * data file rewritten in place to the identical byte length within the
+    * filesystem's mtime granularity (typically 1 s local, 1 ms HDFS) would
+    * be counted from the old entry. That requires an in-place overwrite —
+    * not the tmp+rename pattern every committer here uses — plus a length
+    * collision inside the granularity window. Deployments that rewrite
+    * files in place should set this to false.
+    */
   private def manifestCountEnabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.fourmc.manifestCount", "true").toBoolean
@@ -76,28 +90,28 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
   /** Exact row total of the relation from its directory manifests, or None
     * unless EVERY listed data file is matched by identity — stale or
     * partial coverage (new files, stats-less files) refuses, keeping the
-    * per-file metadata-count path.
+    * per-file metadata-count path. Matching is per ROOT: a file consults
+    * only the manifest of the root it lives under, so identical
+    * (rel, len, mtime) triples across roots can never cross-match.
     */
   private def manifestExactCount(fsRel: HadoopFsRelation): Option[Long] = {
     try {
       val roots = fsRel.location.rootPaths
       if (roots.isEmpty) return None
-      val manifests = roots.flatMap(r =>
-        graft.sources.ManifestFileIndex.load(r, fsRel.sparkSession))
-      if (manifests.isEmpty) return None
-      val byKeyAll = manifests.map(_.byKey)
-      val rootUris = roots.map(_.toUri)
+      val rootsWithManifests = roots.flatMap(r =>
+        graft.sources.ManifestFileIndex.load(r, fsRel.sparkSession).map(r.toUri -> _))
+      if (rootsWithManifests.isEmpty) return None
       var total = 0L
       fsRel.location.listFiles(Nil, Nil).foreach(_.files.foreach { f =>
         val name = f.getPath.getName
         if (name.endsWith(".4mc") || name.endsWith(".4mz")) {
           val uri = f.getPath.toUri
-          val rel = rootUris.iterator.map(_.relativize(uri)).collectFirst {
-            case r if !r.isAbsolute && r.getPath.nonEmpty => r.getPath
-          }.getOrElse(return None)
-          val entry = byKeyAll.iterator
-            .flatMap(_.get((rel, f.getLen, f.getModificationTime)))
-            .nextOption().getOrElse(return None)
+          val entry = rootsWithManifests.iterator.flatMap { case (ru, m) =>
+            val r = ru.relativize(uri)
+            if (!r.isAbsolute && r.getPath.nonEmpty)
+              m.byKey.get((r.getPath, f.getLen, f.getModificationTime))
+            else None
+          }.nextOption().getOrElse(return None)
           total += entry.lineCountExact
         }
       })

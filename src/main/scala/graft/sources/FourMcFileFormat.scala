@@ -567,6 +567,20 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val dictEncode = options.getOrElse("dictEncode", "true").toBoolean
     require(!options.contains("dictEncode") || columnar,
       "dictEncode applies only to layout=columnar")
+    // stats segment version pin (r16 advice): the default (4, dict counts)
+    // is ignored ENTIRELY by pre-v4 readers — every stats-driven feature
+    // (block pruning, aggregate pushdown) silently degrades for new files in
+    // mixed-version deployments. statsVersion=2 (rows layout) or 3
+    // (columnar, count-less dicts) writes the older segment for fleets with
+    // a lower read floor; data bytes are identical either way.
+    val statsVersion = options.get("statsVersion").map(_.toInt)
+      .getOrElse(graft.format.BlockStats.StatsVersionDictCounts)
+    require(statsVersion >= 2 && statsVersion <= graft.format.BlockStats.StatsVersionDictCounts,
+      s"statsVersion must be 2..${graft.format.BlockStats.StatsVersionDictCounts}, got $statsVersion")
+    require(!options.contains("statsVersion") || (csv && blockStatsOn),
+      "statsVersion applies only to payload=csv with blockStats=true")
+    require(!columnar || statsVersion >= graft.format.BlockStats.StatsVersionColumnar,
+      "layout=columnar requires statsVersion>=3 (the layout byte is how readers detect it)")
     // per-block bloom filters over integer key columns ([[BlockBlooms]]):
     // comma-separated column names, validated eagerly on the driver
     val bloomCols: Array[Int] = options.get("bloomColumns") match {
@@ -596,7 +610,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
           options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols, columnar,
-          tsMicros, columnar && dictEncode)
+          tsMicros, columnar && dictEncode, statsVersion)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -1045,7 +1059,8 @@ final class FourMcCsvOutputWriter(
     bloomCols: Array[Int] = Array.empty,
     columnar: Boolean = false,
     tsMicros: Boolean = false,
-    dictEncode: Boolean = false
+    dictEncode: Boolean = false,
+    statsVersion: Int = graft.format.BlockStats.StatsVersionDictCounts
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -1084,10 +1099,8 @@ final class FourMcCsvOutputWriter(
   if (statsBuilder != null)
     out.statsProvider =
       if (columnar)
-        n => statsBuilder.serialize(n, graft.format.BlockStats.StatsVersionDictCounts,
-          graft.format.BlockStats.LayoutColumnar)
-      else n => statsBuilder.serialize(n, graft.format.BlockStats.StatsVersionDictCounts,
-        graft.format.BlockStats.LayoutRows)
+        n => statsBuilder.serialize(n, statsVersion, graft.format.BlockStats.LayoutColumnar)
+      else n => statsBuilder.serialize(n, statsVersion, graft.format.BlockStats.LayoutRows)
   // Per-block bloom filters ([[BlockBlooms]]) over integer key columns; the
   // reader's segment detection requires the stats segment alongside.
   require(bloomCols.isEmpty || blockStats, "bloomColumns requires blockStats=true")

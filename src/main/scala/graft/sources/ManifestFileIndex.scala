@@ -63,22 +63,27 @@ class ManifestFileIndex(
     // scan has no plan-level filters to hand us.
     val filters = dataFilters.flatMap(ManifestFileIndex.translate) ++ extraFilters
     if (filters.isEmpty) return base
-    val roots = rootPaths.flatMap(ManifestFileIndex.load(_, session))
-    if (roots.isEmpty) return base
+    val rootsWithManifests: Seq[(java.net.URI, graft.format.McManifest.Manifest)] =
+      rootPaths.flatMap(r => ManifestFileIndex.load(r, session).map(r.toUri -> _))
+    if (rootsWithManifests.isEmpty) return base
 
     // pre-compute keep() per tag-group of every manifest (file ordinal →
-    // keep flag); group stats reuse the block-pruning logic verbatim
-    val verdicts: Map[(String, Long, Long), Boolean] = roots.flatMap { m =>
-      m.groups.flatMap { case (entries, stats) =>
-        graft.format.McStatsPruning.keepBlocks(filters, dataSchema, stats) match {
-          case Some(keep) =>
-            entries.zipWithIndex.map { case (e, i) =>
-              ((e.path, e.fileLen, e.modTime), keep(i))
-            }
-          case None => Nil
+    // keep flag); group stats reuse the block-pruning logic verbatim.
+    // Keys include the ROOT: with multiple root paths, a file in root A
+    // must never match root B's entry of the same (rel, len, mtime) — two
+    // different-content files could share that triple (r16 advice).
+    val verdicts: Map[(java.net.URI, String, Long, Long), Boolean] =
+      rootsWithManifests.flatMap { case (rootUri, m) =>
+        m.groups.flatMap { case (entries, stats) =>
+          graft.format.McStatsPruning.keepBlocks(filters, dataSchema, stats) match {
+            case Some(keep) =>
+              entries.zipWithIndex.map { case (e, i) =>
+                ((rootUri, e.path, e.fileLen, e.modTime), keep(i))
+              }
+            case None => Nil
+          }
         }
-      }
-    }.toMap
+      }.toMap
     if (verdicts.isEmpty) return base
 
     val rootUris = rootPaths.map(_.toUri)
@@ -87,11 +92,11 @@ class ManifestFileIndex(
       val kept = pd.files.filter { f =>
         val uri = f.getPath.toUri
         val rel = rootUris.iterator
-          .map(_.relativize(uri))
-          .collectFirst { case r if !r.isAbsolute && r.getPath.nonEmpty => r.getPath }
+          .map(ru => ru -> ru.relativize(uri))
+          .collectFirst { case (ru, r) if !r.isAbsolute && r.getPath.nonEmpty => (ru, r.getPath) }
         val keep = rel match {
-          case Some(r) =>
-            verdicts.getOrElse((r, f.getLen, f.getModificationTime), true)
+          case Some((ru, r)) =>
+            verdicts.getOrElse((ru, r, f.getLen, f.getModificationTime), true)
           case None => true
         }
         if (!keep) pruned += 1

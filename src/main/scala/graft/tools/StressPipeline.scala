@@ -52,9 +52,14 @@ object StressPipeline {
                             // scheduling order changes), while record counts
                             // are a pure function of the plan + data
                             firstAttemptShuffleRecords: Long = -1L,
-                            measuredAt: Long = 0L) // epoch seconds; sentinel rows carry the
+                            measuredAt: Long = 0L, // epoch seconds; sentinel rows carry the
                                                    // ROTATION's last-measured time so staleness
                                                    // is visible in the artifact (r13 verdict #8)
+                            // r17: failure cause for secs == -1 rows — the
+                            // exception class + message, so a failed op is
+                            // diagnosable FROM THE ARTIFACT (r16: the cause
+                            // went to stderr and was lost with the log)
+                            error: String = null)
 
   /** 5e7-round spin (~80 ms unloaded): the per-op load calibration. Same
     * ALU-only mix as [[graft.Bench.spinCanaryMs]] at a quarter of the work,
@@ -208,7 +213,7 @@ object StressPipeline {
     * worst case a late stage under-counts the shuffle number, never the
     * wall time.
     */
-  private def timed(spark: SparkSession, name: String)(action: => Long): OpResult = {
+  private[tools] def timed(spark: SparkSession, name: String)(action: => Long): OpResult = {
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val firstShuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val firstShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -251,9 +256,24 @@ object StressPipeline {
       // remaining ops or silently vanish from the JSON
       case e: Throwable =>
         System.err.println(s"[stress] $name failed: ${e.getMessage}")
+        // record the ROOT cause too: Spark wraps executor OOMs/fetch
+        // failures in layers of SparkException whose top-level message is
+        // often just "Job aborted" — the artifact row must say WHY
+        val root = {
+          var c: Throwable = e
+          while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+          c
+        }
+        val msg = {
+          val top = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+          val full =
+            if (root ne e) s"$top <- ${root.getClass.getName}: ${String.valueOf(root.getMessage)}"
+            else top
+          if (full.length > 500) full.take(500) + "..." else full
+        }
         OpResult(name, -1.0, -1L, shuffleBytes.get() / 1e6, -1.0,
           tasks.get(), attempts.get(), firstShuffleBytes.get() / 1e6,
-          firstShuffleRecords.get())
+          firstShuffleRecords.get(), error = msg)
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       // each op checkpoints multi-GB intermediates (postings, signatures, CC
@@ -347,6 +367,22 @@ object StressPipeline {
     // rotation timestamps double as the staleness stamp on sentinel rows
     lazy val rotationStamps = loadRotation()
     def lastMeasured(name: String): Long = rotationStamps.getOrElse(name, 0L) / 1000L
+    // Per-op shuffle sizing (r16 What's wrong #1): dedup_ngram_pairs moves
+    // ~11x the corpus text through its postings/prefix/verify stages
+    // (16.7 GB first-attempt shuffle at textMb=1489), and the section-wide
+    // 256 partitions put ~65 MB of compressed shuffle — several×
+    // uncompressed collect_list state — per task; on a loaded box that is
+    // the measured OOM/retry-cascade regime. Scale THIS op's partitions to
+    // ~24 MB/task, deterministically from the corpus size (plan shape stays
+    // data-deterministic; record counts — the cross-run currency — are
+    // partition-count-invariant by construction).
+    val ngramParts: Int = {
+      val want = math.max(256L, textMb.toLong * 11 / 24)
+      (((want + 31) / 32) * 32).toInt
+    }
+    val opConf: Map[String, Seq[(String, String)]] =
+      Map("dedup_ngram_pairs" ->
+        Seq("spark.sql.shuffle.partitions" -> ngramParts.toString))
     def guarded(name: String)(action: => Long): OpResult =
       if (onlyOps.exists(!_.contains(name)))
         OpResult(name, -3.0, -1L, 0.0, measuredAt = lastMeasured(name))
@@ -354,18 +390,26 @@ object StressPipeline {
         System.err.println(s"[stress] $name skipped: section budget (${budgetSecs}s) exhausted")
         OpResult(name, -2.0, -1L, 0.0, measuredAt = lastMeasured(name))
       } else {
-        val r1 = timed(spark, name)(action)
-        // canary-gated retry (r10 verdict #4): when the pre-op spin canary
-        // shows >2x contention, the measurement is pressure-tainted —
-        // re-measure once if budget remains and keep the quieter run (its
-        // shuffle volume rides along, so the ngram 16,111 MB cross-check
-        // stays a per-run invariant, never a double-count)
-        if (r1.secs >= 0 && r1.canaryMs > 2 * baseCanaryMs && System.nanoTime() < deadline) {
-          System.err.println(
-            f"[stress] $name measured under pressure (canary ${r1.canaryMs}%.0f ms vs base $baseCanaryMs%.0f ms) — re-measuring")
-          val r2 = timed(spark, name)(action)
-          if (r2.secs >= 0 && r2.secs < r1.secs) r2 else r1
-        } else r1
+        val overrides = opConf.getOrElse(name, Nil)
+        val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+        overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val r1 = timed(spark, name)(action)
+          // canary-gated retry (r10 verdict #4): when the pre-op spin canary
+          // shows >2x contention, the measurement is pressure-tainted —
+          // re-measure once if budget remains and keep the quieter run (its
+          // shuffle volume rides along, so the ngram 16,111 MB cross-check
+          // stays a per-run invariant, never a double-count)
+          if (r1.secs >= 0 && r1.canaryMs > 2 * baseCanaryMs && System.nanoTime() < deadline) {
+            System.err.println(
+              f"[stress] $name measured under pressure (canary ${r1.canaryMs}%.0f ms vs base $baseCanaryMs%.0f ms) — re-measuring")
+            val r2 = timed(spark, name)(action)
+            if (r2.secs >= 0 && r2.secs < r1.secs) r2 else r1
+          } else r1
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
       }
     // Op catalog in CANONICAL report order. Ops that must run together (the
     // steady-state pair: build must precede and absorb the index cost) share
@@ -604,15 +648,35 @@ object StressPipeline {
       "spark.graft.checkpoint.storage" ->
         spark.conf.getOption("spark.graft.checkpoint.storage").getOrElse("unset"),
       "ngram.maxDocFreq" -> graft.PipelineQueries.NgramMaxDocFreq.toString,
+      "ngram.shufflePartitions" -> ngramParts.toString,
       "minhash.threshold" -> "0.5",
       "spans.kExt/kSeed/minRun" -> "8/24/12"
     )
     StressReport(repDocs, repEmb, nDocs, nVecs, textMb, genSecs, budgetSecs, confEcho, ops)
   }
 
+  /** Minimal JSON string escape for the error field (quotes, backslashes,
+    * control chars — exception messages carry paths and newlines).
+    */
+  private[tools] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
   def toJson(r: StressReport): String = {
-    val ops = r.ops.map(o =>
-      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f,"first_attempt_shuffle_records":${o.firstAttemptShuffleRecords},"measured_at":${o.measuredAt}}""")
+    val ops = r.ops.map { o =>
+      val err = if (o.error == null) "" else s""","error":"${jsonEscape(o.error)}""""
+      f""""${o.name}":{"secs":${o.secs}%.2f,"rows":${o.rows},"shuffle_write_mb":${o.shuffleWriteMb}%.1f,"canary_ms":${o.canaryMs}%.0f,"tasks":${o.tasks},"attempts":${o.attempts},"first_attempt_shuffle_mb":${o.firstAttemptShuffleMb}%.1f,"first_attempt_shuffle_records":${o.firstAttemptShuffleRecords},"measured_at":${o.measuredAt}$err}"""
+    }
       .mkString("{", ",", "}")
     val conf = r.conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     f"""{"rep_docs":${r.repDocs},"rep_emb":${r.repEmb},"n_docs":${r.nDocs},"n_vecs":${r.nVecs},"text_mb":${r.textMb}%.0f,"gen_secs":${r.genSecs}%.1f,"budget_secs":${r.budgetSecs},"conf":$conf,"ops":$ops}"""

@@ -844,4 +844,46 @@ class FourMcFileFormatSpec extends AnyFunSuite {
     assert(c == n, s"emitted $c rows, expected $n")
     assert(FourMcFileFormat.emptyRows(0L).isEmpty)
   }
+
+  test("statsVersion option pins the stats segment for older read floors") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 3 == 0) "A" else "B")).toDF("id", "cat")
+    def statsOf(dir: String): graft.format.McBlockStats = {
+      val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".4mc")).head
+      val in = graft.format.McInput.local(f.toPath)
+      try graft.format.FourMcReader.readIndex(in).stats.get finally in.close()
+    }
+    // v2 (rows layout): dicts parse count-less — dict-agg pushdown refuses,
+    // pruning and zone maps keep working; readable values identical
+    val d2 = tmpDir()
+    df.coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("layout", "rows").option("statsVersion", "2").save(d2)
+    val s2 = statsOf(d2)
+    assert(!s2.columnar)
+    assert(s2.dictAt(1) != null && s2.dictCountsAt(1) == null)
+    assert(s2.sumAt(0)) // v2 keeps sums
+    // v3 (columnar allowed, count-less dicts)
+    val d3 = tmpDir()
+    df.coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("statsVersion", "3").save(d3)
+    val s3 = statsOf(d3)
+    assert(s3.columnar)
+    assert(s3.dictAt(1) != null && s3.dictCountsAt(1) == null)
+    // default stays v4 (dict counts present)
+    val d4 = tmpDir()
+    df.coalesce(1).write.format("4mc").option("payload", "csv").save(d4)
+    assert(statsOf(d4).dictCountsAt(1) != null)
+    // columnar + v2 is a contradiction (the layout byte IS v3): reject loudly
+    val err = intercept[Exception] {
+      df.write.format("4mc").option("payload", "csv")
+        .option("layout", "columnar").option("statsVersion", "2").save(tmpDir())
+    }
+    assert(err.getMessage.contains("statsVersion"))
+    // values identical across pinned versions
+    val sch = df.schema
+    for (d <- Seq(d2, d3, d4))
+      assert(spark.read.format("4mc").option("payload", "csv").schema(sch)
+        .load(d).as[(Long, String)].collect().sorted.toSeq ==
+        (0 until 2000).map(i => (i.toLong, if (i % 3 == 0) "A" else "B")))
+  }
 }

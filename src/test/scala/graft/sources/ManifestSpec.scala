@@ -241,4 +241,47 @@ class ManifestSpec extends AnyFunSuite {
     assert(numFilesRead(scan(dir).filter(col("id") < 100L).agg(count(lit(1)))) == 2L)
     assert(scan(dir).count() == 10000L)
   }
+
+  test("manifest write skips files under hidden directories (_temporary/.staging)") {
+    val dir = tmpDir()
+    writeFiles(dir, 2)
+    // simulate an in-flight Spark write racing the refresh: a task-attempt
+    // file under _temporary, plus a .staging dir — neither may become a
+    // permanent manifest entry (r16 advice: the NAME filter alone let the
+    // recursive listing record these)
+    val dataFile = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".4mc")).head
+    val tmpSub = new java.io.File(dir, "_temporary/0/task_000/")
+    val stgSub = new java.io.File(dir, ".staging/job1/")
+    tmpSub.mkdirs(); stgSub.mkdirs()
+    java.nio.file.Files.copy(dataFile.toPath,
+      new java.io.File(tmpSub, "part-inflight.4mc").toPath)
+    java.nio.file.Files.copy(dataFile.toPath,
+      new java.io.File(stgSub, "part-staged.4mc").toPath)
+    val n = graft.format.McManifest.write(dir, hconf)
+    assert(n == 2, s"expected 2 committed entries, manifest recorded $n")
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, graft.format.McManifest.FileName).toPath)
+    val m = graft.format.McManifest.parse(bytes).get
+    assert(m.entries.forall(e => !e.path.contains("_temporary") && !e.path.contains(".staging")))
+  }
+
+  test("multi-root scan: a file consults only its own root's manifest") {
+    // root B is a byte-identical copy of root A (same relative names,
+    // lengths, mtimes preserved) with a manifest; A has none. A's files
+    // must NOT match B's entries of the same (rel, len, mtime) — the
+    // verdict map is keyed by root (r16 advice), so only B's refuted file
+    // is pruned and both of A's are kept.
+    val dirA = tmpDir()
+    writeFiles(dirA, 2)
+    val dirB = tmpDir()
+    import scala.sys.process._
+    assert(Seq("cp", "-rp", dirA + "/.", dirB).! == 0)
+    graft.format.McManifest.write(dirB, hconf)
+    val df = spark.read.format("4mc").option("payload", "csv").schema(schema)
+      .load(dirA, dirB)
+      .filter(col("id") < 5000L) // refutes file 1 in each root
+    assert(df.count() == 10000L) // 5000 matching rows from each root
+    // 2 kept in A (no manifest there) + 1 kept in B = 3
+    assert(numFilesRead(df.groupBy().agg(count(lit(1)))) == 3L)
+  }
 }
