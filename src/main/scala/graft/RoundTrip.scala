@@ -813,6 +813,29 @@ object RoundTrip {
   val dictCountDistinctSql: String =
     "SELECT COUNT(DISTINCT l_returnflag) AS d_flags, COUNT(*) AS n FROM lineitem"
 
+  /** Dict-group pushdown COMPOSED with a zone-map data filter (r17): q1's
+    * actual filtered shape — `GROUP BY returnflag WHERE shipdate >= X`. The
+    * stats relation classifies each block against the shipdate zone map:
+    * all-pass blocks emit footer histogram rows, none-pass blocks are
+    * skipped, only straddlers decode (and re-filter per line). On a
+    * shipdate-clustered table the decode set is O(1) blocks regardless of
+    * file count (McAggPushdownSpec pins footer-only on the all-pass span;
+    * this row pins the values at driver scale over the unsorted layout).
+    */
+  def dictGroupByFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    roundTrip(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), count(col("l_returnflag")).as("nn"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val dictGroupByFilteredSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, COUNT(l_returnflag) AS nn
+      |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Two-generation lineitem dir under TYPE WIDENING (r16): generation 1
     * stores the line number as INT and quantity as DECIMAL(10,2),
     * generation 2 as BIGINT / DECIMAL(14,2). Read with the widened schema:

@@ -201,7 +201,9 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       dataSchema: org.apache.spark.sql.types.StructType,
       origPartAttrs: Seq[AttributeReference],
       partFilter: Option[Expression],
-      dictCol: Int): Option[LogicalPlan] = {
+      dictCol: Int,
+      dataPreds: Seq[StatsPred] = Nil,
+      dataConj: Seq[Expression] = Nil): Option[LogicalPlan] = {
     val groupSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(groups)
     val gName = dataSchema.fields(dictCol).name
     val gOrig: AttributeReference = lr.output.collectFirst {
@@ -240,9 +242,26 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     if (reqs.isEmpty) return None
 
     val schema = FourMcStatsFileFormat.groupSchema(dataSchema, dictCol)
+    // compose with directory-manifest FILE pruning, like the non-group path:
+    // the compiled data conjuncts travel statically since the stats relation
+    // evaluates them inside the format
+    val manifestLoc = {
+      val underlying = fsRel.location match {
+        case m: graft.sources.ManifestFileIndex => m.underlying
+        case other                              => other
+      }
+      val pruningOn = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.fourmc.manifestPruning", "true").toBoolean
+      if (!pruningOn || dataConj.isEmpty) underlying
+      else {
+        val extra = dataConj.flatMap(graft.sources.ManifestFileIndex.translate)
+        new graft.sources.ManifestFileIndex(underlying, dataSchema, fsRel.sparkSession, extra)
+      }
+    }
     val newRel = fsRel.copy(
       dataSchema = schema,
-      fileFormat = new FourMcStatsFileFormat(dataSchema, Nil, dictCol))(fsRel.sparkSession)
+      location = manifestLoc,
+      fileFormat = new FourMcStatsFileFormat(dataSchema, dataPreds, dictCol))(fsRel.sparkSession)
     val nnAttr = AttributeReference(s"_nn_$dictCol", LongType, nullable = false)()
     val cntAttr = AttributeReference("_cnt", LongType, nullable = false)()
     // the group field reuses the ORIGINAL attribute (same exprId), so the
@@ -363,12 +382,23 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     if (distinctCols.exists(c => !dictColOpt.contains(c))) return None
     dictColOpt match {
       case Some(dictCol) =>
+        // Filters compose (r17): partition conjuncts stay a logical Filter
+        // above the rewritten relation (directory pruning commutes); data
+        // conjuncts compile to zone-map range predicates pushed into the
+        // stats format, which emits histogram rows for blocks the zone map
+        // proves wholly inside the predicate, skips wholly-outside blocks,
+        // and decodes + re-filters only straddlers — `GROUP BY returnflag
+        // WHERE shipdate >= X` is footer-only on the all-pass span of a
+        // sorted table. An uncompilable data conjunct refuses the rewrite.
         val conjuncts0 = filterCond.map(splitConjunction).getOrElse(Nil)
-        if (!conjuncts0.forall(_.references.subsetOf(partAttrSet))) return None
+        val (partConj0, dataConj0) = conjuncts0.partition(_.references.subsetOf(partAttrSet))
+        val dictPreds: Seq[StatsPred] = dataConj0.map { c =>
+          compileDataPred(c, dataSchema, partNames).getOrElse(return None)
+        }
         if (!dictEnabled) return None
         if (!probeDictCoverage(fsRel, dictCol)) return None
         return tryDictGroupRewrite(groups, aggExprs, lr, fsRel, dataSchema,
-          origPartAttrs, conjuncts0.reduceOption(And.apply), dictCol)
+          origPartAttrs, partConj0.reduceOption(And.apply), dictCol, dictPreds, dataConj0)
       case None =>
     }
 

@@ -780,18 +780,62 @@ class McAggPushdownSpec extends AnyFunSuite {
       s"gen-1 rows must form the null group: ${nullGroup.mkString}")
   }
 
-  test("dict-group refuses data filters and non-group aggregates") {
+  test("dict-group composes with zone-compilable data filters; refuses the rest") {
     val dir = tmpDir()
     writeGrouped(dir)
-    // data filter below the aggregate: keep the normal scan
+    // r17: a range conjunct on a non-string data column COMPOSES — pushed
+    // into the stats relation, which classifies blocks all-pass /
+    // none-pass / straddling
     val f = gScan(dir).filter(col("k") > 100L).groupBy("g").agg(count(lit(1)).as("n"))
-    assert(!f.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    assert(f.queryExecution.executedPlan.toString.contains("4MC-STATS"),
+      "zone-compilable data filter must compose with the dict-group rewrite")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expectF =
+      try sortedRows(gScan(dir).filter(col("k") > 100L).groupBy("g").agg(count(lit(1)).as("n")))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    assert(sortedRows(f) == expectF)
+    assert(f.collect().map(_.getLong(1)).sum == 4900L) // rows 101..5000, null group included
+    // a STRING data conjunct doesn't compile to a zone predicate: refuse
+    val s = gScan(dir).filter(col("g") > "g1").groupBy("g").agg(count(lit(1)).as("n"))
+    assert(!s.queryExecution.executedPlan.toString.contains("4MC-STATS"))
     // aggregate over a non-group column: keep the normal scan
     val m = gScan(dir).groupBy("g").agg(max(col("k")).as("mx"))
     assert(!m.queryExecution.executedPlan.toString.contains("4MC-STATS"))
-    // correctness of both on the normal path
-    assert(f.collect().map(_.getLong(1)).sum == 4900L) // rows 101..5000, null group included
     assert(m.collect().length == 6)
+  }
+
+  test("dict-group + range filter on a sorted table: all-pass span stays footer-only") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // k written ASCENDING in one file with small blocks: a k >= threshold
+    // filter splits blocks into none-pass (skipped), ONE straddler
+    // (decoded), and an all-pass span (footer histograms)
+    (1 to 5000).map { i =>
+      (i.toLong, if (i % 11 == 0) null else s"g${i % 5}", i / 7.0)
+    }.toDF("k", "g", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+    def q(df: DataFrame): DataFrame =
+      df.filter(col("k") >= 2000L && col("k") < 4600L)
+        .groupBy("g").agg(count(lit(1)).as("n"), count(col("g")).as("nn"))
+    val plan = q(gScan(dir)).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"expected composed rewrite:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(gScan(dir)))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(gScan(dir))) == expect)
+    val read = FourMcScanMetrics.blocksRead.sum()
+    val statsB = FourMcScanMetrics.statsAggBlocks.sum()
+    val skipped = FourMcScanMetrics.blocksSkipped.sum()
+    assert(statsB > 0L, "the all-pass span must answer from footer histograms")
+    assert(skipped > 0L, "blocks wholly below/above the range must be skipped")
+    assert(read <= 2L, s"only the straddling block(s) may decode, read $read " +
+      s"(stats=$statsB skipped=$skipped)")
+    // row total is exact: 2600 rows in [2000, 4600)
+    assert(q(gScan(dir)).collect().map(_.getLong(1)).sum == 2600L)
   }
 
   test("SUM(decimal) long-overflow-poisoned blocks decode and stay exact") {
