@@ -553,7 +553,10 @@ object Bench {
             // r13 typed columns at scale: DATE shipdates + DECIMAL money
             // through the container (zone-pruned date filter, decimal sums);
             // r14 adds the full-stack variant (typed + sorted + columnar)
-            "fourmc_date_pricing", "fourmc_columnar_date_pricing")
+            "fourmc_date_pricing", "fourmc_columnar_date_pricing",
+            // r17: two-column dict group-by (q1's grouping shape) answered
+            // from v5 joint histograms — footer-only at 10x
+            "fourmc_dict_groupby2")
           val rows = sf1Names.flatMap { name =>
             SparkEntry.queries.get(name).map { fn =>
               def run(): Double =
@@ -617,7 +620,11 @@ object Bench {
             "fourmz_columnar_q6" -> "q6_forecast",
             // q1-SHAPED (typed date/decimal pricing), not q1: informal
             // absolute comparison of the full stack vs parquet q1
-            "fourmc_columnar_date_pricing" -> "q1_pricing_summary")
+            "fourmc_columnar_date_pricing" -> "q1_pricing_summary",
+            // q1's GROUPING shape (returnflag, linestatus) from v5 joint
+            // histograms vs parquet's full q1 — informal: the dict side
+            // answers counts/min/max from footers alone, which is the point
+            "fourmc_dict_groupby2" -> "q1_pricing_summary")
           val twins: Seq[(String, (Double, Double))] = twinPairs.flatMap { case (cn, pn) =>
             for {
               cf <- SparkEntry.queries.get(cn)

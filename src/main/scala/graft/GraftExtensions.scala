@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shuffle + local sort injected into the V1 write command; disable
     // with spark.graft.fourmc.sortedWrite.enabled=false
     ext.injectPreCBORule(_ => graft.plans.McSortedWrite)
+    // option("manifest", "true"): write/refresh the directory pruning
+    // manifest at job commit — AFTER McSortedWrite in the same batch, so a
+    // sortBy+manifest write is clustered first, then wrapped; disable with
+    // spark.graft.fourmc.manifestOnWrite.enabled=false
+    ext.injectPreCBORule(_ => graft.plans.McManifestOnWrite)
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

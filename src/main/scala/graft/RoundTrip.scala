@@ -41,10 +41,10 @@ object RoundTrip {
     val fkey = java.lang.Integer.toHexString(tsFormat.hashCode)
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      // rt6: v2 manifests (exact line counts) since round 16 — a fresh
+      // rt7: v5 stats segments (joint histograms) since round 17 — a fresh
       // cache root so dirs written before a format change are never
       // silently reused as evidence for the features built on it
-      s"graft-rt6/$key/$tableName-$codec-$fkey"
+      s"graft-rt7/$key/$tableName-$codec-$fkey"
     )
   }
 
@@ -799,6 +799,29 @@ object RoundTrip {
       |       MAX(l_returnflag) AS mx
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TWO-column dict group-by — q1's actual grouping shape, `GROUP BY
+    * l_returnflag, l_linestatus` — answered from footer JOINT histograms
+    * (r17): v5 stats segments ([[graft.format.BlockStats.StatsVersionJoint]])
+    * store sparse per-block (value₁, value₂) → count tables for pairs of
+    * dict-covered string columns, which per-column histograms cannot compose
+    * to (marginals don't determine the joint). One relation row per (block,
+    * value-pair) — ZERO blocks decompressed on covered files
+    * (McAggPushdownSpec pins that; the oracle here pins the values).
+    */
+  def dictGroupBy2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    roundTrip(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), count(col("l_linestatus")).as("nn"),
+        max(col("l_returnflag")).as("mx"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val dictGroupBy2Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       COUNT(l_linestatus) AS nn, MAX(l_returnflag) AS mx
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** `COUNT(DISTINCT col)` from the same v4 entry tables: the distinct count
     * runs over the per-block dictionary entries (≤32 per block), never the
     * rows. Paired with COUNT(*) so the rewrite's row/histogram composition
@@ -1162,6 +1185,53 @@ object RoundTrip {
       |       max(l_linenumber) AS max_ln
       |FROM lineitem WHERE l_orderkey IN (1, 5, 42, 777)
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Point lookups refuted at the DRIVER by manifest FILE-level blooms
+    * (r17): the write carries `bloomColumns` (whose v2 segment now
+    * accumulates a fixed-size per-FILE filter alongside the per-block ones,
+    * [[graft.format.BlockBlooms.BloomVersionFile]]) and `manifest=true`
+    * (the v3 manifest lifts each file's filter,
+    * [[graft.format.McManifest]]). The hash repartition spreads every key
+    * range across every file, so file zone maps cannot refute anything — a
+    * point lookup over a 10k-file dir would still launch 10k tasks just to
+    * let the per-block blooms refuse. With the manifest blooms the driver
+    * drops non-matching FILES before task launch: tasks ∝ surviving files
+    * (ManifestSpec pins the task counts; this row pins values at driver
+    * scale).
+    */
+  def fourMcManifestBloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Queries.table(spark, sfDir, "lineitem")
+    val schema = src.schema
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-rt7/$key/lineitem-mbloom-lz4-fast")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val srcBytes = dataBytes(new java.io.File(s"$sfDir/lineitem.parquet"))
+      val nFiles = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        (srcBytes + (2 << 20) - 1) / (2 << 20))).toInt
+      src.repartition(nFiles)
+        .write.mode("overwrite").format("4mc")
+        .option("payload", "csv")
+        .option("timestampFormat", tsFmt)
+        .option("bloomColumns", "l_orderkey")
+        .option("manifest", "true")
+        .save(dir.getAbsolutePath)
+    }
+    val back = spark.read.format("4mc").option("payload", "csv")
+      .option("timestampFormat", tsFmt).schema(schema).load(dir.getAbsolutePath)
+    back
+      .filter($"l_orderkey".isin(1L, 5L, 42L, 777L))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  val fourMcManifestBloomLookupSql: String =
+    """SELECT l_orderkey, COUNT(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem WHERE l_orderkey IN (1, 5, 42, 777)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Join-driven bloom pruning, end to end through the PLANNER: the
     * broadcast-small build side (customer 42's orders) makes

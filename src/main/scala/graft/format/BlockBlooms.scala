@@ -40,7 +40,29 @@ package graft.format
 object BlockBlooms {
   val BloomMagic: Int = 0x344d4342 // "4MCB"
   val BloomVersion: Int = 1
+  // Version 2 = v1 plus, after the per-block entries, one FILE-level SBBF
+  // per bloom column: `nBuckets(4)` (−1 = absent: the file's distinct key
+  // count outgrew the fixed size; 0 = no non-null keys) then the buckets.
+  // Fixed-size by design — per-block filters are sized to each block's
+  // distinct count and cannot be unioned across blocks, so the file filter
+  // is accumulated writer-side in parallel. Its consumer is the directory
+  // manifest ([[McManifest]]): a point lookup / denylist probe refutes whole
+  // FILES at the driver, the level above the per-block refutation inside a
+  // file. v1 parsers ignore v2 segments entirely (blooms absent: less
+  // pruning, never wrong); `option("bloomVersion", "1")` pins the old
+  // segment for fleets with an older read floor.
+  val BloomVersionFile: Int = 2
   val TrailerLen: Int = 12
+
+  /** Default file-level filter size: 256 buckets = 8 KiB per column. With
+    * the ≥[[FileBloomMinBitsPerKey]] density floor this covers files of up
+    * to ~13k distinct keys per column (bucketed/clustered layouts, dimension
+    * spills); beyond that the filter is marked absent rather than saturated
+    * — a useless always-true filter would cost manifest bytes for no
+    * refutation. `option("fileBloomBuckets", n)` resizes.
+    */
+  val DefaultFileBuckets: Int = 256
+  val FileBloomMinBitsPerKey: Int = 5
 
   /** Writer defaults: ~10 bits/key ≈ 0.9% fpp; the bucket cap bounds the
     * per-block-column filter at 256 KiB (a block with more distinct keys
@@ -107,7 +129,12 @@ final class McBlockBlooms(
     val colIdx: Array[Int],
     val nBuckets: Array[Int], // -1 absent, 0 empty, >0 bucket count
     val offset: Array[Int], // word offset into `words`
-    val words: Array[Int]
+    val words: Array[Int],
+    // v2 FILE-level filters, per colOrd (-1 absent / 0 empty); empty arrays
+    // for v1 segments
+    val fileNBuckets: Array[Int] = Array.empty,
+    val fileOffset: Array[Int] = Array.empty,
+    val fileWords: Array[Int] = Array.empty
 ) extends Serializable {
   def nCols: Int = colIdx.length
   def nBlocks: Int = if (colIdx.isEmpty) 0 else nBuckets.length / colIdx.length
@@ -133,6 +160,33 @@ final class McBlockBlooms(
   /** True when block `block` has a usable (present) filter for `colOrd`. */
   def present(block: Int, colOrd: Int): Boolean =
     nBuckets(block * colIdx.length + colOrd) >= 0
+
+  /** File-level membership (v2): false ⇒ no non-null row of the whole FILE
+    * equals `key`. Absent (v1 segment, or the file outgrew the fixed size)
+    * ⇒ true.
+    */
+  def fileMayContain(colOrd: Int, key: Long): Boolean = {
+    if (colOrd >= fileNBuckets.length) return true
+    val nb = fileNBuckets(colOrd)
+    if (nb < 0) true
+    else if (nb == 0) false
+    else BlockBlooms.contains(fileWords, fileOffset(colOrd), nb, key)
+  }
+
+  def filePresent(colOrd: Int): Boolean =
+    colOrd < fileNBuckets.length && fileNBuckets(colOrd) >= 0
+
+  /** Raw file-level filter for `colOrd` ((nBuckets, words) — words copied),
+    * or None when absent. The manifest writer lifts these into v3 entries.
+    */
+  def fileBloomOf(colOrd: Int): Option[(Int, Array[Int])] = {
+    if (colOrd >= fileNBuckets.length) return None
+    val nb = fileNBuckets(colOrd)
+    if (nb < 0) None
+    else if (nb == 0) Some((0, Array.empty[Int]))
+    else Some((nb, java.util.Arrays.copyOfRange(fileWords, fileOffset(colOrd),
+      fileOffset(colOrd) + nb * 8)))
+  }
 }
 
 object McBlockBlooms {
@@ -149,7 +203,8 @@ object McBlockBlooms {
       p += 4; v
     }
     if (r4() != BloomMagic) throw new java.io.IOException("4mc bloom segment magic mismatch")
-    if (r4() != BloomVersion) return None
+    val version = r4()
+    if (version < BloomVersion || version > BloomVersionFile) return None
     val nCols = r4()
     if (nCols < 0 || nCols > 4096) throw new java.io.IOException(s"4mc bloom nCols $nCols out of range")
     val colIdx = new Array[Int](nCols)
@@ -186,7 +241,36 @@ object McBlockBlooms {
         ((raw(q + 2) & 0xff) << 8) | (raw(q + 3) & 0xff)
       w += 1
     }
-    Some(new McBlockBlooms(colIdx, nBuckets, offset, words))
+    if (version < BloomVersionFile)
+      return Some(new McBlockBlooms(colIdx, nBuckets, offset, words))
+    // v2: FILE-level filters, one per column
+    val fNb = new Array[Int](nCols)
+    val fOff = new Array[Int](nCols)
+    val fBuf = new java.io.ByteArrayOutputStream
+    var fWords = 0
+    var c = 0
+    while (c < nCols) {
+      val nb = r4()
+      if (nb < -1 || nb > (1 << 20)) throw new java.io.IOException(s"4mc file-bloom bucket count $nb out of range")
+      fNb(c) = nb
+      fOff(c) = fWords
+      if (nb > 0) {
+        fBuf.write(seg, p, nb * 32)
+        p += nb * 32
+        fWords += nb * 8
+      }
+      c += 1
+    }
+    val fRaw = fBuf.toByteArray
+    val fw = new Array[Int](fWords)
+    w = 0
+    while (w < fWords) {
+      val q = w * 4
+      fw(w) = ((fRaw(q) & 0xff) << 24) | ((fRaw(q + 1) & 0xff) << 16) |
+        ((fRaw(q + 2) & 0xff) << 8) | (fRaw(q + 3) & 0xff)
+      w += 1
+    }
+    Some(new McBlockBlooms(colIdx, nBuckets, offset, words, fNb, fOff, fw))
   }
 }
 
@@ -202,10 +286,22 @@ final class McBloomBuilder(
     val cols: Array[Int], // data-schema ordinals, ascending
     bitsPerKey: Int = BlockBlooms.DefaultBitsPerKey,
     maxBuckets: Int = BlockBlooms.DefaultMaxBuckets,
-    maxKeysBuffered: Int = 1 << 22) {
+    maxKeysBuffered: Int = 1 << 22,
+    fileBuckets: Int = BlockBlooms.DefaultFileBuckets) { // 0 = v1 segment, no file filters
   import BlockBlooms._
 
   private val nCols = cols.length
+
+  // v2 FILE-level filters: fixed-size, accumulated in parallel with the
+  // per-block buffers (per-block filters are sized per block and cannot be
+  // unioned after the fact). The probe-before-insert keeps an approximate
+  // distinct count; past the density floor the filter is ABANDONED — a
+  // saturated always-true filter would spend manifest bytes refuting nothing.
+  private val fileWords: Array[Array[Int]] = new Array[Array[Int]](nCols)
+  private val fileDistinct = new Array[Int](nCols)
+  private val fileDead = new Array[Boolean](nCols)
+  private val fileMaxDistinct =
+    if (fileBuckets > 0) fileBuckets * 256 / FileBloomMinBitsPerKey else 0
 
   private final class BlockKeys {
     // per colOrd: growable key buffer; null after fold or once over cap
@@ -274,6 +370,18 @@ final class McBloomBuilder(
     * [[cols]], not the schema ordinal) for the current line's block.
     */
   def observe(colOrd: Int, v: Long): Unit = {
+    if (fileBuckets > 0 && !fileDead(colOrd)) {
+      var fwd = fileWords(colOrd)
+      if (fwd == null) { fwd = new Array[Int](fileBuckets * 8); fileWords(colOrd) = fwd }
+      if (!contains(fwd, 0, fileBuckets, v)) {
+        if (fileDistinct(colOrd) >= fileMaxDistinct) {
+          fileDead(colOrd) = true; fileWords(colOrd) = null
+        } else {
+          insert(fwd, 0, fileBuckets, v)
+          fileDistinct(colOrd) += 1
+        }
+      }
+    }
     if (cur.overCap(colOrd)) return
     var a = cur.keys(colOrd)
     val n = cur.len(colOrd)
@@ -296,7 +404,7 @@ final class McBloomBuilder(
       bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
     }
     w4(BloomMagic)
-    w4(BloomVersion)
+    w4(if (fileBuckets > 0) BloomVersionFile else BloomVersion)
     w4(nCols)
     cols.foreach(w4)
     w4(nBlocks)
@@ -320,6 +428,20 @@ final class McBloomBuilder(
         while (c < nCols) { w4(0); c += 1 } // block owns no lines: empty filter
       }
       b += 1
+    }
+    if (fileBuckets > 0) {
+      var c = 0
+      while (c < nCols) {
+        if (fileDead(c)) w4(-1)
+        else if (fileWords(c) == null) w4(0) // no non-null keys in the file
+        else {
+          w4(fileBuckets)
+          val fwd = fileWords(c)
+          var w = 0
+          while (w < fwd.length) { w4(fwd(w)); w += 1 }
+        }
+        c += 1
+      }
     }
     val totalLen = bos.size() + BlockBlooms.TrailerLen
     w4(totalLen)

@@ -74,6 +74,18 @@ object BlockStats {
   // for every v≥3 segment; row-layout files move from v2 to v4 too (their
   // dicts gain counts the same way). v1–v3 files keep parsing count-less.
   val StatsVersionDictCounts: Int = 4
+  // Version 5 = v4 plus, after each block's column entries, sparse JOINT
+  // histograms for pairs of dict-covered string columns: `nPairs(1)` then per
+  // pair `col1(2) col2(2) nEntries(2)` and nEntries × `(i1(1) i2(1) count(4))`
+  // where i = dict-entry ordinal + 1 and 0 encodes NULL. With a joint table,
+  // `GROUP BY col1, col2` (q1's actual grouping shape) is answerable from the
+  // footer alone — one relation row per (block, value-pair) — which per-column
+  // histograms cannot compose to (marginals don't determine the joint).
+  // Tracked pairs are limited to the first [[JointMaxCols]] string columns; a
+  // block-pair whose distinct value-pair count passes [[JointMaxEntries]]
+  // stores no joint (consumers decode that block instead). v1–v4 files keep
+  // parsing joint-less.
+  val StatsVersionJoint: Int = 5
   val LayoutRows: Int = 0
   val LayoutColumnar: Int = 1
   val TrailerLen: Int = 12
@@ -98,6 +110,12 @@ object BlockStats {
   private[format] final val FlagHasDict = 16
   final val DictMaxEntries = 32
   final val DictMaxValueLen = 32
+  // v5 joint-histogram caps: pairs form over at most the first JointMaxCols
+  // string columns (C(8,2)=28 pairs), and a block-pair abandons its joint
+  // past JointMaxEntries distinct value pairs (≤ 6 B/entry serialized, so a
+  // stored joint is ≤ 1.5 KiB; typical low-cardinality pairs are ≤ 10).
+  final val JointMaxCols = 8
+  final val JointMaxEntries = 256
 
   /** Sum domain per parse tag: 0 = none, 1 = wrapping long, 2 = double.
     * Decimals sum their UNSCALED values in the long domain (the consumer
@@ -109,6 +127,19 @@ object BlockStats {
     case _                                                              => 0
   }
 }
+
+/** One block's joint value histogram over the string-column pair (c1, c2),
+  * c1 < c2: `counts(e)` rows carry dict entry `i1(e)` of c1 and `i2(e)` of c2
+  * (−1 = NULL). Exact and complete: Σ counts == the block's owned line count
+  * (every row contributes exactly one entry, null values included).
+  */
+final class JointHist(
+    val c1: Int,
+    val c2: Int,
+    val i1: Array[Int],
+    val i2: Array[Int],
+    val counts: Array[Int]
+) extends Serializable
 
 /** Parsed stats for one file. Arrays are indexed [block] and [block*nCols+col]. */
 final class McBlockStats(
@@ -127,7 +158,8 @@ final class McBlockStats(
     val sumLong: Array[Long] = Array.empty, // long wrap-sum, or double sum as raw bits
     val layout: Int = BlockStats.LayoutRows, // v3; rows for v1/v2 segments
     val dicts: Array[Array[Array[Byte]]] = Array.empty, // r14; null entry = no dict
-    val dictCounts: Array[Array[Int]] = Array.empty // v4; parallel to dicts
+    val dictCounts: Array[Array[Int]] = Array.empty, // v4; parallel to dicts
+    val joints: Array[Array[JointHist]] = Array.empty // v5; per block, null = none
 ) extends Serializable {
   def nCols: Int = tags.length
   def nBlocks: Int = firstOwnedStart.length
@@ -137,6 +169,17 @@ final class McBlockStats(
   def dictAt(k: Int): Array[Array[Byte]] = if (k < dicts.length) dicts(k) else null
   /** v4 per-entry counts (parallel to [[dictAt]]), or null (v1–v3 files). */
   def dictCountsAt(k: Int): Array[Int] = if (k < dictCounts.length) dictCounts(k) else null
+  /** Block `b`'s joint histogram for the pair (c1, c2), c1 < c2, or null. */
+  def jointAt(b: Int, c1: Int, c2: Int): JointHist = {
+    if (b >= joints.length || joints(b) == null) return null
+    val arr = joints(b)
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i).c1 == c1 && arr(i).c2 == c2) return arr(i)
+      i += 1
+    }
+    null
+  }
 }
 
 /** Writer-side accumulator. The csv OutputWriter calls [[startLine]] once per
@@ -155,6 +198,38 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
   private val nCols = tags.length
 
   private val sumKind: Array[Int] = tags.map(BlockStats.sumKindOf)
+
+  // v5 joint histograms: candidate pairs among the first JointMaxCols string
+  // columns (ordinal pairs, c1 < c2). A pair's per-block accumulation dies
+  // with either column's dict or past JointMaxEntries distinct value pairs.
+  private val jointPairs: Array[(Int, Int)] = {
+    val strCols = tags.indices.filter(i => tags(i) == CsvPayload.TagString)
+      .take(BlockStats.JointMaxCols)
+    (for { a <- strCols.indices; b <- a + 1 until strCols.length }
+      yield (strCols(a), strCols(b))).toArray
+  }
+
+  private final class JointAcc {
+    var over = false
+    var n = 0
+    var keys = new Array[Int](8) // ((i1+1) << 8) | (i2+1); 0 byte = NULL
+    var cnts = new Array[Int](8)
+    private var lastHit = 0
+    def add(key: Int): Unit = {
+      if (n > 0 && keys(lastHit) == key) { cnts(lastHit) += 1; return }
+      var i = 0
+      while (i < n) {
+        if (keys(i) == key) { cnts(i) += 1; lastHit = i; return }
+        i += 1
+      }
+      if (n >= BlockStats.JointMaxEntries) { over = true; keys = null; cnts = null; return }
+      if (n == keys.length) {
+        keys = java.util.Arrays.copyOf(keys, n * 2)
+        cnts = java.util.Arrays.copyOf(cnts, n * 2)
+      }
+      keys(n) = key; cnts(n) = 1; lastHit = n; n += 1
+    }
+  }
 
   private final class BlockAcc {
     var firstOwned: Int = NoOwnedLines
@@ -176,10 +251,40 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
     val dictN = new Array[scala.collection.mutable.ArrayBuffer[Int]](nCols) // per-entry counts (v4)
     val dictOver = new Array[Boolean](nCols)
     val dictLastHit = new Array[Int](nCols) // repeat-heavy data hits the same slot
+    // per-pair joint accumulators (v5), allocated on first fold into the block
+    val joint: Array[JointAcc] =
+      if (jointPairs.nonEmpty) new Array[JointAcc](jointPairs.length) else null
   }
 
   private val blocks = scala.collection.mutable.ArrayBuffer.empty[BlockAcc]
   private var cur: BlockAcc = _
+
+  // This row's dict-entry ordinal per string column (−1 = null, −2 = dict
+  // dead / value over length cap), folded into `pendingAcc`'s joint tables at
+  // the NEXT startLine (the builder has no explicit end-of-line call) — and
+  // once more at serialize for the final row.
+  private val rowIdx: Array[Int] = new Array[Int](nCols)
+  private var pendingAcc: BlockAcc = _
+
+  private def foldJoint(): Unit = {
+    val acc = pendingAcc
+    pendingAcc = null
+    if (acc == null || jointPairs.isEmpty) return
+    var pi = 0
+    while (pi < jointPairs.length) {
+      val c1 = jointPairs(pi)._1
+      val c2 = jointPairs(pi)._2
+      var j = acc.joint(pi)
+      if (j == null) { j = new JointAcc; acc.joint(pi) = j }
+      if (!j.over) {
+        val i1 = rowIdx(c1)
+        val i2 = rowIdx(c2)
+        if (i1 == -2 || i2 == -2 || acc.dictOver(c1) || acc.dictOver(c2)) j.over = true
+        else j.add(((i1 + 1) << 8) | (i2 + 1))
+      }
+      pi += 1
+    }
+  }
 
   private def blockAt(i: Int): BlockAcc = {
     while (blocks.length <= i) blocks += new BlockAcc
@@ -191,6 +296,7 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
     * Routes ownership per the offset-0 rule above.
     */
   def startLine(blockIdx: Int, offsetInBlock: Int): Unit = {
+    foldJoint() // previous row's pair counts, into the block that owned it
     val owner = if (offsetInBlock == 0 && blockIdx > 0) blockIdx - 1 else blockIdx
     cur = blockAt(owner)
     cur.lines += 1
@@ -199,6 +305,7 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
         if (owner == blockIdx) offsetInBlock // includes file-start (0, 0)
         else FirstAtNextBlock
     }
+    pendingAcc = cur
   }
 
   /** Columnar-layout registration: rows never span blocks and block b's
@@ -208,12 +315,14 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
     * read as "has owned lines".
     */
   def startLineOwned(blockIdx: Int): Unit = {
+    foldJoint()
     cur = blockAt(blockIdx)
     cur.lines += 1
     if (cur.firstOwned == NoOwnedLines) cur.firstOwned = 0
+    pendingAcc = cur
   }
 
-  def observeNull(col: Int): Unit = cur.nulls(col) += 1
+  def observeNull(col: Int): Unit = { cur.nulls(col) += 1; rowIdx(col) = -1 }
 
   def observeLong(col: Int, v: Long): Unit = {
     if (sumKind(col) == 1) {
@@ -285,6 +394,9 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
         }
       }
     }
+    // this row's entry ordinal, for the joint fold (dictLastHit is the
+    // found/appended slot on every alive path above)
+    rowIdx(col) = if (cur.dictOver(col)) -2 else cur.dictLastHit(col)
     val (trunc, exact) =
       if (bytes.length <= MaxStrBytes) (bytes, true)
       else (java.util.Arrays.copyOf(bytes, MaxStrBytes), false)
@@ -309,6 +421,7 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
                 layout: Int = LayoutRows): Array[Byte] = {
     require(layout == LayoutRows || version >= StatsVersionColumnar,
       "non-row layouts require a version-3 stats segment")
+    foldJoint() // the final row's pair counts (idempotent: pendingAcc clears)
     val bos = new java.io.ByteArrayOutputStream(64 + nBlocks * (8 + nCols * 24))
     def w4(v: Int): Unit = {
       bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
@@ -366,6 +479,39 @@ final class McStatsBuilder(schema: StructType, tsMicros: Boolean = false) {
         }
         c += 1
       }
+      if (version >= StatsVersionJoint) {
+        // joint section: only pairs whose BOTH dicts survived the block (the
+        // entry ordinals reference the dicts serialized above) and whose own
+        // accumulation stayed within the entry cap
+        var nPairs = 0
+        var pi = 0
+        while (pi < jointPairs.length) {
+          val j = if (acc.joint == null) null else acc.joint(pi)
+          if (j != null && !j.over && j.n > 0 &&
+              !acc.dictOver(jointPairs(pi)._1) && !acc.dictOver(jointPairs(pi)._2)) nPairs += 1
+          pi += 1
+        }
+        bos.write(nPairs)
+        pi = 0
+        while (pi < jointPairs.length) {
+          val j = if (acc.joint == null) null else acc.joint(pi)
+          if (j != null && !j.over && j.n > 0 &&
+              !acc.dictOver(jointPairs(pi)._1) && !acc.dictOver(jointPairs(pi)._2)) {
+            val (c1, c2) = jointPairs(pi)
+            bos.write((c1 >>> 8) & 0xff); bos.write(c1 & 0xff)
+            bos.write((c2 >>> 8) & 0xff); bos.write(c2 & 0xff)
+            bos.write((j.n >>> 8) & 0xff); bos.write(j.n & 0xff)
+            var e = 0
+            while (e < j.n) {
+              bos.write((j.keys(e) >>> 8) & 0xff)
+              bos.write(j.keys(e) & 0xff)
+              w4(j.cnts(e))
+              e += 1
+            }
+          }
+          pi += 1
+        }
+      }
       b += 1
     }
     val totalLen = bos.size() + TrailerLen
@@ -398,7 +544,7 @@ object McBlockStats {
     def r8(): Long = { val hi = r4().toLong; val lo = r4().toLong & 0xffffffffL; (hi << 32) | lo }
     if (r4() != StatsMagic) throw new java.io.IOException("4mc stats segment magic mismatch")
     val version = r4()
-    if (version < 1 || version > StatsVersionDictCounts) return None // forward-compat: ignore newer stats
+    if (version < 1 || version > StatsVersionJoint) return None // forward-compat: ignore newer stats
     val layout =
       if (version >= StatsVersionColumnar) { val l = seg(p) & 0xff; p += 1; l }
       else LayoutRows
@@ -425,6 +571,7 @@ object McBlockStats {
     val sums = new Array[Long](n)
     val dicts = new Array[Array[Array[Byte]]](n)
     val dictCnts = new Array[Array[Int]](n)
+    val joints = new Array[Array[JointHist]](nBlocks)
     var b = 0
     while (b < nBlocks) {
       first(b) = r4()
@@ -466,10 +613,36 @@ object McBlockStats {
         }
         c += 1
       }
+      if (version >= StatsVersionJoint) {
+        val nP = seg(p) & 0xff; p += 1
+        if (nP > 0) {
+          val arr = new Array[JointHist](nP)
+          var pi = 0
+          while (pi < nP) {
+            def r2(): Int = { val v = ((seg(p) & 0xff) << 8) | (seg(p + 1) & 0xff); p += 2; v }
+            val c1 = r2(); val c2 = r2(); val ne = r2()
+            if (ne > JointMaxEntries)
+              throw new java.io.IOException(s"4mc stats joint size $ne out of range")
+            val i1 = new Array[Int](ne)
+            val i2 = new Array[Int](ne)
+            val cn = new Array[Int](ne)
+            var e = 0
+            while (e < ne) {
+              i1(e) = (seg(p) & 0xff) - 1; p += 1 // 0 encodes NULL
+              i2(e) = (seg(p) & 0xff) - 1; p += 1
+              cn(e) = r4()
+              e += 1
+            }
+            arr(pi) = new JointHist(c1, c2, i1, i2, cn)
+            pi += 1
+          }
+          joints(b) = arr
+        }
+      }
       b += 1
     }
     Some(new McBlockStats(tags, first, lines, nulls, bounds, minL, maxL, minB, maxB, minX, maxX,
-      hasSum, sums, layout, dicts, dictCnts))
+      hasSum, sums, layout, dicts, dictCnts, joints))
   }
 }
 

@@ -48,7 +48,14 @@ import graft.sources.CsvPayload
 object McManifest {
   val FileName = "_graft_manifest"
   val Magic: Int = 0x344d434d // "4MCM"
-  val Version: Int = 2
+  // v3 (r17) appends per-file FILE-level bloom filters (lifted from v2 bloom
+  // segments, [[BlockBlooms.BloomVersionFile]]) after each entry's columns:
+  // `nBloomCols(1)` then per column `colIdx(2) nBuckets(4) buckets` — the
+  // driver-side refutation for POINT lookups and denylist probes on
+  // unsorted high-cardinality keys, where zone maps and dictionaries can't
+  // help. v2 manifests parse bloom-less; v3 is always written.
+  val Version: Int = 3
+  private val VersionMin: Int = 2
   private val SatCap: Int = Int.MaxValue / 2
 
   // col flags (mirroring BlockStats semantics)
@@ -73,7 +80,12 @@ object McManifest {
       maxBytes: Array[Array[Byte]],
       minExact: Array[Boolean],
       maxExact: Array[Boolean],
-      dicts: Array[Array[Array[Byte]]] // null = none
+      dicts: Array[Array[Array[Byte]]], // null = none
+      // v3: file-level blooms — parallel arrays over the file's bloom
+      // columns (schema ordinals); words null iff nBuckets <= 0
+      bloomCols: Array[Int] = Array.empty,
+      bloomBuckets: Array[Int] = Array.empty,
+      bloomWords: Array[Array[Int]] = Array.empty
   )
 
   /** Parsed manifest: entries grouped by tag vector, each group pre-built
@@ -86,9 +98,12 @@ object McManifest {
       entries.map(e => ((e.path, e.fileLen, e.modTime), e)).toMap
 
     /** Tag-vector groups (mixed-generation dirs evolve schemas): one
-      * synthetic stats object per group.
+      * synthetic stats object per group — one "block" per file — plus (v3)
+      * a synthetic bloom object mapping each file's FILE-level filters into
+      * the per-block slots, so [[McStatsPruning.keepBlocks]]'s zone + bloom
+      * composition prunes files exactly as it prunes blocks.
       */
-    val groups: Seq[(Seq[FileEntry], McBlockStats)] =
+    val groups: Seq[(Seq[FileEntry], McBlockStats, Option[McBlockBlooms])] =
       entries.groupBy(_.tags.toSeq).toSeq.map { case (_, es) =>
         val nCols = es.head.tags.length
         val n = es.length
@@ -121,15 +136,46 @@ object McManifest {
           }
           i += 1
         }
+        val blooms: Option[McBlockBlooms] = {
+          val colsUnion = es.flatMap(_.bloomCols).distinct.sorted.toArray
+          if (colsUnion.isEmpty) None
+          else {
+            val nc = colsUnion.length
+            val nb = new Array[Int](n * nc)
+            val off = new Array[Int](n * nc)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var fi = 0
+            while (fi < n) {
+              val e = es(fi)
+              var cj = 0
+              while (cj < nc) {
+                val k = fi * nc + cj
+                val pos = e.bloomCols.indexOf(colsUnion(cj))
+                if (pos < 0) nb(k) = -1 // this file carries no filter: keep
+                else {
+                  nb(k) = e.bloomBuckets(pos)
+                  off(k) = buf.length
+                  if (nb(k) > 0) buf ++= e.bloomWords(pos)
+                }
+                cj += 1
+              }
+              fi += 1
+            }
+            Some(new McBlockBlooms(colsUnion, nb, off, buf.toArray))
+          }
+        }
         (es.toSeq, new McBlockStats(es.head.tags, first, lines, nulls, bounds,
-          minL, maxL, minB, maxB, minX, maxX, dicts = dicts))
+          minL, maxL, minB, maxB, minX, maxX, dicts = dicts), blooms)
       }
   }
 
   @inline private def sat(v: Long): Int = math.min(v, SatCap.toLong).toInt
 
-  /** Aggregate one file's per-block stats into a manifest entry. */
-  def summarize(path: String, fileLen: Long, modTime: Long, st: McBlockStats): FileEntry = {
+  /** Aggregate one file's per-block stats (and v2 bloom segment, when
+    * present) into a manifest entry.
+    */
+  def summarize(path: String, fileLen: Long, modTime: Long, st: McBlockStats,
+      blooms: Option[McBlockBlooms] = None): FileEntry = {
     val nCols = st.nCols
     val nB = st.nBlocks
     var lineTotal = 0L
@@ -238,8 +284,26 @@ object McManifest {
       else if (nulls(c2) >= lineSat) nulls(c2) = lineSat - 1 // keep non-nulls visible
       c2 += 1
     }
+    // file-level blooms (v2 bloom segments): lift each PRESENT filter; an
+    // absent one (file outgrew the fixed size) is simply omitted — readers
+    // keep files they have no filter for
+    val (bCols, bNbs, bWs) = blooms match {
+      case Some(bl) if bl.fileNBuckets.nonEmpty =>
+        val cs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val nbs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val ws = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        var ord = 0
+        while (ord < bl.nCols) {
+          bl.fileBloomOf(ord).foreach { case (nb, words) =>
+            cs += bl.colIdx(ord); nbs += nb; ws += (if (nb > 0) words else null)
+          }
+          ord += 1
+        }
+        (cs.toArray, nbs.toArray, ws.toArray)
+      case _ => (Array.empty[Int], Array.empty[Int], Array.empty[Array[Int]])
+    }
     FileEntry(path, fileLen, modTime, st.tags, lineTotal, lineSat,
-      nulls, hasB, minL, maxL, minBy, maxBy, minX, maxX, dicts)
+      nulls, hasB, minL, maxL, minBy, maxBy, minX, maxX, dicts, bCols, bNbs, bWs)
   }
 
   // --- serialization ---------------------------------------------------
@@ -285,6 +349,16 @@ object McManifest {
         }
         c += 1
       }
+      // v3: file-level blooms
+      require(e.bloomCols.length <= 255)
+      bos.write(e.bloomCols.length)
+      var bc = 0
+      while (bc < e.bloomCols.length) {
+        w2(e.bloomCols(bc))
+        w4(e.bloomBuckets(bc))
+        if (e.bloomBuckets(bc) > 0) e.bloomWords(bc).foreach(w4)
+        bc += 1
+      }
     }
     val body = bos.toByteArray
     val out = java.util.Arrays.copyOf(body, body.length + 4)
@@ -312,7 +386,8 @@ object McManifest {
     }
     def r8(): Long = { val hi = r4().toLong; val lo = r4().toLong & 0xffffffffL; (hi << 32) | lo }
     if (r4() != Magic) throw new IOException("4mc manifest magic mismatch")
-    if (r4() != Version) return None
+    val version = r4()
+    if (version < VersionMin || version > Version) return None
     val nFiles = r4()
     if (nFiles < 0 || nFiles > (1 << 24)) throw new IOException(s"4mc manifest nFiles $nFiles")
     val entries = (0 until nFiles).map { _ =>
@@ -362,8 +437,34 @@ object McManifest {
         }
         c += 1
       }
+      var bCols = Array.empty[Int]
+      var bNbs = Array.empty[Int]
+      var bWs = Array.empty[Array[Int]]
+      if (version >= 3) {
+        val nBl = bytes(p) & 0xff; p += 1
+        if (nBl > 0) {
+          bCols = new Array[Int](nBl)
+          bNbs = new Array[Int](nBl)
+          bWs = new Array[Array[Int]](nBl)
+          var bc = 0
+          while (bc < nBl) {
+            bCols(bc) = r2()
+            val nb = r4()
+            if (nb < -1 || nb > (1 << 20))
+              throw new IOException(s"4mc manifest bloom bucket count $nb out of range")
+            bNbs(bc) = nb
+            if (nb > 0) {
+              val w = new Array[Int](nb * 8)
+              var wi = 0
+              while (wi < w.length) { w(wi) = r4(); wi += 1 }
+              bWs(bc) = w
+            }
+            bc += 1
+          }
+        }
+      }
       FileEntry(path, fileLen, modTime, tags, lineCountExact, lineCount, nulls, hasB,
-        minL, maxL, minBy, maxBy, minX, maxX, dicts)
+        minL, maxL, minBy, maxBy, minX, maxX, dicts, bCols, bNbs, bWs)
     }
     Some(new Manifest(entries))
   }
@@ -444,7 +545,7 @@ object McManifest {
           try {
             val idx = FourMcReader.readIndex(in)
             idx.stats.foreach { s =>
-              entries += summarize(rel, st.getLen, st.getModificationTime, s)
+              entries += summarize(rel, st.getLen, st.getModificationTime, s, idx.blooms)
             }
           } finally stream.close()
         } catch {

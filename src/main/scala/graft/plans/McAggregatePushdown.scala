@@ -130,9 +130,9 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     * otherwise decode every block through the slower per-line fallback.
     */
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), java.lang.Boolean]
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), java.lang.Boolean]
 
-  private def probeDictCoverage(fsRel: HadoopFsRelation, col: Int): Boolean = {
+  private def probeDictCoverage(fsRel: HadoopFsRelation, cols: Seq[Int]): Boolean = {
     try {
       val acceptAny = fsRel.options.get("acceptAnyExtension").exists(_.toBoolean)
       val status = fsRel.location.listFiles(Nil, Nil).iterator
@@ -142,7 +142,8 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
           acceptAny || n.endsWith(".4mc") || n.endsWith(".4mz")
         }
         .getOrElse(return false)
-      val key = (status.getPath.toString, status.getLen, status.getModificationTime, col)
+      val key = (status.getPath.toString, status.getLen, status.getModificationTime,
+        cols.mkString(","))
       val cached = probeCache.get(key)
       if (cached != null) return cached.booleanValue()
       if (probeCache.size > 4096) probeCache.clear()
@@ -166,14 +167,24 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
           val idx = graft.format.FourMcReader.readIndex(in)
           idx.stats match {
             case Some(st) if st.nCols == fsRel.dataSchema.length =>
+              // single column: v4 per-column histograms on ≥ half the
+              // value-bearing blocks; pair: v5 JOINT histograms on ≥ half
+              // the line-bearing blocks (joints cover nulls too)
               var covered = 0
               var withVals = 0
               var b = 0
               while (b < st.nBlocks) {
-                val k = b * st.nCols + col
-                if (st.lineCount(b) - st.nullCount(k) > 0) {
-                  withVals += 1
-                  if (st.dictCountsAt(k) != null) covered += 1
+                if (cols.length == 2) {
+                  if (st.lineCount(b) > 0) {
+                    withVals += 1
+                    if (st.jointAt(b, cols(0), cols(1)) != null) covered += 1
+                  }
+                } else {
+                  val k = b * st.nCols + cols(0)
+                  if (st.lineCount(b) - st.nullCount(k) > 0) {
+                    withVals += 1
+                    if (st.dictCountsAt(k) != null) covered += 1
+                  }
                 }
                 b += 1
               }
@@ -201,39 +212,42 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       dataSchema: org.apache.spark.sql.types.StructType,
       origPartAttrs: Seq[AttributeReference],
       partFilter: Option[Expression],
-      dictCol: Int,
+      dictCols: Seq[Int],
       dataPreds: Seq[StatsPred] = Nil,
       dataConj: Seq[Expression] = Nil): Option[LogicalPlan] = {
     val groupSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(groups)
-    val gName = dataSchema.fields(dictCol).name
-    val gOrig: AttributeReference = lr.output.collectFirst {
-      case a: AttributeReference if a.name == gName => a
-    }.getOrElse(return None)
+    val cols = dictCols.sorted // relation layout order (groupSchema normalizes too)
+    val gOrigs: Seq[AttributeReference] = cols.map { c =>
+      val gName = dataSchema.fields(c).name
+      lr.output.collectFirst {
+        case a: AttributeReference if a.name == gName => a
+      }.getOrElse(return None)
+    }
 
     sealed trait GReq
-    case object GCnt extends GReq      // count(*) / count(non-null literal)
-    case object GNn extends GReq       // count(g)
-    case object GMin extends GReq
-    case object GMax extends GReq
-    case object GDistinct extends GReq // count(distinct g)
+    case object GCnt extends GReq               // count(*) / count(non-null literal)
+    case class GNn(g: Int) extends GReq         // count(g) — g indexes `cols`
+    case class GMin(g: Int) extends GReq
+    case class GMax(g: Int) extends GReq
+    case class GDistinct(g: Int) extends GReq   // count(distinct g)
     sealed trait Out
     case class Pass(ne: NamedExpression) extends Out
     case class Agg(al: Alias, req: GReq) extends Out
-    def isG(c: Expression): Boolean = c match {
-      case a: AttributeReference => a.exprId == gOrig.exprId
-      case _                     => false
+    def gOf(c: Expression): Int = c match {
+      case a: AttributeReference => gOrigs.indexWhere(_.exprId == a.exprId)
+      case _                     => -1
     }
     val outs: Seq[Out] = aggExprs.map {
       case a: AttributeReference if groupSet.contains(a) => Pass(a)
       case al @ Alias(a: AttributeReference, _) if groupSet.contains(a) => Pass(al)
       case al @ Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(c)) if ae.isDistinct && isG(c) => Agg(al, GDistinct)
+          case Count(Seq(c)) if ae.isDistinct && gOf(c) >= 0 => Agg(al, GDistinct(gOf(c)))
           case _ if ae.isDistinct                       => return None
           case Count(Seq(Literal(v, _))) if v != null   => Agg(al, GCnt)
-          case Count(Seq(c)) if isG(c)                  => Agg(al, GNn)
-          case Min(c) if isG(c)                         => Agg(al, GMin)
-          case Max(c) if isG(c)                         => Agg(al, GMax)
+          case Count(Seq(c)) if gOf(c) >= 0             => Agg(al, GNn(gOf(c)))
+          case Min(c) if gOf(c) >= 0                    => Agg(al, GMin(gOf(c)))
+          case Max(c) if gOf(c) >= 0                    => Agg(al, GMax(gOf(c)))
           case _                                        => return None
         }
       case _ => return None
@@ -241,7 +255,7 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     val reqs = outs.collect { case a: Agg => a }
     if (reqs.isEmpty) return None
 
-    val schema = FourMcStatsFileFormat.groupSchema(dataSchema, dictCol)
+    val schema = FourMcStatsFileFormat.groupSchema(dataSchema, cols)
     // compose with directory-manifest FILE pruning, like the non-group path:
     // the compiled data conjuncts travel statically since the stats relation
     // evaluates them inside the format
@@ -261,13 +275,14 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
     val newRel = fsRel.copy(
       dataSchema = schema,
       location = manifestLoc,
-      fileFormat = new FourMcStatsFileFormat(dataSchema, dataPreds, dictCol))(fsRel.sparkSession)
-    val nnAttr = AttributeReference(s"_nn_$dictCol", LongType, nullable = false)()
+      fileFormat = new FourMcStatsFileFormat(dataSchema, dataPreds, cols))(fsRel.sparkSession)
+    val nnAttrs: Seq[AttributeReference] =
+      cols.map(c => AttributeReference(s"_nn_$c", LongType, nullable = false)())
     val cntAttr = AttributeReference("_cnt", LongType, nullable = false)()
-    // the group field reuses the ORIGINAL attribute (same exprId), so the
+    // the group fields reuse the ORIGINAL attributes (same exprIds), so the
     // Aggregate's grouping keys and value aggregates resolve untouched
-    val newLr = LogicalRelation(newRel, Seq(gOrig, nnAttr, cntAttr) ++ origPartAttrs, None,
-      isStreaming = false, stream = None)
+    val newLr = LogicalRelation(newRel, (gOrigs ++ nnAttrs :+ cntAttr) ++ origPartAttrs,
+      None, isStreaming = false, stream = None)
 
     val newAggs: Seq[NamedExpression] = outs.map {
       case Pass(ne) => ne
@@ -277,14 +292,14 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
             Coalesce(Seq(
               AggregateExpression(Sum(cntAttr), Complete, isDistinct = false),
               Literal(0L, LongType)))
-          case GNn =>
+          case GNn(g) =>
             Coalesce(Seq(
-              AggregateExpression(Sum(nnAttr), Complete, isDistinct = false),
+              AggregateExpression(Sum(nnAttrs(g)), Complete, isDistinct = false),
               Literal(0L, LongType)))
-          case GMin => AggregateExpression(Min(gOrig), Complete, isDistinct = false)
-          case GMax => AggregateExpression(Max(gOrig), Complete, isDistinct = false)
-          case GDistinct =>
-            AggregateExpression(Count(Seq(gOrig)), Complete, isDistinct = true)
+          case GMin(g) => AggregateExpression(Min(gOrigs(g)), Complete, isDistinct = false)
+          case GMax(g) => AggregateExpression(Max(gOrigs(g)), Complete, isDistinct = false)
+          case GDistinct(g) =>
+            AggregateExpression(Count(Seq(gOrigs(g))), Complete, isDistinct = true)
         }
         Alias(rewritten, al.name)(exprId = al.exprId, qualifier = al.qualifier,
           explicitMetadata = Some(al.metadata))
@@ -343,16 +358,15 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
       lr.output.collect { case a: AttributeReference if partNames.contains(a.name) => a }
     val partAttrSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(origPartAttrs)
 
-    // Dict-group mode (r16): grouping may additionally include ONE data
-    // column — a STRING column whose per-block v4 dict histograms (entry
-    // values + exact counts, [[graft.format.BlockStats.StatsVersionDictCounts]])
-    // answer `GROUP BY col` + COUNT/MIN/MAX shapes, and `COUNT(DISTINCT col)`,
-    // from the footer alone: one relation row per (block, entry) instead of
-    // one per data row, zero blocks decompressed on covered files. Gated by
-    // a one-footer driver probe so high-cardinality columns (no dicts) keep
-    // the vectorized scan.
+    // Dict-group mode (r16, two-column r17): grouping may additionally
+    // include up to TWO data columns — STRING columns answered from v4
+    // per-column histograms (one column) or v5 JOINT histograms (two: q1's
+    // `GROUP BY returnflag, linestatus` shape) — zero blocks decompressed
+    // on covered files. A COUNT(DISTINCT strcol) rides the same relation
+    // whether or not its column is a grouping key, as long as group ∪
+    // distinct columns stay within the two dict-answerable slots.
     val dataGroups = groups.filterNot(partAttrSet.contains)
-    if (dataGroups.length > 1) return None
+    if (dataGroups.length > 2) return None
     def stringColOf(a: AttributeReference): Option[Int] =
       if (partNames.contains(a.name)) None
       else {
@@ -361,13 +375,10 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
         else scala.util.Try(graft.sources.CsvPayload.tagOf(dataSchema.fields(i).dataType))
           .toOption.filter(_ == graft.sources.CsvPayload.TagString).map(_ => i)
       }
-    val groupColOpt: Option[Int] = dataGroups.headOption match {
-      case Some(a) => Some(stringColOf(a).getOrElse(return None))
-      case None    => None
-    }
+    val groupCols: Seq[Int] =
+      dataGroups.map(a => stringColOf(a).getOrElse(return None))
     // any DISTINCT aggregate forces dict mode (the non-group path refuses
-    // them): only unfiltered COUNT(DISTINCT strcol) on a single shared
-    // column is supported
+    // them): only unfiltered COUNT(DISTINCT strcol) is supported
     val distinctCols: Seq[Int] = aggExprs.flatMap {
       case Alias(ae: AggregateExpression, _) if ae.isDistinct =>
         if (ae.filter.nonEmpty) return None
@@ -378,28 +389,26 @@ object McAggregatePushdown extends Rule[LogicalPlan] {
         }
       case _ => Nil
     }
-    val dictColOpt: Option[Int] = groupColOpt.orElse(distinctCols.headOption)
-    if (distinctCols.exists(c => !dictColOpt.contains(c))) return None
-    dictColOpt match {
-      case Some(dictCol) =>
-        // Filters compose (r17): partition conjuncts stay a logical Filter
-        // above the rewritten relation (directory pruning commutes); data
-        // conjuncts compile to zone-map range predicates pushed into the
-        // stats format, which emits histogram rows for blocks the zone map
-        // proves wholly inside the predicate, skips wholly-outside blocks,
-        // and decodes + re-filters only straddlers — `GROUP BY returnflag
-        // WHERE shipdate >= X` is footer-only on the all-pass span of a
-        // sorted table. An uncompilable data conjunct refuses the rewrite.
-        val conjuncts0 = filterCond.map(splitConjunction).getOrElse(Nil)
-        val (partConj0, dataConj0) = conjuncts0.partition(_.references.subsetOf(partAttrSet))
-        val dictPreds: Seq[StatsPred] = dataConj0.map { c =>
-          compileDataPred(c, dataSchema, partNames).getOrElse(return None)
-        }
-        if (!dictEnabled) return None
-        if (!probeDictCoverage(fsRel, dictCol)) return None
-        return tryDictGroupRewrite(groups, aggExprs, lr, fsRel, dataSchema,
-          origPartAttrs, partConj0.reduceOption(And.apply), dictCol, dictPreds, dataConj0)
-      case None =>
+    val dictCols: Seq[Int] = (groupCols ++ distinctCols).distinct
+    if (dictCols.length > 2) return None
+    if (dictCols.nonEmpty) {
+      // Filters compose (r17): partition conjuncts stay a logical Filter
+      // above the rewritten relation (directory pruning commutes); data
+      // conjuncts compile to zone-map range predicates pushed into the
+      // stats format, which emits histogram rows for blocks the zone map
+      // proves wholly inside the predicate, skips wholly-outside blocks,
+      // and decodes + re-filters only straddlers — `GROUP BY returnflag
+      // WHERE shipdate >= X` is footer-only on the all-pass span of a
+      // sorted table. An uncompilable data conjunct refuses the rewrite.
+      val conjuncts0 = filterCond.map(splitConjunction).getOrElse(Nil)
+      val (partConj0, dataConj0) = conjuncts0.partition(_.references.subsetOf(partAttrSet))
+      val dictPreds: Seq[StatsPred] = dataConj0.map { c =>
+        compileDataPred(c, dataSchema, partNames).getOrElse(return None)
+      }
+      if (!dictEnabled) return None
+      if (!probeDictCoverage(fsRel, dictCols.sorted)) return None
+      return tryDictGroupRewrite(groups, aggExprs, lr, fsRel, dataSchema,
+        origPartAttrs, partConj0.reduceOption(And.apply), dictCols, dictPreds, dataConj0)
     }
 
     // grouping only by partition columns

@@ -567,16 +567,17 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
     val dictEncode = options.getOrElse("dictEncode", "true").toBoolean
     require(!options.contains("dictEncode") || columnar,
       "dictEncode applies only to layout=columnar")
-    // stats segment version pin (r16 advice): the default (4, dict counts)
-    // is ignored ENTIRELY by pre-v4 readers — every stats-driven feature
-    // (block pruning, aggregate pushdown) silently degrades for new files in
-    // mixed-version deployments. statsVersion=2 (rows layout) or 3
-    // (columnar, count-less dicts) writes the older segment for fleets with
-    // a lower read floor; data bytes are identical either way.
+    // stats segment version pin (r16 advice): the default (5, joint
+    // histograms) is ignored ENTIRELY by older readers — every stats-driven
+    // feature (block pruning, aggregate pushdown) silently degrades for new
+    // files in mixed-version deployments. statsVersion=2 (rows layout), 3
+    // (columnar, count-less dicts), or 4 (per-column histograms, no joints)
+    // writes the older segment for fleets with a lower read floor; data
+    // bytes are identical either way.
     val statsVersion = options.get("statsVersion").map(_.toInt)
-      .getOrElse(graft.format.BlockStats.StatsVersionDictCounts)
-    require(statsVersion >= 2 && statsVersion <= graft.format.BlockStats.StatsVersionDictCounts,
-      s"statsVersion must be 2..${graft.format.BlockStats.StatsVersionDictCounts}, got $statsVersion")
+      .getOrElse(graft.format.BlockStats.StatsVersionJoint)
+    require(statsVersion >= 2 && statsVersion <= graft.format.BlockStats.StatsVersionJoint,
+      s"statsVersion must be 2..${graft.format.BlockStats.StatsVersionJoint}, got $statsVersion")
     require(!options.contains("statsVersion") || (csv && blockStatsOn),
       "statsVersion applies only to payload=csv with blockStats=true")
     require(!columnar || statsVersion >= graft.format.BlockStats.StatsVersionColumnar,
@@ -600,6 +601,25 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
           i
         }.sorted
     }
+    // v2 bloom segments add a fixed-size FILE-level filter per bloom column
+    // (the manifest's driver-side point-lookup source). bloomVersion=1 pins
+    // the per-block-only v1 segment for older read floors;
+    // fileBloomBuckets resizes the file filter (buckets × 32 B per column).
+    val fileBloomBuckets: Int = {
+      val bv = options.get("bloomVersion").map(_.toInt)
+        .getOrElse(graft.format.BlockBlooms.BloomVersionFile)
+      require(bv >= 1 && bv <= graft.format.BlockBlooms.BloomVersionFile,
+        s"bloomVersion must be 1..${graft.format.BlockBlooms.BloomVersionFile}, got $bv")
+      require(!options.contains("bloomVersion") || bloomCols.nonEmpty,
+        "bloomVersion applies only with bloomColumns")
+      if (bv < graft.format.BlockBlooms.BloomVersionFile) 0
+      else {
+        val n = options.get("fileBloomBuckets").map(_.toInt)
+          .getOrElse(graft.format.BlockBlooms.DefaultFileBuckets)
+        require(n > 0 && n <= (1 << 20), s"fileBloomBuckets out of range: $n")
+        n
+      }
+    }
     val ext = codec.fileExtension
     new OutputWriterFactory {
       override def getFileExtension(context: TaskAttemptContext): String = ext
@@ -610,7 +630,7 @@ class FourMcFileFormat extends FileFormat with DataSourceRegister with Serializa
       ): OutputWriter =
         if (csv) new FourMcCsvOutputWriter(path, context, McCodec(codecName), schema, delim, tsFmt,
           options.getOrElse("blockStats", "true").toBoolean, blockBytes, bloomCols, columnar,
-          tsMicros, columnar && dictEncode, statsVersion)
+          tsMicros, columnar && dictEncode, statsVersion, fileBloomBuckets)
         else if (payload == "eb-proto")
           new FourMcEbOutputWriter(path, context, McCodec(codecName),
             graft.format.EbBlocks.parseMarker(options.get("ebMarker")),
@@ -1060,7 +1080,8 @@ final class FourMcCsvOutputWriter(
     columnar: Boolean = false,
     tsMicros: Boolean = false,
     dictEncode: Boolean = false,
-    statsVersion: Int = graft.format.BlockStats.StatsVersionDictCounts
+    statsVersion: Int = graft.format.BlockStats.StatsVersionJoint,
+    fileBloomBuckets: Int = graft.format.BlockBlooms.DefaultFileBuckets
 ) extends OutputWriter {
   private val fsPath = new Path(path)
   private val out = {
@@ -1105,7 +1126,9 @@ final class FourMcCsvOutputWriter(
   // reader's segment detection requires the stats segment alongside.
   require(bloomCols.isEmpty || blockStats, "bloomColumns requires blockStats=true")
   private val bloomBuilder =
-    if (bloomCols.nonEmpty) new graft.format.McBloomBuilder(bloomCols) else null
+    if (bloomCols.nonEmpty)
+      new graft.format.McBloomBuilder(bloomCols, fileBuckets = fileBloomBuckets)
+    else null
   if (bloomBuilder != null) out.bloomProvider = n => bloomBuilder.serialize(n)
 
   private def observeBlooms(row: InternalRow): Unit = {

@@ -48,8 +48,15 @@ import org.apache.spark.util.SerializableConfiguration
 class FourMcStatsFileFormat(
     origSchema: StructType,
     preds: Seq[FourMcStatsFileFormat.StatsPred] = Nil,
-    groupCol: Int = -1
+    groupColsIn: Seq[Int] = Nil
 ) extends FileFormat with Serializable {
+
+  // dict-group mode: one string data column answered from v4 per-column
+  // histograms, or TWO answered from v5 JOINT histograms (ascending ordinal
+  // order fixes the relation row layout; the rule resolves by name/exprId,
+  // so the user's GROUP BY order is free)
+  private val grpCols: Array[Int] = groupColsIn.sorted.toArray
+  require(grpCols.length <= 2, "dict-group mode supports at most two group columns")
 
   override def toString: String = "4MC-STATS"
 
@@ -94,12 +101,14 @@ class FourMcStatsFileFormat(
     val tsMicroDigits = CsvPayload.fixedPatternFracDigits(tsFmt)
 
     // decode the synthetic field names: _min_<i>/_max_<i>/_nn_<i>/_sum_<i>/_cnt,
-    // plus (dict-group mode) the GROUP column itself under its original name
+    // plus (dict-group mode) the GROUP column(s) themselves under their
+    // original names
     final case class FieldSpec(kind: Int, col: Int) // 0=min 1=max 2=cnt 3=non-null cnt 4=sum 5=group value
-    val groupName: String = if (groupCol >= 0) origSchema.fields(groupCol).name else null
+    val groupNames: Map[String, Int] =
+      grpCols.map(c => origSchema.fields(c).name -> c).toMap
     val specs: Array[FieldSpec] = requiredSchema.fields.map { f =>
       f.name match {
-        case n if groupName != null && n == groupName => FieldSpec(5, groupCol)
+        case n if groupNames.contains(n)      => FieldSpec(5, groupNames(n))
         case "_cnt"                           => FieldSpec(2, -1)
         case n if n.startsWith("_min_")       => FieldSpec(0, n.stripPrefix("_min_").toInt)
         case n if n.startsWith("_max_")       => FieldSpec(1, n.stripPrefix("_max_").toInt)
@@ -109,7 +118,8 @@ class FourMcStatsFileFormat(
           throw new IllegalArgumentException(s"unexpected stats-relation field $other")
       }
     }
-    val groupMode = groupCol >= 0
+    val groupMode = grpCols.nonEmpty
+    val jointMode = grpCols.length == 2
     val needMin: Set[Int] = specs.filter(_.kind == 0).map(_.col).toSet
     val needMax: Set[Int] = specs.filter(_.kind == 1).map(_.col).toSet
     val needNn: Set[Int] = specs.filter(_.kind == 3).map(_.col).toSet
@@ -122,7 +132,7 @@ class FourMcStatsFileFormat(
     // exactness condition — classification already consulted their zones.
     val boundsCols: Set[Int] = needMin ++ needMax
     val predCols: Set[Int] = preds.map(_.col).toSet
-    val groupCols: Set[Int] = if (groupMode) Set(groupCol) else Set.empty
+    val groupCols: Set[Int] = grpCols.toSet
     val neededCols: Array[Int] =
       (boundsCols ++ needNn ++ needSum ++ predCols ++ groupCols).toArray.sorted
     val isBoundsCol: Array[Boolean] = neededCols.map(boundsCols.contains)
@@ -158,12 +168,20 @@ class FourMcStatsFileFormat(
           * exactly for every column whenever the stats segment exists.)
           */
         def statsUsable(st: McBlockStats, b: Int): Boolean = {
-          if (groupMode) {
+          if (jointMode) {
+            // two-column dict-group mode: the block must carry a v5 JOINT
+            // histogram for the pair — exact and complete by construction
+            // (Σ entry counts == owned lines, nulls included); blocks
+            // without one (v≤4 files, entry-cap overflow, dict death)
+            // decode instead
+            if (st.lineCount(b) > 0 && st.jointAt(b, grpCols(0), grpCols(1)) == null)
+              return false
+          } else if (groupMode) {
             // dict-group mode: the block's exact value histogram (v4 dict
             // counts) must cover the group column — or the block has no
             // non-null group values at all (only the null-group row, whose
             // count is the always-exact nullCount)
-            val k = b * st.nCols + groupCol
+            val k = b * st.nCols + grpCols(0)
             if (st.lineCount(b) - st.nullCount(k) > 0 && st.dictCountsAt(k) == null)
               return false
           }
@@ -253,7 +271,7 @@ class FourMcStatsFileFormat(
           * dict, or the block wouldn't be stats-usable).
           */
         def groupRows(st: McBlockStats, b: Int): Iterator[InternalRow] = {
-          val k = b * st.nCols + groupCol
+          val k = b * st.nCols + grpCols(0)
           val dict = st.dictAt(k)
           val counts = st.dictCountsAt(k)
           val nulls = st.nullCount(k)
@@ -269,6 +287,42 @@ class FourMcStatsFileFormat(
                 case 2 => if (isNullRow) nulls.toLong else counts(e).toLong
                 case 3 => if (isNullRow) 0L else counts(e).toLong
                 case 5 => if (isNullRow) null else UTF8String.fromBytes(dict(e))
+                case other =>
+                  throw new IllegalStateException(s"spec kind $other in dict-group mode")
+              }
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+        }
+
+        /** Two-column dict-group mode: one row per JOINT histogram entry of
+          * block `b` — `(v1, v2, nn1, nn2, count)` straight from the v5
+          * table. A −1 entry ordinal is the NULL value of that column; its
+          * `_nn_<c>` contribution is 0 (COUNT(col) skips nulls) while `_cnt`
+          * still carries the pair's row count.
+          */
+        def jointRows(st: McBlockStats, b: Int): Iterator[InternalRow] = {
+          val jh = st.jointAt(b, grpCols(0), grpCols(1))
+          if (jh == null) return Iterator.empty // statsUsable admits only empty blocks here
+          val d1 = st.dictAt(b * st.nCols + grpCols(0))
+          val d2 = st.dictAt(b * st.nCols + grpCols(1))
+          (0 until jh.counts.length).iterator.map { e =>
+            val vals = new Array[Any](specs.length)
+            var i = 0
+            while (i < specs.length) {
+              val s = specs(i)
+              vals(i) = (s.kind: @scala.annotation.switch) match {
+                case 2 => jh.counts(e).toLong
+                case 3 =>
+                  val ord = if (s.col == grpCols(0)) jh.i1(e) else jh.i2(e)
+                  if (ord < 0) 0L else jh.counts(e).toLong
+                case 5 =>
+                  if (s.col == grpCols(0)) {
+                    if (jh.i1(e) < 0) null else UTF8String.fromBytes(d1(jh.i1(e)))
+                  } else {
+                    if (jh.i2(e) < 0) null else UTF8String.fromBytes(d2(jh.i2(e)))
+                  }
                 case other =>
                   throw new IllegalStateException(s"spec kind $other in dict-group mode")
               }
@@ -538,7 +592,9 @@ class FourMcStatsFileFormat(
             FourMcScanMetrics.statsAggBlocks.add(statsBlocks)
             if (skippedBlocks > 0) FourMcScanMetrics.blocksSkipped.add(skippedBlocks)
             val synthesized: Iterator[InternalRow] =
-              if (groupMode)
+              if (jointMode)
+                (ordStart until ordEnd).iterator.filter(statsSet(_)).flatMap(jointRows(st, _))
+              else if (groupMode)
                 (ordStart until ordEnd).iterator.filter(statsSet(_)).flatMap(groupRows(st, _))
               else
                 (ordStart until ordEnd).iterator.filter(statsSet(_)).map(statsRow(st, _))
@@ -596,20 +652,25 @@ object FourMcStatsFileFormat {
     * (long for int/long columns, double for double/float — Sum's own result
     * domain), plus the `_cnt` line-count column.
     */
-  /** Schema for dict-group mode: the group column under its ORIGINAL name
-    * (so the rewritten Aggregate's grouping attribute resolves against the
-    * relation unchanged), its per-(block, value) non-null count, and the
-    * per-(block, value) row count. One relation row per dictionary entry
-    * per block (+ one per block's null group); `GROUP BY g` aggregates
-    * become `Sum(_cnt)` / `Sum(_nn_g)` / `Min/Max(g)` / `Count(DISTINCT g)`
-    * over these — all insensitive to the per-block row multiplicity.
+  /** Schema for dict-group mode: the group column(s) under their ORIGINAL
+    * names (so the rewritten Aggregate's grouping attributes resolve against
+    * the relation unchanged), a per-(block, value) non-null count per group
+    * column, and the per-(block, value) row count. One relation row per
+    * dictionary entry per block (single column, + one per block's null
+    * group) or per v5 JOINT-histogram entry (two columns); `GROUP BY g…`
+    * aggregates become `Sum(_cnt)` / `Sum(_nn_g)` / `Min/Max(g)` /
+    * `Count(DISTINCT g)` over these — all insensitive to the per-block row
+    * multiplicity. Columns are laid out in ascending ordinal order, matching
+    * the format's own normalization.
     */
-  def groupSchema(origSchema: StructType, groupCol: Int): StructType =
-    StructType(Seq(
-      StructField(origSchema.fields(groupCol).name,
-        origSchema.fields(groupCol).dataType, nullable = true),
-      StructField(s"_nn_$groupCol", LongType, nullable = false),
-      StructField("_cnt", LongType, nullable = false)))
+  def groupSchema(origSchema: StructType, groupCols: Seq[Int]): StructType = {
+    val cols = groupCols.sorted
+    StructType(
+      cols.map(c => StructField(origSchema.fields(c).name,
+        origSchema.fields(c).dataType, nullable = true)) ++
+        cols.map(c => StructField(s"_nn_$c", LongType, nullable = false)) :+
+        StructField("_cnt", LongType, nullable = false))
+  }
 
   def statsSchema(
       origSchema: StructType,

@@ -74,8 +74,12 @@ class ManifestFileIndex(
     // different-content files could share that triple (r16 advice).
     val verdicts: Map[(java.net.URI, String, Long, Long), Boolean] =
       rootsWithManifests.flatMap { case (rootUri, m) =>
-        m.groups.flatMap { case (entries, stats) =>
-          graft.format.McStatsPruning.keepBlocks(filters, dataSchema, stats) match {
+        m.groups.flatMap { case (entries, stats, blooms) =>
+          // v3 file-level blooms ride the SAME keepBlocks composition that
+          // prunes blocks inside a file: equality / IN conjuncts probe each
+          // file's filter after the zone test, so a point lookup on an
+          // unsorted high-cardinality key refutes whole files driver-side
+          graft.format.McStatsPruning.keepBlocks(filters, dataSchema, stats, blooms) match {
             case Some(keep) =>
               entries.zipWithIndex.map { case (e, i) =>
                 ((rootUri, e.path, e.fileLen, e.modTime), keep(i))

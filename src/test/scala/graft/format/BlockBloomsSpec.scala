@@ -73,6 +73,36 @@ class BlockBloomsSpec extends AnyFunSuite {
       "line-less blocks refute everything")
   }
 
+  test("v2 file-level filters: round-trip, density-floor abandonment, v1 pin") {
+    // small file filter (2 buckets = 512 bits, floor ⇒ ≤ 102 distinct keys)
+    val b = new McBloomBuilder(cols = Array(0, 1), fileBuckets = 2)
+    b.startLine(0, 5)
+    for (i <- 0 until 500) {
+      b.startLine(0, 5 + i)
+      b.observe(0, (i % 50).toLong) // 50 distinct: filter survives
+      b.observe(1, i.toLong)        // 500 distinct: filter abandons
+    }
+    val parsed = McBlockBlooms.parse(b.serialize(1)).get
+    assert(parsed.filePresent(0) && !parsed.filePresent(1))
+    for (i <- 0 until 50) assert(parsed.fileMayContain(0, i.toLong), s"no false negatives ($i)")
+    assert((100 until 1100).count(k => parsed.fileMayContain(0, k.toLong)) < 300,
+      "a 10-bits/key file filter must refute most absent keys")
+    assert(parsed.fileMayContain(1, 123456L), "absent filter: undecidable, keep")
+    assert(parsed.fileBloomOf(0).isDefined && parsed.fileBloomOf(1).isEmpty)
+    // a col with no non-null keys: empty filter refutes everything
+    val b2 = new McBloomBuilder(cols = Array(0, 1), fileBuckets = 2)
+    b2.startLine(0, 5); b2.observe(0, 1L)
+    val p2 = McBlockBlooms.parse(b2.serialize(1)).get
+    assert(!p2.fileMayContain(1, 1L) && p2.fileBloomOf(1).exists(_._1 == 0))
+    // fileBuckets = 0 pins the v1 segment: parses with no file section
+    val b1 = new McBloomBuilder(cols = Array(0), fileBuckets = 0)
+    b1.startLine(0, 5); b1.observe(0, 42L)
+    val p1 = McBlockBlooms.parse(b1.serialize(1)).get
+    assert(p1.fileNBuckets.isEmpty && p1.fileMayContain(0, 999L),
+      "v1 segments have no file filters: always keep")
+    assert(p1.mayContain(0, 0, 42L))
+  }
+
   private val schema = StructType(Seq(
     StructField("key", LongType),
     StructField("payload", StringType)

@@ -251,4 +251,44 @@ class BlockStatsSpec extends AnyFunSuite {
     assert(read.filter("id >= 700000").count() == 100000L)
     assert(FourMcScanMetrics.blocksSkipped.sum() > 0)
   }
+
+  test("v5 joint histograms round-trip: exact pair counts, complete coverage, v4 pin drops them") {
+    import graft.sources.CsvPayload
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("g1", StringType),
+      StructField("g2", StringType)))
+    def build(version: Int): Option[McBlockStats] = {
+      val b = new McStatsBuilder(sch)
+      // block 0: 600 rows, nulls in both columns; block 1: 300 rows
+      for (i <- 0 until 900) {
+        val blk = if (i < 600) 0 else 1
+        b.startLine(blk, 1 + i % 100) // nonzero offsets: plain ownership
+        b.observeLong(0, i.toLong)
+        if (i % 7 == 0) b.observeNull(1) else b.observeString(1, s"a${i % 4}".getBytes)
+        if (i % 5 == 0) b.observeNull(2) else b.observeString(2, s"b${i % 3}".getBytes)
+      }
+      McBlockStats.parse(b.serialize(2, version, BlockStats.LayoutRows))
+    }
+    val st = build(BlockStats.StatsVersionJoint).get
+    val jh0 = st.jointAt(0, 1, 2)
+    val jh1 = st.jointAt(1, 1, 2)
+    assert(jh0 != null && jh1 != null, "both blocks must carry the (g1, g2) joint")
+    assert(st.jointAt(0, 2, 1) == null, "pairs are stored (lo, hi) only")
+    // completeness: Σ counts == owned lines, nulls included
+    assert(jh0.counts.sum == st.lineCount(0) && jh1.counts.sum == st.lineCount(1))
+    // exactness: recompute block 0's joint from the generator
+    val expect = (0 until 600).groupBy { i =>
+      (if (i % 7 == 0) null else s"a${i % 4}", if (i % 5 == 0) null else s"b${i % 3}")
+    }.map { case (k, v) => k -> v.size }
+    val d1 = st.dictAt(0 * 3 + 1); val d2 = st.dictAt(0 * 3 + 2)
+    val got = jh0.counts.indices.map { e =>
+      (if (jh0.i1(e) < 0) null else new String(d1(jh0.i1(e)), "UTF-8"),
+        if (jh0.i2(e) < 0) null else new String(d2(jh0.i2(e)), "UTF-8")) -> jh0.counts(e)
+    }.toMap
+    assert(got == expect, s"joint mismatch:\n got=$got\n exp=$expect")
+    // a v4 pin serializes byte-compatibly for older floors: no joints parsed
+    val st4 = build(BlockStats.StatsVersionDictCounts).get
+    assert(st4.jointAt(0, 1, 2) == null && st4.dictCountsAt(0 * 3 + 1) != null)
+    assert(CsvPayload.tagOf(sch.fields(1).dataType) == CsvPayload.TagString)
+  }
 }

@@ -838,6 +838,142 @@ class McAggPushdownSpec extends AnyFunSuite {
     assert(q(gScan(dir)).collect().map(_.getLong(1)).sum == 2600L)
   }
 
+  // ---- two-column dict-group mode (r17): GROUP BY g1, g2 over v5 JOINT
+  // histograms ----
+
+  private val g2Schema = StructType(Seq(
+    StructField("k", LongType), StructField("g1", StringType),
+    StructField("g2", StringType), StructField("v", DoubleType)))
+
+  private def writeGrouped2(dir: String): Unit = {
+    import spark.implicits._
+    // g1 null every 11th row, g2 null every 13th — the joint table must
+    // carry (null, x), (x, null), and (null, null) pairs exactly
+    val df = (1 to 5000).map { i =>
+      (i.toLong, if (i % 11 == 0) null else s"a${i % 5}",
+        if (i % 13 == 0) null else s"b${i % 3}", i / 7.0)
+    }.toDF("k", "g1", "g2", "v")
+    df.repartition(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+  }
+
+  private def g2Scan(dir: String): DataFrame =
+    spark.read.format("4mc").option("payload", "csv").schema(g2Schema).load(dir)
+
+  test("GROUP BY two dict columns answers from v5 joint histograms: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeGrouped2(dir)
+    def q(df: DataFrame): DataFrame =
+      df.groupBy("g1", "g2").agg(count(lit(1)).as("n"), count(col("g2")).as("nn2"),
+        count(col("g1")).as("nn1"), min(col("g1")).as("mn"), max(col("g2")).as("mx"))
+    val plan = q(g2Scan(dir)).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"expected joint-group rewrite:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val (expect, offPlan) =
+      try (sortedRows(q(g2Scan(dir))), q(g2Scan(dir)).queryExecution.executedPlan.toString)
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    assert(!offPlan.contains("4MC-STATS"), "dict conf off must keep the data scan")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(g2Scan(dir))) == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L,
+      s"joint-covered group-by must decompress zero blocks, read ${FourMcScanMetrics.blocksRead.sum()}")
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L)
+    // GROUP BY order is free: the reversed grouping also rewrites and matches
+    def qRev(df: DataFrame): DataFrame =
+      df.groupBy("g2", "g1").agg(count(lit(1)).as("n"))
+    assert(qRev(g2Scan(dir)).queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expectRev =
+      try sortedRows(qRev(g2Scan(dir)))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    assert(sortedRows(qRev(g2Scan(dir))) == expectRev)
+    // THREE data group columns refuse (joint tables are pairwise)
+    import spark.implicits._
+    val d3 = tmpDir()
+    (1 to 2000).map(i => (i.toLong, s"a${i % 3}", s"b${i % 2}", s"c${i % 2}"))
+      .toDF("k", "g1", "g2", "g3")
+      .coalesce(1).write.format("4mc").option("payload", "csv").mode("overwrite").save(d3)
+    val sch3 = StructType(Seq(StructField("k", LongType), StructField("g1", StringType),
+      StructField("g2", StringType), StructField("g3", StringType)))
+    val q3 = spark.read.format("4mc").option("payload", "csv").schema(sch3).load(d3)
+      .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("4MC-STATS"))
+    assert(q3.collect().length == 6)
+  }
+
+  test("COUNT(DISTINCT g2) grouped by g1 rides the joint relation: zero blocks decompressed") {
+    val dir = tmpDir()
+    writeGrouped2(dir)
+    def q(df: DataFrame): DataFrame =
+      df.groupBy("g1").agg(countDistinct(col("g2")).as("d2"), count(lit(1)).as("n"))
+    val plan = q(g2Scan(dir)).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"),
+      s"distinct-over-second-column must ride the joint relation:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(g2Scan(dir)))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(g2Scan(dir))) == expect)
+    assert(FourMcScanMetrics.blocksRead.sum() == 0L)
+  }
+
+  test("two-column dict-group composes with a range filter on a sorted table") {
+    val dir = tmpDir()
+    import spark.implicits._
+    (1 to 5000).map { i =>
+      (i.toLong, if (i % 11 == 0) null else s"a${i % 5}",
+        if (i % 13 == 0) null else s"b${i % 3}", i / 7.0)
+    }.toDF("k", "g1", "g2", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (16 * 1024).toString).mode("overwrite").save(dir)
+    def q(df: DataFrame): DataFrame =
+      df.filter(col("k") >= 2000L && col("k") < 4600L)
+        .groupBy("g1", "g2").agg(count(lit(1)).as("n"))
+    val plan = q(g2Scan(dir)).queryExecution.executedPlan.toString
+    assert(plan.contains("4MC-STATS"), s"expected composed joint rewrite:\n${plan.take(1500)}")
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(g2Scan(dir)))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(g2Scan(dir))) == expect)
+    assert(FourMcScanMetrics.statsAggBlocks.sum() > 0L, "all-pass span stays footer-only")
+    assert(FourMcScanMetrics.blocksSkipped.sum() > 0L)
+    assert(FourMcScanMetrics.blocksRead.sum() <= 2L,
+      s"only straddlers decode, read ${FourMcScanMetrics.blocksRead.sum()}")
+    assert(q(g2Scan(dir)).collect().map(_.getLong(2)).sum == 2600L)
+  }
+
+  test("joint entry cap: blocks past 256 distinct pairs decode, values stay exact") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // 20 × 19 = 380 distinct value pairs per block (> JointMaxEntries) while
+    // both per-column dicts stay alive (≤ 32 entries): the joint abandons
+    // per block, forcing the decode path — the sparse-cap degradation
+    (1 to 6000).map(i => (i.toLong, s"a${i % 20}", s"b${i % 19}"))
+      .toDF("k", "g1", "g2")
+      .coalesce(1).write.format("4mc").option("payload", "csv")
+      .option("blockBytes", (64 * 1024).toString).mode("overwrite").save(dir)
+    val sch = StructType(Seq(StructField("k", LongType), StructField("g1", StringType),
+      StructField("g2", StringType)))
+    def sc = spark.read.format("4mc").option("payload", "csv").schema(sch).load(dir)
+    def q(df: DataFrame): DataFrame = df.groupBy("g1", "g2").agg(count(lit(1)).as("n"))
+    spark.conf.set("spark.graft.fourmc.dictAggPushdown", "false")
+    val expect =
+      try sortedRows(q(sc))
+      finally spark.conf.set("spark.graft.fourmc.dictAggPushdown", "true")
+    FourMcScanMetrics.reset()
+    assert(sortedRows(q(sc)) == expect)
+    assert(expect.length == 380)
+    // whether the probe refused (no joints anywhere → no rewrite) or the
+    // format decoded per block, rows must have been read — never a silent
+    // wrong histogram
+    assert(FourMcScanMetrics.blocksRead.sum() > 0L ||
+      !q(sc).queryExecution.executedPlan.toString.contains("4MC-STATS"))
+  }
+
   test("SUM(decimal) long-overflow-poisoned blocks decode and stay exact") {
     // DECIMAL(18,0) values of 18 digits: ~11 of them overflow a LONG during
     // block accumulation, so the writer stores NO sum for those blocks and

@@ -265,6 +265,121 @@ class ManifestSpec extends AnyFunSuite {
     assert(m.entries.forall(e => !e.path.contains("_temporary") && !e.path.contains(".staging")))
   }
 
+  test("option(manifest=true): a fresh write is manifest-covered, appends refresh it") {
+    val dir = tmpDir()
+    // fresh write WITH the option — no CLI step, no explicit refresh
+    for (i <- 0 until 4) {
+      val rows = (i * 5000 until (i + 1) * 5000).map(j => Row(j.toLong, s"c$i", j / 7.0))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .format("4mc").option("payload", "csv").option("manifest", "true").save(dir)
+    }
+    assert(new java.io.File(dir, graft.format.McManifest.FileName).exists(),
+      "the write itself must leave a manifest")
+    // covered: zero-task COUNT(*) and file pruning, straight off the write
+    assert(scan(dir).count() == 20000L)
+    assert(numFilesRead(scan(dir).agg(count(lit(1)))) == -1L,
+      "a manifested write must take the zero-task count path")
+    assert(numFilesRead(scan(dir).filter(col("id") < 3000L).agg(count(lit(1)))) == 1L,
+      "a manifested write must prune files on a selective range")
+    // append WITH the option: the refresh reuses matched entries and the
+    // new file joins the manifest — pruning stays sound over both
+    val late = (20000 until 25000).map(j => Row(j.toLong, "c4", j / 7.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(late, 1), schema)
+      .coalesce(1).write.mode("append")
+      .format("4mc").option("payload", "csv").option("manifest", "true").save(dir)
+    assert(scan(dir).count() == 25000L)
+    assert(numFilesRead(scan(dir).agg(count(lit(1)))) == -1L,
+      "append with the option must re-cover the dir")
+    assert(numFilesRead(scan(dir).filter(col("id") >= 21000L).agg(count(lit(1)))) == 1L)
+    val m = graft.format.McManifest.parse(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, graft.format.McManifest.FileName).toPath)).get
+    assert(m.entries.length == 5)
+    // append WITHOUT the option: manifest goes stale — unmatched file is
+    // KEPT (structural degradation), values exact, count falls off the
+    // zero-task path instead of going wrong
+    val plain = (25000 until 27000).map(j => Row(j.toLong, "c5", j / 7.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(plain, 1), schema)
+      .coalesce(1).write.mode("append").format("4mc").option("payload", "csv").save(dir)
+    assert(scan(dir).count() == 27000L)
+    assert(numFilesRead(scan(dir).agg(count(lit(1)))) == 6L)
+    // conf off: the option is ignored (no wrapper, no manifest write)
+    val dir2 = tmpDir()
+    spark.conf.set("spark.graft.fourmc.manifestOnWrite.enabled", "false")
+    try {
+      spark.createDataFrame(spark.sparkContext.parallelize(late, 1), schema)
+        .coalesce(1).write.format("4mc").option("payload", "csv")
+        .option("manifest", "true").save(dir2)
+      assert(!new java.io.File(dir2, graft.format.McManifest.FileName).exists())
+    } finally spark.conf.set("spark.graft.fourmc.manifestOnWrite.enabled", "true")
+  }
+
+  test("option(manifest=true) composes with sortBy and partitionBy") {
+    val dir = tmpDir()
+    val rows = (0 until 30000).map(j => Row(j.toLong, s"c${j % 3}", j / 7.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .withColumnRenamed("cat", "p")
+      .write.format("4mc").option("payload", "csv")
+      .option("sortBy", "id").option("sortPartitions", "4")
+      .option("manifest", "true")
+      .partitionBy("p").mode("overwrite").save(dir)
+    assert(new java.io.File(dir, graft.format.McManifest.FileName).exists())
+    val readSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    def scanP(): DataFrame =
+      spark.read.format("4mc").option("payload", "csv").schema(readSchema).load(dir)
+    assert(scanP().count() == 30000L)
+    assert(numFilesRead(scanP().agg(count(lit(1)))) == -1L,
+      "partitioned sortBy+manifest write must stay zero-task covered")
+    // the range shuffle gives file-disjoint id spans inside each partition
+    // dir, so a selective range + partition filter reads ≤ 2 files
+    val sel = scanP().filter(col("p") === "c1" && col("id") < 4000L).agg(count(lit(1)))
+    assert(numFilesRead(sel) <= 2L)
+  }
+
+  test("file-level blooms: point lookup on an unsorted key prunes files driver-side") {
+    val dir = tmpDir()
+    // key j lands in file (j % 4): every file's [min, max] zone spans the
+    // whole domain, so only the manifest's file-level blooms can refute
+    val nFiles = 4
+    for (i <- 0 until nFiles) {
+      val rows = (0 until 20000).filter(_ % nFiles == i).map(j => Row(j.toLong, s"c$i", j / 7.0))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .format("4mc").option("payload", "csv")
+        .option("bloomColumns", "id").option("manifest", "true").save(dir)
+    }
+    def lookup(k: Long) = scan(dir).filter(col("id") === k).agg(count(lit(1)), sum(col("v")))
+    // zone maps alone keep everything: conf-off baseline reads all 4 files
+    spark.conf.set("spark.graft.fourmc.manifestPruning", "false")
+    val (expect, baseFiles) =
+      try (lookup(8190L).collect().head, numFilesRead(lookup(8190L)))
+      finally spark.conf.set("spark.graft.fourmc.manifestPruning", "true")
+    assert(baseFiles == nFiles.toLong)
+    assert(expect.getLong(0) == 1L)
+    // manifest blooms: only the key's file (± a false positive) launches
+    assert(lookup(8190L).collect().head == expect)
+    val filesRead = numFilesRead(lookup(8190L))
+    assert(filesRead <= 2L,
+      s"file blooms must refute non-matching files at the driver, read $filesRead")
+    // IN across two files: ≤ 2 + fp
+    val in2 = scan(dir).filter(col("id").isin(101L, 102L)).agg(count(lit(1)))
+    assert(in2.collect().head.getLong(0) == 2L)
+    assert(numFilesRead(scan(dir).filter(col("id").isin(101L, 102L)).agg(count(lit(1)))) <= 3L)
+    // a key nobody holds: zero files (empty result, no tasks)
+    assert(lookup(20001L).collect().head.getLong(0) == 0L)
+    assert(numFilesRead(lookup(20001L)) == 0L,
+      "an absent key must refute every file driver-side")
+    // staleness: a file appended without a refresh is KEPT (no entry), its
+    // keys resolve correctly, covered files keep pruning
+    val late = (20001 until 20100).map(j => Row(j.toLong, "late", j / 7.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(late, 1), schema)
+      .coalesce(1).write.mode("append").format("4mc").option("payload", "csv").save(dir)
+    assert(lookup(20050L).collect().head.getLong(0) == 1L)
+    assert(numFilesRead(lookup(20050L)) == 1L,
+      "only the unmatched (kept) file may launch; bloomed files all refute")
+  }
+
   test("multi-root scan: a file consults only its own root's manifest") {
     // root B is a byte-identical copy of root A (same relative names,
     // lengths, mtimes preserved) with a manifest; A has none. A's files
