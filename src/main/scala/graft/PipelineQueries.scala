@@ -1090,11 +1090,25 @@ object PipelineQueries {
       .select($"lang", $"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"lang", $"term")
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
-    val byLang = tf.groupBy($"lang", $"term").agg(sum($"tf").as("total_tf"))
+    // two-level rollup instead of two independent full-volume aggregates +
+    // a term join (r17, guide §2.3/§2.4): the per-doc tf relation is the
+    // op's largest (178.6 M rows at 700×) and used to be aggregated TWICE
+    // (dfreq by term, totals by (lang, term)) then re-joined on term. A doc
+    // has exactly one lang, so dfreq = Σ_lang count(docs of that lang with
+    // the term): aggregate once to (term, lang) granularity, then roll the
+    // tiny per-(term, lang) table up to terms — one pass over the big
+    // relation, no join, value-identical (same oracle SQL).
+    val byTermLang = tf
+      .groupBy($"term", $"lang")
+      .agg(sum($"tf").as("total_tf"), count(lit(1)).as("_nd"))
+    val scored = byTermLang
+      .groupBy($"term")
+      .agg(sum($"_nd").as("dfreq"),
+        collect_list(struct($"lang", $"total_tf")).as("_lt"))
+      .select($"term", $"dfreq", explode($"_lt").as("_e"))
+      .select($"term", $"dfreq", $"_e.lang".as("lang"), $"_e.total_tf".as("total_tf"))
     val w = Window.partitionBy($"lang").orderBy($"score".desc, $"term")
-    byLang
-      .join(dfreq, "term")
+    scored
       .crossJoin(broadcast(nStats))
       .withColumn("idf_milli",
         floor(lit(1000.0) * log($"n".cast(DoubleType) / $"dfreq")).cast("long"))

@@ -80,10 +80,14 @@ object Dedup {
     // identical unless two distinct shingles in the same comparison collide
     // at 64 bits (~n²/2⁶⁵ — vanishing at any corpus size; the DuckDB oracles
     // keep plain string shingles and stay hash-identical at the oracle SFs).
+    // fused per-shingle hashing (TokenWindowHashExpr, k = 3): bit-identical
+    // to array_distinct(transform(shinglesFromTokens(toks), xxhash64)) —
+    // distinct applies to the hash array either way — without the
+    // per-shingle concat allocations
     val posts = docs
       .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("doc"),
-        explode(array_distinct(transform(shinglesFromTokens(col("_toks")), w => xxhash64(w)))).as("w"))
+        explode(array_distinct(TextAnalysis.windowHashes(col("_toks"), 3))).as("w"))
     if (maxDocFreq <= 0) posts
     else {
       val hot = posts.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
@@ -354,6 +358,14 @@ object Dedup {
 
   def minHashCoefB(i: Int): Long = (2654435761L * i + 1013904223L) % MinHashP
 
+  /** First 15 hex digits of md5(s) as a long via the fused
+    * [[graft.functions.Md5PrefixLongExpr]].
+    */
+  private def md5Prefix15(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.Md5PrefixLongExpr(expression(s.cast(BinaryType)), 15))
+  }
+
   /** MinHash signature: ONE md5-derived base hash per shingle, then
     * `numHashes` universal-hash permutations (a_i*h + b_i) mod p. The base
     * hash array is materialized before the permutation passes (two-phase;
@@ -395,10 +407,10 @@ object Dedup {
       .select(col("doc"), array_distinct(shinglesFromTokens(col("_toks"))).as("shingles"))
       .withColumn(
         "_hs",
-        transform(
-          col("shingles"),
-          s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType) % MinHashP
-        )
+        // fused md5-prefix long (one digest, no hex round trip) —
+        // bit-identical to conv(substring(md5(s), 1, 15), 16, 10), see
+        // Md5PrefixLongExpr / HashExprSpec
+        transform(col("shingles"), s => md5Prefix15(s) % MinHashP)
       )
       // the signature family is md5-over-STRINGS (the oracle replays it
       // bit-exactly, so _hs must derive from the string shingle) — but the
@@ -619,44 +631,76 @@ object Dedup {
       p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
     }
 
+  /** Rows per iteration-shuffle partition for [[duplicateClusters]]
+    * (~50 MB of unsafe rows at 24 B/edge). The label-propagation loop's
+    * relations are label/edge tables of narrow longs, far smaller than the
+    * pair-generation stage the session's shuffle width is sized for —
+    * running every iteration at the session width made the loop pure task
+    * overhead at stress scale (measured r16: 11,367 tasks, most < 1 MB).
+    * The width is derived from the measured edge count each run (scale-
+    * adaptive, guide §2.2: fewer, larger partitions), clamped to the session
+    * width so a genuinely huge edge set still gets the full fan-out.
+    */
+  private val CcRowsPerPartitionDefault = 2000000L
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
                         reliableCheckpoint: Boolean = false): DataFrame = {
     val ck: DataFrame => DataFrame =
       if (reliableCheckpoint) df => df.checkpoint(eager = true)
       else df => df.localCheckpoint(true, ckptLevel(df))
-    val edges = ck(pairs
+    val spark = pairs.sparkSession
+    val edges0 = ck(pairs
       .select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
-    var labels = ck(edges
-      .select(col("a").as("doc"))
-      .distinct()
-      .withColumn("comp", col("doc")))
-    var i = 0
-    var converged = false
-    // labels are monotone non-increasing per doc (least(comp, nbrMin)), so
-    // the total label sum strictly decreases iff anything changed — one cheap
-    // scalar agg per iteration instead of a join-based change probe
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
-    while (i < maxIter && !converged) {
-      val nbrMin = edges
-        .join(labels, edges("b") === labels("doc"))
-        .groupBy(edges("a").as("doc"))
-        .agg(min(col("comp")).as("nbrComp"))
-      val updated = ck(labels
-        .join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"), least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")))
-      val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
-      converged = newSum == prevSum
-      prevSum = newSum
-      // iteration i is materialized — iteration i-1's reliable checkpoint
-      // files are dead (no-op for local checkpoints)
-      dropCheckpoint(labels)
-      labels = updated
-      i += 1
-    }
-    // the returned frame depends only on the final labels checkpoint
-    dropCheckpoint(edges)
-    labels
+    // edge count is in hand anyway (the checkpoint is eager); derive the
+    // iteration shuffle width from it instead of the session conf, which is
+    // sized for the corpus-volume pair generation, not this loop
+    val nEdges = edges0.count()
+    val rowsPerPart = spark.conf
+      .get("spark.graft.cc.rowsPerPartition", CcRowsPerPartitionDefault.toString).toLong
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      (nEdges + rowsPerPart - 1) / rowsPerPart)).toInt
+    // pre-partition + pre-sort edges by the probe key ONCE: checkpoint
+    // preserves partitioning and ordering, so the per-iteration join
+    // re-exchanges (and re-sorts) only the far smaller labels side instead
+    // of the edge table every pass (guide §2.4: share one exchange)
+    val edges = ck(edges0.repartition(parts, col("b")).sortWithinPartitions("b"))
+    dropCheckpoint(edges0)
+    val prevConfParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var labels = ck(edges
+        .select(col("a").as("doc"))
+        .distinct()
+        .withColumn("comp", col("doc")))
+      var i = 0
+      var converged = false
+      // labels are monotone non-increasing per doc (least(comp, nbrMin)), so
+      // the total label sum strictly decreases iff anything changed — one cheap
+      // scalar agg per iteration instead of a join-based change probe
+      var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+      while (i < maxIter && !converged) {
+        val nbrMin = edges
+          .join(labels, edges("b") === labels("doc"))
+          .groupBy(edges("a").as("doc"))
+          .agg(min(col("comp")).as("nbrComp"))
+        val updated = ck(labels
+          .join(nbrMin, Seq("doc"), "left")
+          .select(col("doc"), least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")))
+        val newSum = updated.agg(sum(col("comp"))).head().getLong(0)
+        converged = newSum == prevSum
+        prevSum = newSum
+        // iteration i is materialized — iteration i-1's reliable checkpoint
+        // files are dead (no-op for local checkpoints)
+        dropCheckpoint(labels)
+        labels = updated
+        i += 1
+      }
+      // the returned frame depends only on the final labels checkpoint
+      dropCheckpoint(edges)
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevConfParts)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -671,7 +715,7 @@ object Dedup {
       col(idCol).as("doc"),
       explode(TextAnalysis.tokens(col(textCol))).as("w")
     )
-    val h = conv(substring(md5(col("w").cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+    val h = md5Prefix15(col("w"))
     val bitSums = (0 until SimHashBits).map { i =>
       sum(shiftright(h, i).bitwiseAND(1) * 2 - 1).as(s"s$i")
     }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 /** Deterministic sampling and split assignment for training corpora.
   *
@@ -23,10 +23,16 @@ object Sampling {
 
   /** Uniform bucket in [0, mod) from md5(key): the first 8 hex chars are a
     * uniform 32-bit value for any non-degenerate key distribution.
+    * Computed by the fused [[graft.functions.Md5PrefixLongExpr]] — one
+    * digest call, no hex-string round trip — bit-identical to
+    * `conv(substring(md5(key), 1, 8), 16, 10)` (asserted in HashExprSpec);
+    * the DuckDB mirror below replays the hex formulation.
     */
   def md5Bucket(key: Column, mod: Int): Column = {
     require(mod > 0, s"mod must be positive, got $mod")
-    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10).cast(LongType) % mod
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.Md5PrefixLongExpr(
+      expression(key.cast(StringType).cast(BinaryType)), 8)) % mod
   }
 
   /** DuckDB mirror of [[md5Bucket]] for a BIGINT key column. */

@@ -71,12 +71,11 @@ object Spans {
       .filter(col("_toks").isNotNull)
       .select(
         col("doc"),
-        posexplode(
-          when(size(col("_toks")) < k, array(xxhash64(concat_ws(" ", col("_toks")))))
-            .otherwise(transform(
-              sequence(lit(1), size(col("_toks")) - (k - 1)),
-              i => xxhash64(concat_ws(" ", slice(col("_toks"), i, lit(k))))))
-        ).as(Seq("off", "w")))
+        // fused per-window hashing (TokenWindowHashExpr): one joined buffer
+        // per doc, zero per-window slice/concat allocations — bit-identical
+        // to xxhash64(concat_ws(" ", slice(toks, i, k))), short-doc
+        // whole-text convention included
+        posexplode(TextAnalysis.windowHashes(col("_toks"), k)).as(Seq("off", "w")))
       .select(col("doc"), (col("off") + 1).cast("long").as("pos"), col("w"))
   }
 
@@ -97,61 +96,70 @@ object Spans {
   private val HotBroadcastMaxKeys = 12000000L
 
   /** Start positions of spans shared with ANOTHER document, packed as `dp`
-    * corpus positions. The shared front half of [[dupSpanCoverage]] and
-    * [[removeDupSpans]].
-    *
-    * Shuffle shape (the r8 rework — r7 shipped the corpus THREE times:
-    * (w, doc) pairs into the df aggregate, the full postings into the semi
-    * join, and the survivors into the window):
-    *
-    *  1. "span is in ≥ 2 distinct docs" is exactly `min(doc) != max(doc)`
-    *     — a PLAIN min/max aggregate, not a distinct-aggregate, so it
-    *     partial-combines map-side and never plans the two-exchange
-    *     distinct expansion.
-    *  2. The surviving hot-key set is tiny on real corpora (duplicated
-    *     spans are the minority); when it fits [[HotBroadcastMaxKeys]] it
-    *     BROADCASTS back against a second map-only postings pass — the
-    *     corpus then crosses NO corpus-sized exchange at all: one
-    *     partially-combined aggregate up, one broadcast down.
-    *     Tokenization runs twice (once per pass) — CPU for shuffle, the
-    *     right trade at 100 TB where the exchange is the bottleneck.
-    *  3. A boilerplate-heavy corpus whose hot set outgrows the broadcast
-    *     bound falls back to the shuffled semi join (posts ⋈ hot on w),
-    *     logged, correctness identical.
+    * corpus positions, semi-joined against a PRE-COMPUTED hot-key relation —
+    * the exchange-plan front half shared by the single-k fallbacks and the
+    * var-k exchange fallback.
     *
     * Output is the PACKED corpus position: the survivors head into a
     * per-doc window exchange, where one 8-byte field beats two (postings'
     * doc-major compressibility is gone after any w-shuffle).
     */
-  private def dupStartPositions(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val posts = spanPostings(docs, idCol, textCol, k)
-    val hotPlan = posts
-      .groupBy(col("w"))
-      .agg(min(col("doc")).as("_mn"), max(col("doc")).as("_mx"))
-      .filter(col("_mn") =!= col("_mx"))
-      .select("w")
-    val hot = hotPlan.localCheckpoint(true, Dedup.ckptLevel(hotPlan))
-    val nHot = hot.count()
-    if (nHot <= HotBroadcastMaxKeys) {
-      System.err.println(s"[spans] hot-span set: $nHot keys -> broadcast semi join")
-      posts.join(broadcast(hot), Seq("w"), "left_semi")
-        .select(packDp(col("doc"), col("pos")).as("dp"))
-    } else {
-      System.err.println(
-        s"[spans] hot-span set has $nHot keys (> $HotBroadcastMaxKeys): shuffled semi join fallback")
-      posts.join(hot, Seq("w"), "left_semi")
-        .select(packDp(col("doc"), col("pos")).as("dp"))
-    }
-  }
+  private def dupStartPositionsFrom(posts: DataFrame, hot: DataFrame): DataFrame =
+    posts.join(hot, Seq("w"), "left_semi")
+      .select(packDp(col("doc"), col("pos")).as("dp"))
 
   /** Per-document duplicated-token coverage: (doc, n_tokens, dup_tokens,
     * dup_ratio_milli) for documents with at least one span shared with
     * ANOTHER document (within-doc repeats alone don't count). Coverage is
-    * the union length of the duplicated [pos, pos+k) intervals, computed
-    * with a per-doc lead window over duplicated start positions.
+    * the union length of the duplicated [pos, pos+k) intervals.
+    *
+    * Plan (r17 — the single-k ops joined the map-side island plan var-k
+    * proved in r15/r16; guide §2.4 "remove shuffles outright"): the hot-key
+    * set (spans in ≥ 2 distinct docs — a plain min/max aggregate,
+    * partial-combined map-side) is driver-collected under
+    * [[HotBroadcastMaxKeys]] and broadcast into [[graft.functions.SpanRunsExpr]],
+    * which computes the duplicated islands per row. Coverage is then the
+    * sum of clipped island lengths — an identity with the old per-position
+    * window plan: within an island each non-final start contributes its gap
+    * to the next start and the final start contributes k, telescoping to
+    * e−s+1; only the final island can overrun the doc end (interior starts
+    * satisfy pos ≤ n−k+1), so clipping e at n_tokens equals the old
+    * subtract-the-overrun-once step. The corpus crosses NO exchange at all:
+    * one partially-combined aggregate up, one broadcast down. A corpus
+    * whose hot set outgrows the cap falls back to the window-exchange plan,
+    * value-identical.
     */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val dupPos = dupStartPositions(docs, idCol, textCol, k)
+    val sc = docs.sparkSession.sparkContext
+    hotKeysOrPlan(spanPostings(docs, idCol, textCol, k), s"coverage k=$k") match {
+      case Right(keys) =>
+        val hot = sc.broadcast(keys)
+        docs
+          .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+          .filter(col("_toks").isNotNull)
+          .withColumn("n_tokens", size(col("_toks")).cast("long"))
+          // fenced: the size(_runs) > 0 filter must not inline the island
+          // expression into itself (see PushdownFence's scaladoc)
+          .withColumn("_runs", fenced(runsOf(spanHashes(col("_toks"), k), hot, k)))
+          .filter(size(col("_runs")) > 0)
+          .withColumn("dup_tokens",
+            aggregate(col("_runs"), lit(0L),
+              (acc, r) => acc + least(r.getField("e"), col("n_tokens")) - r.getField("s") + 1L))
+          .withColumn("dup_ratio_milli",
+            round(lit(1000.0) * col("dup_tokens") / col("n_tokens")).cast("long"))
+          .select(col("doc"), col("n_tokens"), col("dup_tokens"), col("dup_ratio_milli"))
+      case Left(hotDf) =>
+        dupSpanCoverageExchange(docs, idCol, textCol, k, hotDf)
+    }
+  }
+
+  /** Exchange-plan fallback of [[dupSpanCoverage]] (hot set too big to
+    * driver-collect): shuffled semi join + per-doc lead window over
+    * duplicated start positions.
+    */
+  private def dupSpanCoverageExchange(docs: DataFrame, idCol: String, textCol: String,
+                                      k: Int, hotDf: DataFrame): DataFrame = {
+    val dupPos = dupStartPositionsFrom(spanPostings(docs, idCol, textCol, k), hotDf)
     // partition by the doc bits, order by dp (≡ pos within a doc): the
     // window exchange carries ONE 8-byte field per duplicated position
     val win = Window.partitionBy(dpDoc(col("dp"))).orderBy(col("dp"))
@@ -192,22 +200,40 @@ object Spans {
     * output — union the untouched majority back in by anti join when
     * materializing a corpus).
     *
-    * Scale shape: dup starts are O(tokens); the interval union is a per-doc
-    * window over dup starts (gaps-and-islands with a running-max-end, so
-    * nested spans can't split a run); runs per doc ≤ n/(k+1) DISJOINT
-    * intervals; the rebuild is one equality join docs↔runs (inner — only
-    * rewritten docs) plus a per-row lambda that is O(tokens × runs) worst
-    * case and O(tokens) when duplication is dense (merged runs). The
-    * doc-end clip and the minRunTokens filter both apply inside the rebuild
-    * join, where size(tokens) is already materialized — n_tokens never
-    * rides a corpus-sized shuffle. Nothing quadratic in the corpus
-    * anywhere; a rewrite op must touch every byte of the affected docs by
-    * definition.
+    * Plan (r17, same rework as [[dupSpanCoverage]]): islands are computed
+    * INSIDE the row by [[graft.functions.SpanRunsExpr]] against the
+    * driver-collected broadcast hot-key set — identical island rule to the
+    * old gaps-and-islands window ([[islandRuns]]), so runs, clips and the
+    * minRunTokens filter are value-identical — and the splice happens in
+    * the same map pass, so the explode → semi join → window → docs↔runs
+    * join pipeline is gone: the corpus crosses NO exchange (one
+    * partial-combined aggregate up, one broadcast down). Oversized hot sets
+    * fall back to the exchange plan.
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minRunTokens: Int = 12): DataFrame = {
-    val dupPos = dupStartPositions(docs, idCol, textCol, k)
-    rebuildFromRuns(docs, idCol, textCol, islandRuns(dupPos, k), minRunTokens)
+    val sc = docs.sparkSession.sparkContext
+    hotKeysOrPlan(spanPostings(docs, idCol, textCol, k), s"rewrite k=$k") match {
+      case Right(keys) =>
+        val hot = sc.broadcast(keys)
+        spliceCleanTail(
+          docs
+            .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+            .filter(col("_toks").isNotNull)
+            .withColumn("n_tokens", size(col("_toks")).cast("long"))
+            // clip each run at the doc end, then drop runs below
+            // minRunTokens; fenced so the tail's size(ivs) > 0 filter
+            // cannot inline the island expression (PushdownFence scaladoc)
+            .withColumn("ivs", fenced(
+              filter(
+                transform(runsOf(spanHashes(col("_toks"), k), hot, k),
+                  r => struct(r.getField("s").as("s"),
+                    least(r.getField("e"), col("n_tokens")).as("e"))),
+                r => r.getField("e") - r.getField("s") + 1 >= minRunTokens))))
+      case Left(hotDf) =>
+        val dupPos = dupStartPositionsFrom(spanPostings(docs, idCol, textCol, k), hotDf)
+        rebuildFromRuns(docs, idCol, textCol, islandRuns(dupPos, k), minRunTokens)
+    }
   }
 
   /** Gaps-and-islands merge of duplicated start positions into per-doc runs
@@ -241,43 +267,29 @@ object Spans {
     */
   private def rebuildFromRuns(docs: DataFrame, idCol: String, textCol: String,
                               runs: DataFrame, minRunTokens: Int): DataFrame = {
-    val ivs = runs
+    val ivsAgg = runs
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs_raw"))
-    docs
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .join(ivs, Seq("doc")) // inner: only docs with candidate runs
-      .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      // clip each run at the doc end, then drop runs below minRunTokens —
-      // value-identical to clipping per position (see islandRuns)
-      .withColumn("ivs",
-        filter(
-          transform(col("_ivs_raw"),
-            iv => struct(iv.getField("s").as("s"), least(iv.getField("e"), col("n_tokens")).as("e"))),
-          iv => iv.getField("e") - iv.getField("s") + 1 >= minRunTokens))
-      .filter(size(col("ivs")) > 0)
-      .withColumn("removed_tokens",
-        aggregate(col("ivs"), lit(0L), (acc, iv) => acc + iv.getField("e") - iv.getField("s") + 1L))
-      .withColumn("_kept",
-        filter(
-          zip_with(col("_toks"), sequence(lit(1L), size(col("_toks")).cast("long")),
-            (t, p) => struct(p.as("p"), t.as("t"))),
-          x => !exists(col("ivs"), iv =>
-            x.getField("p") >= iv.getField("s") && x.getField("p") <= iv.getField("e"))))
-      .select(
-        col("doc"), col("n_tokens"), col("removed_tokens"),
-        md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
+    spliceCleanTail(
+      docs
+        .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+        .join(ivsAgg, Seq("doc")) // inner: only docs with candidate runs
+        .withColumn("n_tokens", size(col("_toks")).cast("long"))
+        // clip each run at the doc end, then drop runs below minRunTokens —
+        // value-identical to clipping per position (see islandRuns)
+        .withColumn("ivs",
+          filter(
+            transform(col("_ivs_raw"),
+              iv => struct(iv.getField("s").as("s"), least(iv.getField("e"), col("n_tokens")).as("e"))),
+            iv => iv.getField("e") - iv.getField("s") + 1 >= minRunTokens)))
   }
 
   /** Per-doc k-span hash array as a COLUMN (the array twin of
     * [[spanPostings]]'s exploded rows — same short-doc whole-text
-    * convention, same hash).
+    * convention, same hash; fused TokenWindowHashExpr).
     */
   private def spanHashes(toks: Column, k: Int): Column =
-    when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+    TextAnalysis.windowHashes(toks, k)
 
   /** Content-defined anchor predicate over the kAnchor-token PREFIX of the
     * window at position `i` (1-based): selected iff the first hex digit of
@@ -291,8 +303,16 @@ object Spans {
   private val AnchorPrefixTokens = 8
   private def anchorSelected(toks: Column, i: Column, hexBelow: Int): Column =
     if (hexBelow >= 16) lit(true)
-    else substring(md5(concat_ws(" ", slice(toks, i, lit(AnchorPrefixTokens)))
-      .cast("binary")), 1, 1) < lit(java.lang.Integer.toHexString(hexBelow))
+    // first md5 nibble as a LONG (fused Md5PrefixLongExpr, one digest, no
+    // hex string) — identical selection to the old one-hex-char string
+    // compare: lowercase hex is ordered '0'<'1'<…<'f', so char < hexdigit
+    // ⇔ nibble < hexBelow; the DuckDB oracle keeps the substr(md5) form
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.functions.Md5PrefixLongExpr(
+        expression(concat_ws(" ", slice(toks, i, lit(AnchorPrefixTokens))).cast("binary")), 1)) <
+        lit(hexBelow.toLong)
+    }
 
   /** Seed-span hash array: position-aligned with the token array, null at
     * positions the anchor predicate rejects (nulls keep alignment through
@@ -331,17 +351,18 @@ object Spans {
       .select("w")
 
   /** Driver-collected sorted hot keys (spans in ≥ 2 distinct docs) from a
-    * postings relation, or None when the set exceeds `maxKeys` — the same
-    * premise as the broadcast semi join: duplicated spans are the minority;
-    * the default cap matches [[HotBroadcastMaxKeys]] (8 B/key ≲ 100 MB at
-    * the cap). Returning None (instead of throwing) lets the caller fall
-    * back to the exchange plan, mirroring
+    * postings relation — Right(keys) when the set fits `maxKeys`,
+    * Left(checkpointed hot relation) otherwise, so the caller's fallback
+    * reuses the already-computed aggregate instead of re-running it. The
+    * premise is the broadcast semi join's: duplicated spans are the
+    * minority; the default cap matches [[HotBroadcastMaxKeys]] (8 B/key
+    * ≲ 100 MB at the cap). Degrading (instead of throwing) mirrors
     * [[graft.sources.RuntimeKeyFilter.encode]]'s refusal of oversized dims:
     * a boilerplate-dominated corpus whose hot set outgrows the driver
     * degrades to the shuffled-join plan, it never OOMs and never errors.
     */
-  private def hotKeysOf(posts: DataFrame, what: String,
-                        maxKeys: Long): Option[Array[Long]] = {
+  private def hotKeysOrPlan(posts: DataFrame, what: String,
+                            maxKeys: Long = HotBroadcastMaxKeys): Either[DataFrame, Array[Long]] = {
     // COUNT before collecting (checkpoint so the agg runs once): a
     // boilerplate-dominated corpus must hit the clean size guard, not OOM
     // the driver materializing tens of millions of boxed rows first
@@ -352,13 +373,53 @@ object Spans {
       System.err.println(
         s"[spans] hot-span set for $what has $n keys (> $maxKeys): " +
           "falling back to the exchange plan (shuffled semi join + window islands)")
-      None
+      Left(hotPlan)
     } else {
+      System.err.println(s"[spans] hot-span set for $what: $n keys -> map-side islands")
       val keys = hotPlan.collect().map(_.getLong(0))
       java.util.Arrays.sort(keys)
-      Some(keys)
+      Right(keys)
     }
   }
+
+  private def hotKeysOf(posts: DataFrame, what: String,
+                        maxKeys: Long): Option[Array[Long]] =
+    hotKeysOrPlan(posts, what, maxKeys).toOption
+
+  /** Map-side island discovery against a broadcast hot-key set — see
+    * [[graft.functions.SpanRunsExpr]].
+    */
+  private def runsOf(hashes: Column,
+                     hot: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                     k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.SpanRunsExpr(expression(hashes), hot, k))
+  }
+
+  /** Optimizer fence — see [[graft.functions.PushdownFence]]. */
+  private def fenced(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.PushdownFence(expression(c)))
+  }
+
+  /** Shared splice tail of every rewrite variant: expects (doc, _toks,
+    * n_tokens, ivs) where `ivs` holds the doc-end-clipped, minRunTokens-
+    * filtered removal intervals; drops untouched docs and emits
+    * (doc, n_tokens, removed_tokens, clean_md5).
+    */
+  private def spliceCleanTail(df: DataFrame): DataFrame =
+    df.filter(size(col("ivs")) > 0)
+      .withColumn("removed_tokens",
+        aggregate(col("ivs"), lit(0L), (acc, iv) => acc + iv.getField("e") - iv.getField("s") + 1L))
+      .withColumn("_kept",
+        filter(
+          zip_with(col("_toks"), sequence(lit(1L), size(col("_toks")).cast("long")),
+            (t, p) => struct(p.as("p"), t.as("t"))),
+          x => !exists(col("ivs"), iv =>
+            x.getField("p") >= iv.getField("s") && x.getField("p") <= iv.getField("e"))))
+      .select(
+        col("doc"), col("n_tokens"), col("removed_tokens"),
+        md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
 
   /** Anchored seed postings: (doc, pos, w) for SELECTED kSeed-window starts
     * only — the seed aggregate's exchange shrinks by the anchor fraction.
@@ -448,49 +509,33 @@ object Spans {
       docs: DataFrame, idCol: String, textCol: String,
       kSeed: Int, kExt: Int, minRunTokens: Int, seedAnchorHexBelow: Int,
       hotExt: org.apache.spark.broadcast.Broadcast[Array[Long]],
-      hotSeed: org.apache.spark.broadcast.Broadcast[Array[Long]]): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def runsOf(hashes: Column, hot: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int) =
-      column(graft.functions.SpanRunsExpr(expression(hashes), hot, k))
-    docs
-      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .filter(col("_toks").isNotNull)
-      .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      // the kExt hash array is MATERIALIZED once and reused: islands probe
-      // it directly, seeds probe its composed tiling — one tokenize+hash
-      // pass where r9 ran two (the h24 slice-hash pass is gone)
-      .withColumn("_h8", spanHashes(col("_toks"), kExt))
-      .withColumn("_runs", runsOf(col("_h8"), hotExt, kExt))
-      .withColumn("_seeds",
-        runsOf(composedSeedHashes(col("_toks"), col("_h8"), kSeed, kExt, seedAnchorHexBelow),
-          hotSeed, kSeed))
-      // seed-backed islands only; clip at the doc end; drop short runs.
-      // PushdownFence: the size(ivs) > 0 filter below must NOT be pushed
-      // under these projections — Spark's pushdown inlines aliases with no
-      // cost model, and re-deriving _h8 inside the composed seed probes is
-      // O(n²) per doc (see the expression's scaladoc; measured 10× wall)
-      .withColumn("ivs",
-        column(graft.functions.PushdownFence(expression(
+      hotSeed: org.apache.spark.broadcast.Broadcast[Array[Long]]): DataFrame =
+    spliceCleanTail(
+      docs
+        .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+        .filter(col("_toks").isNotNull)
+        .withColumn("n_tokens", size(col("_toks")).cast("long"))
+        // the kExt hash array is MATERIALIZED once and reused: islands probe
+        // it directly, seeds probe its composed tiling — one tokenize+hash
+        // pass where r9 ran two (the h24 slice-hash pass is gone)
+        .withColumn("_h8", spanHashes(col("_toks"), kExt))
+        .withColumn("_runs", runsOf(col("_h8"), hotExt, kExt))
+        .withColumn("_seeds",
+          runsOf(composedSeedHashes(col("_toks"), col("_h8"), kSeed, kExt, seedAnchorHexBelow),
+            hotSeed, kSeed))
+        // seed-backed islands only; clip at the doc end; drop short runs.
+        // PushdownFence: the size(ivs) > 0 filter below must NOT be pushed
+        // under these projections — Spark's pushdown inlines aliases with no
+        // cost model, and re-deriving _h8 inside the composed seed probes is
+        // O(n²) per doc (see the expression's scaladoc; measured 10× wall)
+        .withColumn("ivs", fenced(
           filter(
             transform(
               filter(col("_runs"), r => exists(col("_seeds"),
                 sd => sd.getField("s") >= r.getField("s") && sd.getField("s") <= r.getField("e"))),
               r => struct(r.getField("s").as("s"),
                 least(r.getField("e"), col("n_tokens")).as("e"))),
-            r => r.getField("e") - r.getField("s") + 1 >= minRunTokens)))))
-      .filter(size(col("ivs")) > 0)
-      .withColumn("removed_tokens",
-        aggregate(col("ivs"), lit(0L), (acc, iv) => acc + iv.getField("e") - iv.getField("s") + 1L))
-      .withColumn("_kept",
-        filter(
-          zip_with(col("_toks"), sequence(lit(1L), size(col("_toks")).cast("long")),
-            (t, p) => struct(p.as("p"), t.as("t"))),
-          x => !exists(col("ivs"), iv =>
-            x.getField("p") >= iv.getField("s") && x.getField("p") <= iv.getField("e"))))
-      .select(
-        col("doc"), col("n_tokens"), col("removed_tokens"),
-        md5(concat_ws(" ", transform(col("_kept"), _.getField("t"))).cast("binary")).as("clean_md5"))
-  }
+            r => r.getField("e") - r.getField("s") + 1 >= minRunTokens))))
 
   /** Exchange-plan fallback of [[removeDupSpansVarK]] for corpora whose hot
     * sets outgrow the driver-broadcast cap: the fixed-k pipeline (postings →
@@ -505,7 +550,8 @@ object Spans {
   private def removeDupSpansVarKExchange(
       docs: DataFrame, idCol: String, textCol: String,
       kSeed: Int, kExt: Int, minRunTokens: Int, seedAnchorHexBelow: Int): DataFrame = {
-    val runs = islandRuns(dupStartPositions(docs, idCol, textCol, kExt), kExt)
+    val eposts = spanPostings(docs, idCol, textCol, kExt)
+    val runs = islandRuns(dupStartPositionsFrom(eposts, hotKeyPlan(eposts)), kExt)
     val sposts = seedPostings(docs, idCol, textCol, kSeed, kExt, seedAnchorHexBelow)
     val seeds = sposts.join(hotKeyPlan(sposts), Seq("w"), "left_semi")
       .select(col("doc").as("_sdoc"), col("pos"))

@@ -26,6 +26,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** xxhash64 of every space-joined `k`-token window of a token array, with
+    * the shared short-document convention (< k tokens ⇒ one whole-text
+    * window) — the fused [[graft.functions.TokenWindowHashExpr]], bit-
+    * identical to `xxhash64(concat_ws(" ", slice(toks, i, k)))` per window
+    * without the per-window slice/concat allocations. Shared by span
+    * postings (k = 8+) and 3-gram shingle postings.
+    */
+  def windowHashes(toks: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.TokenWindowHashExpr(expression(toks), k))
+  }
+
   /** Adjacent-token bigrams ("w1 w2") of a token array — empty for arrays
     * shorter than 2. Pure array expression (sequence + transform), so bigram
     * construction stays map-side; only the (doc, bigram) counts shuffle.
