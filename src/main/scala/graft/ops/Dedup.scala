@@ -161,14 +161,16 @@ object Dedup {
         raw.join(broadcast(dfreqAll.filter(col("df") > maxDocFreq)), Seq("w"), "left_anti")
           .localCheckpoint(true, ckptLevel(rawPlan)),
         dfreqAll.filter(col("df") <= maxDocFreq))
-    // cost-based strategy choice from one tiny scalar aggregate
-    val stats = dfreq.agg(sum(col("df") * col("df")).as("df2"), sum(col("df")).as("dfs")).head()
+    // cost-based strategy choice from one tiny scalar aggregate (vocabulary
+    // count rides the same row — it gates the dfreq broadcast below)
+    val stats = dfreq.agg(sum(col("df") * col("df")).as("df2"), sum(col("df")).as("dfs"),
+      count(lit(1)).as("nw")).head()
     val fanout = stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
     val usePrefix = fanout >= PrefixFanoutThreshold
     System.err.println(
       f"[ngram] expected self-join fanout $fanout%.1f -> ${if (usePrefix) "prefix-filter" else "naive"} path")
     if (!usePrefix) jaccardFromPosts(posts, threshold)
-    else prefixFromPosts(posts, dfreq, threshold)
+    else prefixFromPosts(posts, dfreq, threshold, stats.getLong(2))
   }
 
   /** Prefix-filtered path (forced) — see [[ngramJaccardPairs]]. */
@@ -176,7 +178,8 @@ object Dedup {
     val plan = shinglePostings(docs, idCol, textCol)
     val posts = plan.localCheckpoint(true, ckptLevel(plan))
     val dfreq = posts.groupBy("w").agg(count(lit(1)).as("df"))
-    prefixFromPosts(posts, dfreq, threshold)
+      .localCheckpoint(true, ckptLevel(posts))
+    prefixFromPosts(posts, dfreq, threshold, dfreq.count())
   }
 
   /** Everything — prefix selection, candidates, AND the verification sets —
@@ -193,9 +196,25 @@ object Dedup {
     * whose sizes alone bound Jaccard below τ never reaches the distinct or
     * the verification join.
     */
-  private def prefixFromPosts(posts: DataFrame, dfreq: DataFrame, threshold: Double): DataFrame = {
+  /** Vocabulary-count ceiling for broadcasting the dfreq table into the
+    * prefix path's rank attach (r17, guide §3.1): the (w, df) relation is
+    * vocabulary-sized — far smaller than the postings it joins — and the
+    * shuffle join exchanged the FULL postings relation by w a second time
+    * just to attach a rank (the single largest avoidable exchange in the
+    * op at 700×). 4 M keys ≈ 64 MB raw / ~150 MB hashed relation. Above
+    * the cap (a truly open vocabulary at corpus scale) the shuffle join is
+    * the only correct shape. Tunable via
+    * `spark.graft.broadcast.dfreq.maxKeys`.
+    */
+  private val BroadcastDfreqMaxKeysDefault = 4000000L
+
+  private def prefixFromPosts(posts: DataFrame, dfreq: DataFrame, threshold: Double,
+                              nVocab: Long): DataFrame = {
+    val dfreqCap = posts.sparkSession.conf
+      .get("spark.graft.broadcast.dfreq.maxKeys", BroadcastDfreqMaxKeysDefault.toString).toLong
+    val dfreqSide = if (nVocab <= dfreqCap) broadcast(dfreq) else dfreq
     val perDoc = posts
-      .join(dfreq, "w")
+      .join(dfreqSide, "w")
       .groupBy(col("doc"))
       .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("wl")) // (df asc, w asc)
       .select(
@@ -659,7 +678,13 @@ object Dedup {
     val rowsPerPart = spark.conf
       .get("spark.graft.cc.rowsPerPartition", CcRowsPerPartitionDefault.toString).toLong
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1L, math.min(sessionParts.toLong,
+    // floor at the core count (clamped to the session width): a tiny edge
+    // set must not serialize the iterations onto one core — measured at 700×
+    // stress (67 k edges): width 1 ran 101.6 s vs 86.5 s at the session's
+    // 256; the floor keeps every core busy while still deleting the
+    // hundreds of near-empty tasks per iteration
+    val parallelismFloor = math.min(sessionParts, spark.sparkContext.defaultParallelism)
+    val parts = math.max(parallelismFloor.toLong, math.min(sessionParts.toLong,
       (nEdges + rowsPerPart - 1) / rowsPerPart)).toInt
     // pre-partition + pre-sort edges by the probe key ONCE: checkpoint
     // preserves partitioning and ordering, so the per-iteration join
