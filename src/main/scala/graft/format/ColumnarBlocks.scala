@@ -262,11 +262,10 @@ object ColumnarBlocks {
       }
     val rows: Int = if (rle) rleCodes.length else uLen - o
     if (!rle) locally {
-      var r = codesOff
-      while (r < uLen) {
-        if ((data(r) & 0xff) >= nEntries) fail(s"dict code ${data(r) & 0xff} out of range")
-        r += 1
-      }
+      // SWAR range validation (8 codes per load) — the byte loop here was
+      // most of DictStream construction in the r17 JFR scan profile
+      val bad = graft.sources.SwarScan.firstByteAtLeast(data, codesOff, uLen, nEntries)
+      if (bad >= 0) fail(s"dict code ${data(bad) & 0xff} out of range")
     }
     @inline def code(r: Int): Int =
       (if (rleCodes != null) rleCodes(r) else data(codesOff + r)) & 0xff

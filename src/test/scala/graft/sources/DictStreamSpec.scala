@@ -359,4 +359,29 @@ class DictStreamSpec extends AnyFunSuite {
     val rep = graft.ops.Fsck.fsck(spark, dir).collect()
     assert(rep.forall(r => r.getBoolean(2) && r.getInt(4) == 0), rep.mkString(";"))
   }
+
+  test("SwarScan.firstByteAtLeast equals the byte loop, incl. carry-hazard bytes") {
+    val rng = new scala.util.Random(31)
+    def naive(a: Array[Byte], from: Int, until: Int, limit: Int): Int = {
+      var i = from
+      while (i < until) { if ((a(i) & 0xff) >= limit) return i; i += 1 }
+      -1
+    }
+    for (trial <- 0 until 2000) {
+      val n = rng.nextInt(40)
+      // bias toward the SWAR hazard classes: bytes just under/over the
+      // limit, and >= 0x80 bytes whose lane addition carries
+      val a = Array.fill[Byte](n)(rng.nextInt(4) match {
+        case 0 => rng.nextInt(256).toByte
+        case 1 => (0x80 + rng.nextInt(128)).toByte
+        case 2 => rng.nextInt(64).toByte
+        case _ => (60 + rng.nextInt(10)).toByte
+      })
+      val from = if (n == 0) 0 else rng.nextInt(n)
+      val limit = 1 + rng.nextInt(127)
+      assert(
+        graft.sources.SwarScan.firstByteAtLeast(a, from, n, limit) == naive(a, from, n, limit),
+        s"trial $trial limit $limit from $from: ${a.mkString(",")}")
+    }
+  }
 }
